@@ -1,0 +1,89 @@
+"""Pairwise similarity kernels for the scoring stage (SURVEY §7.1 "score").
+
+The reference's in-repo seed for string similarity is the mean pairwise
+Levenshtein ratio within a synset (belb/scripts/stats.py:203-250 — SURVEY
+§2.6 A12). The graft's hybrid score = Jaccard-on-shingles (estimated from
+MinHash signatures, vectorized) + Jaro-Winkler on path + token-set ratio,
+combined with fixed weights. All tie-breaks are total-order deterministic
+(id-sorted pairs) so thresholds behave identically across partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
+    """Standard Jaro-Winkler similarity (scalar; called only on blocked
+    candidate pairs, whose count is capped per block)."""
+    if s1 == s2:
+        return 1.0
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    match_dist = max(len1, len2) // 2 - 1
+    flags1 = [False] * len1
+    flags2 = [False] * len2
+    matches = 0
+    for i, c1 in enumerate(s1):
+        lo = max(0, i - match_dist)
+        hi = min(len2, i + match_dist + 1)
+        for j in range(lo, hi):
+            if not flags2[j] and s2[j] == c1:
+                flags1[i] = flags2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0.0
+    k = 0
+    for i in range(len1):
+        if flags1[i]:
+            while not flags2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 0.5
+            k += 1
+    jaro = (matches / len1 + matches / len2 + (matches - t) / matches) / 3.0
+    prefix = 0
+    for c1, c2 in zip(s1[:4], s2[:4]):
+        if c1 != c2:
+            break
+        prefix += 1
+    return jaro + prefix * prefix_weight * (1.0 - jaro)
+
+
+def token_set_ratio(a: set, b: set) -> float:
+    """Dice coefficient over token sets: 2|A∩B| / (|A|+|B|)."""
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return 2.0 * len(a & b) / (len(a) + len(b))
+
+
+def hybrid_score(
+    est_jacc: np.ndarray,
+    path_jw: np.ndarray,
+    tok_ratio: np.ndarray,
+    w_jacc: float = 0.7,
+    w_jw: float = 0.15,
+    w_tok: float = 0.15,
+) -> np.ndarray:
+    """Weighted hybrid similarity in [0,1]; weights fixed by config so the
+    decision threshold is reproducible (SURVEY §7.4 determinism note)."""
+    return w_jacc * est_jacc + w_jw * path_jw + w_tok * tok_ratio
+
+
+def cosine_topk(queries: np.ndarray, corpus: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Brute-force cosine top-k: (q, d) @ (d, n) matmul per batch.
+
+    Returns (indices (q,k), sims (q,k)), ranked by (-sim, index) so ties
+    are total-order deterministic."""
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+    cn = corpus / np.maximum(np.linalg.norm(corpus, axis=1, keepdims=True), 1e-12)
+    sims = qn @ cn.T
+    # argsort by (-sim, idx): stable sort on idx is implicit (arange), so
+    # kind='stable' over -sims keeps index order within equal sims
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+    return order, np.take_along_axis(sims, order, axis=1)

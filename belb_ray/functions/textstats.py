@@ -1,0 +1,77 @@
+"""Text-analysis kernels for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+These extend the reference's corpus statistics layer
+(belb/scripts/stats.py:81-300 — SURVEY §2.6 A11-A13) into the ops a
+100 TB pretraining-data pipeline needs. All are pure per-batch kernels.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from .hashing import ngram_hashes, token_hashes
+
+WORD_RE = re.compile(r"\S+")
+PUNCT_RE = re.compile(r"[^\w\s]")
+# fixed stopword list — part of the config contract, mirrored in oracle SQL
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it")
+STOPSET = frozenset(STOPWORDS)
+
+# Tiny per-language character-trigram profiles for the language-ID
+# heuristic. Deterministic, dependency-free; real models are out of scope
+# in this container (no network).
+_LANG_PROFILES = {
+    "en": ("the", "and", "ing", "ion", "ent", " th", "he ", "er ", " of", "of "),
+    "de": ("der", "die", "und", "sch", "ein", "ich", "den", "cht", " de", "en "),
+    "fr": ("les", "des", "ent", "que", " de", "de ", "ion", "eur", "ait", " le"),
+    "es": ("que", " de", "de ", "los", "ión", "ent", "ado", " la", "la ", "es "),
+}
+
+
+def token_count(text: str) -> int:
+    """Whitespace token count (matches oracle: len(regexp_split_to_array))."""
+    return len(WORD_RE.findall(text))
+
+
+def bpe_ish_token_count(text: str) -> int:
+    """A BPE-ish proxy: words + digits split + punctuation as own tokens."""
+    return len(re.findall(r"[A-Za-z]+|\d|[^\w\s]", text))
+
+
+def quality_features(text: str) -> tuple[int, int, float, float]:
+    """(n_chars, n_words, mean_word_len, stop_ratio) — the reference-style
+    QAQC counter family (SURVEY §2.6 A10) generalized to doc quality."""
+    words = WORD_RE.findall(text)
+    n_words = len(words)
+    n_chars = len(text)
+    mean_wl = (sum(len(w) for w in words) / n_words) if n_words else 0.0
+    stops = sum(1 for w in words if w.lower() in STOPSET)
+    stop_ratio = stops / n_words if n_words else 0.0
+    return n_chars, n_words, mean_wl, stop_ratio
+
+
+def lang_id(text: str) -> str:
+    """Character-trigram profile voting. Returns the best-scoring language
+    or 'und' when no profile trigram occurs."""
+    t = text.lower()[:2000]
+    best_lang, best_score = "und", 0
+    for lang, grams in _LANG_PROFILES.items():
+        score = sum(t.count(g) for g in grams)
+        if score > best_score:
+            best_lang, best_score = lang, score
+    return best_lang
+
+
+def fingerprint64(text: str, k: int = 8, cache: dict | None = None) -> int:
+    """Winnowing-style document fingerprint: min rolling-hash over token
+    k-grams → stable non-negative int64. Equal for exact dups, robust to
+    whitespace jitter after normalization."""
+    toks = WORD_RE.findall(text.lower())
+    if not toks:
+        return 0
+    th = token_hashes(toks, cache)
+    grams = ngram_hashes(th, min(k, len(th)))
+    return int(grams.min() & np.uint64(0x7FFFFFFFFFFFFFFF))

@@ -1,0 +1,135 @@
+"""The flagship ER pipeline: files → transitive entity clusters.
+
+Stage graph (SURVEY §7.1/§7.3; north_star in BASELINE.json):
+
+  read_parquet(files)                       # column-pruned at the read
+   → ensure_identity_columns                # row_id + content_sha256 (invariant)
+   → exact_dedup (groupby content_sha256)   # hot-key pre-collapse (vendored files)
+   → reps → MinHashBlocker actor pool       # signatures: state once per actor
+   → explode band keys ∪ path-neighborhood  # (block_key, row_id), no payload
+   → candidate_pairs (groupby block_key)    # capped/salted pair budget
+   → attach_features (2 hash-partition joins)
+   → score_pairs (vectorized hybrid)        # → edges ≥ threshold
+   → connected_components (label propagation to fixpoint)
+   → assign_clusters (expand exact-dup members back)
+
+Wide ``content`` never crosses a shuffle: after the blocker, rows are
+(row_id, sig, path) — SURVEY §7.4 "wide content rows".
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass, field
+
+import pyarrow as pa
+import ray.data as rd
+
+from ..stages.blocking import MinHashBlocker, explode_band_keys, path_neighborhood_keys
+from ..stages.cluster import assign_clusters, connected_components
+from ..stages.dedup import ensure_identity_columns, exact_dedup_reps
+from ..stages.pairs import candidate_pairs
+from ..stages.scoring import attach_features, score_pairs
+
+
+@dataclass(frozen=True)
+class ERConfig:
+    """Frozen, hashable config (reference: frozen config + hexdigest
+    versioning, belb/utils/__init__.py:273-334 — SURVEY §2.8)."""
+    num_perm: int = 128
+    bands: int = 32
+    shingle_k: int = 3
+    seed: int = 7
+    threshold: float = 0.5
+    w_jacc: float = 0.7
+    w_jw: float = 0.15
+    w_tok: float = 0.15
+    max_block: int = 64
+    window: int = 8
+    use_path_keys: bool = True
+    join_buckets: int = 32
+    blocker_concurrency: tuple = (2, 8)
+    blocker_batch_size: int = 1024
+    input_blocks: int | None = None  # repartition narrow inputs for pool parallelism
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+
+def resolve_files(
+    files: rd.Dataset,
+    cfg: ERConfig = ERConfig(),
+    checkpoint_dir: str | None = None,
+) -> dict[str, rd.Dataset]:
+    """Run the full pipeline. Returns dict of result datasets:
+    clusters(row_id, cluster_id), edges(id_a, id_b, score),
+    members(row_id, rep_id), features."""
+    from .checkpoint import checkpoint_stage
+
+    from ..stages.joins import hash_partition_join
+
+    files = ensure_identity_columns(files)
+    if cfg.input_blocks:
+        files = files.repartition(cfg.input_blocks)
+
+    # Features for EVERY row, before any shuffle: the wide `content` column
+    # is read once, hashed/sketched in the actor pool, and dropped — only
+    # the ~1 KB feature rows (sig, path, sha) ever cross a shuffle
+    # (SURVEY §7.4 "wide content rows"). Exact dups waste a little compute
+    # re-sketching identical content; that beats shuffling content bytes.
+    class _Blocker(MinHashBlocker):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(batch)
+            return out.append_column("content_sha256", batch["content_sha256"])
+
+    features_all = files.map_batches(
+        _Blocker,
+        fn_constructor_kwargs={"num_perm": cfg.num_perm,
+                               "shingle_k": cfg.shingle_k, "seed": cfg.seed},
+        batch_format="pyarrow",
+        batch_size=cfg.blocker_batch_size,
+        concurrency=cfg.blocker_concurrency,
+    ).materialize()
+
+    import pyarrow.compute as pc
+
+    # rep per content hash (native Min aggregate), then ONE light join
+    # gives both the membership table and the rep-only features
+    reps_by_sha = exact_dedup_reps(features_all)
+    fm = hash_partition_join(
+        features_all, reps_by_sha, key="content_sha256",
+        num_buckets=cfg.join_buckets).materialize()
+    members = fm.select_columns(["row_id", "rep_id"])
+    features = fm.map_batches(
+        lambda t: t.filter(pc.equal(t["row_id"], t["rep_id"]))
+        .drop_columns(["content_sha256", "rep_id"]),
+        batch_format="pyarrow")
+
+    def _build_edges() -> rd.Dataset:
+        blocks = explode_band_keys(features, bands=cfg.bands)
+        if cfg.use_path_keys:
+            blocks = blocks.union(path_neighborhood_keys(features))
+        pairs = candidate_pairs(blocks, max_block=cfg.max_block, window=cfg.window)
+        pf = attach_features(pairs, features, num_buckets=cfg.join_buckets)
+        return score_pairs(pf, threshold=cfg.threshold, w_jacc=cfg.w_jacc,
+                           w_jw=cfg.w_jw, w_tok=cfg.w_tok)
+
+    if checkpoint_dir is not None:
+        edges = checkpoint_stage(_build_edges, f"{checkpoint_dir}/edges",
+                                 cfg.to_dict(), lineage={"stage": "edges"})
+    else:
+        edges = _build_edges()
+
+    labels = connected_components(
+        edges,
+        checkpoint_dir=f"{checkpoint_dir}/cc" if checkpoint_dir else None)
+    clusters = assign_clusters(members, labels, num_buckets=cfg.join_buckets)
+
+    return {"clusters": clusters, "edges": edges, "members": members,
+            "features": features}
+
+
+def cluster_summary(clusters: rd.Dataset) -> rd.Dataset:
+    """cluster_id → size (the A1-synset-style rollup over clusters)."""
+    from ray.data.aggregate import Count
+
+    return clusters.groupby("cluster_id").aggregate(Count(alias_name="size"))

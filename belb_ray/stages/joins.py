@@ -1,0 +1,158 @@
+"""Join operators.
+
+The reference delegates all joins to SQL (SURVEY §2.5 J1-J7). Ray Data
+2.49 has no native ``Dataset.join``, so this module provides the two
+canonical distributed strategies:
+
+- ``broadcast_join``: the small side is ``ray.put`` once and joined per
+  batch with ``pyarrow.Table.join`` (zero shuffle). Right for dimension
+  tables, lookup maps, key sets — the reference's broadcast-dict pattern
+  (belb/corpora/bioid.py:173-186 — SURVEY §2.4 T6).
+- ``hash_partition_join``: both sides large → explicit partitioned hash
+  join: add ``bucket = key % B`` to both sides, align schemas, union,
+  ``groupby(bucket)`` and join per bucket with ``pyarrow.Table.join``.
+  One shuffle each side; B sized so a bucket fits a worker's heap.
+  Skewed keys: pre-collapse duplicates (exact-dedup) before joining, or
+  raise B (SURVEY §4 skew row).
+
+Semi/anti joins use a broadcast key set (belb/kbs/kb.py:428-453's
+in-KB membership / notinkb anti-join — SURVEY §2.5 J1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+
+def _as_arrow(obj) -> pa.Table:
+    if isinstance(obj, pa.Table):
+        return obj
+    if isinstance(obj, rd.Dataset):
+        return pa.concat_tables(ray.get(obj.to_arrow_refs()))
+    import pandas as pd
+
+    if isinstance(obj, pd.DataFrame):
+        return pa.Table.from_pandas(obj, preserve_index=False)
+    raise TypeError(type(obj))
+
+
+def broadcast_join(
+    ds: rd.Dataset,
+    small,
+    keys: str | list[str],
+    join_type: str = "inner",
+    right_suffix: str = "_r",
+) -> rd.Dataset:
+    """Join a Dataset against a small in-memory side (pa.Table / DataFrame /
+    small Dataset). The small side is put in the object store ONCE and read
+    by every task — not re-shipped per batch."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    small_tbl = _as_arrow(small)
+    ref = ray.put(small_tbl)
+
+    class _Join:
+        def __init__(self):
+            self.right = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = batch.join(self.right, keys=keys, join_type=join_type,
+                             right_suffix=right_suffix)
+            return out
+
+    # stateless semantics but actor pool caches the ray.get deserialization
+    return ds.map_batches(_Join, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def broadcast_semi_join(ds: rd.Dataset, keys_values, key: str, anti: bool = False) -> rd.Dataset:
+    """Semi (or anti) join: keep rows whose key is (not) in the broadcast
+    key set. The reference's notinkb computation is exactly the anti form
+    (belb/kbs/kb.py:428-453)."""
+    arr = pa.array(sorted(set(keys_values)))
+    ref = ray.put(arr)
+
+    def _filt(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[key], value_set=ray.get(ref))
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return ds.map_batches(_filt, batch_format="pyarrow")
+
+
+def _bucket_of(col: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
+    vals = col.to_numpy(zero_copy_only=False)
+    if np.issubdtype(vals.dtype, np.integer):
+        h = vals.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    else:
+        # vectorized, deterministic string hashing (fixed-key xxhash)
+        import pandas as pd
+
+        h = pd.util.hash_array(vals, hash_key="belb_ray_bucket0", categorize=False)
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+
+
+def hash_str(s) -> int:
+    import hashlib
+
+    return int.from_bytes(hashlib.blake2b(str(s).encode(), digest_size=8).digest(), "big")
+
+
+def hash_partition_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    num_buckets: int = 32,
+    join_type: str = "inner",
+    right_suffix: str = "_r",
+) -> rd.Dataset:
+    """Explicit partitioned hash join of two large Datasets on ``key``.
+
+    Both sides get a bucket column; schemas are aligned (missing columns
+    null-filled) with a side tag; one ``groupby(bucket)`` co-locates
+    matching keys; ``pyarrow.Table.join`` runs per bucket."""
+    lschema = left.schema()
+    rschema = right.schema()
+    lcols = list(lschema.names)
+    rtype_by_name = dict(zip(rschema.names, rschema.types))
+    rcols = [c for c in rschema.names if c != key]
+    rcols_out = [c + right_suffix if c in lcols else c for c in rcols]
+    rtypes = {co: rtype_by_name[c] for c, co in zip(rcols, rcols_out)}
+    ltypes = dict(zip(lschema.names, lschema.types))
+
+    def _prep(side: int, rename: dict[str, str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            batch = batch.rename_columns([rename.get(c, c) for c in batch.column_names])
+            cols = {}
+            for c in [key] + [c for c in lcols if c != key] + rcols_out:
+                if c in batch.column_names:
+                    cols[c] = batch[c]
+                else:
+                    t = ltypes.get(c) or rtypes.get(c)
+                    cols[c] = pa.nulls(n, t)
+            out = pa.table(cols)
+            out = out.append_column("__bucket", _bucket_of(out[key], num_buckets))
+            return out.append_column("__side", pa.array(np.full(n, side, dtype=np.int8)))
+
+        return fn
+
+    lt = left.map_batches(_prep(0, {}), batch_format="pyarrow")
+    rt = right.map_batches(_prep(1, dict(zip(rcols, rcols_out))), batch_format="pyarrow")
+    both = lt.union(rt)
+
+    lkeep = [key] + [c for c in lcols if c != key]
+
+    def _join_bucket(tbl: pa.Table) -> pa.Table:
+        side = tbl["__side"].to_numpy(zero_copy_only=False)
+        tbl = tbl.drop_columns(["__bucket", "__side"])
+        lpart = tbl.filter(pa.array(side == 0)).select(lkeep)
+        rpart = tbl.filter(pa.array(side == 1)).select([key] + rcols_out)
+        out = lpart.join(rpart, keys=[key], join_type=join_type)
+        # join may reorder columns; normalize
+        return out.select([key] + [c for c in lcols if c != key] + rcols_out)
+
+    return both.groupby("__bucket").map_groups(_join_bucket, batch_format="pyarrow")

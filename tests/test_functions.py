@@ -1,0 +1,130 @@
+"""Unit tests for the pure kernels (no Ray)."""
+
+import numpy as np
+
+from belb_ray.functions.hashing import (
+    char_shingle_hashes,
+    ngram_hashes,
+    sha256_hex_list,
+    stable_id64_list,
+    token_hashes,
+)
+from belb_ray.functions.minhash import (
+    MinHasher,
+    band_keys,
+    est_jaccard,
+    hamming64,
+    simhash64,
+)
+from belb_ray.functions.similarity import cosine_topk, jaro_winkler, token_set_ratio
+from belb_ray.functions.text import (
+    normalize_text,
+    path_tokens,
+    sorted_neighborhood_key,
+    tokenize,
+)
+from belb_ray.functions.textstats import (
+    fingerprint64,
+    lang_id,
+    quality_features,
+    token_count,
+)
+
+
+def test_sha256_matches_known_vector():
+    assert sha256_hex_list(["abc"])[0] == (
+        "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert sha256_hex_list([None]) == [None]
+
+
+def test_stable_ids_deterministic_and_distinct():
+    a = stable_id64_list(["r1", "r1"], ["p1", "p2"])
+    b = stable_id64_list(["r1", "r1"], ["p1", "p2"])
+    assert (a == b).all() and a[0] != a[1] and (a >= 0).all()
+
+
+def test_ngram_hashes_shift_sensitive():
+    base = token_hashes(["a", "b", "c", "d"])
+    h3 = ngram_hashes(base, 3)
+    assert len(h3) == 2 and h3[0] != h3[1]
+    # shorter than n collapses to one whole-sequence hash
+    assert len(ngram_hashes(base[:2], 3)) == 1
+
+
+def test_minhash_estimates_jaccard():
+    mh = MinHasher(256, seed=1)
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 2**63, 1000).astype(np.uint64)
+    b = np.concatenate([a[:800], rng.integers(0, 2**63, 200).astype(np.uint64)])
+    true_j = len(np.intersect1d(a, b)) / len(np.union1d(a, b))
+    est = est_jaccard(mh.signature(a)[None, :], mh.signature(b)[None, :])[0]
+    assert abs(est - true_j) < 0.08
+
+
+def test_identical_content_identical_signature():
+    mh = MinHasher(128, seed=7)
+    h = char_shingle_hashes("the same content twice", 5)
+    assert (mh.signature(h) == mh.signature(h.copy())).all()
+
+
+def test_band_keys_shared_for_near_dups_only():
+    mh = MinHasher(128, seed=7)
+    rng = np.random.default_rng(5)
+    vocab = np.array([f"w{i}" for i in range(300)])
+    doc = vocab[rng.integers(0, 300, 150)]
+    near = doc.copy()
+    near[[10, 80]] = ["x1", "x2"]  # 2 token edits → high shingle Jaccard
+    other = vocab[rng.integers(0, 300, 150)]
+    t1 = token_hashes(list(doc))
+    t2 = token_hashes(list(near))
+    t3 = token_hashes(list(other))
+    sigs = np.vstack([mh.signature(ngram_hashes(t, 3)) for t in (t1, t2, t3)])
+    keys = band_keys(sigs, bands=32)
+    assert len(set(keys[0]) & set(keys[1])) > 0
+    assert len(set(keys[0]) & set(keys[2])) == 0
+
+
+def test_simhash_hamming_orders_similarity():
+    t1 = token_hashes(tokenize("alpha beta gamma delta epsilon " * 20))
+    t2 = token_hashes(tokenize("alpha beta gamma delta zeta " * 20))
+    t3 = token_hashes(tokenize("unrelated totally different thing " * 20))
+    d12 = hamming64(np.array([simhash64(t1)]), np.array([simhash64(t2)]))[0]
+    d13 = hamming64(np.array([simhash64(t1)]), np.array([simhash64(t3)]))[0]
+    assert d12 < d13
+
+
+def test_jaro_winkler_reference_value():
+    assert abs(jaro_winkler("martha", "marhta") - 0.9611111111111111) < 1e-9
+    assert jaro_winkler("", "x") == 0.0
+    assert jaro_winkler("same", "same") == 1.0
+
+
+def test_token_set_ratio():
+    assert token_set_ratio({"a", "b"}, {"a", "b"}) == 1.0
+    assert token_set_ratio({"a"}, {"b"}) == 0.0
+    assert token_set_ratio(set(), set()) == 1.0
+
+
+def test_cosine_topk_deterministic():
+    rng = np.random.default_rng(3)
+    q, c = rng.normal(size=(2, 16)), rng.normal(size=(50, 16))
+    i1, s1 = cosine_topk(q, c, 5)
+    i2, s2 = cosine_topk(q, c, 5)
+    assert (i1 == i2).all()
+    assert (np.diff(s1, axis=1) <= 1e-12).all()  # descending
+
+
+def test_text_normalize_and_tokens():
+    assert normalize_text("a b   c\n\nd") == "a b c d"
+    assert tokenize("Foo_bar baz-qux") == ["foo_bar", "baz", "qux"]
+    assert path_tokens("src/util/foo_bar.py") == ["src", "util", "foo", "bar", "py"]
+    assert sorted_neighborhood_key("src/util/foo_bar.py") == "bar.foo"
+
+
+def test_textstats():
+    assert token_count("a b  c") == 3
+    n_chars, n_words, mwl, stop = quality_features("the cat sat")
+    assert (n_chars, n_words) == (11, 3) and 0 < stop < 1
+    assert lang_id("the cat and the dog of the house") == "en"
+    assert fingerprint64("a b c d e f g h") == fingerprint64("a  b c d e f g  h")
+    assert fingerprint64("a b c d e f g h") != fingerprint64("a b c d e f g x")

@@ -1,0 +1,162 @@
+"""Operator-level tests over tiny Arrow tables (Ray session from conftest)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from belb_ray.stages.agg import count_distinct, dense_ids, preagg_groupby, topk
+from belb_ray.stages.cluster import assign_clusters, connected_components
+from belb_ray.stages.dedup import ensure_identity_columns, exact_dedup_reps
+from belb_ray.stages.history import apply_id_mapping, resolve_identifiers, squash_history
+from belb_ray.stages.homonyms import identifier_homonyms, kb_dedup, name_homonyms, synsets
+from belb_ray.stages.joins import broadcast_join, broadcast_semi_join, hash_partition_join
+from belb_ray.stages.pairs import candidate_pairs
+
+
+def test_broadcast_join():
+    left = rd.from_items([{"k": i % 3, "v": i} for i in range(9)])
+    right = pa.table({"k": [0, 1], "name": ["zero", "one"]})
+    out = broadcast_join(left, right, "k").to_pandas()
+    assert len(out) == 6 and set(out["name"]) == {"zero", "one"}
+
+
+def test_broadcast_semi_and_anti_join():
+    ds = rd.from_items([{"k": i} for i in range(10)])
+    semi = broadcast_semi_join(ds, [2, 3], "k").to_pandas()
+    anti = broadcast_semi_join(ds, [2, 3], "k", anti=True).to_pandas()
+    assert sorted(semi["k"]) == [2, 3] and len(anti) == 8
+
+
+def test_hash_partition_join_inner_and_left():
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3, 4], "a": ["w", "x", "y", "z"]}))
+    right = rd.from_arrow(pa.table({"k": [2, 3, 5], "b": [20, 30, 50]}))
+    inner = hash_partition_join(left, right, "k", num_buckets=4).to_pandas()
+    assert sorted(inner["k"]) == [2, 3]
+    louter = hash_partition_join(left, right, "k", num_buckets=4,
+                                 join_type="left outer").to_pandas()
+    assert len(louter) == 4 and louter.set_index("k")["b"].isna().sum() == 2
+
+
+def test_preagg_groupby_matches_pandas():
+    df = pd.DataFrame({"g": np.repeat(["a", "b"], 50),
+                       "x": np.arange(100, dtype=float)})
+    ds = rd.from_pandas(df).repartition(5)
+    out = preagg_groupby(ds, ["g"], [("sum", "x", "sx"), ("count", "x", "n"),
+                                     ("mean", "x", "mx"), ("min", "x", "mn"),
+                                     ("max", "x", "mxx")]).to_pandas()
+    exp = df.groupby("g")["x"].agg(["sum", "count", "mean", "min", "max"])
+    out = out.set_index("g").sort_index()
+    assert np.allclose(out["sx"], exp["sum"]) and (out["n"] == exp["count"]).all()
+    assert np.allclose(out["mx"], exp["mean"])
+
+
+def test_count_distinct():
+    df = pd.DataFrame({"g": ["a"] * 4 + ["b"] * 2, "v": [1, 1, 2, 3, 9, 9]})
+    out = count_distinct(rd.from_pandas(df), ["g"], "v", "nd").to_pandas()
+    assert dict(zip(out["g"], out["nd"])) == {"a": 3, "b": 1}
+
+
+def test_dense_ids_sorted_rank():
+    ds = rd.from_items([{"lang": l} for l in ["py", "js", "py", "go"]])
+    out = dense_ids(ds, "lang")
+    assert list(out["lang"]) == ["go", "js", "py"]
+    assert list(out["internal_identifier"]) == [0, 1, 2]
+
+
+def test_topk():
+    ds = rd.from_items([{"v": i, "id": 100 - i} for i in range(50)])
+    out = topk(ds, "v", 3, descending=True, tiebreak="id").to_pandas()
+    assert sorted(out["v"].tolist(), reverse=True) == [49, 48, 47]
+
+
+def test_exact_dedup_reps_min_id():
+    t = pa.table({"content_sha256": ["h1", "h1", "h2"], "row_id": [5, 3, 9]})
+    out = exact_dedup_reps(rd.from_arrow(t)).to_pandas()
+    assert dict(zip(out["content_sha256"], out["rep_id"])) == {"h1": 3, "h2": 9}
+
+
+def test_ensure_identity_columns_invariant():
+    t = pa.table({"repo": ["r"], "path": ["p"], "commit": ["c"],
+                  "lang": ["py"], "content": ["abc"]})
+    out = ensure_identity_columns(rd.from_arrow(t)).to_pandas()
+    assert out["content_sha256"][0] == (
+        "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+
+
+def test_connected_components_transitive_chain():
+    # A-B, B-C (no direct A-C) + isolated pair D-E; labels must be min id
+    edges = rd.from_arrow(pa.table({"id_a": [10, 20, 40], "id_b": [20, 30, 50]}))
+    labels = connected_components(edges).to_pandas()
+    got = dict(zip(labels["node"], labels["label"]))
+    assert got == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
+
+
+def test_assign_clusters_fills_singletons():
+    members = rd.from_arrow(pa.table({"row_id": [1, 2, 3], "rep_id": [1, 1, 3]}))
+    labels = rd.from_arrow(pa.table({"node": [1], "label": [1]}))
+    out = assign_clusters(members, labels).to_pandas()
+    assert dict(zip(out["row_id"], out["cluster_id"])) == {1: 1, 2: 1, 3: 3}
+
+
+def test_candidate_pairs_all_and_windowed():
+    rows = [{"block_key": 1, "row_id": i} for i in range(4)]
+    rows += [{"block_key": 2, "row_id": 100 + i} for i in range(200)]
+    pairs = candidate_pairs(rd.from_items(rows), max_block=64, window=3).to_pandas()
+    small = pairs[pairs["id_a"] < 100]
+    assert len(small) == 6  # C(4,2)
+    big = pairs[pairs["id_a"] >= 100]
+    assert len(big) == 200 * 3 - 6  # windowed cap
+    assert (pairs["id_a"] < pairs["id_b"]).all()
+
+
+def test_history_squash_and_resolve():
+    hist = pd.DataFrame({"old_identifier": ["1", "2", "5"],
+                         "new_identifier": ["2", "3", "-1"]})
+    m = squash_history(hist)
+    assert m["1"] == "3" and m["2"] == "3" and m["5"] == "-1"
+    ds = rd.from_items([{"identifier": "1"}, {"identifier": "7"},
+                        {"identifier": "5"}])
+    out = resolve_identifiers(ds, hist).to_pandas().sort_values("identifier")
+    got = dict(zip(out["identifier"], zip(out["resolved_identifier"], out["id_status"])))
+    assert got == {"1": ("3", "replaced"), "7": ("7", "kept"), "5": ("-1", "obsolete")}
+
+
+def test_apply_id_mapping_many_to_one():
+    mapping = pd.DataFrame({"original_identifier": ["EXT:1", "ALT:1"],
+                            "internal_identifier": [7, 7]})
+    ds = rd.from_items([{"oid": "EXT:1"}, {"oid": "ALT:1"}, {"oid": "nope"}])
+    out = apply_id_mapping(ds, mapping, "oid").to_pandas()
+    assert sorted(out["internal_identifier"]) == [-1, 7, 7]
+
+
+def _syn_table():
+    return rd.from_arrow(pa.table({
+        "uid": [0, 1, 2, 3, 4, 5],
+        "identifier": [1, 1, 1, 2, 2, 3],
+        "name": ["alpha", "beta", "alpha", "beta", "alpha", "gamma"],
+        "description": [0, 1, 2, 0, 1, 0],
+        "foreign_identifier": [0, 0, 0, 0, 0, 1],
+    }))
+
+
+def test_kb_dedup_symbol_wins():
+    out = kb_dedup(_syn_table()).to_pandas()
+    row = out[(out["identifier"] == 1) & (out["name"] == "alpha")]
+    assert len(row) == 1 and row["description"].iloc[0] == 0
+
+
+def test_synsets_sorted_names():
+    out = synsets(_syn_table()).to_pandas().set_index("identifier")
+    assert out.loc[1, "names"] == "alpha;beta" and out.loc[1, "n_names"] == 2
+
+
+def test_name_homonyms():
+    out = name_homonyms(_syn_table()).to_pandas()
+    assert set(out["name"]) == {"alpha", "beta"}
+
+
+def test_identifier_homonyms_merges_same_namelist():
+    out = identifier_homonyms(_syn_table()).to_pandas()
+    # identifiers 1 and 2 share the ordered name list alpha;beta → 2 → 1
+    assert dict(zip(out["homonym"], out["identifier"])) == {2: 1}
