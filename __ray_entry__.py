@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 plus the training-data ops (dedup / ANN / text analysis /
+multimodal); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one (same column names, same rounding). Non-SQL ops
+(MinHash/SimHash dedup, fingerprints, LSH ANN, the ER flagship on the
+synthetic ``files`` fixture, multimodal stubs) are rows-only checks.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +16,602 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+# ---------------------------------------------------------------- helpers
+
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it")
+LANG_PROFILES = {
+    "en": ("the", "and", "ing", "ion", "ent", " th", "he ", "er ", " of", "of "),
+    "de": ("der", "die", "und", "sch", "ein", "ich", "den", "cht", " de", "en "),
+    "fr": ("les", "des", "ent", "que", " de", "de ", "ion", "eur", "ait", " le"),
+    "es": ("que", " de", "de ", "los", "ión", "ent", "ado", " la", "la ", "es "),
+}
+
+
+def _t(sf_dir: str, name: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def _round_cols(ds: rd.Dataset, spec: dict[str, int]) -> rd.Dataset:
+    def _r(batch: pd.DataFrame) -> pd.DataFrame:
+        for c, nd in spec.items():
+            batch[c] = batch[c].round(nd)
+        return batch
+
+    return ds.map_batches(_r, batch_format="pandas")
+
+
+def _sf_of(sf_dir: str) -> float:
+    tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        return float(tail)
+    except ValueError:
+        return 0.01
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_pricing_summary(sf_dir: str) -> rd.Dataset:
+    """TPC-H-Q1-style combiner aggregate (SURVEY A10 preagg pattern)."""
+    from belb_ray.stages.agg import preagg_groupby
+
+    li = _t(sf_dir, "lineitem").map_batches(
+        lambda t: t.append_column(
+            "disc_price",
+            pa.compute.multiply(t["l_extendedprice"],
+                                pa.compute.subtract(pa.scalar(1.0), t["l_discount"])))
+        .select(["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "disc_price", "l_discount"]),
+        batch_format="pyarrow")
+    out = preagg_groupby(li, ["l_returnflag", "l_linestatus"], [
+        ("sum", "l_quantity", "sum_qty"),
+        ("sum", "l_extendedprice", "sum_base_price"),
+        ("sum", "disc_price", "sum_disc_price"),
+        ("mean", "l_discount", "avg_disc"),
+        ("count", "", "count_order"),
+    ])
+    return _round_cols(out, {"sum_qty": 2, "sum_base_price": 2,
+                             "sum_disc_price": 2, "avg_disc": 6})
+
+
+def q_revenue_by_nation(sf_dir: str) -> rd.Dataset:
+    """Broadcast dimension joins (SURVEY J4/J6) + pre-aggregated groupby."""
+    from belb_ray.stages.agg import preagg_groupby
+    from belb_ray.stages.joins import broadcast_join
+
+    cust = _t(sf_dir, "customer").map_batches(
+        lambda t: pa.table({"o_custkey": t["c_custkey"],
+                            "n_nationkey": pa.compute.cast(t["c_nationkey"], pa.int32())}),
+        batch_format="pyarrow")
+    nation = _t(sf_dir, "nation").select_columns(["n_nationkey", "n_name"])
+    orders = _t(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"])
+    j = broadcast_join(orders, cust, keys="o_custkey")
+    j = broadcast_join(j, nation, keys="n_nationkey")
+    out = preagg_groupby(j, ["n_name"], [
+        ("sum", "o_totalprice", "revenue"),
+        ("count", "", "n_orders"),
+    ])
+    return _round_cols(out, {"revenue": 2})
+
+
+def q_order_priority_revenue(sf_dir: str) -> rd.Dataset:
+    """Large-large hash-partitioned join (SURVEY J5) lineitem ⋈ orders."""
+    from belb_ray.stages.agg import preagg_groupby
+    from belb_ray.stages.joins import hash_partition_join
+
+    li = _t(sf_dir, "lineitem").map_batches(
+        lambda t: pa.table({
+            "orderkey": t["l_orderkey"],
+            "disc_price": pa.compute.multiply(
+                t["l_extendedprice"],
+                pa.compute.subtract(pa.scalar(1.0), t["l_discount"]))}),
+        batch_format="pyarrow")
+    orders = _t(sf_dir, "orders").map_batches(
+        lambda t: pa.table({"orderkey": t["o_orderkey"],
+                            "o_orderpriority": t["o_orderpriority"]}),
+        batch_format="pyarrow")
+    j = hash_partition_join(li, orders, key="orderkey", num_buckets=32)
+    out = preagg_groupby(j, ["o_orderpriority"], [
+        ("sum", "disc_price", "revenue"),
+        ("count", "", "n_items"),
+    ])
+    return _round_cols(out, {"revenue": 2})
+
+
+def q_customers_without_orders(sf_dir: str) -> rd.Dataset:
+    """Broadcast anti-join — the reference's notinkb membership check
+    (belb/kbs/kb.py:428-453 — SURVEY J1). Customers with no big order."""
+    from belb_ray.stages.agg import preagg_groupby
+    from belb_ray.stages.joins import broadcast_semi_join
+
+    big = _t(sf_dir, "orders").filter(expr="o_totalprice > 300000")
+    have_big = big.unique("o_custkey")
+    cust = _t(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"])
+    no_big = broadcast_semi_join(cust, have_big, key="c_custkey", anti=True)
+    return preagg_groupby(no_big, ["c_mktsegment"],
+                          [("count", "", "n_customers")])
+
+
+def q_top_orders(sf_dir: str) -> rd.Dataset:
+    """Deterministic top-k (sort + limit, tie-break on key — SURVEY O2)."""
+    from belb_ray.stages.agg import topk
+
+    orders = _t(sf_dir, "orders").select_columns(["o_orderkey", "o_totalprice"])
+    return topk(orders, "o_totalprice", 10, descending=True,
+                tiebreak="o_orderkey")
+
+
+def q_brand_dense_ids(sf_dir: str) -> pd.DataFrame:
+    """Deterministic dense-id assignment replacing arrival-order uids
+    (SURVEY T2/T3)."""
+    from belb_ray.stages.agg import dense_ids
+
+    return dense_ids(_t(sf_dir, "part"), "p_brand")
+
+
+def q_brand_synsets(sf_dir: str) -> rd.Dataset:
+    """SYNSET aggregation (belb/kbs/query.py:321-356 — SURVEY A1)."""
+    from belb_ray.stages.homonyms import synsets
+
+    syn = _t(sf_dir, "part").map_batches(
+        lambda t: pa.table({"identifier": t["p_brand"], "name": t["p_name"]}),
+        batch_format="pyarrow")
+    return synsets(syn)
+
+
+def q_name_homonyms(sf_dir: str) -> rd.Dataset:
+    """NAME_HOMONYMS (belb/kbs/query.py:234-291 — SURVEY A3)."""
+    from belb_ray.stages.homonyms import name_homonyms
+
+    syn = _t(sf_dir, "part").map_batches(
+        lambda t: pa.table({"identifier": t["p_brand"], "name": t["p_name"]}),
+        batch_format="pyarrow")
+    return name_homonyms(syn)
+
+
+def q_identifier_homonyms(sf_dir: str) -> rd.Dataset:
+    """IDENTIFIER_HOMONYMS merge (belb/kbs/query.py:97-194 — SURVEY A2)."""
+    from belb_ray.stages.homonyms import identifier_homonyms
+
+    syn = _t(sf_dir, "customer").map_batches(
+        lambda t: pa.table({"identifier": pa.compute.cast(t["c_nationkey"], pa.int64()),
+                            "name": t["c_mktsegment"]}),
+        batch_format="pyarrow")
+    return identifier_homonyms(syn)
+
+
+def q_kb_dedup(sf_dir: str) -> rd.Dataset:
+    """Sort+keep-first KB dedup (belb/kbs/kb.py:251-263 — SURVEY A8)."""
+    from belb_ray.stages.homonyms import kb_dedup
+
+    syn = _t(sf_dir, "part").map_batches(
+        lambda t: pa.table({"uid": t["p_partkey"],
+                            "identifier": t["p_brand"],
+                            "name": t["p_name"],
+                            "description": pa.compute.cast(t["p_size"], pa.int64())}),
+        batch_format="pyarrow")
+    return kb_dedup(syn)
+
+
+def _nation_history() -> pd.DataFrame:
+    """Deterministic redirect table over nation keys: one-hop, two-hop
+    chains and the '-1' obsolete sentinel (FIXTURES.md F5)."""
+    old, new = [], []
+    for n in range(25):
+        old += [str(n + 100), str(n + 200), str(n + 300)]
+        new += [str(n), str(n + 100), "-1"]
+    return pd.DataFrame({"old_identifier": old, "new_identifier": new})
+
+
+def q_history_resolution(sf_dir: str) -> rd.Dataset:
+    """Identifier-history fixpoint resolution (belb/kbs/kb.py:455-486,
+    belb/preprocessing/qaqc.py:97-178 — SURVEY J2)."""
+    from belb_ray.stages.history import resolve_identifiers
+
+    cust = _t(sf_dir, "customer").map_batches(
+        lambda t: pa.table({
+            "c_custkey": t["c_custkey"],
+            "identifier": pa.array(
+                [str(nk + 100 * (ck % 4)) for ck, nk in
+                 zip(t["c_custkey"].to_pylist(), t["c_nationkey"].to_pylist())],
+                pa.string())}),
+        batch_format="pyarrow")
+    return resolve_identifiers(cust, _nation_history())
+
+
+def q_id_mapping(sf_dir: str) -> rd.Dataset:
+    """String→dense-int id mapping lookup (belb/kbs/kb.py:538-570 —
+    SURVEY J4)."""
+    from belb_ray.stages.history import apply_id_mapping
+
+    mapping = pd.DataFrame({
+        "original_identifier": [f"EXT:{2 * n}" for n in range(25)],
+        "internal_identifier": list(range(25)),
+    })
+    sup = _t(sf_dir, "supplier").map_batches(
+        lambda t: pa.table({
+            "s_suppkey": t["s_suppkey"],
+            "orig": pa.array(
+                [f"EXT:{2 * nk + (sk % 2)}" for sk, nk in
+                 zip(t["s_suppkey"].to_pylist(), t["s_nationkey"].to_pylist())],
+                pa.string())}),
+        batch_format="pyarrow")
+    return apply_id_mapping(sup, mapping, id_col="orig")
+
+
+def q_distinct_segments(sf_dir: str) -> rd.Dataset:
+    """count(distinct) via two-level dedup (SURVEY O6/O8 pattern)."""
+    from belb_ray.stages.agg import count_distinct
+
+    cust = _t(sf_dir, "customer").map_batches(
+        lambda t: pa.table({"c_nationkey": pa.compute.cast(t["c_nationkey"], pa.int64()),
+                            "c_mktsegment": t["c_mktsegment"]}),
+        batch_format="pyarrow")
+    return count_distinct(cust, ["c_nationkey"], "c_mktsegment", "n_segments")
+
+
+def q_exact_dup_groups(sf_dir: str) -> rd.Dataset:
+    from belb_ray.pipelines.docdedup import exact_dup_groups
+
+    return exact_dup_groups(_t(sf_dir, "documents"))
+
+
+def q_doc_token_counts(sf_dir: str) -> rd.Dataset:
+    from belb_ray.stages.docstats import doc_token_counts
+
+    return doc_token_counts(_t(sf_dir, "documents"))
+
+
+def q_doc_quality(sf_dir: str) -> rd.Dataset:
+    from belb_ray.stages.docstats import doc_quality
+
+    return doc_quality(_t(sf_dir, "documents"))
+
+
+def q_doc_lang_id(sf_dir: str) -> rd.Dataset:
+    from belb_ray.stages.docstats import doc_lang_id
+
+    return doc_lang_id(_t(sf_dir, "documents"))
+
+
+def q_events_hourly(sf_dir: str) -> rd.Dataset:
+    """Tumbling-window aggregate over the event stream (graft extension;
+    window as string for a timezone/unit-stable compare)."""
+    from belb_ray.stages.windows import tumbling_window
+
+    out = tumbling_window(_t(sf_dir, "events"), "ts", "1h", ["event_type"], [
+        ("count", "", "n_events"),
+        ("sum", "value", "sum_value"),
+    ])
+
+    def _fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["window_start"] = batch["window_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        batch["sum_value"] = batch["sum_value"].round(4)
+        return batch
+
+    return out.map_batches(_fmt, batch_format="pandas")
+
+
+def q_ann_cosine_topk(sf_dir: str) -> rd.Dataset:
+    """Exact brute-force cosine top-k: broadcast queries, streamed corpus."""
+    import pyarrow.parquet as pq
+
+    from belb_ray.stages.ann import cosine_topk_search
+
+    emb = pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    queries = emb.filter(pa.compute.less(emb["vec_id"], pa.scalar(16)))
+    out = cosine_topk_search(_t(sf_dir, "embeddings"), queries, k=5)
+    return _round_cols(out, {"sim": 4})
+
+
+def q_embedding_neardup(sf_dir: str) -> rd.Dataset:
+    """Embedding-cosine near-dup pairs (exact, broadcast matrix)."""
+    from belb_ray.stages.ann import embedding_neardup_pairs
+
+    out = embedding_neardup_pairs(_t(sf_dir, "embeddings"), threshold=0.35)
+    return _round_cols(out, {"sim": 4})
+
+
+# ---- rows-only (non-SQL-expressible) ------------------------------------
+
+
+def q_er_clusters(sf_dir: str) -> rd.Dataset:
+    """Flagship ER pipeline on the deterministic synthetic files fixture
+    (size scaled by sf; BASELINE.json north_rule)."""
+    from belb_ray.pipelines.er import ERConfig, resolve_files
+    from belb_ray.sources.synthetic import make_fixture
+
+    n_files = max(600, int(200_000 * _sf_of(sf_dir)))
+    files = rd.from_arrow(make_fixture(n_files=n_files, seed=42)["files"])
+    res = resolve_files(files, ERConfig(input_blocks=8))
+    return res["clusters"]
+
+
+def q_minhash_dedup_docs(sf_dir: str) -> rd.Dataset:
+    from belb_ray.pipelines.docdedup import minhash_dedup
+
+    return minhash_dedup(_t(sf_dir, "documents"), threshold=0.5)
+
+
+def q_simhash_dedup_docs(sf_dir: str) -> rd.Dataset:
+    from belb_ray.pipelines.docdedup import simhash_dedup
+
+    return simhash_dedup(_t(sf_dir, "documents"), max_hamming=3)
+
+
+def q_ngram_jaccard_docs(sf_dir: str) -> rd.Dataset:
+    from belb_ray.pipelines.docdedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(sf_dir, "documents"), threshold=0.3)
+
+
+def q_doc_fingerprints(sf_dir: str) -> rd.Dataset:
+    from belb_ray.stages.docstats import doc_fingerprints
+
+    return doc_fingerprints(_t(sf_dir, "documents"))
+
+
+def q_lsh_neardup(sf_dir: str) -> rd.Dataset:
+    """LSH-bucketed near-dup (the recall<1 scale path for embeddings)."""
+    from belb_ray.stages.ann import lsh_neardup_pairs
+
+    return lsh_neardup_pairs(_t(sf_dir, "embeddings"), dim=64, threshold=0.3)
+
+
+def q_multimodal_features(sf_dir: str) -> rd.Dataset:
+    """Multimodal plumbing: binary payload column → actor-pool featurize
+    (decode stubbed deterministically — no image libs in this container)."""
+    from belb_ray.stages.multimodal import featurize_images
+
+    binary = _t(sf_dir, "documents").map_batches(
+        lambda t: pa.table({
+            "item_id": t["doc_id"],
+            "payload": pa.array([s.encode() for s in t["text"].to_pylist()],
+                                pa.binary())}),
+        batch_format="pyarrow")
+    out = featurize_images(binary, feat_dim=16)
+    return out.map_batches(
+        lambda t: pa.table({"item_id": t["item_id"],
+                            "width": t["width"], "height": t["height"]}),
+        batch_format="pyarrow")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: ER/near-dup clustering over sf0.001 documents — read →
+    adapt → block → pair → score → cluster; returns (row_id, cluster_id,
+    content_sha256) with the north-rule invariant column."""
+    from belb_ray.pipelines.docdedup import adapt_documents
+    from belb_ray.pipelines.er import ERConfig, resolve_files
+    from belb_ray.stages.joins import hash_partition_join
+
+    docs = _t("/root/testdata/sf0.001", "documents")
+    adapted = adapt_documents(docs)
+    res = resolve_files(adapted, ERConfig(use_path_keys=False, w_jacc=1.0,
+                                          w_jw=0.0, w_tok=0.0,
+                                          input_blocks=4))
+    sha = adapted.select_columns(["row_id", "content_sha256"])
+    return hash_partition_join(res["clusters"], sha, key="row_id",
+                               num_buckets=4)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "order_priority_revenue": q_order_priority_revenue,
+        "customers_without_orders": q_customers_without_orders,
+        "top_orders": q_top_orders,
+        "brand_dense_ids": q_brand_dense_ids,
+        "brand_synsets": q_brand_synsets,
+        "name_homonyms": q_name_homonyms,
+        "identifier_homonyms": q_identifier_homonyms,
+        "kb_dedup": q_kb_dedup,
+        "history_resolution": q_history_resolution,
+        "id_mapping": q_id_mapping,
+        "distinct_segments": q_distinct_segments,
+        "exact_dup_groups": q_exact_dup_groups,
+        "doc_token_counts": q_doc_token_counts,
+        "doc_quality": q_doc_quality,
+        "doc_lang_id": q_doc_lang_id,
+        "events_hourly": q_events_hourly,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,
+        # rows-only (non-SQL-expressible)
+        "er_clusters": q_er_clusters,
+        "minhash_dedup_docs": q_minhash_dedup_docs,
+        "simhash_dedup_docs": q_simhash_dedup_docs,
+        "ngram_jaccard_docs": q_ngram_jaccard_docs,
+        "doc_fingerprints": q_doc_fingerprints,
+        "lsh_neardup": q_lsh_neardup,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _lang_id_sql() -> str:
+    t = "substr(lower(text), 1, 2000)"
+    scores = {}
+    for lang, grams in LANG_PROFILES.items():
+        parts = []
+        for g in grams:
+            gq = g.replace("'", "''")
+            parts.append(f"(length({t}) - length(replace({t}, '{gq}', ''))) // {len(g)}")
+        scores[lang] = " + ".join(parts)
+    s = {l: f"s_{l}" for l in scores}
+    score_cols = ", ".join(f"({expr}) AS s_{l}" for l, expr in scores.items())
+    return f"""
+WITH scored AS (SELECT doc_id, {score_cols} FROM documents)
+SELECT doc_id,
+  CASE
+    WHEN {s['en']}=0 AND {s['de']}=0 AND {s['fr']}=0 AND {s['es']}=0 THEN 'und'
+    WHEN {s['en']}>={s['de']} AND {s['en']}>={s['fr']} AND {s['en']}>={s['es']} THEN 'en'
+    WHEN {s['de']}>={s['fr']} AND {s['de']}>={s['es']} THEN 'de'
+    WHEN {s['fr']}>={s['es']} THEN 'fr'
+    ELSE 'es'
+  END AS lang_pred
+FROM scored
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_discount) / count(*), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "order_priority_revenue": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "customers_without_orders": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_totalprice > 300000)
+            GROUP BY c_mktsegment
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "brand_dense_ids": """
+            SELECT p_brand, row_number() OVER (ORDER BY p_brand) - 1
+                   AS internal_identifier
+            FROM (SELECT DISTINCT p_brand FROM part)
+        """,
+        "brand_synsets": """
+            SELECT p_brand AS identifier,
+                   string_agg(DISTINCT p_name, ';' ORDER BY p_name) AS names,
+                   count(DISTINCT p_name) AS n_names
+            FROM part GROUP BY p_brand
+        """,
+        "name_homonyms": """
+            SELECT p_name AS name, count(DISTINCT p_brand) AS n_identifiers
+            FROM part GROUP BY p_name
+            HAVING count(DISTINCT p_brand) > 1
+        """,
+        "identifier_homonyms": """
+            WITH per_id AS (
+                SELECT CAST(c_nationkey AS BIGINT) AS identifier,
+                       string_agg(DISTINCT c_mktsegment, ';'
+                                  ORDER BY c_mktsegment) AS names
+                FROM customer GROUP BY 1),
+            g AS (
+                SELECT names, min(identifier) AS canonical
+                FROM per_id GROUP BY names HAVING count(*) > 1)
+            SELECT p.identifier AS homonym, g.canonical AS identifier
+            FROM per_id p JOIN g USING (names)
+            WHERE p.identifier <> g.canonical
+        """,
+        "kb_dedup": """
+            SELECT p_partkey AS uid, p_brand AS identifier, p_name AS name,
+                   CAST(p_size AS BIGINT) AS description
+            FROM part
+            QUALIFY row_number() OVER (PARTITION BY p_brand, p_name
+                                       ORDER BY p_size, p_partkey) = 1
+        """,
+        "history_resolution": """
+            SELECT c_custkey,
+                   CAST(c_nationkey + 100 * (c_custkey % 4) AS VARCHAR) AS identifier,
+                   CASE c_custkey % 4
+                     WHEN 0 THEN CAST(c_nationkey AS VARCHAR)
+                     WHEN 3 THEN '-1'
+                     ELSE CAST(c_nationkey AS VARCHAR)
+                   END AS resolved_identifier,
+                   CASE c_custkey % 4
+                     WHEN 0 THEN 'kept'
+                     WHEN 3 THEN 'obsolete'
+                     ELSE 'replaced'
+                   END AS id_status
+            FROM customer
+        """,
+        "id_mapping": """
+            SELECT s_suppkey,
+                   'EXT:' || CAST(2 * s_nationkey + (s_suppkey % 2) AS VARCHAR) AS orig,
+                   CASE WHEN s_suppkey % 2 = 0 THEN CAST(s_nationkey AS BIGINT)
+                        ELSE -1 END AS internal_identifier
+            FROM supplier
+        """,
+        "distinct_segments": """
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   count(DISTINCT c_mktsegment) AS n_segments
+            FROM customer GROUP BY 1
+        """,
+        "exact_dup_groups": """
+            SELECT md5(text) AS content_md5, min(doc_id) AS rep_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "doc_token_counts": r"""
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '')) AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^\w\s]'))
+                       AS n_bpe_tokens
+            FROM documents
+        """,
+        "doc_quality": rf"""
+            WITH w AS (
+                SELECT doc_id, length(text) AS n_chars,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS words
+                FROM documents)
+            SELECT doc_id, n_chars, len(words) AS n_words,
+                   CASE WHEN len(words) = 0 THEN 0.0
+                        ELSE len(list_filter(words,
+                             x -> list_contains([{stoplist}], lower(x))))
+                             / len(words)
+                   END AS stop_ratio
+            FROM w
+        """,
+        "doc_lang_id": _lang_id_sql(),
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS window_start,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 16),
+            s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(q.qe, e.embedding) AS sim
+                  FROM q CROSS JOIN embeddings e
+                  WHERE e.vec_id <> q.query_id),
+            r AS (SELECT query_id, neighbor_id, sim,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY sim DESC, neighbor_id)
+                             AS rank
+                  FROM s)
+            SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
+            FROM r WHERE rank <= 5
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 4)
+                       AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        """,
+    }

@@ -1,0 +1,240 @@
+"""Document-deduplication pipelines over a ``documents(doc_id, text,
+lang, source)`` table — the training-data-pipeline op family (exact,
+MinHash-LSH, SimHash, n-gram Jaccard; embedding-cosine lives in
+``stages/ann.py``).
+
+These are compositions of the ER engine's stages (blocking → candidate
+pairs → scoring → connected components), re-targeted at near-duplicate
+*document* detection. The exact-dup path replays the reference's KB
+dedup-before-derived-queries move (belb/kbs/kb.py:251-263 — SURVEY §2.6
+A8) with a content hash as the key.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+from ..functions.hashing import sha256_hex_list
+from ..functions.minhash import est_jaccard, hamming64
+from ..stages.blocking import MinHashBlocker
+from ..stages.cluster import assign_clusters, connected_components
+from ..stages.joins import hash_partition_join
+from ..stages.pairs import candidate_pairs
+
+
+def adapt_documents(docs: rd.Dataset, id_col: str = "doc_id",
+                    text_col: str = "text") -> rd.Dataset:
+    """documents → the files-shaped schema the ER stages expect:
+    (row_id, path, lang, content, content_sha256)."""
+
+    def _adapt(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_pylist()
+        srcs = (batch["source"].to_pylist() if "source" in batch.column_names
+                else ["doc"] * len(ids))
+        langs = (batch["lang"] if "lang" in batch.column_names
+                 else pa.array(["und"] * len(ids), pa.string()))
+        return pa.table({
+            "row_id": pa.array([int(i) for i in ids], pa.int64()),
+            "path": pa.array([f"{s}/{i}" for s, i in zip(srcs, ids)], pa.string()),
+            "lang": langs,
+            "content": batch[text_col],
+            "content_sha256": pa.array(sha256_hex_list(texts), pa.string()),
+        })
+
+    return docs.map_batches(_adapt, batch_format="pyarrow")
+
+
+def exact_dup_groups(docs: rd.Dataset, id_col: str = "doc_id",
+                     text_col: str = "text") -> rd.Dataset:
+    """→ (content_md5, rep_id, n_dups): hash-partitioned exact dedup,
+    rep = min id (total-order determinism). md5 matches DuckDB's ``md5()``
+    so the oracle is byte-identical."""
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        md5 = hashlib.md5
+        texts = batch[text_col].to_pylist()
+        return pa.table({
+            "content_md5": pa.array(
+                [md5(t.encode("utf-8")).hexdigest() for t in texts], pa.string()),
+            id_col: batch[id_col],
+        })
+
+    hashed = docs.map_batches(_hash, batch_format="pyarrow")
+    return (hashed.groupby("content_md5")
+            .aggregate(Min(id_col, alias_name="rep_id"),
+                       Count(alias_name="n_dups")))
+
+
+def minhash_dedup(docs: rd.Dataset, threshold: float = 0.7,
+                  num_perm: int = 128, bands: int = 32, shingle_k: int = 3,
+                  seed: int = 7, id_col: str = "doc_id",
+                  text_col: str = "text") -> rd.Dataset:
+    """MinHash-LSH near-dup clustering → (doc_id, dup_group). Pure content
+    similarity: the ER pipeline with weights (jaccard=1, path=0, token=0)."""
+    from .er import ERConfig, resolve_files
+
+    adapted = adapt_documents(docs, id_col=id_col, text_col=text_col)
+    cfg = ERConfig(num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+                   seed=seed, threshold=threshold,
+                   w_jacc=1.0, w_jw=0.0, w_tok=0.0, use_path_keys=False)
+    res = resolve_files(adapted, cfg)
+    return res["clusters"].map_batches(
+        lambda t: pa.table({id_col: t["row_id"], "dup_group": t["cluster_id"]}),
+        batch_format="pyarrow")
+
+
+def _doc_features(docs: rd.Dataset, num_perm: int, shingle_k: int, seed: int,
+                  id_col: str, text_col: str, keep_shingles: bool) -> rd.Dataset:
+    """(row_id, sig, simhash[, shingles]) features via the MinHash actor pool."""
+
+    class _Feat(MinHashBlocker):
+        def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+            from ..functions.hashing import ngram_hashes, token_hashes
+            from ..functions.minhash import simhash64
+            from ..functions.text import tokenize
+
+            texts = batch[text_col].to_pylist()
+            sigs, simhashes, shingle_lists = [], [], []
+            for t in texts:
+                th = token_hashes(tokenize(t), self.token_cache)
+                sh = np.unique(ngram_hashes(th, self.shingle_k))
+                sigs.append(self.hasher.signature(sh).tobytes())
+                simhashes.append(int(simhash64(th) & np.uint64(0x7FFFFFFFFFFFFFFF)))
+                if keep_shingles:
+                    shingle_lists.append((sh & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64))
+            cols = {
+                "row_id": pa.array([int(i) for i in batch[id_col].to_pylist()], pa.int64()),
+                "sig": pa.array(sigs, pa.binary()),
+                "simhash": pa.array(simhashes, pa.int64()),
+            }
+            if keep_shingles:
+                # binary, not list<int64>: shingle sets must survive the
+                # pair join (pyarrow joins reject list payload columns)
+                cols["shingles"] = pa.array([s.tobytes() for s in shingle_lists],
+                                            pa.binary())
+            return pa.table(cols)
+
+    return docs.map_batches(
+        _Feat, batch_format="pyarrow", batch_size=1024,
+        fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
+                                   seed=seed),
+        concurrency=(1, 8))
+
+
+def simhash_dedup(docs: rd.Dataset, max_hamming: int = 3, n_bands: int = 4,
+                  num_perm: int = 16, shingle_k: int = 3, seed: int = 7,
+                  id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
+    """SimHash near-dup clustering → (doc_id, dup_group): 64-bit SimHash,
+    banded into ``n_bands`` 16-bit keys (any pair within ``max_hamming``
+    bits shares ≥1 identical band when max_hamming < n_bands), exact
+    Hamming check on candidates, connected components."""
+    feats = _doc_features(docs, num_perm, shingle_k, seed, id_col, text_col,
+                          keep_shingles=False).materialize()
+
+    def _bands(batch: pa.Table) -> pa.Table:
+        sh = batch["simhash"].to_numpy().astype(np.uint64)
+        n = len(sh)
+        r = 64 // n_bands
+        keys = np.empty((n, n_bands), dtype=np.int64)
+        mask = np.uint64((1 << r) - 1)
+        for b in range(n_bands):
+            chunk = (sh >> np.uint64(b * r)) & mask
+            keys[:, b] = chunk.astype(np.int64) | (np.int64(b + 1) << np.int64(48))
+        return pa.table({
+            "block_key": pa.array(keys.ravel(), pa.int64()),
+            "row_id": pa.array(np.repeat(batch["row_id"].to_numpy(), n_bands),
+                               pa.int64()),
+        })
+
+    blocks = feats.map_batches(_bands, batch_format="pyarrow")
+    pairs = candidate_pairs(blocks, max_block=512, window=16)
+
+    sh_tbl = feats.select_columns(["row_id", "simhash"])
+    sa = sh_tbl.map_batches(lambda t: t.rename_columns(["id_a", "sh_a"]),
+                            batch_format="pyarrow")
+    sb = sh_tbl.map_batches(lambda t: t.rename_columns(["id_b", "sh_b"]),
+                            batch_format="pyarrow")
+    pf = hash_partition_join(pairs, sa, key="id_a", num_buckets=16)
+    pf = hash_partition_join(pf, sb, key="id_b", num_buckets=16)
+
+    def _check(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        d = hamming64(batch["sh_a"].to_numpy().astype(np.uint64),
+                      batch["sh_b"].to_numpy().astype(np.uint64))
+        keep = pa.array(d <= max_hamming)
+        return pa.table({"id_a": batch["id_a"].filter(keep),
+                         "id_b": batch["id_b"].filter(keep)})
+
+    edges = pf.map_batches(_check, batch_format="pyarrow")
+    labels = connected_components(edges)
+    members = feats.map_batches(
+        lambda t: pa.table({"row_id": t["row_id"], "rep_id": t["row_id"]}),
+        batch_format="pyarrow")
+    out = assign_clusters(members, labels)
+    return out.map_batches(
+        lambda t: pa.table({id_col: t["row_id"], "dup_group": t["cluster_id"]}),
+        batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(docs: rd.Dataset, threshold: float = 0.5,
+                        num_perm: int = 128, bands: int = 32,
+                        shingle_k: int = 3, seed: int = 7,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> rd.Dataset:
+    """EXACT n-gram Jaccard over LSH candidates → (id_a, id_b, jaccard ≥
+    threshold). MinHash bands give recall; the shingle sets give the exact
+    score (carried as list<int64> — fine for documents, not for 1 GB
+    files; there the MinHash estimate is the score)."""
+    from ..functions.minhash import MinHasher, band_keys
+
+    feats = _doc_features(docs, num_perm, shingle_k, seed, id_col, text_col,
+                          keep_shingles=True).materialize()
+
+    def _bands(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"block_key": pa.array([], pa.int64()),
+                             "row_id": pa.array([], pa.int64())})
+        sigs = np.frombuffer(b"".join(batch["sig"].to_pylist()),
+                             dtype=np.uint64).reshape(n, -1)
+        keys = band_keys(sigs, bands)
+        return pa.table({
+            "block_key": pa.array(keys.ravel(), pa.int64()),
+            "row_id": pa.array(np.repeat(batch["row_id"].to_numpy(), bands),
+                               pa.int64()),
+        })
+
+    blocks = feats.map_batches(_bands, batch_format="pyarrow")
+    pairs = candidate_pairs(blocks, max_block=256, window=16)
+
+    sh_tbl = feats.select_columns(["row_id", "shingles"])
+    sa = sh_tbl.map_batches(lambda t: t.rename_columns(["id_a", "sh_a"]),
+                            batch_format="pyarrow")
+    sb = sh_tbl.map_batches(lambda t: t.rename_columns(["id_b", "sh_b"]),
+                            batch_format="pyarrow")
+    pf = hash_partition_join(pairs, sa, key="id_a", num_buckets=16)
+    pf = hash_partition_join(pf, sb, key="id_b", num_buckets=16)
+
+    def _jacc(batch: pa.Table) -> pa.Table:
+        ja = []
+        for a, b in zip(batch["sh_a"].to_pylist(), batch["sh_b"].to_pylist()):
+            sa_ = np.frombuffer(a, dtype=np.int64)
+            sb_ = np.frombuffer(b, dtype=np.int64)
+            inter = np.intersect1d(sa_, sb_, assume_unique=True).size
+            union = sa_.size + sb_.size - inter
+            ja.append(inter / union if union else 1.0)
+        ja = np.asarray(ja, np.float64)
+        keep = pa.array(ja >= threshold)
+        return pa.table({"id_a": batch["id_a"].filter(keep),
+                         "id_b": batch["id_b"].filter(keep),
+                         "jaccard": pa.array(ja[ja >= threshold], pa.float64())})
+
+    return pf.map_batches(_jacc, batch_format="pyarrow", batch_size=4096)

@@ -1,0 +1,229 @@
+"""Approximate/exact nearest-neighbor search over an embedding column.
+
+Training-data-pipeline ops the reference does not have (its only
+similarity op is the synset mean Levenshtein ratio,
+belb/scripts/stats.py:203-250 — SURVEY §2.6 A12); these are first-class
+components of the 100 TB engine:
+
+- ``cosine_topk_search`` — EXACT brute-force cosine top-k, distributed the
+  scalable way: the (small) query matrix is ``ray.put`` once and every
+  corpus block computes a partial top-k against it (one numpy matmul per
+  batch); partials merge in a tiny ``groupby(query_id)``. Corpus streams,
+  queries broadcast — never the reverse.
+- ``lsh_bucket_topk`` — the scale path: random-hyperplane signatures put
+  corpus AND queries into LSH band buckets; candidates only from shared
+  buckets (recall < 1, cost ≪ n·q).
+- ``embedding_neardup_pairs`` — embedding-cosine near-duplicate detection:
+  all pairs with cosine ≥ threshold, corpus blocks vs broadcast matrix
+  (exact; LSH variant via ``lsh_neardup_pairs``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def list_column_matrix(col: pa.ChunkedArray | pa.Array, dtype=np.float64) -> np.ndarray:
+    """(n, d) matrix from an Arrow list<float> column (zero-copy flatten)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(dtype)
+    n = len(col)
+    if n == 0:
+        return flat.reshape(0, 0)
+    return flat.reshape(n, flat.size // n)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def cosine_topk_search(
+    corpus: rd.Dataset,
+    queries: pa.Table,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> rd.Dataset:
+    """→ (query_id, neighbor_id, rank, sim). Deterministic: ranked by
+    (-sim, neighbor_id); exact over the whole corpus."""
+    q_ids = queries[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    q_mat = _normalize(list_column_matrix(queries[vec_col]))
+    ref = ray.put((q_ids, q_mat))
+
+    class _PartialTopK:
+        def __init__(self):
+            self.q_ids, self.q_mat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            c_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            c_mat = _normalize(list_column_matrix(batch[vec_col]))
+            sims = self.q_mat @ c_mat.T  # (q, n)
+            out_q, out_n, out_s = [], [], []
+            kk = min(k + (1 if exclude_self else 0), sims.shape[1])
+            if kk == 0:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "neighbor_id": pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64())})
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            for qi in range(len(self.q_ids)):
+                idx = part[qi]
+                s = sims[qi, idx]
+                order = np.lexsort((c_ids[idx], -s))
+                idx, s = idx[order], s[order]
+                if exclude_self:
+                    keep = c_ids[idx] != self.q_ids[qi]
+                    idx, s = idx[keep][:k], s[keep][:k]
+                out_q.append(np.full(len(idx), self.q_ids[qi], np.int64))
+                out_n.append(c_ids[idx])
+                out_s.append(s)
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), pa.float64()),
+            })
+
+    partials = corpus.map_batches(_PartialTopK, batch_format="pyarrow",
+                                  batch_size=4096, concurrency=(1, 8))
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank", "sim"]]
+
+    return partials.groupby("query_id").map_groups(_merge, batch_format="pandas")
+
+
+def embedding_neardup_pairs(
+    corpus: rd.Dataset,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Exact embedding-cosine near-dup pairs (id_a < id_b, sim ≥ threshold).
+
+    Corpus blocks stream against a broadcast of the full (normalized)
+    matrix — right while the matrix fits the object store (n·d·8 bytes);
+    beyond that use ``lsh_neardup_pairs``."""
+    full = pa.concat_tables(
+        ray.get(corpus.select_columns([id_col, vec_col]).to_arrow_refs()))
+    all_ids = full[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    all_mat = _normalize(list_column_matrix(full[vec_col]))
+    ref = ray.put((all_ids, all_mat))
+
+    class _Pairs:
+        def __init__(self):
+            self.all_ids, self.all_mat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            b_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            b_mat = _normalize(list_column_matrix(batch[vec_col]))
+            sims = b_mat @ self.all_mat.T
+            bi, aj = np.nonzero(sims >= threshold)
+            ia, ib = b_ids[bi], self.all_ids[aj]
+            keep = ia < ib  # total order: each pair emitted once
+            return pa.table({
+                "id_a": pa.array(ia[keep], pa.int64()),
+                "id_b": pa.array(ib[keep], pa.int64()),
+                "sim": pa.array(sims[bi, aj][keep], pa.float64()),
+            })
+
+    return corpus.map_batches(_Pairs, batch_format="pyarrow",
+                              batch_size=2048, concurrency=(1, 8))
+
+
+class HyperplaneSigner:
+    """Random-hyperplane LSH signer (stateful actor stage): ``bits``-bit
+    sign signature of each vector, split into ``bands`` band keys. The
+    hyperplane matrix is drawn once per actor from a fixed seed."""
+
+    def __init__(self, dim: int, bits: int = 64, bands: int = 8, seed: int = 13,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, bits))
+        self.bits = bits
+        self.bands = bands
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = list_column_matrix(batch[self.vec_col])
+        signs = (mat @ self.planes) > 0  # (n, bits)
+        r = self.bits // self.bands
+        weights = (1 << np.arange(r, dtype=np.int64))
+        n = signs.shape[0]
+        keys = np.empty((n, self.bands), dtype=np.int64)
+        for b in range(self.bands):
+            chunk = signs[:, b * r:(b + 1) * r].astype(np.int64)
+            keys[:, b] = (chunk @ weights) + (int(b) << 32)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "block_key": pa.array(keys.ravel(), pa.int64()),
+            "row_id": pa.array(np.repeat(ids, self.bands), pa.int64()),
+        })
+
+
+def lsh_neardup_pairs(
+    corpus: rd.Dataset,
+    dim: int,
+    threshold: float = 0.95,
+    bits: int = 64,
+    bands: int = 8,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_block: int = 256,
+) -> rd.Dataset:
+    """Scale path for near-dup detection: LSH buckets → candidate pairs →
+    exact cosine check. Recall < 1 by construction (documented tradeoff)."""
+    from .pairs import candidate_pairs
+    from .joins import hash_partition_join
+
+    blocks = corpus.map_batches(
+        HyperplaneSigner, batch_format="pyarrow", batch_size=4096,
+        fn_constructor_kwargs=dict(dim=dim, bits=bits, bands=bands, seed=seed,
+                                   id_col=id_col, vec_col=vec_col),
+        concurrency=(1, 8))
+    pairs = candidate_pairs(blocks, max_block=max_block, window=16)
+
+    # vectors cross the pair join as fixed-width binary (pyarrow joins
+    # cannot carry list<float> payload columns)
+    def _pack(t: pa.Table) -> pa.Table:
+        mat = list_column_matrix(t[vec_col], dtype=np.float32)
+        return pa.table({"row_id": t[id_col],
+                         "vec": pa.array([mat[i].tobytes() for i in range(len(mat))],
+                                         pa.binary())})
+
+    vecs = corpus.map_batches(_pack, batch_format="pyarrow")
+    va = vecs.map_batches(lambda t: t.rename_columns(["id_a", "vec_a"]),
+                          batch_format="pyarrow")
+    vb = vecs.map_batches(lambda t: t.rename_columns(["id_b", "vec_b"]),
+                          batch_format="pyarrow")
+    pf = hash_partition_join(pairs, va, key="id_a", num_buckets=16)
+    pf = hash_partition_join(pf, vb, key="id_b", num_buckets=16)
+
+    def _unpack(col) -> np.ndarray:
+        flat = np.frombuffer(b"".join(col.to_pylist()), dtype=np.float32)
+        return flat.reshape(len(col), -1).astype(np.float64)
+
+    def _check(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        a = _normalize(_unpack(batch["vec_a"]))
+        b = _normalize(_unpack(batch["vec_b"]))
+        sim = (a * b).sum(axis=1)
+        keep = sim >= threshold
+        return pa.table({
+            "id_a": batch["id_a"].filter(pa.array(keep)),
+            "id_b": batch["id_b"].filter(pa.array(keep)),
+            "sim": pa.array(sim[keep], pa.float64()),
+        })
+
+    return pf.map_batches(_check, batch_format="pyarrow", batch_size=8192)

@@ -1,0 +1,98 @@
+"""Document text-analysis stages: token counts, quality features,
+language-ID, fingerprints.
+
+Generalizes the reference's corpus-statistics layer
+(belb/scripts/stats.py:81-300 — SURVEY §2.6 A11) into per-document
+training-data ops, as stateless/actor ``map_batches`` over Arrow batches.
+The kernels live in ``functions/textstats.py`` and are mirrored by the
+DuckDB oracle SQL in ``__ray_entry__.py`` (same stopword list, same
+trigram profiles — the config contract).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.textstats import (
+    bpe_ish_token_count,
+    fingerprint64,
+    lang_id,
+    quality_features,
+    token_count,
+)
+
+
+def doc_token_counts(ds: rd.Dataset, id_col: str = "doc_id",
+                     text_col: str = "text") -> rd.Dataset:
+    """→ (doc_id, n_tokens, n_bpe_tokens)."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens": pa.array([token_count(t) for t in texts], pa.int64()),
+            "n_bpe_tokens": pa.array([bpe_ish_token_count(t) for t in texts], pa.int64()),
+        })
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def doc_quality(ds: rd.Dataset, id_col: str = "doc_id",
+                text_col: str = "text") -> rd.Dataset:
+    """→ (doc_id, n_chars, n_words, stop_ratio). Quality-score components
+    for filter thresholds (length / stopword-density heuristics)."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        feats = [quality_features(t) for t in texts]
+        return pa.table({
+            id_col: batch[id_col],
+            "n_chars": pa.array([f[0] for f in feats], pa.int64()),
+            "n_words": pa.array([f[1] for f in feats], pa.int64()),
+            "stop_ratio": pa.array([f[3] for f in feats], pa.float64()),
+        })
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def doc_lang_id(ds: rd.Dataset, id_col: str = "doc_id",
+                text_col: str = "text") -> rd.Dataset:
+    """→ (doc_id, lang_pred) via the character-trigram heuristic."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        return pa.table({
+            id_col: batch[id_col],
+            "lang_pred": pa.array([lang_id(t) for t in texts], pa.string()),
+        })
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+class Fingerprinter:
+    """Actor-pool stage: rolling-hash document fingerprints. The token-hash
+    cache lives in the actor (amortizes the skewed vocabulary — SURVEY
+    §2.4 T6 pattern)."""
+
+    def __init__(self, k: int = 8, id_col: str = "doc_id", text_col: str = "text"):
+        self.k = k
+        self.cache: dict[str, int] = {}
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        fps = [fingerprint64(t, self.k, self.cache) for t in texts]
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "fingerprint": pa.array(fps, pa.int64()),
+        })
+
+
+def doc_fingerprints(ds: rd.Dataset, k: int = 8, id_col: str = "doc_id",
+                     text_col: str = "text") -> rd.Dataset:
+    return ds.map_batches(Fingerprinter, batch_format="pyarrow",
+                          fn_constructor_kwargs=dict(k=k, id_col=id_col,
+                                                     text_col=text_col),
+                          concurrency=(1, 8))
