@@ -99,10 +99,11 @@ def resolve_files(
         features_all, reps_by_sha, key="content_sha256",
         num_buckets=cfg.join_buckets).materialize()
     members = fm.select_columns(["row_id", "rep_id"])
+    # materialized: consumed 3× (band keys, path keys, feature joins)
     features = fm.map_batches(
         lambda t: t.filter(pc.equal(t["row_id"], t["rep_id"]))
         .drop_columns(["content_sha256", "rep_id"]),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
 
     def _build_edges() -> rd.Dataset:
         blocks = explode_band_keys(features, bands=cfg.bands)

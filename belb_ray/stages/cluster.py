@@ -1,24 +1,28 @@
-"""Transitive clustering: distributed connected components by iterative
-min-label propagation (hash-partitioned union-find).
+"""Transitive clustering: two-level distributed connected components.
 
 The reference's identity merge is single-process SQL — "first id of the
 sorted group is canonical" (belb/kbs/query.py:97-194 — SURVEY §2.6 A2) —
 and its history chains resolve one hop at a time
-(belb/kbs/kb.py:455-486 — SURVEY §2.5 J2). At cluster scale this becomes
-the classic connected-components-in-MapReduce loop (PAPERS.md: "Finding
-connected components in map-reduce in logarithmic rounds", ICDE 2013):
+(belb/kbs/kb.py:455-486 — SURVEY §2.5 J2). At cluster scale this is
+connected components, executed in two levels (PAPERS.md: "Finding
+connected components in map-reduce in logarithmic rounds", ICDE 2013,
+whose key observation is exactly this contraction):
 
-  round: labels ⋈ edges on src (partitioned hash join, vectorized)
-         → messages (dst, src_label)
-         → union with current labels
-         → NATIVE groupby(node).Min(label)  → new labels
-         → changed count via labels-join (convergence test)
+1. **Block-local contraction** (the combiner): each edge block runs an
+   in-memory union-find and emits only its spanning forest
+   ``(root, node)`` edges — ≤ #distinct nodes per block, collapsing the
+   massive intra-block redundancy (every LSH band rediscovers the same
+   component). Pure ``map_batches``, no shuffle.
+2. The contracted forest is tiny relative to the corpus (≤ one edge per
+   candidate node). If it fits the driver budget (``local_threshold``
+   edges) — which it does even for billions of input rows with millions
+   of candidate nodes — a vectorized union-find solves it exactly in one
+   pass. Otherwise the classic min-label-propagation loop runs over the
+   contracted edges (log-diameter rounds of join + groupby-min).
 
-Labels only decrease; the loop stops when no node changed or at
-``max_rounds``. The label table (candidate nodes only — rows that appear
-in an edge, not the corpus) is materialized per round: that is the
-checkpointable state. Canonical cluster id = min(row_id) of the
-component — the reference's ORDER BY + take-first determinism (SURVEY §4).
+Canonical cluster id = min(row_id) of the component — the reference's
+ORDER BY + take-first determinism (SURVEY §4), independent of
+partitioning because union-find roots are kept at the minimum id.
 """
 
 from __future__ import annotations
@@ -26,10 +30,49 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 from ray.data.aggregate import Min
 
 from .joins import hash_partition_join
+
+
+def _uf_solve(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Union-find over int64 id edge arrays → (nodes, labels); label =
+    min id of the component (nodes are sorted, so index order = id order)."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a):]
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for x, y in zip(ia.tolist(), ib.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if rx < ry:  # min-id root policy → deterministic canonical
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    labels = np.fromiter((find(i) for i in range(len(nodes))),
+                         dtype=np.int64, count=len(nodes))
+    return nodes, nodes[labels]
+
+
+def _contract_block(batch: pa.Table) -> pa.Table:
+    """Edge block → spanning-forest edges (label, node), label < node."""
+    a = batch["id_a"].to_numpy()
+    b = batch["id_b"].to_numpy()
+    if len(a) == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64())})
+    nodes, labels = _uf_solve(a, b)
+    keep = nodes != labels
+    return pa.table({"id_a": pa.array(labels[keep], pa.int64()),
+                     "id_b": pa.array(nodes[keep], pa.int64())})
 
 
 def connected_components(
@@ -37,9 +80,40 @@ def connected_components(
     max_rounds: int = 25,
     num_buckets: int = 16,
     checkpoint_dir: str | None = None,
+    local_threshold: int = 5_000_000,
 ) -> rd.Dataset:
     """edges(id_a, id_b) → labels(node, label); label = min node id of the
-    connected component."""
+    connected component. Exact (not approximate) at every scale."""
+    contracted = edges.map_batches(_contract_block, batch_format="pyarrow",
+                                   batch_size=1 << 20).materialize()
+    n_edges = contracted.count()
+
+    if n_edges <= local_threshold:
+        # forest fits the driver: one vectorized union-find pass
+        if n_edges == 0:
+            return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                           "label": pa.array([], pa.int64())}))
+        from .joins import collect_arrow
+        tbl = collect_arrow(contracted)
+        nodes, labels = _uf_solve(tbl["id_a"].to_numpy(), tbl["id_b"].to_numpy())
+        out = pa.table({"node": pa.array(nodes, pa.int64()),
+                        "label": pa.array(labels, pa.int64())})
+        if checkpoint_dir is not None:
+            rd.from_arrow(out).write_parquet(f"{checkpoint_dir}/cc_final")
+        return rd.from_arrow(out)
+
+    return _label_propagation(contracted, max_rounds, num_buckets,
+                              checkpoint_dir)
+
+
+def _label_propagation(
+    bidir_src: rd.Dataset,
+    max_rounds: int,
+    num_buckets: int,
+    checkpoint_dir: str | None,
+) -> rd.Dataset:
+    """Distributed min-label propagation over (already contracted) edges —
+    the path taken when the forest exceeds the driver budget."""
 
     def _bidir(batch: pa.Table) -> pa.Table:
         a = batch["id_a"].to_numpy()
@@ -49,9 +123,8 @@ def connected_components(
             "dst": pa.array(np.concatenate([b, a]), pa.int64()),
         })
 
-    bidir = edges.map_batches(_bidir, batch_format="pyarrow").materialize()
+    bidir = bidir_src.map_batches(_bidir, batch_format="pyarrow").materialize()
 
-    # initial labels: distinct nodes, label = node (native Min as distinct)
     labels = (bidir
               .map_batches(lambda t: pa.table({"node": t["src"], "label": t["src"]}),
                            batch_format="pyarrow")
@@ -93,10 +166,44 @@ def assign_clusters(
     members: rd.Dataset,
     labels: rd.Dataset,
     num_buckets: int = 32,
+    broadcast_threshold: int = 10_000_000,
 ) -> rd.Dataset:
     """members(row_id, rep_id) + labels(node→label over reps) →
     (row_id, cluster_id). Reps without edges keep rep_id as cluster id.
-    Left hash-partitioned join on rep_id (labels cover candidates only)."""
+
+    Labels cover candidate nodes only (≪ corpus), so the common path is a
+    broadcast left-lookup inside ``map_batches``; a hash-partitioned left
+    join takes over past the broadcast threshold."""
+    n_labels = labels.count()
+
+    if n_labels <= broadcast_threshold:
+        from .joins import collect_arrow
+        tbl = collect_arrow(labels)
+        nodes = tbl["node"].to_numpy()
+        order = np.argsort(nodes, kind="stable")
+        nodes_sorted = nodes[order]
+        labs_sorted = tbl["label"].to_numpy()[order]
+        ref = ray.put((nodes_sorted, labs_sorted))
+
+        class _Assign:
+            def __init__(self):
+                self.nodes, self.labs = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                reps = batch["rep_id"].to_numpy()
+                if len(self.nodes):
+                    idx = np.searchsorted(self.nodes, reps)
+                    idx_c = np.minimum(idx, len(self.nodes) - 1)
+                    hit = self.nodes[idx_c] == reps
+                    cid = np.where(hit, self.labs[idx_c], reps)
+                else:
+                    cid = reps
+                return pa.table({"row_id": batch["row_id"],
+                                 "cluster_id": pa.array(cid, pa.int64())})
+
+        return members.map_batches(_Assign, batch_format="pyarrow",
+                                   concurrency=(1, 8))
+
     lab = labels.map_batches(
         lambda t: pa.table({"rep_id": t["node"], "cluster_id": t["label"]}),
         batch_format="pyarrow")

@@ -28,11 +28,23 @@ import ray
 import ray.data as rd
 
 
+def collect_arrow(ds: rd.Dataset) -> pa.Table:
+    """Materialize a (small) Dataset to one driver-side Arrow table.
+    Empty blocks carry a degenerate empty schema — drop them before
+    concat; a fully-empty Dataset falls back to the Dataset schema."""
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    if tables:
+        return pa.concat_tables(tables)
+    schema = ds.schema()
+    return pa.table({n: pa.array([], t)
+                     for n, t in zip(schema.names, schema.types)})
+
+
 def _as_arrow(obj) -> pa.Table:
     if isinstance(obj, pa.Table):
         return obj
     if isinstance(obj, rd.Dataset):
-        return pa.concat_tables(ray.get(obj.to_arrow_refs()))
+        return collect_arrow(obj)
     import pandas as pd
 
     if isinstance(obj, pd.DataFrame):

@@ -2,17 +2,21 @@
 
 Strategy (vectorized, skew-aware — SURVEY §7.4 "pair explosion"):
 
-1. block sizes via a NATIVE ``groupby(block_key).Count`` (pre-aggregating,
-   no per-group Python);
-2. oversized keys (> max_block) are pulled out — they are rare once exact
-   duplicates are pre-collapsed (stages/dedup.py) and get the
-   sorted-window fallback: members sorted by row_id, pairs only within
-   ``window`` positions (per-key cap in the FP-Hadoop/Scarlett spirit,
-   PAPERS.md);
-3. normal blocks become pairs by a partitioned SELF-JOIN on block_key
-   (pyarrow join per bucket, fully vectorized) filtered to id_a < id_b;
-4. pairs found by several bands are deduped by a native
-   ``groupby(id_a, id_b).Count``.
+1. ONE shuffle: ``groupby(bucket)`` where ``bucket = hash(block_key) % B``
+   co-locates whole blocks (a block never splits across buckets). B is
+   small (hundreds), so per-group Python dispatch is negligible; inside a
+   bucket, pair enumeration is numpy group-boundary math — groups of the
+   same size share one ``triu_indices`` template, so the loop is over
+   distinct sizes (≤ max_block of them), not over groups.
+2. Oversized keys (> max_block) — rare once exact duplicates are
+   pre-collapsed (stages/dedup.py) — get the sorted-window fallback:
+   members sorted by row_id, pairs only within ``window`` positions
+   (per-key cap in the FP-Hadoop/Scarlett spirit, PAPERS.md). This bounds
+   the worst key at n·window pairs instead of n².
+3. Cross-band duplicate pairs (the same pair found by several LSH bands)
+   are deduped batch-locally (free) then globally by a narrow
+   ``groupby(id_a, id_b)`` — worth one extra shuffle because every
+   surviving pair costs a feature-join + scoring downstream.
 
 Output schema: (id_a, id_b) with id_a < id_b — a total order, so
 downstream thresholds behave identically under any partitioning.
@@ -21,72 +25,85 @@ downstream thresholds behave identically under any partitioning.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count
 
-from .joins import hash_partition_join
+_EMPTY = pa.table({"id_a": pa.array([], pa.int64()),
+                   "id_b": pa.array([], pa.int64())})
 
 
-def _window_pairs(group: pa.Table, window: int) -> pa.Table:
-    ids = np.unique(group["row_id"].to_numpy())
-    n = len(ids)
-    if n < 2:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64())})
-    offs = np.arange(1, window + 1)
-    ia = np.repeat(np.arange(n), window)
-    ib = ia + np.tile(offs, n)
-    keep = ib < n
-    ia, ib = ia[keep], ib[keep]
-    return pa.table({"id_a": pa.array(ids[ia], pa.int64()),
-                     "id_b": pa.array(ids[ib], pa.int64())})
+def pairs_from_blocks(keys: np.ndarray, ids: np.ndarray,
+                      max_block: int, window: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized pair enumeration over (block_key, row_id) rows.
+
+    Returns (id_a, id_b) with id_a < id_b. Duplicate (key, id) rows are
+    collapsed first; within each key, ids are ascending, so triu order
+    gives the total-order pair orientation for free."""
+    if len(keys) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    order = np.lexsort((ids, keys))
+    keys, ids = keys[order], ids[order]
+    # drop duplicate (key, id) rows
+    first = np.r_[True, (keys[1:] != keys[:-1]) | (ids[1:] != ids[:-1])]
+    keys, ids = keys[first], ids[first]
+
+    starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+    sizes = np.diff(np.r_[starts, len(keys)])
+
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+
+    # small groups: one triu template per distinct size
+    small = (sizes >= 2) & (sizes <= max_block)
+    for s in np.unique(sizes[small]):
+        g_starts = starts[small & (sizes == s)]
+        iu_a, iu_b = np.triu_indices(s, k=1)
+        ia = (g_starts[:, None] + iu_a[None, :]).ravel()
+        ib = (g_starts[:, None] + iu_b[None, :]).ravel()
+        out_a.append(ids[ia])
+        out_b.append(ids[ib])
+
+    # hot keys: sorted-window cap
+    for g_start, s in zip(starts[sizes > max_block], sizes[sizes > max_block]):
+        offs = np.arange(1, window + 1)
+        ia = np.repeat(np.arange(s), window)
+        ib = ia + np.tile(offs, s)
+        keep = ib < s
+        out_a.append(ids[g_start + ia[keep]])
+        out_b.append(ids[g_start + ib[keep]])
+
+    if not out_a:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(out_a), np.concatenate(out_b)
 
 
 def candidate_pairs(
     blocks: rd.Dataset,
     max_block: int = 64,
     window: int = 8,
-    num_buckets: int = 32,
+    num_buckets: int = 256,
 ) -> rd.Dataset:
     """(block_key, row_id) → deduped (id_a, id_b)."""
-    blocks = blocks.materialize()  # consumed 2-3 times below
-    sizes = blocks.groupby("block_key").aggregate(Count(alias_name="__n"))
-    big_tbl = sizes.filter(expr=f"__n > {max_block}").to_pandas()
-    big_keys = big_tbl["block_key"].to_numpy() if len(big_tbl) else np.array([], np.int64)
 
-    parts: list[rd.Dataset] = []
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        k = batch["block_key"].to_numpy().astype(np.uint64)
+        b = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % np.uint64(num_buckets)
+        return batch.append_column("__bucket", pa.array(b.astype(np.int32)))
 
-    if len(big_keys):
-        key_set = pa.array(big_keys)
+    bucketed = blocks.map_batches(_bucketize, batch_format="pyarrow")
 
-        def _only_big(t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_in(t["block_key"], value_set=key_set))
+    def _bucket_pairs(group: pa.Table) -> pa.Table:
+        a, b = pairs_from_blocks(group["block_key"].to_numpy(),
+                                 group["row_id"].to_numpy(),
+                                 max_block, window)
+        if len(a) == 0:
+            return _EMPTY
+        tbl = pa.table({"id_a": pa.array(a, pa.int64()),
+                        "id_b": pa.array(b, pa.int64())})
+        return tbl.group_by(["id_a", "id_b"]).aggregate([])  # bucket-local dedup
 
-        def _no_big(t: pa.Table) -> pa.Table:
-            return t.filter(pc.invert(pc.is_in(t["block_key"], value_set=key_set)))
-
-        big_blocks = blocks.map_batches(_only_big, batch_format="pyarrow")
-        small_blocks = blocks.map_batches(_no_big, batch_format="pyarrow")
-        parts.append(big_blocks.groupby("block_key").map_groups(
-            lambda g: _window_pairs(g, window), batch_format="pyarrow"))
-    else:
-        small_blocks = blocks
-
-    right = small_blocks.map_batches(
-        lambda t: pa.table({"block_key": t["block_key"], "id_b": t["row_id"]}),
-        batch_format="pyarrow")
-    left = small_blocks.map_batches(
-        lambda t: pa.table({"block_key": t["block_key"], "id_a": t["row_id"]}),
-        batch_format="pyarrow")
-    joined = hash_partition_join(left, right, key="block_key",
-                                 num_buckets=num_buckets)
-    parts.append(joined.map_batches(
-        lambda t: t.filter(pc.less(t["id_a"], t["id_b"])).select(["id_a", "id_b"]),
-        batch_format="pyarrow"))
-
-    pairs = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    pairs = bucketed.groupby("__bucket").map_groups(_bucket_pairs,
+                                                    batch_format="pyarrow")
     deduped = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="__c"))
     return deduped.drop_columns(["__c"])

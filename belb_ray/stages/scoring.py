@@ -27,9 +27,48 @@ from .joins import hash_partition_join
 
 
 def attach_features(pairs: rd.Dataset, features: rd.Dataset,
-                    num_buckets: int = 32) -> rd.Dataset:
-    """pairs(id_a,id_b) ⋈ features → + (sig_a, path_a, sig_b, path_b)."""
+                    num_buckets: int = 32,
+                    broadcast_threshold: int = 2_000_000) -> rd.Dataset:
+    """pairs(id_a,id_b) ⋈ features → + (sig_a, path_a, sig_b, path_b).
+
+    Size-aware strategy: when the (exact-dedup'd) feature table is small
+    enough to broadcast, it is ``ray.put`` ONCE and looked up per batch
+    with ``np.searchsorted`` — zero shuffles. Beyond the threshold, two
+    hash-partitioned joins (one shuffle per pair side)."""
     feat = features.select_columns(["row_id", "sig", "path"])
+    n_feat = feat.count()
+
+    if n_feat <= broadcast_threshold:
+        import ray
+
+        from .joins import collect_arrow
+        tbl = collect_arrow(feat)
+        ids = tbl["row_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids_sorted = ids[order]
+        sig_all = np.frombuffer(b"".join(tbl["sig"].to_pylist()),
+                                dtype=np.uint64).reshape(len(ids), -1)[order]
+        paths = np.asarray(tbl["path"].to_pylist(), dtype=object)[order]
+        ref = ray.put((ids_sorted, sig_all, paths))
+
+        class _Attach:
+            def __init__(self):
+                self.ids, self.sig, self.paths = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ia = np.searchsorted(self.ids, batch["id_a"].to_numpy())
+                ib = np.searchsorted(self.ids, batch["id_b"].to_numpy())
+                return pa.table({
+                    "id_a": batch["id_a"], "id_b": batch["id_b"],
+                    "sig_a": pa.array([self.sig[i].tobytes() for i in ia], pa.binary()),
+                    "path_a": pa.array(self.paths[ia].tolist(), pa.string()),
+                    "sig_b": pa.array([self.sig[i].tobytes() for i in ib], pa.binary()),
+                    "path_b": pa.array(self.paths[ib].tolist(), pa.string()),
+                })
+
+        return pairs.map_batches(_Attach, batch_format="pyarrow",
+                                 batch_size=16384, concurrency=(1, 8))
+
     fa = feat.map_batches(
         lambda t: t.rename_columns(["id_a", "sig_a", "path_a"]),
         batch_format="pyarrow")

@@ -1,0 +1,129 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": <sf>, "num_cpus": N}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+
+``--scaling`` runs the headline ER pipeline twice in FRESH processes
+(num_cpus=8 then 32) on the same input and reports both throughputs plus
+scaling efficiency (the sandbox stand-in for the north rule's N vs 4N
+cluster sizes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        return float(tail)
+    except ValueError:
+        return 0.1
+
+
+def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    bench_set = names or [
+        "er_files_bench",  # headline: full ER on synthetic files
+        "minhash_dedup_docs",
+        "pricing_summary",
+        "order_priority_revenue",
+        "revenue_by_nation",
+        "events_hourly",
+        "ann_cosine_topk",
+        "embedding_neardup",
+        "doc_token_counts",
+        "exact_dup_groups",
+    ]
+    timings: dict[str, float] = {}
+    for name in bench_set:
+        t0 = time.time()
+        if name == "er_files_bench":
+            res = entrymod.q_er_clusters(sf_dir)
+        else:
+            res = qs[name](sf_dir)
+        # consume fully (count() drives the lazy pipeline to completion)
+        if hasattr(res, "count"):
+            n = res.count()
+        else:
+            n = len(res)
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+    return timings
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+
+    if args.scaling:
+        # two fresh processes, same input, 8 vs 32 CPUs
+        results = {}
+        for cpus in (8, 32):
+            out = subprocess.run(
+                [sys.executable, __file__, "--only", "er_files_bench",
+                 "--cpus", str(cpus)],
+                capture_output=True, text=True, env={**os.environ},
+                check=True)
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            results[cpus] = json.loads(line)
+        n_rows = max(600, int(200_000 * sf))
+        t8 = results[8]["queries"]["er_files_bench"]
+        t32 = results[32]["queries"]["er_files_bench"]
+        thr8, thr32 = n_rows / t8, n_rows / t32
+        eff = (thr32 / thr8) / (32 / 8)
+        print(json.dumps({
+            "metric": "er_scaling_8_to_32_cpus",
+            "value": round(eff, 3),
+            "unit": "efficiency",
+            "sf": sf,
+            "rows": n_rows,
+            "sec_8cpu": t8, "sec_32cpu": t32,
+            "rows_per_sec_8cpu": round(thr8, 1),
+            "rows_per_sec_32cpu": round(thr32, 1),
+        }))
+        return
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    timings = run_queries(sf_dir, args.only)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "belb_ray_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": num_cpus,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

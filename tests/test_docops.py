@@ -1,0 +1,200 @@
+"""Tests for the training-data op families: text analysis, dedup
+variants, ANN search, windowed aggregates, multimodal stubs, readers."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+@pytest.fixture(scope="module")
+def docs():
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+        "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+        "der hund und die katze sind schnell und schlau ich den",
+        "completely unrelated words appear here xylophone quartz",
+        "",
+    ]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+    }))
+
+
+def test_doc_token_counts(docs):
+    from belb_ray.stages.docstats import doc_token_counts
+
+    out = doc_token_counts(docs).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_tokens"] == 9
+    assert out.loc[5, "n_tokens"] == 0
+
+
+def test_doc_quality(docs):
+    from belb_ray.stages.docstats import doc_quality
+
+    out = doc_quality(docs).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_words"] == 9
+    # "the" twice + "over"? no — stopset has the/a/an/and/of/to/in/is/it
+    assert out.loc[0, "stop_ratio"] == pytest.approx(2 / 9)
+    assert out.loc[5, "stop_ratio"] == 0.0
+
+
+def test_doc_lang_id(docs):
+    from belb_ray.stages.docstats import doc_lang_id
+
+    out = doc_lang_id(docs).to_pandas().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[3, "lang_pred"] == "de"
+
+
+def test_doc_fingerprints_stable(docs):
+    from belb_ray.stages.docstats import doc_fingerprints
+
+    out = doc_fingerprints(docs).to_pandas().set_index("doc_id")
+    # exact dups fingerprint-equal; distinct docs differ
+    assert out.loc[0, "fingerprint"] == out.loc[2, "fingerprint"]
+    assert out.loc[0, "fingerprint"] != out.loc[4, "fingerprint"]
+
+
+def test_exact_dup_groups(docs):
+    from belb_ray.pipelines.docdedup import exact_dup_groups
+
+    out = exact_dup_groups(docs).to_pandas()
+    g = out[out.n_dups > 1]
+    assert len(g) == 1
+    assert g.iloc[0]["rep_id"] == 0
+    assert g.iloc[0]["n_dups"] == 2
+
+
+def test_minhash_dedup_groups_near_dups(docs):
+    from belb_ray.pipelines.docdedup import minhash_dedup
+
+    out = minhash_dedup(docs, threshold=0.5).to_pandas().set_index("doc_id")
+    assert out.loc[0, "dup_group"] == out.loc[1, "dup_group"]  # near-dup
+    assert out.loc[0, "dup_group"] == out.loc[2, "dup_group"]  # exact dup
+    assert out.loc[0, "dup_group"] != out.loc[4, "dup_group"]
+
+
+def test_simhash_dedup(docs):
+    from belb_ray.pipelines.docdedup import simhash_dedup
+
+    out = simhash_dedup(docs, max_hamming=8).to_pandas().set_index("doc_id")
+    assert out.loc[0, "dup_group"] == out.loc[2, "dup_group"]  # exact dup
+    assert out.loc[0, "dup_group"] != out.loc[4, "dup_group"]
+
+
+def test_ngram_jaccard_pairs(docs):
+    from belb_ray.pipelines.docdedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(docs, threshold=0.3).to_pandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].values.tolist()))
+    assert (0, 2) in pairs  # exact dup → jaccard 1.0
+    assert (0, 1) in pairs  # near-dup above threshold
+    exact = out[(out.id_a == 0) & (out.id_b == 2)]
+    assert exact.iloc[0]["jaccard"] == 1.0
+
+
+@pytest.fixture(scope="module")
+def embeddings():
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    base[7] = base[3] + 0.01 * rng.standard_normal(16)  # near-dup pair (3,7)
+    return pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in base],
+                              pa.list_(pa.float32())),
+    })
+
+
+def test_cosine_topk_matches_numpy(embeddings):
+    from belb_ray.stages.ann import cosine_topk_search, list_column_matrix
+
+    queries = embeddings.slice(0, 4)
+    out = cosine_topk_search(rd.from_arrow(embeddings), queries, k=3).to_pandas()
+    m = list_column_matrix(embeddings["embedding"])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn[:4] @ mn.T
+    for q in range(4):
+        s = sims[q].copy()
+        s[q] = -np.inf  # exclude self
+        expect = np.argsort(-s, kind="stable")[:3]
+        got = out[out.query_id == q].sort_values("rank")["neighbor_id"].tolist()
+        assert got == list(expect), (q, got, list(expect))
+
+
+def test_embedding_neardup(embeddings):
+    from belb_ray.stages.ann import embedding_neardup_pairs
+
+    out = embedding_neardup_pairs(rd.from_arrow(embeddings),
+                                  threshold=0.99).to_pandas()
+    assert set(map(tuple, out[["id_a", "id_b"]].values.tolist())) == {(3, 7)}
+
+
+def test_lsh_neardup_finds_planted_pair(embeddings):
+    from belb_ray.stages.ann import lsh_neardup_pairs
+
+    out = lsh_neardup_pairs(rd.from_arrow(embeddings), dim=16,
+                            threshold=0.99).to_pandas()
+    assert (3, 7) in set(map(tuple, out[["id_a", "id_b"]].values.tolist()))
+
+
+def test_tumbling_window():
+    from belb_ray.stages.windows import tumbling_window
+
+    ts = pd.to_datetime(["2026-01-01 10:05", "2026-01-01 10:55",
+                         "2026-01-01 11:05", "2026-01-01 10:30"])
+    ev = rd.from_pandas(pd.DataFrame({
+        "ts": ts, "kind": ["a", "a", "a", "b"],
+        "value": [1.0, 2.0, 4.0, 8.0]}))
+    out = tumbling_window(ev, "ts", "1h", ["kind"], [
+        ("count", "", "n"), ("sum", "value", "s")]).to_pandas()
+    out["window_start"] = out["window_start"].astype(str)
+    rows = {(r.window_start, r.kind): (r.n, r.s) for r in out.itertuples()}
+    assert rows[("2026-01-01 10:00:00", "a")] == (2, 3.0)
+    assert rows[("2026-01-01 11:00:00", "a")] == (1, 4.0)
+    assert rows[("2026-01-01 10:00:00", "b")] == (1, 8.0)
+
+
+def test_multimodal_featurize():
+    from belb_ray.stages.multimodal import featurize_images, sample_frames
+
+    items = rd.from_arrow(pa.table({
+        "item_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([b"imagebytes1", b"imagebytes1"], pa.binary()),
+    }))
+    out = featurize_images(items, feat_dim=8).to_pandas()
+    assert list(out.columns) == ["item_id", "features", "width", "height"]
+    assert len(out.iloc[0]["features"]) == 8
+    # deterministic fake: identical payloads → identical features
+    assert np.allclose(out.iloc[0]["features"], out.iloc[1]["features"])
+
+    frames = sample_frames(items, n_frames=3).to_pandas()
+    assert len(frames) == 6
+    assert frames[frames.item_id == 1]["frame_idx"].tolist() == [0, 1, 2]
+
+
+def test_readers_roundtrip(tmp_path):
+    from belb_ray.sources.readers import (parse_keyed_records, read_delimited,
+                                          read_jsonl, read_record_blocks)
+
+    tsv = tmp_path / "t.tsv"
+    tsv.write_text("a\tb\n1\tx\n2\ty\n")
+    out = read_delimited(str(tsv)).to_pandas()
+    assert out["a"].tolist() == [1, 2]
+
+    jl = tmp_path / "d.jsonl"
+    jl.write_text('{"k": 1}\n{"k": 2}\n')
+    assert read_jsonl(str(jl)).to_pandas()["k"].tolist() == [1, 2]
+
+    rb = tmp_path / "r.txt"
+    rb.write_text("ID   alpha\nSY   one\n//\nID   beta\nSY   two\n//\n")
+    recs = read_record_blocks(str(rb))
+    assert recs.count() == 2
+    kv = parse_keyed_records(recs, key_len=2).to_pandas()
+    assert set(kv["key"]) == {"ID", "SY"}
+    assert "alpha" in set(kv["value"])
