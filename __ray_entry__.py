@@ -127,10 +127,10 @@ def q_customers_without_orders(sf_dir: str) -> rd.Dataset:
     """Broadcast anti-join — the reference's notinkb membership check
     (belb/kbs/kb.py:428-453 — SURVEY J1). Customers with no big order."""
     from belb_ray.stages.agg import preagg_groupby
-    from belb_ray.stages.joins import broadcast_semi_join
+    from belb_ray.stages.joins import broadcast_semi_join, distinct_values
 
     big = _t(sf_dir, "orders").filter(expr="o_totalprice > 300000")
-    have_big = big.unique("o_custkey")
+    have_big = distinct_values(big, "o_custkey")
     cust = _t(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"])
     no_big = broadcast_semi_join(cust, have_big, key="c_custkey", anti=True)
     return preagg_groupby(no_big, ["c_mktsegment"],

