@@ -317,7 +317,92 @@ def q_embedding_neardup(sf_dir: str) -> rd.Dataset:
     return _round_cols(out, {"sim": 4})
 
 
+def q_synset_similarity(sf_dir: str) -> rd.Dataset:
+    """A12 analog: per identifier, mean pairwise Levenshtein ratio over
+    its distinct names (belb/scripts/stats.py:203-250 — the reference's
+    only string-similarity scoring op). Singleton synsets score 1.0."""
+    from belb_ray.functions.similarity import levenshtein_ratio
+
+    syn = _t(sf_dir, "part").map_batches(
+        lambda t: pa.table({"identifier": t["p_brand"], "name": t["p_name"]}),
+        batch_format="pyarrow")
+
+    def _mean_lev(group: pd.DataFrame) -> pd.DataFrame:
+        names = sorted(set(group["name"]))
+        if len(names) < 2:
+            mean = 1.0
+        else:
+            scores = [levenshtein_ratio(a, b)
+                      for i, a in enumerate(names) for b in names[i + 1:]]
+            mean = float(sum(scores) / len(scores))
+        return pd.DataFrame({"identifier": [group["identifier"].iloc[0]],
+                             "n_names": [len(names)],
+                             "mean_lev": [round(mean, 6)]})
+
+    return syn.groupby("identifier").map_groups(_mean_lev, batch_format="pandas")
+
+
+def q_id_explosion(sf_dir: str) -> rd.Dataset:
+    """M7 analog: multi-valued packed identifier strings split on '|',
+    prefix-stripped, exploded to one row per id (identifier parsing per
+    corpus, e.g. belb/corpora/bc5cdr.py:48-60 — SURVEY M7). Vectorized:
+    pyarrow split_pattern + list flatten, no Python row loop."""
+    orders = _t(sf_dir, "orders").select_columns(["o_orderkey", "o_custkey"])
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"]
+        packed = pa.compute.binary_join_element_wise(
+            pa.compute.cast(pa.compute.binary_join_element_wise(
+                pa.array(["ID:"] * batch.num_rows),
+                pa.compute.cast(ok, pa.string()), ""), pa.string()),
+            pa.compute.binary_join_element_wise(
+                pa.array(["ID:"] * batch.num_rows),
+                pa.compute.cast(batch["o_custkey"], pa.string()), ""),
+            "|")
+        parts = pa.compute.split_pattern(packed, "|")
+        flat = pa.compute.list_flatten(parts)
+        lens = pa.compute.list_value_length(parts).to_numpy()
+        parent = np.repeat(ok.to_numpy(), lens)
+        ident = pa.compute.utf8_slice_codeunits(flat, 3)
+        return pa.table({"o_orderkey": pa.array(parent, pa.int64()),
+                         "ident": ident})
+
+    return orders.map_batches(_explode, batch_format="pyarrow")
+
+
+def q_doc_normalize(sf_dir: str) -> rd.Dataset:
+    """M9/M13 analog: vectorized unicode-fix + whitespace-collapse + trim
+    normalizer (belb/preprocessing/transform.py:154-163)."""
+    from belb_ray.functions.text import normalize_text_array
+
+    docs = _t(sf_dir, "documents")
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["doc_id"],
+                         "norm_text": normalize_text_array(
+                             batch["text"].combine_chunks())})
+
+    return docs.map_batches(_norm, batch_format="pyarrow")
+
+
 # ---- rows-only (non-SQL-expressible) ------------------------------------
+
+
+def q_hash_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic hash-based sampling (training-data split op)."""
+    from belb_ray.stages.sampling import hash_sample
+
+    return hash_sample(_t(sf_dir, "documents"), key="doc_id", frac=0.25,
+                       seed=7).select_columns(["doc_id", "lang", "source"])
+
+
+def q_upsample_chunks(sf_dir: str) -> rd.Dataset:
+    """O4 analog: seeded shuffle-and-chunk split (rows-only check)."""
+    from belb_ray.stages.sampling import upsample_chunks
+
+    out = upsample_chunks(_t(sf_dir, "documents"), key="doc_id",
+                          max_chunk=50, seed=3)
+    return out.select_columns(["doc_id", "chunk_id"])
 
 
 def q_er_clusters(sf_dir: str) -> rd.Dataset:
@@ -421,7 +506,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
+        "synset_similarity": q_synset_similarity,
+        "id_explosion": q_id_explosion,
+        "doc_normalize": q_doc_normalize,
         # rows-only (non-SQL-expressible)
+        "hash_sample": q_hash_sample,
+        "upsample_chunks": q_upsample_chunks,
         "er_clusters": q_er_clusters,
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash_dedup_docs": q_simhash_dedup_docs,
@@ -585,6 +675,39 @@ def oracle_sql() -> dict[str, str]:
             FROM w
         """,
         "doc_lang_id": _lang_id_sql(),
+        "synset_similarity": """
+            WITH n AS (SELECT DISTINCT p_brand AS identifier, p_name AS name
+                       FROM part),
+            c AS (SELECT identifier, count(*) AS n_names FROM n GROUP BY 1),
+            p AS (SELECT a.identifier,
+                         avg(1.0 - levenshtein(a.name, b.name)
+                             / greatest(length(a.name), length(b.name)))
+                             AS mean_lev
+                  FROM n a JOIN n b ON a.identifier = b.identifier
+                                   AND a.name < b.name
+                  GROUP BY 1)
+            SELECT c.identifier, c.n_names,
+                   round(coalesce(p.mean_lev, 1.0), 6) AS mean_lev
+            FROM c LEFT JOIN p USING (identifier)
+        """,
+        "id_explosion": """
+            WITH e AS (SELECT o_orderkey,
+                              unnest(string_split(
+                                  'ID:' || o_orderkey || '|ID:' || o_custkey,
+                                  '|')) AS part
+                       FROM orders)
+            SELECT o_orderkey, substr(part, 4) AS ident FROM e
+        """,
+        "doc_normalize": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(
+                       replace(replace(text,
+                           '‎', ''), '‐', '-'), '−', '-'), chr(160), ' '),
+                           '‘', ''''), '’', ''''), '“', '"'), '”', '"'),
+                       '\s+', ' ', 'g')) AS norm_text
+            FROM documents
+        """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
                        AS window_start,

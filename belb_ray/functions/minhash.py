@@ -73,6 +73,38 @@ def band_keys(signatures: np.ndarray, bands: int, salt: int = 0) -> np.ndarray:
     return as_int64(keys)
 
 
+def sig_matrix(col, num_perm: int | None = None) -> np.ndarray:
+    """(n, P) uint64 signature matrix from an Arrow fixed-size-binary (or
+    plain binary) column — ZERO-COPY for fixed-size binary (flat buffer
+    view); ``to_pylist`` on wide binary columns measured ~10s per 100k
+    rows, this is microseconds."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, num_perm or 0), dtype=np.uint64)
+    if pa.types.is_fixed_size_binary(col.type):
+        w = col.type.byte_width
+        buf = col.buffers()[1]
+        flat = np.frombuffer(buf, dtype=np.uint64)
+        start = col.offset * (w // 8)
+        return flat[start:start + n * (w // 8)].reshape(n, w // 8)
+    return np.frombuffer(b"".join(col.to_pylist()), dtype=np.uint64).reshape(n, -1)
+
+
+def sig_array(mat: np.ndarray) -> "object":
+    """(n, P) uint64 matrix → Arrow fixed_size_binary(8P) array, one
+    buffer copy total (no per-row tobytes)."""
+    import pyarrow as pa
+
+    n, p = mat.shape
+    return pa.Array.from_buffers(
+        pa.binary(8 * p), n,
+        [None, pa.py_buffer(np.ascontiguousarray(mat).tobytes())])
+
+
 def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
     """Estimated Jaccard between row-aligned signature matrices
     (m, P) x (m, P) -> (m,) fraction of agreeing permutations."""

@@ -13,9 +13,12 @@ from __future__ import annotations
 import numpy as np
 
 
-def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
+def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1,
+                 boost_threshold: float = 0.7) -> float:
     """Standard Jaro-Winkler similarity (scalar; called only on blocked
-    candidate pairs, whose count is capped per block)."""
+    candidate pairs, whose count is capped per block). The Winkler prefix
+    boost applies only when jaro > boost_threshold (0.7, the canonical
+    value — matches DuckDB's ``jaro_winkler_similarity``)."""
     if s1 == s2:
         return 1.0
     len1, len2 = len(s1), len(s2)
@@ -45,12 +48,41 @@ def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
                 t += 0.5
             k += 1
     jaro = (matches / len1 + matches / len2 + (matches - t) / matches) / 3.0
+    if jaro <= boost_threshold:
+        return jaro
     prefix = 0
     for c1, c2 in zip(s1[:4], s2[:4]):
         if c1 != c2:
             break
         prefix += 1
     return jaro + prefix * prefix_weight * (1.0 - jaro)
+
+
+def levenshtein(s1: str, s2: str) -> int:
+    """Plain Levenshtein edit distance (integer DP — exactly reproducible
+    across engines, unlike float Jaro variants). The reference's synset
+    similarity stat is a mean pairwise Levenshtein ratio
+    (belb/scripts/stats.py:203-250 — SURVEY A12)."""
+    if s1 == s2:
+        return 0
+    if len(s1) < len(s2):
+        s1, s2 = s2, s1
+    if not s2:
+        return len(s1)
+    prev = list(range(len(s2) + 1))
+    for i, c1 in enumerate(s1):
+        cur = [i + 1]
+        for j, c2 in enumerate(s2):
+            cur.append(min(prev[j + 1] + 1, cur[j] + 1,
+                           prev[j] + (c1 != c2)))
+        prev = cur
+    return prev[-1]
+
+
+def levenshtein_ratio(s1: str, s2: str) -> float:
+    """1 - dist/max(len) ∈ [0,1]; 1.0 for two empty strings."""
+    m = max(len(s1), len(s2))
+    return 1.0 - levenshtein(s1, s2) / m if m else 1.0
 
 
 def token_set_ratio(a: set, b: set) -> float:

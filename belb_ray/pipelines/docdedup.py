@@ -21,7 +21,7 @@ from ray.data.aggregate import Count, Min
 
 from ..functions.hashing import sha256_hex_list
 from ..functions.minhash import est_jaccard, hamming64
-from ..stages.blocking import MinHashBlocker
+
 from ..stages.cluster import assign_clusters, connected_components
 from ..stages.joins import hash_partition_join
 from ..stages.pairs import candidate_pairs
@@ -91,40 +91,41 @@ def minhash_dedup(docs: rd.Dataset, threshold: float = 0.7,
 
 def _doc_features(docs: rd.Dataset, num_perm: int, shingle_k: int, seed: int,
                   id_col: str, text_col: str, keep_shingles: bool) -> rd.Dataset:
-    """(row_id, sig, simhash[, shingles]) features via the MinHash actor pool."""
+    """(row_id, sig, simhash[, shingles]) features — task-pool map with a
+    per-process cached MinHasher (see stages/blocking.py rationale)."""
+    from ..stages.blocking import cached_blocker
 
-    class _Feat(MinHashBlocker):
-        def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
-            from ..functions.hashing import ngram_hashes, token_hashes
-            from ..functions.minhash import simhash64
-            from ..functions.text import tokenize
+    def _fn(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import ngram_hashes, token_hashes
+        from ..functions.minhash import simhash64
+        from ..functions.text import tokenize
 
-            texts = batch[text_col].to_pylist()
-            sigs, simhashes, shingle_lists = [], [], []
-            for t in texts:
-                th = token_hashes(tokenize(t), self.token_cache)
-                sh = np.unique(ngram_hashes(th, self.shingle_k))
-                sigs.append(self.hasher.signature(sh).tobytes())
-                simhashes.append(int(simhash64(th) & np.uint64(0x7FFFFFFFFFFFFFFF)))
-                if keep_shingles:
-                    shingle_lists.append((sh & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64))
-            cols = {
-                "row_id": pa.array([int(i) for i in batch[id_col].to_pylist()], pa.int64()),
-                "sig": pa.array(sigs, pa.binary()),
-                "simhash": pa.array(simhashes, pa.int64()),
-            }
+        blocker = cached_blocker(num_perm, shingle_k, seed)
+        texts = batch[text_col].to_pylist()
+        sigs, simhashes, shingle_lists = [], [], []
+        for t in texts:
+            th = token_hashes(tokenize(t), blocker.token_cache)
+            sh = np.unique(ngram_hashes(th, shingle_k))
+            sigs.append(blocker.hasher.signature(sh))
+            simhashes.append(int(simhash64(th) & np.uint64(0x7FFFFFFFFFFFFFFF)))
             if keep_shingles:
-                # binary, not list<int64>: shingle sets must survive the
-                # pair join (pyarrow joins reject list payload columns)
-                cols["shingles"] = pa.array([s.tobytes() for s in shingle_lists],
-                                            pa.binary())
-            return pa.table(cols)
+                shingle_lists.append((sh & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64))
+        from ..functions.minhash import sig_array
 
-    return docs.map_batches(
-        _Feat, batch_format="pyarrow", batch_size=1024,
-        fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
-                                   seed=seed),
-        concurrency=(1, 8))
+        cols = {
+            "row_id": pa.array([int(i) for i in batch[id_col].to_pylist()], pa.int64()),
+            "sig": (sig_array(np.stack(sigs)) if sigs
+                    else pa.array([], pa.binary(8 * num_perm))),
+            "simhash": pa.array(simhashes, pa.int64()),
+        }
+        if keep_shingles:
+            # binary, not list<int64>: shingle sets must survive the
+            # pair join (pyarrow joins reject list payload columns)
+            cols["shingles"] = pa.array([s.tobytes() for s in shingle_lists],
+                                        pa.binary())
+        return pa.table(cols)
+
+    return docs.map_batches(_fn, batch_format="pyarrow", batch_size=2048)
 
 
 def simhash_dedup(docs: rd.Dataset, max_hamming: int = 3, n_bands: int = 4,
@@ -203,9 +204,9 @@ def ngram_jaccard_pairs(docs: rd.Dataset, threshold: float = 0.5,
         if n == 0:
             return pa.table({"block_key": pa.array([], pa.int64()),
                              "row_id": pa.array([], pa.int64())})
-        sigs = np.frombuffer(b"".join(batch["sig"].to_pylist()),
-                             dtype=np.uint64).reshape(n, -1)
-        keys = band_keys(sigs, bands)
+        from ..functions.minhash import sig_matrix
+
+        keys = band_keys(sig_matrix(batch["sig"]), bands)
         return pa.table({
             "block_key": pa.array(keys.ravel(), pa.int64()),
             "row_id": pa.array(np.repeat(batch["row_id"].to_numpy(), bands),

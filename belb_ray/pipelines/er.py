@@ -26,7 +26,7 @@ import ray.data as rd
 
 from ..stages.blocking import MinHashBlocker, explode_band_keys, path_neighborhood_keys
 from ..stages.cluster import assign_clusters, connected_components
-from ..stages.dedup import ensure_identity_columns, exact_dedup_reps
+from ..stages.dedup import ensure_identity_columns, exact_dedup_annotate
 from ..stages.pairs import candidate_pairs
 from ..stages.scoring import attach_features, score_pairs
 
@@ -47,8 +47,10 @@ class ERConfig:
     window: int = 8
     use_path_keys: bool = True
     join_buckets: int = 32
-    blocker_concurrency: tuple = (2, 8)
-    blocker_batch_size: int = 1024
+    # None → autoscale the actor pool to the cluster's CPU count at run
+    # time; a fixed (min, max) tuple pins it (tests)
+    blocker_concurrency: tuple | None = None
+    blocker_batch_size: int = 2048
     input_blocks: int | None = None  # repartition narrow inputs for pool parallelism
 
     def to_dict(self) -> dict:
@@ -72,32 +74,23 @@ def resolve_files(
         files = files.repartition(cfg.input_blocks)
 
     # Features for EVERY row, before any shuffle: the wide `content` column
-    # is read once, hashed/sketched in the actor pool, and dropped — only
-    # the ~1 KB feature rows (sig, path, sha) ever cross a shuffle
-    # (SURVEY §7.4 "wide content rows"). Exact dups waste a little compute
-    # re-sketching identical content; that beats shuffling content bytes.
-    class _Blocker(MinHashBlocker):
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            out = super().__call__(batch)
-            return out.append_column("content_sha256", batch["content_sha256"])
+    # is read once, hashed/sketched, and dropped — only the ~1 KB feature
+    # rows (sig, path, sha) ever cross a shuffle (SURVEY §7.4 "wide
+    # content rows"). Exact dups waste a little compute re-sketching
+    # identical content; that beats shuffling content bytes. Task-pool map
+    # with a per-process cached blocker (see stages/blocking.py).
+    from ..stages.blocking import compute_features
 
-    features_all = files.map_batches(
-        _Blocker,
-        fn_constructor_kwargs={"num_perm": cfg.num_perm,
-                               "shingle_k": cfg.shingle_k, "seed": cfg.seed},
-        batch_format="pyarrow",
+    features_all = compute_features(
+        files, num_perm=cfg.num_perm, shingle_k=cfg.shingle_k, seed=cfg.seed,
         batch_size=cfg.blocker_batch_size,
-        concurrency=cfg.blocker_concurrency,
-    ).materialize()
+        keep_cols=("content_sha256",)).materialize()
 
     import pyarrow.compute as pc
 
-    # rep per content hash (native Min aggregate), then ONE light join
-    # gives both the membership table and the rep-only features
-    reps_by_sha = exact_dedup_reps(features_all)
-    fm = hash_partition_join(
-        features_all, reps_by_sha, key="content_sha256",
-        num_buckets=cfg.join_buckets).materialize()
+    # rep per content hash in ONE bucketed shuffle (annotate rows with
+    # rep_id = min row_id of their sha group) — no aggregate + join pair
+    fm = exact_dedup_annotate(features_all).materialize()
     members = fm.select_columns(["row_id", "rep_id"])
     # materialized: consumed 3× (band keys, path keys, feature joins)
     features = fm.map_batches(

@@ -56,14 +56,11 @@ def cosine_topk_search(
     q_mat = _normalize(list_column_matrix(queries[vec_col]))
     ref = ray.put((q_ids, q_mat))
 
-    class _PartialTopK:
-        def __init__(self):
-            self.q_ids, self.q_mat = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def _partial_topk(batch: pa.Table) -> pa.Table:
+            q_ids, q_mat = ray.get(ref)  # zero-copy numpy from plasma
             c_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             c_mat = _normalize(list_column_matrix(batch[vec_col]))
-            sims = self.q_mat @ c_mat.T  # (q, n)
+            sims = q_mat @ c_mat.T  # (q, n)
             out_q, out_n, out_s = [], [], []
             kk = min(k + (1 if exclude_self else 0), sims.shape[1])
             if kk == 0:
@@ -71,15 +68,15 @@ def cosine_topk_search(
                                  "neighbor_id": pa.array([], pa.int64()),
                                  "sim": pa.array([], pa.float64())})
             part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            for qi in range(len(self.q_ids)):
+            for qi in range(len(q_ids)):
                 idx = part[qi]
                 s = sims[qi, idx]
                 order = np.lexsort((c_ids[idx], -s))
                 idx, s = idx[order], s[order]
                 if exclude_self:
-                    keep = c_ids[idx] != self.q_ids[qi]
+                    keep = c_ids[idx] != q_ids[qi]
                     idx, s = idx[keep][:k], s[keep][:k]
-                out_q.append(np.full(len(idx), self.q_ids[qi], np.int64))
+                out_q.append(np.full(len(idx), q_ids[qi], np.int64))
                 out_n.append(c_ids[idx])
                 out_s.append(s)
             return pa.table({
@@ -88,8 +85,8 @@ def cosine_topk_search(
                 "sim": pa.array(np.concatenate(out_s), pa.float64()),
             })
 
-    partials = corpus.map_batches(_PartialTopK, batch_format="pyarrow",
-                                  batch_size=4096, concurrency=(1, 8))
+    partials = corpus.map_batches(_partial_topk, batch_format="pyarrow",
+                                  batch_size=4096)
 
     def _merge(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
@@ -117,16 +114,13 @@ def embedding_neardup_pairs(
     all_mat = _normalize(list_column_matrix(full[vec_col]))
     ref = ray.put((all_ids, all_mat))
 
-    class _Pairs:
-        def __init__(self):
-            self.all_ids, self.all_mat = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def _pairs(batch: pa.Table) -> pa.Table:
+            all_ids, all_mat = ray.get(ref)  # zero-copy numpy from plasma
             b_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             b_mat = _normalize(list_column_matrix(batch[vec_col]))
-            sims = b_mat @ self.all_mat.T
+            sims = b_mat @ all_mat.T
             bi, aj = np.nonzero(sims >= threshold)
-            ia, ib = b_ids[bi], self.all_ids[aj]
+            ia, ib = b_ids[bi], all_ids[aj]
             keep = ia < ib  # total order: each pair emitted once
             return pa.table({
                 "id_a": pa.array(ia[keep], pa.int64()),
@@ -134,8 +128,8 @@ def embedding_neardup_pairs(
                 "sim": pa.array(sims[bi, aj][keep], pa.float64()),
             })
 
-    return corpus.map_batches(_Pairs, batch_format="pyarrow",
-                              batch_size=2048, concurrency=(1, 8))
+    return corpus.map_batches(_pairs, batch_format="pyarrow",
+                              batch_size=2048)
 
 
 class HyperplaneSigner:

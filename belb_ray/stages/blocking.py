@@ -57,17 +57,52 @@ class MinHashBlocker:
         return sigs, n_shingles, simhashes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.minhash import sig_array
+
         texts = batch["content"].to_pylist()
         sigs, n_shingles, simhashes = self.features_for(texts)
-        sig_bytes = [sigs[i].tobytes() for i in range(len(texts))]
         return pa.table({
             "row_id": batch["row_id"],
             "lang": batch["lang"],
             "path": batch["path"],
             "n_shingles": pa.array(n_shingles, pa.int32()),
-            "sig": pa.array(sig_bytes, pa.binary()),
+            "sig": sig_array(sigs),  # fixed_size_binary: zero-copy matrix
             "simhash": pa.array(simhashes, pa.int64()),
         })
+
+
+# per-worker-process blocker cache: Ray reuses worker processes across
+# tasks, so a module-level memo gives build-state-once semantics with
+# TASK-pool scheduling — measured 3x faster than the actor-pool operator
+# at 32 CPUs in Ray 2.49 (actor dispatch overhead dominates when the
+# per-batch work is ~100ms). Reserve actor pools for state too large to
+# memo per process (models, big vocabularies).
+_BLOCKER_CACHE: dict[tuple, MinHashBlocker] = {}
+
+
+def cached_blocker(num_perm: int, shingle_k: int, seed: int) -> MinHashBlocker:
+    key = (num_perm, shingle_k, seed)
+    b = _BLOCKER_CACHE.get(key)
+    if b is None:
+        b = _BLOCKER_CACHE[key] = MinHashBlocker(num_perm=num_perm,
+                                                 shingle_k=shingle_k, seed=seed)
+    return b
+
+
+def compute_features(files: rd.Dataset, num_perm: int = 128,
+                     shingle_k: int = 3, seed: int = 7,
+                     batch_size: int = 2048,
+                     keep_cols: tuple = ()) -> rd.Dataset:
+    """files → per-row MinHash/SimHash feature table (task-pool map with a
+    per-process cached blocker; ``keep_cols`` are carried through)."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        out = cached_blocker(num_perm, shingle_k, seed)(batch)
+        for c in keep_cols:
+            out = out.append_column(c, batch[c])
+        return out
+
+    return files.map_batches(_fn, batch_format="pyarrow", batch_size=batch_size)
 
 
 def lang_salt(langs: list[str]) -> np.ndarray:
@@ -86,7 +121,9 @@ def explode_band_keys(features: rd.Dataset, bands: int = 32) -> rd.Dataset:
         if n == 0:
             return pa.table({"block_key": pa.array([], pa.int64()),
                              "row_id": pa.array([], pa.int64())})
-        sigs = np.frombuffer(b"".join(batch["sig"].to_pylist()), dtype=np.uint64).reshape(n, -1)
+        from ..functions.minhash import sig_matrix
+
+        sigs = sig_matrix(batch["sig"])
         salts = lang_salt(batch["lang"].to_pylist())
         keys = band_keys(sigs, bands)  # (n, bands) int64
         keys = as_int64(combine64(keys.astype(np.uint64), salts[:, None]))

@@ -185,24 +185,23 @@ def assign_clusters(
         labs_sorted = tbl["label"].to_numpy()[order]
         ref = ray.put((nodes_sorted, labs_sorted))
 
-        class _Assign:
-            def __init__(self):
-                self.nodes, self.labs = ray.get(ref)
+        from .joins import collect_arrow as _ca  # noqa: F401 (import kept close)
+        from ..util import cached_get
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                reps = batch["rep_id"].to_numpy()
-                if len(self.nodes):
-                    idx = np.searchsorted(self.nodes, reps)
-                    idx_c = np.minimum(idx, len(self.nodes) - 1)
-                    hit = self.nodes[idx_c] == reps
-                    cid = np.where(hit, self.labs[idx_c], reps)
-                else:
-                    cid = reps
-                return pa.table({"row_id": batch["row_id"],
-                                 "cluster_id": pa.array(cid, pa.int64())})
+        def _assign(batch: pa.Table) -> pa.Table:
+            nodes, labs = cached_get(ref)
+            reps = batch["rep_id"].to_numpy()
+            if len(nodes):
+                idx = np.searchsorted(nodes, reps)
+                idx_c = np.minimum(idx, len(nodes) - 1)
+                hit = nodes[idx_c] == reps
+                cid = np.where(hit, labs[idx_c], reps)
+            else:
+                cid = reps
+            return pa.table({"row_id": batch["row_id"],
+                             "cluster_id": pa.array(cid, pa.int64())})
 
-        return members.map_batches(_Assign, batch_format="pyarrow",
-                                   concurrency=(1, 8))
+        return members.map_batches(_assign, batch_format="pyarrow")
 
     lab = labels.map_batches(
         lambda t: pa.table({"rep_id": t["node"], "cluster_id": t["label"]}),

@@ -44,14 +44,51 @@ def ensure_identity_columns(ds: rd.Dataset, id_cols=("repo", "path", "commit"),
 
 def exact_dedup_reps(ds: rd.Dataset, hash_col: str = "content_sha256",
                      id_col: str = "row_id") -> rd.Dataset:
-    """(hash_col, rep_id): rep_id = min(id_col) per hash group. A NATIVE
-    ``Min`` aggregate (pre-aggregating, vectorized) — no per-group Python.
-    Only (hash, id) rows cross the shuffle; project wide columns first."""
-    from ray.data.aggregate import Min
+    """(hash_col, rep_id): rep_id = min(id_col) per hash group, via the
+    bucketed shuffle of ``exact_dedup_annotate`` (one int32 sort — Ray's
+    native string-key aggregate measured ~50x slower)."""
+    import pyarrow.compute as pc
 
-    return (ds.select_columns([hash_col, id_col])
-            .groupby(hash_col)
-            .aggregate(Min(id_col, alias_name="rep_id")))
+    annotated = exact_dedup_annotate(ds.select_columns([hash_col, id_col]),
+                                     hash_col=hash_col, id_col=id_col)
+    return annotated.map_batches(
+        lambda t: t.filter(pc.equal(t[id_col], t["rep_id"]))
+        .select([hash_col, "rep_id"]),
+        batch_format="pyarrow")
+
+
+def exact_dedup_annotate(ds: rd.Dataset, hash_col: str = "content_sha256",
+                         id_col: str = "row_id",
+                         num_buckets: int = 64) -> rd.Dataset:
+    """Append ``rep_id`` = min(id_col) among rows sharing ``hash_col`` —
+    ONE bucketed shuffle: rows bucket by hash(hash_col), each bucket
+    resolves its groups vectorized (np.unique + minimum.at). The full row
+    (including wide payload columns) crosses the shuffle exactly once,
+    replacing the aggregate + join pair."""
+    import pandas as pd
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        vals = batch[hash_col].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(vals, categorize=False)
+        return batch.append_column(
+            "__bucket", pa.array((h % np.uint64(num_buckets)).astype("int32")))
+
+    def _annotate(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        sha = np.asarray(group[hash_col].to_pylist())
+        ids = group[id_col].to_numpy()
+        uniq, inv = np.unique(sha, return_inverse=True)
+        mins = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mins, inv, ids)
+        return (group.drop_columns(["__bucket"])
+                .append_column("rep_id", pa.array(mins[inv], pa.int64())))
+
+    bucketed = ds.map_batches(_bucketize, batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(_annotate,
+                                                   batch_format="pyarrow")
 
 
 def sha_int64(sha_hex_col: list[str]) -> list[int]:

@@ -64,15 +64,14 @@ def resolve_identifiers(
     redirects = squash_history(history)
     ref = ray.put(redirects)
 
-    class _Resolve:
-        def __init__(self):
-            self.map = ray.get(ref)
+    from ..util import cached_get
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def _resolve(batch: pa.Table) -> pa.Table:
+            m = cached_get(ref)  # dict: memoized per worker process
             vals = [str(v) for v in batch[id_col].to_pylist()]
             resolved, status = [], []
             for v in vals:
-                w = self.map.get(v)
+                w = m.get(v)
                 if w is None:
                     resolved.append(v)
                     status.append("kept")
@@ -86,7 +85,7 @@ def resolve_identifiers(
                     .append_column(out_col, pa.array(resolved, pa.string()))
                     .append_column(status_col, pa.array(status, pa.string())))
 
-    return ds.map_batches(_Resolve, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(_resolve, batch_format="pyarrow")
 
 
 def apply_id_mapping(
@@ -104,12 +103,11 @@ def apply_id_mapping(
                  mapping["internal_identifier"].astype(np.int64)))
     ref = ray.put(m)
 
-    class _Map:
-        def __init__(self):
-            self.map = ray.get(ref)
+    from ..util import cached_get
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vals = [self.map.get(str(v), missing) for v in batch[id_col].to_pylist()]
-            return batch.append_column(out_col, pa.array(vals, pa.int64()))
+    def _map(batch: pa.Table) -> pa.Table:
+        m = cached_get(ref)  # dict: memoized per worker process
+        vals = [m.get(str(v), missing) for v in batch[id_col].to_pylist()]
+        return batch.append_column(out_col, pa.array(vals, pa.int64()))
 
-    return ds.map_batches(_Map, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(_map, batch_format="pyarrow")

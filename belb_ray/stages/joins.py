@@ -123,6 +123,11 @@ def hash_str(s) -> int:
     return int.from_bytes(hashlib.blake2b(str(s).encode(), digest_size=8).digest(), "big")
 
 
+_NATIVE_JOIN_TYPE = {"inner": "inner", "left outer": "left_outer",
+                     "left_outer": "left_outer", "right outer": "right_outer",
+                     "full outer": "full_outer"}
+
+
 def hash_partition_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -131,11 +136,43 @@ def hash_partition_join(
     join_type: str = "inner",
     right_suffix: str = "_r",
 ) -> rd.Dataset:
-    """Explicit partitioned hash join of two large Datasets on ``key``.
+    """Partitioned hash join of two large Datasets on ``key``.
 
-    Both sides get a bucket column; schemas are aligned (missing columns
-    null-filled) with a side tag; one ``groupby(bucket)`` co-locates
-    matching keys; ``pyarrow.Table.join`` runs per bucket."""
+    Delegates to Ray Data's native hash-shuffle ``Dataset.join``
+    (``num_buckets`` → ``num_partitions``): both sides hash-partition on
+    the key and each partition joins independently in an aggregator actor
+    — no global sort. The manual union+bucket-groupby implementation
+    below (``_manual_partition_join``) is kept for join shapes the native
+    operator rejects."""
+    native_type = _NATIVE_JOIN_TYPE.get(join_type)
+    if native_type is not None:
+        # cap partitions at cluster CPUs and use fractional-CPU aggregator
+        # actors: several joins in one lazy plan otherwise deadlock on
+        # actor resources at small CPU counts
+        n_cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        parts = max(2, min(num_buckets, n_cpus))
+        try:
+            return left.join(right, native_type, num_partitions=parts,
+                             on=(key,), right_suffix=right_suffix,
+                             aggregator_ray_remote_args={"num_cpus": 0.25})
+        except Exception:  # pragma: no cover — fall back on planner gaps
+            pass
+    return _manual_partition_join(left, right, key, num_buckets, join_type,
+                                  right_suffix)
+
+
+def _manual_partition_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    num_buckets: int = 32,
+    join_type: str = "inner",
+    right_suffix: str = "_r",
+) -> rd.Dataset:
+    """Explicit partitioned hash join: bucket column on both sides,
+    aligned schemas with a side tag, one ``groupby(bucket)``,
+    ``pyarrow.Table.join`` per bucket."""
     lschema = left.schema()
     rschema = right.schema()
     lcols = list(lschema.names)

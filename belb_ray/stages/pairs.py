@@ -27,7 +27,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count
 
 _EMPTY = pa.table({"id_a": pa.array([], pa.int64()),
                    "id_b": pa.array([], pa.int64())})
@@ -105,5 +104,25 @@ def candidate_pairs(
 
     pairs = bucketed.groupby("__bucket").map_groups(_bucket_pairs,
                                                     batch_format="pyarrow")
-    deduped = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="__c"))
-    return deduped.drop_columns(["__c"])
+
+    # global cross-band dedup: bucket on the PAIR hash (band keys scatter
+    # the same pair across blocks), dedup vectorized per bucket — avoids
+    # the native composite-key aggregate (measured ~50x slower)
+    def _pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy().astype(np.uint64)
+        b = batch["id_b"].to_numpy().astype(np.uint64)
+        h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b + np.uint64(0xC2B2AE3D27D4EB4F))
+        return batch.append_column(
+            "__pb", pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
+
+    def _dedup(group: pa.Table) -> pa.Table:
+        a = group["id_a"].to_numpy()
+        b = group["id_b"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pa.table({"id_a": pa.array(a[keep], pa.int64()),
+                         "id_b": pa.array(b[keep], pa.int64())})
+
+    return (pairs.map_batches(_pair_bucket, batch_format="pyarrow")
+            .groupby("__pb").map_groups(_dedup, batch_format="pyarrow"))

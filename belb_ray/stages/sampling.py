@@ -1,0 +1,69 @@
+"""Sampling / split utilities.
+
+- ``upsample_chunks`` replays the reference's upsampling split — shuffle
+  annotation ids with a seed, chunk into ≤ max_chunk sub-examples
+  (belb/corpora/corpus.py:381-410 — SURVEY §2.7 O4) — as a deterministic
+  hash-ordered chunking (seeded ``random_shuffle`` has no cross-run
+  determinism guarantee under distributed execution; a keyed hash order
+  does).
+- ``hash_sample`` — deterministic fraction sampling by key hash: the
+  stable way to sample a 100 TB corpus so every run (and every resumed
+  partition) selects the same rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _key_hash(col: pa.ChunkedArray | pa.Array, seed: int) -> np.ndarray:
+    vals = col.to_numpy(zero_copy_only=False)
+    h = pd.util.hash_array(vals, categorize=False)
+    # hash_key only affects object arrays — mix the seed in arithmetically
+    # so integer keys reseed too
+    s = np.uint64((seed * 0x9E3779B97F4A7C15 + 0xD1B54A32D192ED03) & (2**64 - 1))
+    return (h ^ s) * np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def hash_sample(ds: rd.Dataset, key: str, frac: float, seed: int = 0) -> rd.Dataset:
+    """Keep rows whose key hash falls below frac·2^64 — deterministic,
+    partition-independent sampling."""
+    cut = np.uint64(int(frac * float(2**64 - 1)))
+
+    def _f(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch[key], seed)
+        return batch.filter(pa.array(h <= cut))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def upsample_chunks(ds: rd.Dataset, key: str, max_chunk: int,
+                    seed: int = 0, out_col: str = "chunk_id") -> rd.Dataset:
+    """Assign rows to chunks of ≤ max_chunk in seeded pseudo-random order:
+    chunk_id = rank(hash(key)) // max_chunk, computed per hash-bucket so
+    no global sort is needed (ranks are bucket-local, chunk ids offset by
+    bucket — deterministic, distributed)."""
+    num_buckets = 64
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch[key], seed)
+        return (batch
+                .append_column("__h", pa.array(h.astype(np.uint64).view(np.int64)))
+                .append_column("__bucket",
+                               pa.array((h % np.uint64(num_buckets)).astype(np.int32))))
+
+    def _chunk(group: pa.Table) -> pa.Table:
+        h = group["__h"].to_numpy()
+        bucket = int(group["__bucket"][0].as_py())
+        order = np.argsort(h, kind="stable")
+        ranks = np.empty(len(h), dtype=np.int64)
+        ranks[order] = np.arange(len(h))
+        chunk = ranks // max_chunk + (np.int64(bucket) << 32)
+        return (group.drop_columns(["__h", "__bucket"])
+                .append_column(out_col, pa.array(chunk, pa.int64())))
+
+    bucketed = ds.map_batches(_bucketize, batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(_chunk, batch_format="pyarrow")

@@ -44,30 +44,36 @@ def attach_features(pairs: rd.Dataset, features: rd.Dataset,
         from .joins import collect_arrow
         tbl = collect_arrow(feat)
         ids = tbl["row_id"].to_numpy()
-        order = np.argsort(ids, kind="stable")
+        # permutation instead of materializing the sorted 100s-of-MB sig
+        # matrix (the full gather costs seconds; per-batch gathers don't)
+        order = np.argsort(ids, kind="stable").astype(np.int64)
         ids_sorted = ids[order]
-        sig_all = np.frombuffer(b"".join(tbl["sig"].to_pylist()),
-                                dtype=np.uint64).reshape(len(ids), -1)[order]
-        paths = np.asarray(tbl["path"].to_pylist(), dtype=object)[order]
-        ref = ray.put((ids_sorted, sig_all, paths))
+        from ..functions.minhash import sig_matrix
 
-        class _Attach:
-            def __init__(self):
-                self.ids, self.sig, self.paths = ray.get(ref)
+        sig_all = sig_matrix(tbl["sig"])
+        paths = np.asarray(tbl["path"].to_pylist(), dtype=object)
+        ref = ray.put((ids_sorted, order, sig_all, paths))
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                ia = np.searchsorted(self.ids, batch["id_a"].to_numpy())
-                ib = np.searchsorted(self.ids, batch["id_b"].to_numpy())
-                return pa.table({
-                    "id_a": batch["id_a"], "id_b": batch["id_b"],
-                    "sig_a": pa.array([self.sig[i].tobytes() for i in ia], pa.binary()),
-                    "path_a": pa.array(self.paths[ia].tolist(), pa.string()),
-                    "sig_b": pa.array([self.sig[i].tobytes() for i in ib], pa.binary()),
-                    "path_b": pa.array(self.paths[ib].tolist(), pa.string()),
-                })
+        from ..util import cached_get
 
-        return pairs.map_batches(_Attach, batch_format="pyarrow",
-                                 batch_size=16384, concurrency=(1, 8))
+        def _attach(batch: pa.Table) -> pa.Table:
+            # numpy parts are zero-copy, but the path object-array is
+            # pickled — memoize the get per worker process
+            ids, perm, sig, paths = cached_get(ref)
+            ia = perm[np.searchsorted(ids, batch["id_a"].to_numpy())]
+            ib = perm[np.searchsorted(ids, batch["id_b"].to_numpy())]
+            from ..functions.minhash import sig_array
+
+            return pa.table({
+                "id_a": batch["id_a"], "id_b": batch["id_b"],
+                "sig_a": sig_array(sig[ia]),
+                "path_a": pa.array(paths[ia].tolist(), pa.string()),
+                "sig_b": sig_array(sig[ib]),
+                "path_b": pa.array(paths[ib].tolist(), pa.string()),
+            })
+
+        return pairs.map_batches(_attach, batch_format="pyarrow",
+                                 batch_size=16384)
 
     fa = feat.map_batches(
         lambda t: t.rename_columns(["id_a", "sig_a", "path_a"]),
@@ -94,8 +100,10 @@ def score_pairs(
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
                              "score": pa.array([], pa.float64())})
-        sig_a = np.frombuffer(b"".join(batch["sig_a"].to_pylist()), dtype=np.uint64).reshape(n, -1)
-        sig_b = np.frombuffer(b"".join(batch["sig_b"].to_pylist()), dtype=np.uint64).reshape(n, -1)
+        from ..functions.minhash import sig_matrix
+
+        sig_a = sig_matrix(batch["sig_a"])
+        sig_b = sig_matrix(batch["sig_b"])
         jacc = est_jaccard(sig_a, sig_b)
         paths_a = batch["path_a"].to_pylist()
         paths_b = batch["path_b"].to_pylist()

@@ -68,6 +68,7 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--only", nargs="*", default=None)
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--er-parquet", default=None)
     args = ap.parse_args()
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,19 +76,45 @@ def main() -> None:
     sf = _sf_of(sf_dir)
 
     if args.scaling:
-        # two fresh processes, same input, 8 vs 32 CPUs
-        results = {}
-        for cpus in (8, 32):
-            out = subprocess.run(
-                [sys.executable, __file__, "--only", "er_files_bench",
-                 "--cpus", str(cpus)],
-                capture_output=True, text=True, env={**os.environ},
-                check=True)
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            results[cpus] = json.loads(line)
-        n_rows = max(600, int(200_000 * sf))
-        t8 = results[8]["queries"]["er_files_bench"]
-        t32 = results[32]["queries"]["er_files_bench"]
+        # Two fresh processes, SAME pre-generated parquet input, 8 vs 32
+        # CPUs. The input is 10x the regular bench size so the run is
+        # compute-dominated (the scaling claim is about throughput, not
+        # about Ray's fixed per-stage scheduling overhead, which a 20k-row
+        # toy run is entirely made of).
+        n_rows = max(5_000, int(2_000_000 * sf))
+        path = f"/tmp/belb_ray_scaling_{n_rows}"
+        if not os.path.exists(path):
+            import pyarrow.parquet as pq
+
+            from belb_ray.sources.synthetic import make_fixture
+
+            # sharded directory: a single parquet file reads as ONE task
+            # and the serial producer starves the pool
+            tbl = make_fixture(n_files=n_rows, seed=42)["files"]
+            os.makedirs(path + ".tmp", exist_ok=True)
+            shards = 64
+            per = (tbl.num_rows + shards - 1) // shards
+            for i in range(shards):
+                pq.write_table(tbl.slice(i * per, per),
+                               f"{path}.tmp/part-{i:04d}.parquet")
+            os.rename(path + ".tmp", path)
+        # min of N trials per level: this sandbox VM shows ~3x run-to-run
+        # noise from host CPU steal; min is the least-noise estimator
+        trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
+        results: dict[int, float] = {}
+        for trial in range(trials):
+            for cpus in (8, 32):
+                out = subprocess.run(
+                    [sys.executable, __file__, "--er-parquet", path,
+                     "--cpus", str(cpus)],
+                    capture_output=True, text=True, env={**os.environ},
+                    check=True)
+                line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+                v = json.loads(line)["value"]
+                results[cpus] = min(results.get(cpus, v), v)
+                print(f"# trial {trial} cpus={cpus}: {v}s", file=sys.stderr)
+        t8 = results[8]
+        t32 = results[32]
         thr8, thr32 = n_rows / t8, n_rows / t32
         eff = (thr32 / thr8) / (32 / 8)
         print(json.dumps({
@@ -100,6 +127,30 @@ def main() -> None:
             "rows_per_sec_8cpu": round(thr8, 1),
             "rows_per_sec_32cpu": round(thr32, 1),
         }))
+        return
+
+    if args.er_parquet:
+        # single timed ER run over a prebuilt parquet (scaling worker)
+        import ray
+        import ray.data as rd
+
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from belb_ray.pipelines.er import ERConfig, resolve_files
+
+        files = rd.read_parquet(args.er_parquet)
+        t0 = time.time()
+        # sharded dir reads as one block per file — no repartition shuffle
+        out = resolve_files(files, ERConfig())
+        n = out["clusters"].count()
+        elapsed = round(time.time() - t0, 3)
+        print(json.dumps({"metric": "er_parquet_run", "value": elapsed,
+                          "unit": "sec", "rows": n, "num_cpus": num_cpus}))
+        ray.shutdown()
         return
 
     import ray

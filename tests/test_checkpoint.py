@@ -1,0 +1,113 @@
+"""Checkpoint / resume semantics (north rule: per-partition shards +
+lineage manifests, rerun skips completed stages)."""
+
+import json
+import os
+
+import pyarrow as pa
+import ray.data as rd
+
+
+def _make(tmp_path, calls, config):
+    from belb_ray.pipelines.checkpoint import checkpoint_stage
+
+    def factory():
+        calls.append(1)
+        return rd.from_arrow(pa.table({"x": pa.array([1, 2, 3], pa.int64())}))
+
+    return checkpoint_stage(factory, str(tmp_path / "stage"), config,
+                            lineage={"stage": "test", "fragments": [0, 1]})
+
+
+def test_checkpoint_skip_on_rerun(tmp_path):
+    calls = []
+    out1 = _make(tmp_path, calls, {"v": 1})
+    assert out1.count() == 3
+    assert len(calls) == 1
+
+    out2 = _make(tmp_path, calls, {"v": 1})  # same config → read shards
+    assert out2.count() == 3
+    assert len(calls) == 1  # factory NOT re-invoked
+
+    out3 = _make(tmp_path, calls, {"v": 2})  # config change → recompute
+    assert out3.count() == 3
+    assert len(calls) == 2
+
+
+def test_checkpoint_manifest_lineage(tmp_path):
+    from belb_ray.pipelines.checkpoint import read_manifest
+
+    calls = []
+    _make(tmp_path, calls, {"v": 1})
+    man = read_manifest(str(tmp_path / "stage"))
+    assert man["rows"] == 3
+    assert man["lineage"]["stage"] == "test"
+    assert man["lineage"]["fragments"] == [0, 1]
+    assert "config_hash" in man
+
+
+def test_checkpoint_crash_safe(tmp_path):
+    """A half-written tmp dir must not be mistaken for a finished stage."""
+    calls = []
+    tmp = tmp_path / "stage.tmp"
+    os.makedirs(tmp / "data")
+    (tmp / "garbage").write_text("partial")
+    out = _make(tmp_path, calls, {"v": 1})
+    assert out.count() == 3
+    assert len(calls) == 1
+    assert not tmp.exists()  # tmp cleaned up after atomic rename
+
+
+def test_er_checkpoint_resume(tmp_path):
+    """resolve_files with checkpoint_dir: second run reuses edge shards."""
+    from belb_ray.pipelines.checkpoint import read_manifest
+    from belb_ray.pipelines.er import ERConfig, resolve_files
+    from belb_ray.sources.synthetic import make_fixture
+
+    fx = make_fixture(n_files=300, seed=11)
+    cfg = ERConfig(input_blocks=4)
+    ck = str(tmp_path / "ck")
+
+    files = rd.from_arrow(fx["files"])
+    out1 = resolve_files(files, cfg, checkpoint_dir=ck)
+    c1 = out1["clusters"].to_pandas().sort_values("row_id").reset_index(drop=True)
+    man1 = read_manifest(f"{ck}/edges")
+    assert man1 is not None and man1["rows"] >= 0
+
+    out2 = resolve_files(files, cfg, checkpoint_dir=ck)
+    c2 = out2["clusters"].to_pandas().sort_values("row_id").reset_index(drop=True)
+    man2 = read_manifest(f"{ck}/edges")
+    assert man2["config_hash"] == man1["config_hash"]
+    assert c1.equals(c2)
+
+
+def test_levenshtein_and_ratio():
+    from belb_ray.functions.similarity import levenshtein, levenshtein_ratio
+
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("", "abc") == 3
+    assert levenshtein("same", "same") == 0
+    assert levenshtein_ratio("", "") == 1.0
+    assert levenshtein_ratio("abcd", "abce") == 0.75
+
+
+def test_hash_sample_deterministic():
+    from belb_ray.stages.sampling import hash_sample
+
+    ds = rd.from_arrow(pa.table({"k": pa.array(range(1000), pa.int64())}))
+    a = sorted(hash_sample(ds, "k", 0.3, seed=5).to_pandas()["k"])
+    b = sorted(hash_sample(ds, "k", 0.3, seed=5).to_pandas()["k"])
+    assert a == b
+    assert 200 < len(a) < 400  # ~30%
+    c = sorted(hash_sample(ds, "k", 0.3, seed=6).to_pandas()["k"])
+    assert a != c  # seed changes selection
+
+
+def test_upsample_chunks_bounds():
+    from belb_ray.stages.sampling import upsample_chunks
+
+    ds = rd.from_arrow(pa.table({"k": pa.array(range(500), pa.int64())}))
+    out = upsample_chunks(ds, key="k", max_chunk=40, seed=1).to_pandas()
+    assert len(out) == 500
+    sizes = out.groupby("chunk_id").size()
+    assert sizes.max() <= 40
