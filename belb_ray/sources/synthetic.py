@@ -168,11 +168,22 @@ def make_fixture(
     for f, members in fam_rows.items():
         if len(members) < 2:
             continue
-        all_pairs = [(members[i], members[j])
-                     for i in range(len(members)) for j in range(i + 1, len(members))]
-        if len(all_pairs) > max_gold_pairs_per_family:
-            sel = rng.choice(len(all_pairs), size=max_gold_pairs_per_family, replace=False)
-            all_pairs = [all_pairs[s] for s in sel]
+        m = len(members)
+        n_all = m * (m - 1) // 2
+        if n_all <= max_gold_pairs_per_family:
+            all_pairs = [(members[i], members[j])
+                         for i in range(m) for j in range(i + 1, m)]
+        else:
+            # sample pair INDICES directly — never materialize the n^2
+            # pair list (the vendored hot family has 10^4+ members)
+            sel = rng.choice(n_all, size=max_gold_pairs_per_family,
+                             replace=False)
+            all_pairs = []
+            for s in sel:
+                # unrank combination index s -> (i, j), i < j
+                i = int((2 * m - 1 - np.sqrt((2 * m - 1) ** 2 - 8 * s)) // 2)
+                j = int(s - i * (2 * m - i - 1) // 2 + i + 1)
+                all_pairs.append((members[i], members[j]))
         for i, j in all_pairs:
             add_pair(i, j, 1)
         # matched-block negatives: another family in the same lang

@@ -51,14 +51,15 @@ def attach_features(pairs: rd.Dataset, features: rd.Dataset,
         from ..functions.minhash import sig_matrix
 
         sig_all = sig_matrix(tbl["sig"])
-        paths = np.asarray(tbl["path"].to_pylist(), dtype=object)
+        # paths broadcast as an ARROW array, not a numpy object array:
+        # object arrays re-pickle 100k+ strings per worker process
+        # (measured seconds each); Arrow buffers deserialize near-free
+        paths = tbl["path"].combine_chunks()
         ref = ray.put((ids_sorted, order, sig_all, paths))
 
         from ..util import cached_get
 
         def _attach(batch: pa.Table) -> pa.Table:
-            # numpy parts are zero-copy, but the path object-array is
-            # pickled — memoize the get per worker process
             ids, perm, sig, paths = cached_get(ref)
             ia = perm[np.searchsorted(ids, batch["id_a"].to_numpy())]
             ib = perm[np.searchsorted(ids, batch["id_b"].to_numpy())]
@@ -67,9 +68,9 @@ def attach_features(pairs: rd.Dataset, features: rd.Dataset,
             return pa.table({
                 "id_a": batch["id_a"], "id_b": batch["id_b"],
                 "sig_a": sig_array(sig[ia]),
-                "path_a": pa.array(paths[ia].tolist(), pa.string()),
+                "path_a": paths.take(pa.array(ia)),
                 "sig_b": sig_array(sig[ib]),
-                "path_b": pa.array(paths[ib].tolist(), pa.string()),
+                "path_b": paths.take(pa.array(ib)),
             })
 
         return pairs.map_batches(_attach, batch_format="pyarrow",

@@ -81,7 +81,7 @@ def main() -> None:
         # compute-dominated (the scaling claim is about throughput, not
         # about Ray's fixed per-stage scheduling overhead, which a 20k-row
         # toy run is entirely made of).
-        n_rows = max(5_000, int(2_000_000 * sf))
+        n_rows = max(5_000, int(5_000_000 * sf))
         path = f"/tmp/belb_ray_scaling_{n_rows}"
         if not os.path.exists(path):
             import pyarrow.parquet as pq
