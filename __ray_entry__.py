@@ -385,6 +385,41 @@ def q_doc_normalize(sf_dir: str) -> rd.Dataset:
     return docs.map_batches(_norm, batch_format="pyarrow")
 
 
+def q_span_assignment(sf_dir: str) -> rd.Dataset:
+    """J8 analog: span → containing segment, per-document groupby +
+    vectorized containment (belb/preprocessing/data.py:595-609). Spans
+    derive from lineitem rows, segments are 3 fixed windows per order."""
+    from belb_ray.stages.intervals import assign_spans_to_segments
+
+    spans = _t(sf_dir, "lineitem").map_batches(
+        lambda t: pa.table({
+            "doc_id": t["l_orderkey"],
+            "span_id": pa.compute.add(
+                pa.compute.multiply(t["l_orderkey"], pa.scalar(10, pa.int64())),
+                pa.compute.cast(t["l_linenumber"], pa.int64())),
+            "start": pa.compute.cast(
+                np.mod(t["l_partkey"].to_numpy(), 280), pa.int64()),
+            "end": pa.compute.cast(
+                np.mod(t["l_partkey"].to_numpy(), 280)
+                + np.mod(t["l_suppkey"].to_numpy(), 20), pa.int64()),
+        }), batch_format="pyarrow")
+
+    def _segs(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy()
+        doc = np.repeat(ok, 3)
+        s = np.tile(np.arange(3, dtype=np.int64), len(ok))
+        return pa.table({
+            "doc_id": pa.array(doc, pa.int64()),
+            "seg_id": pa.array(s, pa.int64()),
+            "seg_start": pa.array(s * 100, pa.int64()),
+            "seg_end": pa.array(s * 100 + 100, pa.int64()),
+        })
+
+    segments = _t(sf_dir, "orders").select_columns(["o_orderkey"]).map_batches(
+        _segs, batch_format="pyarrow")
+    return assign_spans_to_segments(spans, segments)
+
+
 # ---- rows-only (non-SQL-expressible) ------------------------------------
 
 
@@ -509,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synset_similarity": q_synset_similarity,
         "id_explosion": q_id_explosion,
         "doc_normalize": q_doc_normalize,
+        "span_assignment": q_span_assignment,
         # rows-only (non-SQL-expressible)
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
@@ -707,6 +743,24 @@ def oracle_sql() -> dict[str, str]:
                            '‘', ''''), '’', ''''), '“', '"'), '”', '"'),
                        '\s+', ' ', 'g')) AS norm_text
             FROM documents
+        """,
+        "span_assignment": """
+            WITH spans AS (
+                SELECT l_orderkey AS doc_id,
+                       l_orderkey * 10 + l_linenumber AS span_id,
+                       l_partkey % 280 AS s,
+                       (l_partkey % 280) + (l_suppkey % 20) AS e
+                FROM lineitem),
+            segs AS (
+                SELECT o_orderkey AS doc_id, CAST(u.s AS BIGINT) AS seg_id,
+                       CAST(u.s * 100 AS BIGINT) AS seg_start,
+                       CAST(u.s * 100 + 100 AS BIGINT) AS seg_end
+                FROM orders, (SELECT unnest([0, 1, 2]) AS s) u)
+            SELECT sp.doc_id, CAST(sp.span_id AS BIGINT) AS span_id,
+                   sg.seg_id
+            FROM spans sp JOIN segs sg
+              ON sp.doc_id = sg.doc_id
+             AND sg.seg_start <= sp.s AND sp.e <= sg.seg_end
         """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

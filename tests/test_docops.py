@@ -198,3 +198,24 @@ def test_readers_roundtrip(tmp_path):
     kv = parse_keyed_records(recs, key_len=2).to_pandas()
     assert set(kv["key"]) == {"ID", "SY"}
     assert "alpha" in set(kv["value"])
+
+
+def test_span_assignment():
+    from belb_ray.stages.intervals import assign_spans_to_segments
+
+    spans = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "span_id": pa.array([10, 11, 12, 20], pa.int64()),
+        "start": pa.array([5, 150, 95, 0], pa.int64()),
+        "end": pa.array([20, 160, 105, 50], pa.int64()),
+    }))
+    segs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 1, 2], pa.int64()),
+        "seg_id": pa.array([0, 1, 0], pa.int64()),
+        "seg_start": pa.array([0, 100, 0], pa.int64()),
+        "seg_end": pa.array([100, 200, 100], pa.int64()),
+    }))
+    out = assign_spans_to_segments(spans, segs).to_pandas()
+    got = set(map(tuple, out[["doc_id", "span_id", "seg_id"]].values.tolist()))
+    # span 12 (95..105) straddles both segments -> contained in neither
+    assert got == {(1, 10, 0), (1, 11, 1), (2, 20, 0)}
