@@ -79,3 +79,51 @@ def test_cluster_summary_sizes(er_result):
     assert sizes.sum() == counters["rows_in"]
     # vendored hot key: one cluster holds all its exact copies
     assert sizes.max() >= counters["rows_in"] * 0.04
+
+
+def test_heavy_skew_vendored_hot_key():
+    """30% of rows share ONE content (vendored-file analog): exact-dup
+    pre-collapse must keep pair generation bounded and clustering exact."""
+    import time
+
+    import ray.data as rd
+
+    from belb_ray.pipelines.er import ERConfig, resolve_files
+    from belb_ray.sources.synthetic import make_fixture
+
+    fx = make_fixture(n_files=2000, seed=13, vendored_frac=0.3)
+    t0 = time.time()
+    out = resolve_files(rd.from_arrow(fx["files"]), ERConfig(input_blocks=4))
+    clusters = out["clusters"].to_pandas()
+    elapsed = time.time() - t0
+    assert elapsed < 120  # bounded despite the hot key
+    pred = dict(zip(clusters.row_id, clusters.cluster_id))
+    gold = fx["gold_clusters"].to_pandas()
+    # the vendored family (largest cluster) must be one exact cluster
+    sizes = gold.groupby("cluster_id").size()
+    vend = sizes.idxmax()
+    members = gold[gold.cluster_id == vend]["row_id"]
+    assert len({pred[m] for m in members}) == 1
+
+
+def test_no_cross_lang_merges():
+    """Band keys are lang-salted: identical contents in different langs
+    must NOT merge (the reference partitions by entity type)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from belb_ray.pipelines.er import ERConfig, resolve_files
+    from belb_ray.stages.dedup import ensure_identity_columns
+
+    content = "shared tokens here " * 30
+    files = pa.table({
+        "repo": pa.array(["r1", "r2"]),
+        "path": pa.array(["a/x.py", "b/y.go"]),
+        "commit": pa.array(["c1", "c2"]),
+        "lang": pa.array(["py", "go"]),
+        "content": pa.array([content, content + " tail"]),
+    })
+    ds = ensure_identity_columns(rd.from_arrow(files))
+    out = resolve_files(ds, ERConfig(input_blocks=1, use_path_keys=False))
+    clusters = out["clusters"].to_pandas()
+    assert clusters["cluster_id"].nunique() == 2
