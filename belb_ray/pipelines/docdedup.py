@@ -132,9 +132,12 @@ def simhash_dedup(docs: rd.Dataset, max_hamming: int = 3, n_bands: int = 4,
                   num_perm: int = 16, shingle_k: int = 3, seed: int = 7,
                   id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
     """SimHash near-dup clustering → (doc_id, dup_group): 64-bit SimHash,
-    banded into ``n_bands`` 16-bit keys (any pair within ``max_hamming``
-    bits shares ≥1 identical band when max_hamming < n_bands), exact
-    Hamming check on candidates, connected components."""
+    banded (any pair within ``max_hamming`` bits shares ≥1 identical band
+    when max_hamming < n_bands — pigeonhole), exact Hamming check on
+    candidates, connected components. ``n_bands`` is auto-raised to
+    ``max_hamming + 1`` so the recall guarantee ALWAYS holds (a caller
+    passing max_hamming ≥ n_bands would otherwise silently lose pairs)."""
+    n_bands = min(max(n_bands, max_hamming + 1), 64)
     feats = _doc_features(docs, num_perm, shingle_k, seed, id_col, text_col,
                           keep_shingles=False).materialize()
 

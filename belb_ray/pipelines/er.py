@@ -47,9 +47,6 @@ class ERConfig:
     window: int = 8
     use_path_keys: bool = True
     join_buckets: int = 32
-    # None → autoscale the actor pool to the cluster's CPU count at run
-    # time; a fixed (min, max) tuple pins it (tests)
-    blocker_concurrency: tuple | None = None
     blocker_batch_size: int = 2048
     input_blocks: int | None = None  # repartition narrow inputs for pool parallelism
 

@@ -38,28 +38,52 @@ from .joins import hash_partition_join
 
 
 def _uf_solve(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Union-find over int64 id edge arrays → (nodes, labels); label =
-    min id of the component (nodes are sorted, so index order = id order)."""
+    """Connected components over int64 id edge arrays → (nodes, labels);
+    label = min id of the component.
+
+    Fully vectorized min-label hook + pointer-jumping (no per-edge Python
+    loop): each round every node's parent drops to the min parent seen
+    across its incident edges, then parents compress by repeated
+    ``parent = parent[parent]``. Converges in O(log n) rounds; the
+    fixpoint (min id per component) is order-independent → deterministic
+    under any edge/partition order."""
     nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
     ia, ib = inv[: len(a)], inv[len(a):]
     parent = np.arange(len(nodes), dtype=np.int64)
 
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]  # path halving
-            x = parent[x]
-        return x
+    def _scatter_min(idx: np.ndarray, vals: np.ndarray) -> None:
+        # parent[idx] = min(parent[idx], vals) grouped by idx — sort +
+        # reduceat beats np.minimum.at (~10x on multi-million edges)
+        order = np.argsort(idx, kind="stable")
+        idx_s, vals_s = idx[order], vals[order]
+        starts = np.flatnonzero(np.r_[True, idx_s[1:] != idx_s[:-1]])
+        gmin = np.minimum.reduceat(vals_s, starts)
+        tgt = idx_s[starts]
+        parent[tgt] = np.minimum(parent[tgt], gmin)
 
-    for x, y in zip(ia.tolist(), ib.tolist()):
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            if rx < ry:  # min-id root policy → deterministic canonical
-                parent[ry] = rx
-            else:
-                parent[rx] = ry
-    labels = np.fromiter((find(i) for i in range(len(nodes))),
-                         dtype=np.int64, count=len(nodes))
-    return nodes, nodes[labels]
+    while len(ia):
+        pa_, pb_ = parent[ia], parent[ib]
+        # mask recomputed over ALL edges each round: an edge consistent
+        # now can become inconsistent after later hooks, so edges are
+        # never dropped permanently (the gather+compare is cheap; the
+        # expensive scatters run on the active subset only)
+        active = pa_ != pb_
+        if not active.any():
+            break
+        aia, aib = ia[active], ib[active]
+        pa_, pb_ = pa_[active], pb_[active]
+        lo = np.minimum(pa_, pb_)
+        # hook: every edge pulls the larger root toward the smaller
+        _scatter_min(np.maximum(pa_, pb_), lo)
+        _scatter_min(aia, lo)
+        _scatter_min(aib, lo)
+        # full path compression to fixpoint
+        while True:
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+    return nodes, nodes[parent]
 
 
 def _contract_block(batch: pa.Table) -> pa.Table:

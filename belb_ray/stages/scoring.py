@@ -59,10 +59,21 @@ def attach_features(pairs: rd.Dataset, features: rd.Dataset,
 
         from ..util import cached_get
 
+        def _lookup(ids: np.ndarray, perm: np.ndarray, want: np.ndarray) -> np.ndarray:
+            # clip + equality hit check: a pair id absent from the feature
+            # table must FAIL, not silently attach a neighbor's features
+            idx = np.minimum(np.searchsorted(ids, want), len(ids) - 1)
+            if len(ids) == 0 or not np.all(ids[idx] == want):
+                missing = want if len(ids) == 0 else want[ids[idx] != want]
+                raise KeyError(
+                    f"attach_features: {missing.size} pair ids missing from "
+                    f"the feature table (e.g. {missing[:3].tolist()})")
+            return perm[idx]
+
         def _attach(batch: pa.Table) -> pa.Table:
             ids, perm, sig, paths = cached_get(ref)
-            ia = perm[np.searchsorted(ids, batch["id_a"].to_numpy())]
-            ib = perm[np.searchsorted(ids, batch["id_b"].to_numpy())]
+            ia = _lookup(ids, perm, batch["id_a"].to_numpy())
+            ib = _lookup(ids, perm, batch["id_b"].to_numpy())
             from ..functions.minhash import sig_array
 
             return pa.table({
