@@ -81,12 +81,15 @@ def resolve_files(
     features_all = compute_features(
         files, num_perm=cfg.num_perm, shingle_k=cfg.shingle_k, seed=cfg.seed,
         batch_size=cfg.blocker_batch_size,
-        keep_cols=("content_sha256",)).materialize()
+        keep_cols=("content_sha256",))
 
     import pyarrow.compute as pc
 
     # rep per content hash in ONE bucketed shuffle (annotate rows with
-    # rep_id = min row_id of their sha group) — no aggregate + join pair
+    # rep_id = min row_id of their sha group) — no aggregate + join pair.
+    # features_all stays LAZY so sketching fuses into the shuffle's map
+    # side: one barrier here instead of two (barrier count is what capped
+    # round-1 scaling efficiency).
     fm = exact_dedup_annotate(features_all).materialize()
     members = fm.select_columns(["row_id", "rep_id"])
     # materialized: consumed 3× (band keys, path keys, feature joins)

@@ -108,8 +108,14 @@ def connected_components(
 ) -> rd.Dataset:
     """edges(id_a, id_b) → labels(node, label); label = min node id of the
     connected component. Exact (not approximate) at every scale."""
-    contracted = edges.map_batches(_contract_block, batch_format="pyarrow",
-                                   batch_size=1 << 20).materialize()
+    # NO explicit batch_size here: a large one propagates into the fused
+    # attach→score→contract task chain as the bundling target and
+    # serializes the whole scoring stage into a handful of giant tasks
+    # (measured: batch_size=1<<20 → ONE task for all pairs, 31 CPUs idle).
+    # Per-block contraction loses nothing — the forest is re-solved
+    # globally right below.
+    contracted = edges.map_batches(_contract_block,
+                                   batch_format="pyarrow").materialize()
     n_edges = contracted.count()
 
     if n_edges <= local_threshold:

@@ -21,9 +21,24 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions.minhash import est_jaccard
-from ..functions.similarity import hybrid_score, jaro_winkler, token_set_ratio
+from ..functions.similarity import (hybrid_score, jaro_winkler,
+                                    jaro_winkler_batch, token_set_ratio)
 from ..functions.text import path_tokens
 from .joins import hash_partition_join
+
+# per-worker-process memo: path → frozenset of tokens (paths repeat
+# heavily across candidate pairs; Ray reuses worker processes, so this
+# amortizes like the cached_blocker in stages/blocking.py)
+_TOKSET_CACHE: dict[str, frozenset] = {}
+
+
+def _tokset(path: str) -> frozenset:
+    s = _TOKSET_CACHE.get(path)
+    if s is None:
+        if len(_TOKSET_CACHE) > 200_000:
+            _TOKSET_CACHE.clear()
+        s = _TOKSET_CACHE[path] = frozenset(path_tokens(path))
+    return s
 
 
 def attach_features(pairs: rd.Dataset, features: rd.Dataset,
@@ -84,8 +99,11 @@ def attach_features(pairs: rd.Dataset, features: rd.Dataset,
                 "path_b": paths.take(pa.array(ib)),
             })
 
+        # 8192 matches score_pairs' batch_size: the fused attach→score
+        # task chain bundles input blocks to the LARGEST batch_size in the
+        # chain, so a bigger value here would cut scoring parallelism
         return pairs.map_batches(_attach, batch_format="pyarrow",
-                                 batch_size=16384)
+                                 batch_size=8192)
 
     fa = feat.map_batches(
         lambda t: t.rename_columns(["id_a", "sig_a", "path_a"]),
@@ -104,7 +122,15 @@ def score_pairs(
     w_jw: float = 0.15,
     w_tok: float = 0.15,
 ) -> rd.Dataset:
-    """→ (id_a, id_b, score) for score ≥ threshold."""
+    """→ (id_a, id_b, score) for score ≥ threshold.
+
+    Hot-loop layout (the largest per-pair compute of the flagship):
+    the MinHash-Jaccard estimate is computed first, vectorized; path
+    kernels (batch Jaro-Winkler + token-set Dice) run ONLY on pairs whose
+    upper-bound score ``w_jacc*jacc + w_jw + w_tok`` can still reach the
+    threshold — a rejected-either-way pair never pays the string cost.
+    Output is bit-identical to scoring every pair (dropped pairs were
+    below threshold under ANY path score)."""
 
     def _score(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -117,19 +143,23 @@ def score_pairs(
         sig_a = sig_matrix(batch["sig_a"])
         sig_b = sig_matrix(batch["sig_b"])
         jacc = est_jaccard(sig_a, sig_b)
-        paths_a = batch["path_a"].to_pylist()
-        paths_b = batch["path_b"].to_pylist()
-        jw = np.fromiter((jaro_winkler(a, b) for a, b in zip(paths_a, paths_b)),
-                         dtype=np.float64, count=n)
+        maybe = np.flatnonzero(w_jacc * jacc + w_jw + w_tok >= threshold)
+        if maybe.size == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        sub = batch.take(pa.array(maybe))
+        paths_a = sub["path_a"].to_pylist()
+        paths_b = sub["path_b"].to_pylist()
+        jw = jaro_winkler_batch(paths_a, paths_b)
         tok = np.fromiter(
-            (token_set_ratio(set(path_tokens(a)), set(path_tokens(b)))
+            (token_set_ratio(_tokset(a), _tokset(b))
              for a, b in zip(paths_a, paths_b)),
-            dtype=np.float64, count=n)
-        score = hybrid_score(jacc, jw, tok, w_jacc, w_jw, w_tok)
+            dtype=np.float64, count=maybe.size)
+        score = hybrid_score(jacc[maybe], jw, tok, w_jacc, w_jw, w_tok)
         keep = score >= threshold
-        kept = batch.select(["id_a", "id_b"]).append_column(
+        return sub.select(["id_a", "id_b"]).append_column(
             "score", pa.array(score, pa.float64())).filter(pa.array(keep))
-        return kept
 
     return pairs_with_features.map_batches(_score, batch_format="pyarrow",
                                            batch_size=8192)

@@ -99,6 +99,35 @@ def test_jaro_winkler_reference_value():
     assert jaro_winkler("same", "same") == 1.0
 
 
+def test_jaro_winkler_batch_matches_scalar():
+    import itertools
+    import random
+    import string
+
+    from belb_ray.functions.similarity import jaro_winkler_batch
+
+    rng = random.Random(11)
+    alpha = string.ascii_lowercase + "/._-09"
+    short = ["", "a", "ab", "abc", "s/0", "ab/c", "x", "abcd", "abcde"]
+    cases = list(itertools.product(short, short))
+    for _ in range(800):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+        if rng.random() < 0.4:
+            b = list(a)
+            for _ in range(rng.randint(1, 3)):
+                if b:
+                    b[rng.randrange(len(b))] = rng.choice(alpha)
+            b = "".join(b)
+        else:
+            b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+        cases.append((a, b))
+    # scalar-fallback rows: non-ASCII and overlong
+    cases += [("héllo/wörld.py", "hello/world.py"), ("a" * 300, "a" * 299)]
+    vec = jaro_winkler_batch([a for a, _ in cases], [b for _, b in cases])
+    for i, (a, b) in enumerate(cases):
+        assert abs(jaro_winkler(a, b) - vec[i]) < 1e-12, (a, b)
+
+
 def test_token_set_ratio():
     assert token_set_ratio({"a", "b"}, {"a", "b"}) == 1.0
     assert token_set_ratio({"a"}, {"b"}) == 0.0

@@ -1,0 +1,110 @@
+"""Per-stage ER timing breakdown at a given num_cpus — the measurement
+tool behind the scaling work (run in a FRESH process per CPU level).
+
+Usage: python tools/profile_er.py --cpus 8 --rows 500000
+Prints one JSON line with per-stage seconds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--rows", type=int, default=500_000)
+    args = ap.parse_args()
+
+    import ray
+
+    ray.init(address="local", num_cpus=args.cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from belb_ray.sources.synthetic import make_fixture
+
+    path = f"/tmp/belb_ray_scaling_{args.rows}"
+    if not os.path.exists(path):
+        tbl = make_fixture(n_files=args.rows, seed=42)["files"]
+        os.makedirs(path + ".tmp", exist_ok=True)
+        shards = 64
+        per = (tbl.num_rows + shards - 1) // shards
+        for i in range(shards):
+            pq.write_table(tbl.slice(i * per, per),
+                           f"{path}.tmp/part-{i:04d}.parquet")
+        os.rename(path + ".tmp", path)
+
+    from belb_ray.pipelines.er import ERConfig
+    from belb_ray.stages.blocking import (compute_features, explode_band_keys,
+                                          path_neighborhood_keys)
+    from belb_ray.stages.cluster import (_contract_block, assign_clusters,
+                                         connected_components)
+    from belb_ray.stages.dedup import ensure_identity_columns, exact_dedup_annotate
+    from belb_ray.stages.pairs import candidate_pairs
+    from belb_ray.stages.scoring import attach_features, score_pairs
+
+    cfg = ERConfig()
+    import pyarrow.compute as pc
+
+    t: dict[str, float] = {}
+    t_all0 = time.time()
+
+    t0 = time.time()
+    files = ensure_identity_columns(rd.read_parquet(path))
+    feats_all = compute_features(files, num_perm=cfg.num_perm,
+                                 shingle_k=cfg.shingle_k, seed=cfg.seed,
+                                 batch_size=cfg.blocker_batch_size,
+                                 keep_cols=("content_sha256",))
+    fm = exact_dedup_annotate(feats_all).materialize()
+    t["features_dedup"] = time.time() - t0
+
+    t0 = time.time()
+    members = fm.select_columns(["row_id", "rep_id"])
+    features = fm.map_batches(
+        lambda tb: tb.filter(pc.equal(tb["row_id"], tb["rep_id"]))
+        .drop_columns(["content_sha256", "rep_id"]),
+        batch_format="pyarrow").materialize()
+    t["rep_filter"] = time.time() - t0
+
+    t0 = time.time()
+    blocks = explode_band_keys(features, bands=cfg.bands)
+    blocks = blocks.union(path_neighborhood_keys(features))
+    pairs = candidate_pairs(blocks, max_block=cfg.max_block,
+                            window=cfg.window).materialize()
+    t["pairs"] = time.time() - t0
+
+    t0 = time.time()
+    pf = attach_features(pairs, features, num_buckets=cfg.join_buckets)
+    edges = score_pairs(pf, threshold=cfg.threshold, w_jacc=cfg.w_jacc,
+                        w_jw=cfg.w_jw, w_tok=cfg.w_tok)
+    contracted = edges.map_batches(_contract_block, batch_format="pyarrow",
+                                   batch_size=1 << 20).materialize()
+    t["score_contract"] = time.time() - t0
+
+    t0 = time.time()
+    labels = connected_components(contracted.map_batches(lambda x: x,
+                                                         batch_format="pyarrow"))
+    clusters = assign_clusters(members, labels, num_buckets=cfg.join_buckets)
+    n = clusters.count()
+    t["cc_assign"] = time.time() - t0
+
+    total = time.time() - t_all0
+    print(json.dumps({"cpus": args.cpus, "rows": args.rows, "n_out": n,
+                      "total": round(total, 2),
+                      **{k: round(v, 2) for k, v in t.items()}}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
