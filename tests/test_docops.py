@@ -178,6 +178,67 @@ def test_multimodal_featurize():
     assert frames[frames.item_id == 1]["frame_idx"].tolist() == [0, 1, 2]
 
 
+def test_multimodal_decode_paths_with_and_without_pil():
+    """The featurizer must work in BOTH environments: PIL present (real
+    decode for real images, fake fallback for undecodable payloads) and
+    PIL absent (fake always). PIL is simulated with a stub module."""
+    import sys
+    import types
+
+    import pyarrow as paa
+
+    from belb_ray.stages.multimodal import ImageFeaturizer, _fake_decode
+
+    batch = paa.table({
+        "item_id": paa.array([1], paa.int64()),
+        "payload": paa.array([b"not-an-image"], paa.binary()),
+    })
+
+    # no PIL (this container): fake path
+    feat_no_pil = ImageFeaturizer(feat_dim=8)
+    assert feat_no_pil.Image is None
+    out = feat_no_pil(batch).to_pandas()
+    f_exp, w_exp, h_exp = _fake_decode(b"not-an-image", 8)
+    assert out.iloc[0]["width"] == w_exp and out.iloc[0]["height"] == h_exp
+
+    # stub PIL that decodes a magic payload and rejects everything else
+    class _StubImg:
+        size = (10, 6)
+
+        def convert(self, mode):
+            return self
+
+        def resize(self, wh):
+            import numpy as np
+            arr = np.zeros(wh, dtype=np.uint8) + 128
+            return arr
+
+    class _StubImage:
+        @staticmethod
+        def open(fp):
+            if fp.read() != b"REALIMG":
+                raise OSError("cannot identify image file")
+            return _StubImg()
+
+    pil = types.ModuleType("PIL")
+    pil.Image = _StubImage
+    sys.modules["PIL"] = pil
+    try:
+        feat_pil = ImageFeaturizer(feat_dim=8)
+        assert feat_pil.Image is not None
+        # undecodable payload → SAME fake result as the no-PIL environment
+        out2 = feat_pil(batch).to_pandas()
+        assert out2.iloc[0]["width"] == w_exp and out2.iloc[0]["height"] == h_exp
+        # decodable payload → real dimensions from the decoder
+        real = paa.table({"item_id": paa.array([2], paa.int64()),
+                          "payload": paa.array([b"REALIMG"], paa.binary())})
+        out3 = feat_pil(real).to_pandas()
+        assert out3.iloc[0]["width"] == 10 and out3.iloc[0]["height"] == 6
+        assert abs(out3.iloc[0]["features"][0] - 128 / 255.0) < 1e-6
+    finally:
+        del sys.modules["PIL"]
+
+
 def test_readers_roundtrip(tmp_path):
     from belb_ray.sources.readers import (parse_keyed_records, read_delimited,
                                           read_jsonl, read_record_blocks)

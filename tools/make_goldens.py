@@ -1,0 +1,258 @@
+"""Generate pinned golden parquet oracles for the non-SQL-expressible
+queries (goldens/<name>.sf0.01.parquet).
+
+Each golden is computed by an INDEPENDENT single-process implementation —
+plain numpy/pandas brute force, no Ray, no distributed stages — over the
+driver's fixed sf0.01 testdata (or the seeded synthetic fixture). The
+driver's DuckDB oracle then reads the golden via ``read_parquet``, so
+cluster/near-dup results are checked against a second implementation, not
+against the pipeline itself. (This is the reference's own QA device:
+golden/pinned metadata as the conformance corpus — SURVEY §5.3.)
+
+Shared PURE KERNELS (tokenize, MinHasher, simhash64, fingerprint64,
+_fake_decode) are reused — they are deterministic functions with their own
+unit tests; what the golden independently re-derives is the COMPOSITION:
+exact-dup collapse, banding, candidate generation (uncapped brute force),
+scoring, and transitive clustering.
+
+Usage: python tools/make_goldens.py [--sf-dir /root/testdata/sf0.01]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "goldens")
+
+
+class UnionFind:
+    """Plain dict union-find, min-id roots (independent of stages/cluster)."""
+
+    def __init__(self):
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent.setdefault(x, x)
+        while p != x:
+            self.parent[x] = p = self.parent.setdefault(p, p)
+            x, p = p, self.parent[p]
+        return p
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            self.parent[hi] = lo
+
+    def label(self, x: int) -> int:
+        return self.find(x)
+
+
+def _doc_arrays(sf_dir: str):
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    return (docs["doc_id"].to_numpy().astype(np.int64),
+            docs["text"].to_pylist(), docs["lang"].to_pylist())
+
+
+def golden_minhash_dedup(sf_dir: str, threshold=0.5, num_perm=128, bands=32,
+                         shingle_k=3, seed=7) -> pa.Table:
+    """Single-process MinHash-LSH dedup: exact-dup collapse → per-rep
+    signatures → lang-salted band buckets → UNCAPPED shared-bucket pairs →
+    est-Jaccard threshold → union-find. Mirrors minhash_dedup's semantics
+    (docdedup.py) with brute-force composition."""
+    import hashlib
+
+    from belb_ray.functions.hashing import (as_int64, combine64, ngram_hashes,
+                                            token_hashes)
+    from belb_ray.functions.minhash import MinHasher, band_keys, est_jaccard
+    from belb_ray.functions.text import tokenize
+    from belb_ray.stages.joins import hash_str
+
+    ids, texts, langs = _doc_arrays(sf_dir)
+    sha = [hashlib.sha256(t.encode()).hexdigest() for t in texts]
+
+    rep_of_sha: dict[str, int] = {}
+    for i in np.argsort(ids, kind="stable"):
+        rep_of_sha.setdefault(sha[i], int(ids[i]))
+    rep_id = np.array([rep_of_sha[s] for s in sha], dtype=np.int64)
+
+    reps = np.unique(rep_id)
+    idx_of_id = {int(v): i for i, v in enumerate(ids)}
+    hasher = MinHasher(num_perm=num_perm, seed=seed)
+    cache: dict[str, int] = {}
+    sigs = np.empty((len(reps), num_perm), dtype=np.uint64)
+    rep_lang = []
+    for r, rid in enumerate(reps):
+        i = idx_of_id[int(rid)]
+        th = token_hashes(tokenize(texts[i]), cache)
+        sigs[r] = hasher.signature(ngram_hashes(th, shingle_k))
+        rep_lang.append(langs[i])
+
+    keys = band_keys(sigs, bands)  # (n, bands)
+    salts = np.array([hash_str(l) for l in rep_lang], dtype=np.uint64)
+    keys = as_int64(combine64(keys.astype(np.uint64), salts[:, None]))
+
+    buckets: dict[int, list[int]] = {}
+    for r in range(len(reps)):
+        for b in range(bands):
+            buckets.setdefault(int(keys[r, b]), []).append(r)
+
+    uf = UnionFind()
+    seen = set()
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                a, b = members[x], members[y]
+                if a == b or (a, b) in seen:
+                    continue
+                seen.add((a, b))
+                if est_jaccard(sigs[a:a + 1], sigs[b:b + 1])[0] >= threshold:
+                    uf.union(int(reps[a]), int(reps[b]))
+
+    dup_group = np.array([uf.label(int(r)) for r in rep_id], dtype=np.int64)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "dup_group": pa.array(dup_group, pa.int64())})
+
+
+def golden_simhash_dedup(sf_dir: str, max_hamming=3, shingle_k=3, seed=7,
+                         num_perm=16) -> pa.Table:
+    """Brute-force ALL-pairs Hamming ≤ max_hamming → union-find (no LSH:
+    the banding in simhash_dedup is recall-guaranteed by pigeonhole, so
+    the uncapped all-pairs graph must give identical components)."""
+    from belb_ray.functions.hashing import token_hashes
+    from belb_ray.functions.minhash import hamming64, simhash64
+    from belb_ray.functions.text import tokenize
+
+    ids, texts, _ = _doc_arrays(sf_dir)
+    cache: dict[str, int] = {}
+    sh = np.array(
+        [int(simhash64(token_hashes(tokenize(t), cache))
+             & np.uint64(0x7FFFFFFFFFFFFFFF)) for t in texts], dtype=np.uint64)
+
+    uf = UnionFind()
+    n = len(ids)
+    for i in range(n):
+        d = hamming64(np.full(n - i - 1, sh[i], np.uint64), sh[i + 1:])
+        for j in np.flatnonzero(d <= max_hamming):
+            uf.union(int(ids[i]), int(ids[i + 1 + j]))
+    lab = np.array([uf.label(int(v)) for v in ids], dtype=np.int64)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "dup_group": pa.array(lab, pa.int64())})
+
+
+def golden_doc_fingerprints(sf_dir: str, k=8) -> pa.Table:
+    from belb_ray.functions.textstats import fingerprint64
+
+    ids, texts, _ = _doc_arrays(sf_dir)
+    cache: dict[str, int] = {}
+    fps = [fingerprint64(t, k, cache) for t in texts]
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "fingerprint": pa.array(fps, pa.int64())})
+
+
+def golden_lsh_neardup(sf_dir: str, dim=64, threshold=0.3, bits=64, bands=8,
+                       seed=13) -> pa.Table:
+    """Brute-force LSH near-dup: same hyperplanes/banding as
+    HyperplaneSigner (seeded), shared-bucket pairs enumerated exhaustively,
+    sim recomputed through the SAME float32-pack → float64 path so floats
+    are bit-identical."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    flat = emb["embedding"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False)
+    mat64 = flat.astype(np.float64).reshape(len(ids), dim)
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, bits))
+    signs = (mat64 @ planes) > 0
+    r = bits // bands
+    weights = (1 << np.arange(r, dtype=np.int64))
+    buckets: dict[int, list[int]] = {}
+    for b in range(bands):
+        chunk = signs[:, b * r:(b + 1) * r].astype(np.int64)
+        key = (chunk @ weights) + (int(b) << 32)
+        for i, kv in enumerate(key):
+            buckets.setdefault(int(kv), []).append(i)
+
+    # the scored path packs to float32 then promotes — replicate exactly
+    m32 = flat.astype(np.float32).reshape(len(ids), dim).astype(np.float64)
+    norm = m32 / np.maximum(np.linalg.norm(m32, axis=1, keepdims=True), 1e-12)
+
+    pairs = set()
+    for members in buckets.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                i, j = members[x], members[y]
+                a, b = (i, j) if ids[i] < ids[j] else (j, i)
+                if ids[a] != ids[b]:
+                    pairs.add((a, b))
+    out_a, out_b, out_s = [], [], []
+    for a, b in sorted(pairs, key=lambda p: (ids[p[0]], ids[p[1]])):
+        sim = float((norm[a] * norm[b]).sum())
+        if sim >= threshold:
+            out_a.append(int(ids[a]))
+            out_b.append(int(ids[b]))
+            out_s.append(sim)
+    return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                     "id_b": pa.array(out_b, pa.int64()),
+                     "sim": pa.array(out_s, pa.float64())})
+
+
+def golden_multimodal_features(sf_dir: str, feat_dim=16) -> pa.Table:
+    from belb_ray.stages.multimodal import _fake_decode
+
+    ids, texts, _ = _doc_arrays(sf_dir)
+    ws, hs = [], []
+    for t in texts:
+        _, w, h = _fake_decode(t.encode(), feat_dim)
+        ws.append(w)
+        hs.append(h)
+    return pa.table({"item_id": pa.array(ids, pa.int64()),
+                     "width": pa.array(ws, pa.int32()),
+                     "height": pa.array(hs, pa.int32())})
+
+
+def golden_er_clusters(sf: float) -> pa.Table:
+    """The fixture's analytic gold clusters (family lineage — independent
+    of every pipeline stage), at the same size q_er_clusters uses."""
+    from belb_ray.sources.synthetic import make_fixture
+
+    n_files = max(600, int(200_000 * sf))
+    return make_fixture(n_files=n_files, seed=42)["gold_clusters"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+    sf_tag = "sf" + args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = float(sf_tag[2:])
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+
+    tables = {
+        "er_clusters": golden_er_clusters(sf),
+        "minhash_dedup_docs": golden_minhash_dedup(args.sf_dir),
+        "simhash_dedup_docs": golden_simhash_dedup(args.sf_dir),
+        "doc_fingerprints": golden_doc_fingerprints(args.sf_dir),
+        "lsh_neardup": golden_lsh_neardup(args.sf_dir),
+        "multimodal_features": golden_multimodal_features(args.sf_dir),
+    }
+    for name, tbl in tables.items():
+        path = os.path.join(GOLDEN_DIR, f"{name}.{sf_tag}.parquet")
+        pq.write_table(tbl, path)
+        print(f"wrote {path}: {tbl.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()
