@@ -426,6 +426,110 @@ def q_span_assignment(sf_dir: str) -> rd.Dataset:
     return assign_spans_to_segments(spans, segments)
 
 
+def q_span_merge(sf_dir: str) -> rd.Dataset:
+    """A6 analog: annotations identical except identifiers merge into one
+    row with a sorted-distinct identifier LIST (belb/preprocessing/
+    data.py:493-532). The operator emits a true ``list<string>`` column;
+    the query joins it to a string for the cross-engine hash compare."""
+    from belb_ray.stages.spans import merge_span_identifiers
+
+    anns = _t(sf_dir, "lineitem").map_batches(
+        lambda t: pa.table({
+            "doc_id": pa.compute.cast(t["l_orderkey"], pa.int64()),
+            "start": pa.compute.cast(
+                np.mod(t["l_linenumber"].to_numpy(), 2) * 10, pa.int64()),
+            "end": pa.compute.cast(
+                np.mod(t["l_linenumber"].to_numpy(), 2) * 10 + 5, pa.int64()),
+            "text": pa.array(
+                ["m%d" % (v % 2) for v in t["l_linenumber"].to_pylist()],
+                pa.string()),
+            "entity_type": t["l_returnflag"],
+            "identifier": pa.array(
+                ["S:%d" % v for v in t["l_suppkey"].to_pylist()], pa.string()),
+        }), batch_format="pyarrow")
+    merged = merge_span_identifiers(anns)
+    return merged.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"], "start": t["start"], "end": t["end"],
+            "text": t["text"], "entity_type": t["entity_type"],
+            "ids_joined": pa.array(
+                [";".join(v) for v in t["identifiers"].to_pylist()],
+                pa.string()),
+            "n_ids": t["n_ids"],
+        }), batch_format="pyarrow")
+
+
+def q_overlap_suppression(sf_dir: str) -> rd.Dataset:
+    """J9 analog: foreign annotations overlapping (or sharing text with) a
+    same-document gold annotation are dropped
+    (belb/preprocessing/data.py:549-567)."""
+    from belb_ray.stages.spans import suppress_overlapping
+
+    gold = _t(sf_dir, "orders").map_batches(
+        lambda t: pa.table({
+            "doc_id": pa.compute.cast(t["o_orderkey"], pa.int64()),
+            "ann_id": pa.compute.cast(
+                pa.compute.multiply(t["o_orderkey"], pa.scalar(10, pa.int64())),
+                pa.int64()),
+            "start": pa.array([50] * t.num_rows, pa.int64()),
+            "end": pa.array([150] * t.num_rows, pa.int64()),
+            "text": pa.array(["t%d" % (v % 100)
+                              for v in t["o_custkey"].to_pylist()], pa.string()),
+        }), batch_format="pyarrow")
+    foreign = _t(sf_dir, "lineitem").map_batches(
+        lambda t: pa.table({
+            "doc_id": pa.compute.cast(t["l_orderkey"], pa.int64()),
+            "ann_id": pa.compute.cast(
+                pa.compute.add(
+                    pa.compute.multiply(t["l_orderkey"],
+                                        pa.scalar(10, pa.int64())),
+                    pa.compute.cast(t["l_linenumber"], pa.int64())),
+                pa.int64()),
+            "start": pa.array(np.mod(t["l_partkey"].to_numpy(), 280), pa.int64()),
+            "end": pa.array(np.mod(t["l_partkey"].to_numpy(), 280)
+                            + np.mod(t["l_suppkey"].to_numpy(), 20) + 1,
+                            pa.int64()),
+            "text": pa.array(["t%d" % (v % 100)
+                              for v in t["l_partkey"].to_pylist()], pa.string()),
+        }), batch_format="pyarrow")
+    return suppress_overlapping(gold, foreign)
+
+
+def q_foreign_name_homonyms(sf_dir: str) -> rd.Dataset:
+    """A4 exact: two-predicate HAVING (count(distinct id) > 1 AND
+    count(distinct foreign id) > 1 — belb/kbs/query.py:196-232)."""
+    from belb_ray.stages.homonyms import foreign_name_homonyms
+
+    syn = _t(sf_dir, "part").map_batches(
+        lambda t: pa.table({"name": t["p_name"],
+                            "identifier": t["p_brand"],
+                            "foreign_identifier": t["p_type"]}),
+        batch_format="pyarrow")
+    return foreign_name_homonyms(syn)
+
+
+def q_eval_subsets(sf_dir: str) -> rd.Dataset:
+    """A11 analog: zeroshot / stratified / seen evaluation slicing
+    (belb/scripts/get_mentions_subsets.py:82-140)."""
+    from belb_ray.stages.subsets import evaluation_subsets
+
+    anns = _t(sf_dir, "supplier").map_batches(
+        lambda t: pa.table({
+            "s_suppkey": pa.compute.cast(t["s_suppkey"], pa.int64()),
+            "identifier": pa.array(
+                (t["s_suppkey"].to_numpy().astype(np.int64) * 7919) % 50,
+                pa.int64()),
+            "surface": pa.array(
+                ["n%d" % (v % 5) for v in t["s_nationkey"].to_pylist()],
+                pa.string()),
+            "split": pa.array(
+                ["test" if (v * 104729) % 10 < 3 else "train"
+                 for v in t["s_suppkey"].to_pylist()], pa.string()),
+        }), batch_format="pyarrow")
+    out = evaluation_subsets(anns, train_splits=("train",))
+    return out.select_columns(["s_suppkey", "identifier", "surface", "subset"])
+
+
 # ---- rows-only (non-SQL-expressible) ------------------------------------
 
 
@@ -555,6 +659,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "id_explosion": q_id_explosion,
         "doc_normalize": q_doc_normalize,
         "span_assignment": q_span_assignment,
+        "span_merge": q_span_merge,
+        "overlap_suppression": q_overlap_suppression,
+        "foreign_name_homonyms": q_foreign_name_homonyms,
+        "eval_subsets": q_eval_subsets,
         # rows-only (non-SQL-expressible)
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
@@ -800,6 +908,70 @@ def oracle_sql() -> dict[str, str]:
                        AS sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        """,
+        "span_merge": """
+            WITH a AS (
+                SELECT l_orderkey AS doc_id,
+                       CAST((l_linenumber % 2) * 10 AS BIGINT) AS start,
+                       CAST((l_linenumber % 2) * 10 + 5 AS BIGINT) AS "end",
+                       'm' || (l_linenumber % 2) AS text,
+                       l_returnflag AS entity_type,
+                       'S:' || l_suppkey AS identifier
+                FROM lineitem)
+            SELECT doc_id, start, "end", text, entity_type,
+                   array_to_string(list_sort(list_distinct(
+                       array_agg(identifier))), ';') AS ids_joined,
+                   count(DISTINCT identifier) AS n_ids
+            FROM a GROUP BY doc_id, start, "end", text, entity_type
+        """,
+        "overlap_suppression": """
+            WITH gold AS (
+                SELECT o_orderkey AS doc_id, 50 AS gs, 150 AS ge,
+                       't' || (o_custkey % 100) AS gt
+                FROM orders),
+            fg AS (
+                SELECT l_orderkey AS doc_id,
+                       CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS ann_id,
+                       CAST(l_partkey % 280 AS BIGINT) AS s,
+                       CAST((l_partkey % 280) + (l_suppkey % 20) + 1 AS BIGINT)
+                           AS e,
+                       't' || (l_partkey % 100) AS t
+                FROM lineitem)
+            SELECT f.doc_id, f.ann_id, f.s AS start, f.e AS "end", f.t AS text
+            FROM fg f
+            WHERE NOT EXISTS (
+                SELECT 1 FROM gold g
+                WHERE g.doc_id = f.doc_id
+                  AND ((f.s < g.ge AND g.gs < f.e) OR f.t = g.gt))
+        """,
+        "foreign_name_homonyms": """
+            SELECT p_name AS name,
+                   count(DISTINCT p_brand) AS n_identifiers,
+                   count(DISTINCT p_type) AS n_foreign
+            FROM part GROUP BY p_name
+            HAVING count(DISTINCT p_brand) > 1
+               AND count(DISTINCT p_type) > 1
+        """,
+        "eval_subsets": """
+            WITH a AS (
+                SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+                       CAST((s_suppkey * 7919) % 50 AS BIGINT) AS identifier,
+                       'n' || (s_nationkey % 5) AS surface,
+                       CASE WHEN (s_suppkey * 104729) % 10 < 3
+                            THEN 'test' ELSE 'train' END AS split
+                FROM supplier),
+            tr AS (SELECT DISTINCT identifier, surface FROM a
+                   WHERE split = 'train'),
+            tid AS (SELECT DISTINCT identifier FROM a WHERE split = 'train')
+            SELECT t.s_suppkey, t.identifier, t.surface,
+                   CASE WHEN EXISTS (SELECT 1 FROM tr
+                                     WHERE tr.identifier = t.identifier
+                                       AND tr.surface = t.surface) THEN 'seen'
+                        WHEN EXISTS (SELECT 1 FROM tid
+                                     WHERE tid.identifier = t.identifier)
+                            THEN 'stratified'
+                        ELSE 'zeroshot' END AS subset
+            FROM a t WHERE t.split = 'test'
         """,
         # exact n-gram Jaccard: token trigram sets rebuilt in SQL (the Ray
         # path uses 64-bit token-hash trigrams — same sets barring hash

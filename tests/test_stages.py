@@ -160,3 +160,78 @@ def test_identifier_homonyms_merges_same_namelist():
     out = identifier_homonyms(_syn_table()).to_pandas()
     # identifiers 1 and 2 share the ordered name list alpha;beta → 2 → 1
     assert dict(zip(out["homonym"], out["identifier"])) == {2: 1}
+
+
+def test_foreign_name_homonyms_two_predicates():
+    from belb_ray.stages.homonyms import foreign_name_homonyms
+
+    syn = rd.from_arrow(pa.table({
+        "uid": list(range(6)),
+        # "x": 2 ids, 2 fks → kept; "y": 2 ids, 1 fk → dropped;
+        # "z": 1 id, 2 fks → dropped
+        "identifier": [1, 2, 3, 4, 5, 5],
+        "name": ["x", "x", "y", "y", "z", "z"],
+        "description": [0] * 6,
+        "foreign_identifier": [10, 11, 12, 12, 13, 14],
+    }))
+    out = foreign_name_homonyms(syn).to_pandas()
+    assert out["name"].tolist() == ["x"]
+    assert out["n_identifiers"].iloc[0] == 2 and out["n_foreign"].iloc[0] == 2
+
+
+def test_merge_span_identifiers_list_column():
+    from belb_ray.stages.spans import merge_span_identifiers
+
+    anns = rd.from_arrow(pa.table({
+        "doc_id": [1, 1, 1, 2],
+        "start": [0, 0, 5, 0],
+        "end": [3, 3, 9, 3],
+        "text": ["ab", "ab", "cd", "ab"],
+        "entity_type": ["E", "E", "E", "E"],
+        "identifier": ["B", "A", "A", "A"],
+    }))
+    tbl = merge_span_identifiers(anns).to_pandas()
+    row = tbl[(tbl.doc_id == 1) & (tbl.start == 0)]
+    # true list column, sorted distinct
+    assert list(row["identifiers"].iloc[0]) == ["A", "B"]
+    assert row["n_ids"].iloc[0] == 2
+    assert len(tbl) == 3
+
+
+def test_suppress_overlapping_drops_overlap_nest_equal_sametext():
+    from belb_ray.stages.spans import suppress_overlapping
+
+    gold = rd.from_arrow(pa.table({
+        "doc_id": [1, 2], "ann_id": [100, 200],
+        "start": [10, 10], "end": [20, 20],
+        "text": ["gold", "gold"],
+    }))
+    foreign = rd.from_arrow(pa.table({
+        "doc_id": [1, 1, 1, 1, 1, 2, 3],
+        "ann_id": [1, 2, 3, 4, 5, 6, 7],
+        "start": [15, 12, 10, 30, 40, 50, 10],
+        "end":   [25, 14, 20, 35, 45, 55, 20],
+        #          ^overlap ^nested ^equal  ok  same-text  ok   no-gold-doc
+        "text": ["a", "b", "c", "d", "gold", "e", "f"],
+    }))
+    out = suppress_overlapping(gold, foreign).to_pandas()
+    assert sorted(out["ann_id"]) == [4, 6, 7]
+
+
+def test_evaluation_subsets_broadcast_and_shuffle_agree():
+    from belb_ray.stages.subsets import evaluation_subsets
+
+    anns = rd.from_arrow(pa.table({
+        "mention_id": list(range(8)),
+        "split": ["train", "train", "train", "test", "test", "test", "dev",
+                  "test"],
+        "identifier": [1, 1, 2, 1, 2, 9, 3, 3],
+        "surface": ["a", "b", "c", "a", "zz", "q", "d", "d"],
+    }))
+    # id 1/"a" seen; id 2 with new surface → stratified; id 9 → zeroshot;
+    # id 3/"d" seen via dev
+    expected = {3: "seen", 4: "stratified", 5: "zeroshot", 7: "seen"}
+    bc = evaluation_subsets(anns).to_pandas()
+    assert dict(zip(bc["mention_id"], bc["subset"])) == expected
+    sh = evaluation_subsets(anns, broadcast_threshold=0).to_pandas()
+    assert dict(zip(sh["mention_id"], sh["subset"])) == expected
