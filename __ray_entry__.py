@@ -426,6 +426,15 @@ def q_span_assignment(sf_dir: str) -> rd.Dataset:
     return assign_spans_to_segments(spans, segments)
 
 
+def q_sentence_split(sf_dir: str) -> rd.Dataset:
+    """Sentence splitting with offset invariants (reference
+    segment.py:249-331; invariant checks segment.py:138-144) — offsets
+    index the original text and are re-derived independently in SQL."""
+    from belb_ray.stages.transform import split_sentences
+
+    return split_sentences(_t(sf_dir, "documents"))
+
+
 def q_span_merge(sf_dir: str) -> rd.Dataset:
     """A6 analog: annotations identical except identifiers merge into one
     row with a sorted-distinct identifier LIST (belb/preprocessing/
@@ -659,6 +668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "id_explosion": q_id_explosion,
         "doc_normalize": q_doc_normalize,
         "span_assignment": q_span_assignment,
+        "sentence_split": q_sentence_split,
         "span_merge": q_span_merge,
         "overlap_suppression": q_overlap_suppression,
         "foreign_name_homonyms": q_foreign_name_homonyms,
@@ -908,6 +918,43 @@ def oracle_sql() -> dict[str, str]:
                        AS sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        """,
+        "sentence_split": r"""
+            WITH marked AS (
+                SELECT doc_id,
+                       string_split(regexp_replace(text,
+                           '([.!?])([ \t' || chr(10) || chr(13) || chr(12)
+                           || chr(11) || ']+)',
+                           '\1' || chr(1) || '\2', 'g'), chr(1)) AS pieces
+                FROM documents),
+            u AS (SELECT doc_id, pieces,
+                         unnest(generate_series(1, len(pieces))) AS i
+                  FROM marked),
+            p AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                         pieces[CAST(i AS INT)] AS piece
+                  FROM u),
+            q AS (SELECT doc_id, i, piece,
+                         coalesce(sum(length(piece)) OVER (
+                             PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS raw_start,
+                         length(regexp_extract(piece,
+                             '^[ \t' || chr(10) || chr(13) || chr(12)
+                             || chr(11) || ']*')) AS lead
+                  FROM p),
+            s AS (SELECT doc_id, i,
+                         raw_start + lead AS start,
+                         regexp_replace(piece,
+                             '^[ \t' || chr(10) || chr(13) || chr(12)
+                             || chr(11) || ']+', '') AS sentence
+                  FROM q)
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                        - 1 AS BIGINT) AS sent_id,
+                   CAST(start AS BIGINT) AS start,
+                   CAST(length(sentence) AS BIGINT) AS length,
+                   sentence
+            FROM s WHERE length(sentence) > 0
         """,
         "span_merge": """
             WITH a AS (

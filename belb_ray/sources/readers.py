@@ -63,6 +63,88 @@ def read_record_blocks(paths, record_sep: str = "\n//\n",
     return raw.map_batches(_split, batch_format="pyarrow", batch_size=1)
 
 
+def read_tar_members(paths, suffix: str = "", encoding: str = "utf-8",
+                     lines: bool = False) -> rd.Dataset:
+    """S3: tar-member streamer (reference: taxdump ``names.dmp`` out of
+    ``taxdump.tar.gz``, belb/kbs/ncbi_taxonomy/ncbi_taxonomy.py:86-99).
+
+    One tar archive is ONE sequential stream — the parallelism unit is the
+    archive, so a directory of tars fans out naturally
+    (``read_binary_files`` → per-file member extraction). With
+    ``lines=True`` each member explodes to (member, line_no, line) rows;
+    otherwise one row per member (member, content)."""
+    import io
+    import tarfile
+
+    raw = rd.read_binary_files(paths, include_paths=True)
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        members, payloads, line_nos = [], [], []
+        for blob in batch["bytes"].to_pylist():
+            with tarfile.open(fileobj=io.BytesIO(blob), mode="r:*") as tf:
+                for m in tf:
+                    if not m.isfile() or not m.name.endswith(suffix):
+                        continue
+                    data = tf.extractfile(m).read().decode(encoding)
+                    if lines:
+                        for i, ln in enumerate(data.splitlines()):
+                            members.append(m.name)
+                            line_nos.append(i)
+                            payloads.append(ln)
+                    else:
+                        members.append(m.name)
+                        payloads.append(data)
+        cols = {"member": pa.array(members, pa.string())}
+        if lines:
+            cols["line_no"] = pa.array(line_nos, pa.int64())
+            cols["line"] = pa.array(payloads, pa.string())
+        else:
+            cols["content"] = pa.array(payloads, pa.string())
+        return pa.table(cols)
+
+    return raw.map_batches(_extract, batch_format="pyarrow", batch_size=1)
+
+
+def read_xml_documents(paths, doc_tag: str, field_tags: tuple = (),
+                       encoding: str = "utf-8") -> rd.Dataset:
+    """S7/S9: XML reader — one row per ``<doc_tag>`` element with its
+    attributes (``attr_*`` columns), child-element texts for
+    ``field_tags``, and the element's full concatenated text
+    (reference BioC XML: belb/corpora/nlm_chem/nlm_chem.py:192-204;
+    offset-reconstructing ElementTree parse:
+    belb/corpora/osiris/osiris.py:74-120). Files are the parallelism
+    unit; parse runs inside map_batches workers."""
+    import xml.etree.ElementTree as ET
+
+    raw = rd.read_binary_files(paths, include_paths=True)
+
+    def _parse(batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for path, blob in zip(batch["path"].to_pylist(),
+                              batch["bytes"].to_pylist()):
+            root = ET.fromstring(blob.decode(encoding))
+            it = ([root] if root.tag == doc_tag else
+                  root.iter(doc_tag))
+            for i, el in enumerate(it):
+                row = {"file": path, "doc_idx": i}
+                for k, v in el.attrib.items():
+                    row[f"attr_{k}"] = v
+                for tag in field_tags:
+                    child = el.find(f".//{tag}")
+                    row[tag] = None if child is None else \
+                        "".join(child.itertext())
+                row["full_text"] = "".join(el.itertext())
+                rows.append(row)
+        if not rows:
+            return pa.table({"file": pa.array([], pa.string()),
+                             "doc_idx": pa.array([], pa.int64()),
+                             "full_text": pa.array([], pa.string())})
+        cols = sorted({k for r in rows for k in r})
+        return pa.table({c: pa.array([r.get(c) for r in rows]) for c in cols})
+
+    return raw.map_batches(_parse, batch_format="pyarrow", batch_size=1)
+
+
 def parse_keyed_records(records: rd.Dataset, key_len: int = 2,
                         record_col: str = "record") -> rd.Dataset:
     """Keyed-line record parser (Cellosaurus-style ``XX   value`` lines) →

@@ -102,14 +102,32 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_rows: int = 2_000_000,
 ) -> rd.Dataset:
-    """Exact embedding-cosine near-dup pairs (id_a < id_b, sim ≥ threshold).
+    """Embedding-cosine near-dup pairs (id_a < id_b, sim ≥ threshold).
 
-    Corpus blocks stream against a broadcast of the full (normalized)
-    matrix — right while the matrix fits the object store (n·d·8 bytes);
-    beyond that use ``lsh_neardup_pairs``."""
+    EXACT path: corpus blocks stream against a broadcast of the full
+    (normalized) matrix — right while the matrix fits the object store
+    (n·d·8 bytes). Past ``max_broadcast_rows`` the op AUTO-SWITCHES to
+    the LSH-bucketed path (``lsh_neardup_pairs``): no driver-side O(n·d)
+    materialization at any scale, at the documented cost of recall < 1.
+    Pass ``max_broadcast_rows=None`` to force the exact path."""
+    corpus = corpus.select_columns([id_col, vec_col])
+    if max_broadcast_rows is not None:
+        n = corpus.count()
+        if n > max_broadcast_rows:
+            import logging
+
+            first = corpus.take(1)[0]
+            dim = len(first[vec_col])
+            logging.getLogger(__name__).warning(
+                "embedding_neardup_pairs: %d rows exceed the %d-row exact "
+                "budget — switching to the LSH path (recall < 1)", n,
+                max_broadcast_rows)
+            return lsh_neardup_pairs(corpus, dim=dim, threshold=threshold,
+                                     id_col=id_col, vec_col=vec_col)
     full = pa.concat_tables(
-        ray.get(corpus.select_columns([id_col, vec_col]).to_arrow_refs()))
+        ray.get(corpus.to_arrow_refs()))
     all_ids = full[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     all_mat = _normalize(list_column_matrix(full[vec_col]))
     ref = ray.put((all_ids, all_mat))

@@ -75,17 +75,26 @@ def broadcast_join(
     return ds.map_batches(_join, batch_format="pyarrow")
 
 
-def distinct_values(ds: rd.Dataset, col: str) -> np.ndarray:
+def distinct_values(ds: rd.Dataset, col: str,
+                    max_size: int = 50_000_000) -> np.ndarray:
     """Distinct values of one column: batch-local dedup in map_batches,
     final dedup on the driver. Avoids the native sort-aggregate that
     ``Dataset.unique`` runs (measured far slower). The distinct SET must
-    fit the driver — right for join key-sets and vocabularies."""
+    fit the driver — right for join key-sets and vocabularies; the
+    ``max_size`` guard fails loudly instead of silently OOMing the driver
+    (use ``semi_join``'s shuffle path / ``count_distinct`` for corpus-
+    cardinality keys)."""
     import pyarrow.compute as _pc
 
     dd = ds.select_columns([col]).map_batches(
         lambda t: pa.table({col: _pc.unique(t[col].combine_chunks())}),
         batch_format="pyarrow")
     tbl = collect_arrow(dd)
+    if tbl.num_rows > max_size:
+        raise ValueError(
+            f"distinct_values({col!r}): {tbl.num_rows} batch-distinct rows "
+            f"exceed the driver budget ({max_size}); use the shuffle path "
+            f"(semi_join / count_distinct) for corpus-cardinality keys")
     return np.unique(tbl[col].to_numpy(zero_copy_only=False))
 
 
@@ -103,6 +112,56 @@ def broadcast_semi_join(ds: rd.Dataset, keys_values, key: str, anti: bool = Fals
         return batch.filter(mask)
 
     return ds.map_batches(_filt, batch_format="pyarrow")
+
+
+def semi_join(ds: rd.Dataset, keys_side: rd.Dataset, key: str,
+              anti: bool = False, broadcast_threshold: int = 5_000_000,
+              num_buckets: int = 64) -> rd.Dataset:
+    """Size-guarded semi/anti join against another Dataset's key column.
+
+    Small key side (≤ broadcast_threshold distinct-ish rows) → broadcast
+    membership set, zero shuffles. Larger → shuffle semi-join: both sides
+    bucket on hash(key), each bucket resolves membership vectorized.
+    Same results either way; the guard picks the shape."""
+    keys_only = keys_side.select_columns([key])
+    n = keys_only.count()
+    if n <= broadcast_threshold:
+        vals = distinct_values(keys_only, key)
+        return broadcast_semi_join(ds, vals, key=key, anti=anti)
+
+    def _tag(side: int, cols: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            out = {c: t[c] if c in t.column_names
+                   else pa.nulls(t.num_rows, typ)
+                   for c, typ in cols}
+            out["__side"] = pa.array(np.full(t.num_rows, side, np.int8))
+            return pa.table(out)
+
+        return fn
+
+    schema = ds.schema()
+    cols = list(zip(schema.names, schema.types))
+    lt = ds.map_batches(_tag(0, cols), batch_format="pyarrow")
+    rt = keys_only.map_batches(_tag(1, cols), batch_format="pyarrow")
+    both = lt.union(rt)
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__bucket",
+                                   _bucket_of(batch[key], num_buckets))
+
+    def _filter_bucket(tbl: pa.Table) -> pa.Table:
+        side = tbl["__side"].to_numpy(zero_copy_only=False)
+        tbl = tbl.drop_columns(["__bucket", "__side"])
+        keys_here = tbl.filter(pa.array(side == 1))[key].combine_chunks()
+        rows = tbl.filter(pa.array(side == 0))
+        mask = pc.is_in(rows[key], value_set=pc.unique(keys_here))
+        if anti:
+            mask = pc.invert(mask)
+        return rows.filter(mask)
+
+    bucketed = both.map_batches(_bucketize, batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(_filter_bucket,
+                                                   batch_format="pyarrow")
 
 
 def _bucket_of(col: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:

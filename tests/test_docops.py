@@ -280,3 +280,26 @@ def test_span_assignment():
     got = set(map(tuple, out[["doc_id", "span_id", "seg_id"]].values.tolist()))
     # span 12 (95..105) straddles both segments -> contained in neither
     assert got == {(1, 10, 0), (1, 11, 1), (2, 20, 0)}
+
+
+def test_embedding_neardup_autoswitches_to_lsh():
+    """Past the broadcast budget the op must produce exactly the LSH
+    path's result (no driver-side full-matrix materialization)."""
+    from belb_ray.stages.ann import embedding_neardup_pairs, lsh_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    n, d = 60, 16
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    mat[1] = mat[0] + 0.01  # a near-dup pair
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.ravel(), pa.float32()), d),
+    })
+    ds = rd.from_arrow(tbl)
+    forced = embedding_neardup_pairs(ds, threshold=0.8,
+                                     max_broadcast_rows=10).to_pandas()
+    direct = lsh_neardup_pairs(ds, dim=d, threshold=0.8).to_pandas()
+    key = lambda df: sorted(zip(df.id_a, df.id_b, df.sim.round(9)))
+    assert key(forced) == key(direct)
+    assert (0, 1) in {(a, b) for a, b, _ in key(forced)}

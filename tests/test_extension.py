@@ -1,0 +1,221 @@
+"""Extension surface: PipelineStep registry (§2.8), QAQC drop counters,
+text transformations with invariants, tar/XML readers."""
+
+import json
+import os
+import tarfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+# ---------------------------------------------------------------- registry
+
+
+def test_registry_register_build_run(tmp_path):
+    from belb_ray.pipelines.checkpoint import read_manifest
+    from belb_ray.pipelines.registry import (FnStep, build_step, list_steps,
+                                             register_step, run_step,
+                                             unregister_step)
+
+    @register_step("double_value")
+    def _make(cfg):
+        mult = int(cfg.get("mult", 2))
+
+        def step(ds):
+            return ds.map_batches(
+                lambda t: t.set_column(
+                    t.column_names.index("v"), "v",
+                    pa.compute.multiply(t["v"], pa.scalar(mult))),
+                batch_format="pyarrow")
+
+        return step
+
+    try:
+        assert "double_value" in list_steps()
+        ds = rd.from_arrow(pa.table({"v": [1, 2, 3]}))
+        step = build_step("double_value", {"mult": 3})
+        assert isinstance(step, FnStep) and step.name == "double_value"
+        assert sorted(step(ds).to_pandas()["v"]) == [3, 6, 9]
+
+        # checkpointed run: second invocation reads shards, not recompute
+        ck = str(tmp_path / "ck")
+        out1 = run_step("double_value", {"mult": 3}, ds, checkpoint_dir=ck)
+        assert sorted(out1.to_pandas()["v"]) == [3, 6, 9]
+        man = read_manifest(os.path.join(ck, "double_value"))
+        assert man is not None and man["rows"] == 3
+        assert man["lineage"]["step"] == "double_value"
+        out2 = run_step("double_value", {"mult": 3},
+                        rd.from_arrow(pa.table({"v": [99]})),  # ignored: cached
+                        checkpoint_dir=ck)
+        assert sorted(out2.to_pandas()["v"]) == [3, 6, 9]
+    finally:
+        unregister_step("double_value")
+
+
+def test_registry_builtins_and_unknown():
+    from belb_ray.pipelines.registry import build_step, list_steps
+
+    assert {"ensure_identity", "normalize_text", "exact_dedup",
+            "minhash_features"}.issubset(set(list_steps()))
+    with pytest.raises(KeyError):
+        build_step("no_such_step")
+
+
+def test_registry_duplicate_name_rejected():
+    from belb_ray.pipelines.registry import register_step, unregister_step
+
+    @register_step("dup_probe")
+    def _a(cfg):
+        return lambda ds: ds
+
+    try:
+        with pytest.raises(ValueError):
+            @register_step("dup_probe")
+            def _b(cfg):
+                return lambda ds: ds
+    finally:
+        unregister_step("dup_probe")
+
+
+# ---------------------------------------------------------------- qaqc
+
+
+def test_qaqc_counted_filter_conservation(tmp_path):
+    from belb_ray.pipelines.qaqc import (counted_filter, new_stats,
+                                         stats_snapshot, write_qaqc_manifest)
+
+    stats = new_stats()
+    ds = rd.from_arrow(pa.table({"v": list(range(100)),
+                                 "lang": ["en", "xx"] * 50}))
+    out = counted_filter(ds, lambda t: np.asarray(t["v"].to_numpy() % 3 != 0),
+                         "stage1", "v_mod3", stats)
+    out = counted_filter(
+        out, lambda t: np.asarray([l == "en" for l in t["lang"].to_pylist()]),
+        "stage2", "bad_lang", stats)
+    rows_out = out.count()
+    counts = stats_snapshot(stats)
+    assert counts["stage1/v_mod3"] == 34
+    assert 100 == rows_out + sum(counts.values())
+
+    man_path = str(tmp_path / "qaqc_stats.json")
+    man = write_qaqc_manifest(stats, man_path, rows_in=100, rows_out=rows_out)
+    assert man["dropped_total"] == 100 - rows_out
+    assert json.load(open(man_path))["rows_in"] == 100
+
+    # conservation violation must raise
+    with pytest.raises(ValueError):
+        write_qaqc_manifest(stats, man_path, rows_in=100, rows_out=rows_out - 1)
+
+
+# ---------------------------------------------------------------- transform
+
+
+def _docs():
+    return rd.from_arrow(pa.table({
+        "doc_id": [1, 2],
+        "text": ["One sentence. Two now! And a third? yes.",
+                 "No boundaries here"],
+    }))
+
+
+def test_split_sentences_offsets_reassemble():
+    from belb_ray.stages.transform import split_sentences
+
+    out = split_sentences(_docs()).to_pandas()
+    texts = {1: "One sentence. Two now! And a third? yes.",
+             2: "No boundaries here"}
+    for _, r in out.iterrows():
+        t = texts[r["doc_id"]]
+        assert t[r["start"]:r["start"] + r["length"]] == r["sentence"]
+    assert list(out[out.doc_id == 1]["sentence"]) == \
+        ["One sentence.", "Two now!", "And a third?", "yes."]
+    assert list(out[out.doc_id == 2]["sentence"]) == ["No boundaries here"]
+
+
+def test_mark_mentions_length_and_offsets():
+    from belb_ray.stages.transform import mark_mentions
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [1], "text": ["alpha beta gamma"]}))
+    spans = rd.from_arrow(pa.table({
+        "doc_id": [1, 1], "start": [0, 11], "end": [5, 16]}))
+    out = mark_mentions(docs, spans).to_pandas()
+    assert out.iloc[0]["marked_text"] == "[M]alpha[/M] beta [M]gamma[/M]"
+    assert out.iloc[0]["n_marked"] == 2
+
+
+def test_mark_mentions_overlap_raises():
+    from belb_ray.stages.transform import TransformInvariantError, mark_mentions
+
+    docs = rd.from_arrow(pa.table({"doc_id": [1], "text": ["abcdef"]}))
+    spans = rd.from_arrow(pa.table({
+        "doc_id": [1, 1], "start": [0, 2], "end": [4, 6]}))
+    with pytest.raises(Exception) as ei:
+        mark_mentions(docs, spans).to_pandas()
+    assert "overlapping span" in str(ei.value)
+
+
+def test_clean_intraword():
+    from belb_ray.stages.transform import clean_intraword
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [1], "text": ["xxBRCA1yy and BRCA2"]}))
+    spans = rd.from_arrow(pa.table({
+        "doc_id": [1, 1], "start": [2, 14], "end": [7, 19]}))
+    out = clean_intraword(docs, spans).to_pandas()
+    assert out.iloc[0]["clean_text"] == "xx BRCA1 yy and BRCA2"
+    assert out.iloc[0]["n_inserted"] == 2
+
+
+def test_check_offsets_flags_bad_spans():
+    from belb_ray.stages.transform import check_offsets
+
+    docs = rd.from_arrow(pa.table({"doc_id": [1], "text": ["hello world"]}))
+    spans = rd.from_arrow(pa.table({
+        "doc_id": [1, 1], "start": [0, 6], "end": [5, 11],
+        "surface": ["hello", "worlD"]}))
+    bad = check_offsets(docs, spans).to_pandas()
+    assert len(bad) == 1 and bad.iloc[0]["surface"] == "worlD"
+
+
+# ---------------------------------------------------------------- readers
+
+
+def test_read_tar_members(tmp_path):
+    from belb_ray.sources.readers import read_tar_members
+
+    tpath = tmp_path / "dump.tar.gz"
+    (tmp_path / "names.dmp").write_text("1|root|scientific name|\n2|leaf|synonym|\n")
+    (tmp_path / "other.txt").write_text("ignored\n")
+    with tarfile.open(tpath, "w:gz") as tf:
+        tf.add(tmp_path / "names.dmp", arcname="names.dmp")
+        tf.add(tmp_path / "other.txt", arcname="other.txt")
+
+    out = read_tar_members(str(tpath), suffix=".dmp", lines=True).to_pandas()
+    assert out["member"].tolist() == ["names.dmp", "names.dmp"]
+    assert out["line"].tolist()[0].startswith("1|root")
+
+    whole = read_tar_members(str(tpath)).to_pandas()
+    assert set(whole["member"]) == {"names.dmp", "other.txt"}
+
+
+def test_read_xml_documents(tmp_path):
+    from belb_ray.sources.readers import read_xml_documents
+
+    x = tmp_path / "corpus.xml"
+    x.write_text(
+        "<collection><document id='d1'>"
+        "<passage><offset>0</offset><text>Title here.</text></passage>"
+        "<passage><offset>12</offset><text>Body text.</text></passage>"
+        "</document><document id='d2'>"
+        "<passage><offset>0</offset><text>Second doc.</text></passage>"
+        "</document></collection>")
+    out = read_xml_documents(str(x), "document",
+                             field_tags=("text",)).to_pandas()
+    assert out["attr_id"].tolist() == ["d1", "d2"]
+    assert out.iloc[0]["text"] == "Title here."  # first <text> child
+    assert "Body text." in out.iloc[0]["full_text"]

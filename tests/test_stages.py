@@ -235,3 +235,28 @@ def test_evaluation_subsets_broadcast_and_shuffle_agree():
     assert dict(zip(bc["mention_id"], bc["subset"])) == expected
     sh = evaluation_subsets(anns, broadcast_threshold=0).to_pandas()
     assert dict(zip(sh["mention_id"], sh["subset"])) == expected
+
+
+def test_semi_join_broadcast_and_shuffle_agree():
+    from belb_ray.stages.joins import semi_join
+
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3, 4, 5, 6],
+                                   "v": list("abcdef")}))
+    right = rd.from_arrow(pa.table({"k": [2, 4, 4, 9]}))
+    for anti in (False, True):
+        bc = semi_join(left, right, "k", anti=anti).to_pandas()
+        sh = semi_join(left, right, "k", anti=anti,
+                       broadcast_threshold=0).to_pandas()
+        exp = {"b", "d"} if not anti else {"a", "c", "e", "f"}
+        assert set(bc["v"]) == exp
+        assert set(sh["v"]) == exp
+
+
+def test_distinct_values_budget_guard():
+    import pytest as _pytest
+
+    from belb_ray.stages.joins import distinct_values
+
+    ds = rd.from_arrow(pa.table({"k": list(range(100))}))
+    with _pytest.raises(ValueError):
+        distinct_values(ds, "k", max_size=10)
