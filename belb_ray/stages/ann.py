@@ -112,8 +112,10 @@ def embedding_neardup_pairs(
     the LSH-bucketed path (``lsh_neardup_pairs``): no driver-side O(n·d)
     materialization at any scale, at the documented cost of recall < 1.
     Pass ``max_broadcast_rows=None`` to force the exact path."""
-    corpus = corpus.select_columns([id_col, vec_col])
     if max_broadcast_rows is not None:
+        # count BEFORE the projection: on a pure read this is parquet
+        # metadata (free); counting the projected dataset would execute a
+        # full extra pass just to pick the path
         n = corpus.count()
         if n > max_broadcast_rows:
             import logging
@@ -127,7 +129,7 @@ def embedding_neardup_pairs(
             return lsh_neardup_pairs(corpus, dim=dim, threshold=threshold,
                                      id_col=id_col, vec_col=vec_col)
     full = pa.concat_tables(
-        ray.get(corpus.to_arrow_refs()))
+        ray.get(corpus.select_columns([id_col, vec_col]).to_arrow_refs()))
     all_ids = full[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     all_mat = _normalize(list_column_matrix(full[vec_col]))
     ref = ray.put((all_ids, all_mat))
