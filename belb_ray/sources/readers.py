@@ -63,6 +63,68 @@ def read_record_blocks(paths, record_sep: str = "\n//\n",
     return raw.map_batches(_split, batch_format="pyarrow", batch_size=1)
 
 
+def read_pubtator(paths, encoding: str = "utf-8") -> tuple[rd.Dataset, rd.Dataset]:
+    """S6: PubTator text-format corpus reader (reference:
+    ``pubtator.iterparse`` consumers, belb/corpora/ncbi_disease/
+    ncbi_disease.py:91-112, bc5cdr.py:91-111). Format::
+
+        PMID|t|Title text
+        PMID|a|Abstract text
+        PMID<TAB>start<TAB>end<TAB>mention<TAB>type<TAB>identifier
+        <blank line>
+
+    → (documents(pmid, title, abstract),
+       annotations(pmid, start, end, text, entity_type, identifiers)).
+    Documents never span files, so files are the parallelism unit; both
+    outputs stream from the same single-pass parse (invoked twice — the
+    raw read is cheap next to any downstream stage)."""
+
+    def _parse(batch: pa.Table, want: str) -> pa.Table:
+        d_pmid, d_title, d_abs = [], [], []
+        a_pmid, a_s, a_e, a_txt, a_ty, a_id = [], [], [], [], [], []
+        for blob in batch["bytes"].to_pylist():
+            for block in blob.decode(encoding).split("\n\n"):
+                title = abstract = ""
+                pmid = None
+                for line in block.strip("\n").split("\n"):
+                    if not line:
+                        continue
+                    if "|t|" in line[:32]:
+                        pmid, title = line.split("|t|", 1)
+                    elif "|a|" in line[:32]:
+                        pmid, abstract = line.split("|a|", 1)
+                    else:
+                        parts = line.split("\t")
+                        if len(parts) >= 6:
+                            a_pmid.append(parts[0])
+                            a_s.append(int(parts[1]))
+                            a_e.append(int(parts[2]))
+                            a_txt.append(parts[3])
+                            a_ty.append(parts[4])
+                            a_id.append(parts[5])
+                if pmid is not None:
+                    d_pmid.append(pmid)
+                    d_title.append(title)
+                    d_abs.append(abstract)
+        if want == "docs":
+            return pa.table({"pmid": pa.array(d_pmid, pa.string()),
+                             "title": pa.array(d_title, pa.string()),
+                             "abstract": pa.array(d_abs, pa.string())})
+        return pa.table({"pmid": pa.array(a_pmid, pa.string()),
+                         "start": pa.array(a_s, pa.int64()),
+                         "end": pa.array(a_e, pa.int64()),
+                         "text": pa.array(a_txt, pa.string()),
+                         "entity_type": pa.array(a_ty, pa.string()),
+                         "identifiers": pa.array(a_id, pa.string())})
+
+    raw = rd.read_binary_files(paths)
+    docs = raw.map_batches(lambda t: _parse(t, "docs"),
+                           batch_format="pyarrow", batch_size=1)
+    anns = rd.read_binary_files(paths).map_batches(
+        lambda t: _parse(t, "anns"), batch_format="pyarrow", batch_size=1)
+    return docs, anns
+
+
 def read_tar_members(paths, suffix: str = "", encoding: str = "utf-8",
                      lines: bool = False) -> rd.Dataset:
     """S3: tar-member streamer (reference: taxdump ``names.dmp`` out of

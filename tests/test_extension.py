@@ -219,3 +219,27 @@ def test_read_xml_documents(tmp_path):
     assert out["attr_id"].tolist() == ["d1", "d2"]
     assert out.iloc[0]["text"] == "Title here."  # first <text> child
     assert "Body text." in out.iloc[0]["full_text"]
+
+
+def test_read_pubtator(tmp_path):
+    from belb_ray.sources.readers import read_pubtator
+
+    p = tmp_path / "corpus.pubtator"
+    p.write_text(
+        "1001|t|Breast cancer risk.\n"
+        "1001|a|BRCA1 mutations increase risk.\n"
+        "1001\t0\t13\tBreast cancer\tDisease\tD001943\n"
+        "1001\t20\t25\tBRCA1\tGene\t672\n"
+        "\n"
+        "1002|t|Second title.\n"
+        "1002|a|Abstract two.\n"
+        "1002\t0\t6\tSecond\tThing\tX:1|X:2\n"
+        "\n")
+    docs, anns = read_pubtator(str(p))
+    d = docs.to_pandas().set_index("pmid")
+    assert d.loc["1001", "title"] == "Breast cancer risk."
+    assert d.loc["1002", "abstract"] == "Abstract two."
+    a = anns.to_pandas()
+    assert len(a) == 3
+    assert a[a.pmid == "1001"]["text"].tolist() == ["Breast cancer", "BRCA1"]
+    assert a[a.pmid == "1002"]["identifiers"].iloc[0] == "X:1|X:2"
