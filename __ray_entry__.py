@@ -606,6 +606,19 @@ def q_lsh_neardup(sf_dir: str) -> rd.Dataset:
     return lsh_neardup_pairs(_t(sf_dir, "embeddings"), dim=64, threshold=0.3)
 
 
+def q_lsh_ann_topk(sf_dir: str) -> rd.Dataset:
+    """Approximate LSH-bucketed ANN top-k (the scale path next to the
+    exact ann_cosine_topk; recall < 1 by construction, checked against
+    the independent single-process golden)."""
+    import pyarrow.parquet as pq
+
+    from belb_ray.stages.ann import lsh_bucket_topk
+
+    emb = pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    queries = emb.filter(pa.compute.less(emb["vec_id"], pa.scalar(16)))
+    return lsh_bucket_topk(_t(sf_dir, "embeddings"), queries, k=5)
+
+
 def q_multimodal_features(sf_dir: str) -> rd.Dataset:
     """Multimodal plumbing: binary payload column → actor-pool featurize
     (decode stubbed deterministically — no image libs in this container)."""
@@ -682,6 +695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "doc_fingerprints": q_doc_fingerprints,
         "lsh_neardup": q_lsh_neardup,
+        "lsh_ann_topk": q_lsh_ann_topk,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1071,5 +1085,6 @@ def oracle_sql() -> dict[str, str]:
         **{name: f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}.sf0.01.parquet')"
            for name in ("er_clusters", "minhash_dedup_docs",
                         "simhash_dedup_docs", "doc_fingerprints",
-                        "lsh_neardup", "multimodal_features")},
+                        "lsh_neardup", "lsh_ann_topk",
+                        "multimodal_features")},
     }

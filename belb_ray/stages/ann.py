@@ -182,6 +182,91 @@ class HyperplaneSigner:
         })
 
 
+def lsh_bucket_topk(
+    corpus: rd.Dataset,
+    queries: pa.Table,
+    k: int = 5,
+    dim: int | None = None,
+    bits: int = 64,
+    bands: int = 8,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> rd.Dataset:
+    """Approximate LSH-bucketed cosine top-k → (query_id, neighbor_id,
+    rank, sim): candidates are only corpus rows sharing ≥1 hyperplane
+    band with the query (recall < 1 — the scale path next to the exact
+    ``cosine_topk_search``). Query signatures + the bucket→query map are
+    built once on the driver (queries are small by contract) and
+    broadcast; the corpus streams, each batch re-deriving its band keys
+    from the shared seed and scoring only bucket-collision candidates."""
+    q_ids = queries[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    q_mat = _normalize(list_column_matrix(queries[vec_col]))
+    if dim is None:
+        dim = q_mat.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, bits))
+    r = bits // bands
+    weights = (1 << np.arange(r, dtype=np.int64))
+
+    def _band_keys(mat: np.ndarray) -> np.ndarray:
+        signs = (mat @ planes) > 0
+        keys = np.empty((mat.shape[0], bands), dtype=np.int64)
+        for b in range(bands):
+            keys[:, b] = (signs[:, b * r:(b + 1) * r].astype(np.int64)
+                          @ weights) + (int(b) << 32)
+        return keys
+
+    qk = _band_keys(q_mat)
+    bucket_to_q: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for b in range(bands):
+            bucket_to_q.setdefault(int(qk[qi, b]), []).append(qi)
+    ref = ray.put((q_ids, q_mat, bucket_to_q))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat, buckets = ray.get(ref)
+        c_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        c_mat = _normalize(list_column_matrix(batch[vec_col]))
+        ck = _band_keys(c_mat)
+        out_q, out_n, ci_list, qi_list = [], [], [], []
+        for ci in range(len(c_ids)):
+            cand: set[int] = set()
+            for b in range(bands):
+                cand.update(buckets.get(int(ck[ci, b]), ()))
+            for qi in cand:
+                if exclude_self and q_ids[qi] == c_ids[ci]:
+                    continue
+                ci_list.append(ci)
+                qi_list.append(qi)
+        if not ci_list:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        ci_a = np.asarray(ci_list)
+        qi_a = np.asarray(qi_list)
+        sims = (c_mat[ci_a] * q_mat[qi_a]).sum(axis=1)
+        return pa.table({
+            "query_id": pa.array(q_ids[qi_a], pa.int64()),
+            "neighbor_id": pa.array(c_ids[ci_a], pa.int64()),
+            "sim": pa.array(sims, pa.float64()),
+        })
+
+    partials = corpus.map_batches(_partial, batch_format="pyarrow",
+                                  batch_size=4096)
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "neighbor_id"],
+                              ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank", "sim"]]
+
+    return partials.groupby("query_id").map_groups(_merge,
+                                                   batch_format="pandas")
+
+
 def lsh_neardup_pairs(
     corpus: rd.Dataset,
     dim: int,

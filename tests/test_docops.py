@@ -303,3 +303,17 @@ def test_embedding_neardup_autoswitches_to_lsh():
     key = lambda df: sorted(zip(df.id_a, df.id_b, df.sim.round(9)))
     assert key(forced) == key(direct)
     assert (0, 1) in {(a, b) for a, b, _ in key(forced)}
+
+
+def test_lsh_bucket_topk_contains_near_neighbor(embeddings):
+    from belb_ray.stages.ann import lsh_bucket_topk
+
+    queries = embeddings.filter(pa.compute.less(embeddings["vec_id"],
+                                                pa.scalar(8)))
+    out = lsh_bucket_topk(rd.from_arrow(embeddings), queries, k=3,
+                          dim=16).to_pandas()
+    # planted near-dup (3, 7): 7 must be 3's top hit if any bucket collides
+    # (cos≈1 ⇒ all hyperplane signs agree ⇒ all bands collide)
+    top3 = out[(out.query_id == 3) & (out["rank"] == 1)]
+    assert len(top3) == 1 and top3.iloc[0]["neighbor_id"] == 7
+    assert (out["rank"] <= 3).all()

@@ -209,6 +209,67 @@ def golden_lsh_neardup(sf_dir: str, dim=64, threshold=0.3, bits=64, bands=8,
                      "sim": pa.array(out_s, pa.float64())})
 
 
+def golden_lsh_ann_topk(sf_dir: str, k=5, bits=64, bands=8, seed=13,
+                        dim=64, n_queries=16) -> pa.Table:
+    """Brute-force single-process recompute of lsh_bucket_topk: same
+    hyperplanes/banding, exhaustive candidate enumeration, same float
+    expression ((c*q).sum(axis=1) on float64-normalized rows)."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    flat = emb["embedding"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False)
+    mat = flat.astype(np.float64).reshape(len(ids), dim)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+    q_sel = np.flatnonzero(ids < n_queries)
+    q_ids = ids[q_sel]
+    q_mat = mat[q_sel]
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, bits))
+    r = bits // bands
+    weights = (1 << np.arange(r, dtype=np.int64))
+
+    def band_keys(m):
+        signs = (m @ planes) > 0
+        keys = np.empty((m.shape[0], bands), dtype=np.int64)
+        for b in range(bands):
+            keys[:, b] = (signs[:, b * r:(b + 1) * r].astype(np.int64)
+                          @ weights) + (int(b) << 32)
+        return keys
+
+    qk = band_keys(q_mat)
+    ck = band_keys(mat)
+    buckets: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for b in range(bands):
+            buckets.setdefault(int(qk[qi, b]), []).append(qi)
+
+    per_q: dict[int, list[tuple[float, int]]] = {int(q): [] for q in q_ids}
+    for ci in range(len(ids)):
+        cand: set[int] = set()
+        for b in range(bands):
+            cand.update(buckets.get(int(ck[ci, b]), ()))
+        for qi in cand:
+            if q_ids[qi] == ids[ci]:
+                continue
+            sim = float((mat[ci] * q_mat[qi]).sum())
+            per_q[int(q_ids[qi])].append((sim, int(ids[ci])))
+
+    out_q, out_n, out_r, out_s = [], [], [], []
+    for q in sorted(per_q):
+        ranked = sorted(per_q[q], key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (sim, nid) in enumerate(ranked, 1):
+            out_q.append(q)
+            out_n.append(nid)
+            out_r.append(rank)
+            out_s.append(sim)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "neighbor_id": pa.array(out_n, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "sim": pa.array(out_s, pa.float64())})
+
+
 def golden_multimodal_features(sf_dir: str, feat_dim=16) -> pa.Table:
     from belb_ray.stages.multimodal import _fake_decode
 
@@ -246,6 +307,7 @@ def main() -> None:
         "simhash_dedup_docs": golden_simhash_dedup(args.sf_dir),
         "doc_fingerprints": golden_doc_fingerprints(args.sf_dir),
         "lsh_neardup": golden_lsh_neardup(args.sf_dir),
+        "lsh_ann_topk": golden_lsh_ann_topk(args.sf_dir),
         "multimodal_features": golden_multimodal_features(args.sf_dir),
     }
     for name, tbl in tables.items():
