@@ -2,10 +2,14 @@
 
 ``queries()`` exposes one entry per implemented operator family from
 SURVEY.md §2 plus the training-data ops (dedup / ANN / text analysis /
-multimodal); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one (same column names, same rounding). Non-SQL ops
-(MinHash/SimHash dedup, fingerprints, LSH ANN, the ER flagship on the
-synthetic ``files`` fixture, multimodal stubs) are rows-only checks.
+multimodal); ``oracle_sql()`` gives a DuckDB oracle for EVERY entry:
+real SQL where the op is SQL-expressible (same column names, same
+rounding), and for the non-SQL compositions (MinHash/SimHash dedup, LSH
+ANN, the ER flagship, fingerprints, multimodal) a pinned golden parquet
+computed by the INDEPENDENT single-process oracle in
+``tools/make_goldens.py`` (uncapped brute-force candidate enumeration,
+dict union-find, the fixture's analytic gold clusters) — regenerate with
+``python tools/make_goldens.py`` if the sf0.01 testdata ever changes.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
