@@ -307,6 +307,41 @@ def q_events_hourly(sf_dir: str) -> rd.Dataset:
     return out.map_batches(_fmt, batch_format="pandas")
 
 
+def q_events_hopping(sf_dir: str) -> rd.Dataset:
+    """Hopping (sliding) window aggregate: 2h windows every 1h — each
+    event lands in 2 windows (graft extension; no reference analog)."""
+    from belb_ray.stages.windows import hopping_window
+
+    out = hopping_window(_t(sf_dir, "events"), "ts", "1h", "2h",
+                         ["event_type"], [
+                             ("count", "", "n_events"),
+                             ("sum", "value", "sum_value"),
+                         ])
+
+    def _fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["window_start"] = batch["window_start"].dt.strftime(
+            "%Y-%m-%d %H:%M:%S")
+        batch["sum_value"] = batch["sum_value"].round(4)
+        return batch
+
+    return out.map_batches(_fmt, batch_format="pandas")
+
+
+def q_events_sessions(sf_dir: str) -> rd.Dataset:
+    """Per-user sessionization with a 30-minute inactivity gap (graft
+    extension: stateful stream shape as one co-location shuffle)."""
+    from belb_ray.stages.windows import session_windows
+
+    out = session_windows(_t(sf_dir, "events"), "ts", "user_id", "30min")
+
+    def _fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in ("session_start", "session_end"):
+            batch[c] = batch[c].dt.strftime("%Y-%m-%d %H:%M:%S")
+        return batch
+
+    return out.map_batches(_fmt, batch_format="pandas")
+
+
 def q_ann_cosine_topk(sf_dir: str) -> rd.Dataset:
     """Exact brute-force cosine top-k: broadcast queries, streamed corpus."""
     import pyarrow.parquet as pq
@@ -679,6 +714,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "events_hourly": q_events_hourly,
+        "events_hopping": q_events_hopping,
+        "events_sessions": q_events_sessions,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "synset_similarity": q_synset_similarity,
@@ -914,6 +951,35 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_hopping": """
+            SELECT strftime(date_trunc('hour', ts)
+                            - to_hours(CAST(u.i AS BIGINT)),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events, (SELECT unnest([0, 1]) AS i) u
+            GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+                SELECT user_id, ts,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+                FROM o)
+            SELECT user_id,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS session_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sess
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

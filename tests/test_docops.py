@@ -317,3 +317,33 @@ def test_lsh_bucket_topk_contains_near_neighbor(embeddings):
     top3 = out[(out.query_id == 3) & (out["rank"] == 1)]
     assert len(top3) == 1 and top3.iloc[0]["neighbor_id"] == 7
     assert (out["rank"] <= 3).all()
+
+
+def test_hopping_window_replication():
+    from belb_ray.stages.windows import hopping_window
+
+    ts = pd.to_datetime(["2026-01-01 10:05", "2026-01-01 11:05"])
+    ev = rd.from_pandas(pd.DataFrame({
+        "ts": ts, "kind": ["a", "a"], "value": [1.0, 2.0]}))
+    out = hopping_window(ev, "ts", "1h", "2h", ["kind"], [
+        ("count", "", "n"), ("sum", "value", "s")]).to_pandas()
+    out["window_start"] = out["window_start"].astype(str)
+    rows = {r.window_start: (r.n, r.s) for r in out.itertuples()}
+    # event@10:05 → windows 09:00,10:00; event@11:05 → 10:00,11:00
+    assert rows["2026-01-01 09:00:00"] == (1, 1.0)
+    assert rows["2026-01-01 10:00:00"] == (2, 3.0)
+    assert rows["2026-01-01 11:00:00"] == (1, 2.0)
+
+
+def test_session_windows_gap_split():
+    from belb_ray.stages.windows import session_windows
+
+    ts = pd.to_datetime(["2026-01-01 10:00", "2026-01-01 10:10",
+                         "2026-01-01 11:30", "2026-01-01 10:00"])
+    ev = rd.from_pandas(pd.DataFrame({
+        "ts": ts, "user_id": [1, 1, 1, 2], "value": [0.0] * 4}))
+    out = session_windows(ev, "ts", "user_id", "30min").to_pandas()
+    u1 = out[out.user_id == 1].sort_values("session_start")
+    assert len(u1) == 2  # gap 10:10 → 11:30 exceeds 30min
+    assert u1.iloc[0]["n_events"] == 2 and u1.iloc[1]["n_events"] == 1
+    assert len(out[out.user_id == 2]) == 1
