@@ -103,7 +103,10 @@ def resolve_files(
         if cfg.use_path_keys:
             blocks = blocks.union(path_neighborhood_keys(features))
         pairs = candidate_pairs(blocks, max_block=cfg.max_block, window=cfg.window)
-        pf = attach_features(pairs, features, num_buckets=cfg.join_buckets)
+        # pure-content configs (w_jw = w_tok = 0, e.g. MinHash doc dedup)
+        # never broadcast or gather the path column
+        pf = attach_features(pairs, features, num_buckets=cfg.join_buckets,
+                             need_paths=cfg.w_jw > 0 or cfg.w_tok > 0)
         return score_pairs(pf, threshold=cfg.threshold, w_jacc=cfg.w_jacc,
                            w_jw=cfg.w_jw, w_tok=cfg.w_tok)
 

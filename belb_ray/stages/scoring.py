@@ -43,14 +43,21 @@ def _tokset(path: str) -> frozenset:
 
 def attach_features(pairs: rd.Dataset, features: rd.Dataset,
                     num_buckets: int = 32,
-                    broadcast_threshold: int = 2_000_000) -> rd.Dataset:
-    """pairs(id_a,id_b) ⋈ features → + (sig_a, path_a, sig_b, path_b).
+                    broadcast_threshold: int = 2_000_000,
+                    need_paths: bool = True) -> rd.Dataset:
+    """pairs(id_a,id_b) ⋈ features → + (sig_a, sig_b[, path_a, path_b]).
 
     Size-aware strategy: when the (exact-dedup'd) feature table is small
     enough to broadcast, it is ``ray.put`` ONCE and looked up per batch
     with ``np.searchsorted`` — zero shuffles. Beyond the threshold, two
-    hash-partitioned joins (one shuffle per pair side)."""
-    feat = features.select_columns(["row_id", "sig", "path"])
+    hash-partitioned joins (one shuffle per pair side).
+
+    ``need_paths=False`` (pure-content scoring: w_jw == w_tok == 0, e.g.
+    MinHash document dedup) drops the path column from the broadcast AND
+    from every per-pair gather — at millions of reps that is hundreds of
+    MB never materialized."""
+    cols = ["row_id", "sig"] + (["path"] if need_paths else [])
+    feat = features.select_columns(cols)
     n_feat = feat.count()
 
     if n_feat <= broadcast_threshold:
@@ -69,7 +76,7 @@ def attach_features(pairs: rd.Dataset, features: rd.Dataset,
         # paths broadcast as an ARROW array, not a numpy object array:
         # object arrays re-pickle 100k+ strings per worker process
         # (measured seconds each); Arrow buffers deserialize near-free
-        paths = tbl["path"].combine_chunks()
+        paths = tbl["path"].combine_chunks() if need_paths else None
         ref = ray.put((ids_sorted, order, sig_all, paths))
 
         from ..util import cached_get
@@ -91,13 +98,15 @@ def attach_features(pairs: rd.Dataset, features: rd.Dataset,
             ib = _lookup(ids, perm, batch["id_b"].to_numpy())
             from ..functions.minhash import sig_array
 
-            return pa.table({
+            out = {
                 "id_a": batch["id_a"], "id_b": batch["id_b"],
                 "sig_a": sig_array(sig[ia]),
-                "path_a": paths.take(pa.array(ia)),
                 "sig_b": sig_array(sig[ib]),
-                "path_b": paths.take(pa.array(ib)),
-            })
+            }
+            if paths is not None:
+                out["path_a"] = paths.take(pa.array(ia))
+                out["path_b"] = paths.take(pa.array(ib))
+            return pa.table(out)
 
         # 8192 matches score_pairs' batch_size: the fused attach→score
         # task chain bundles input blocks to the LARGEST batch_size in the
@@ -105,12 +114,12 @@ def attach_features(pairs: rd.Dataset, features: rd.Dataset,
         return pairs.map_batches(_attach, batch_format="pyarrow",
                                  batch_size=8192)
 
-    fa = feat.map_batches(
-        lambda t: t.rename_columns(["id_a", "sig_a", "path_a"]),
-        batch_format="pyarrow")
-    fb = feat.map_batches(
-        lambda t: t.rename_columns(["id_b", "sig_b", "path_b"]),
-        batch_format="pyarrow")
+    a_names = ["id_a", "sig_a"] + (["path_a"] if need_paths else [])
+    b_names = ["id_b", "sig_b"] + (["path_b"] if need_paths else [])
+    fa = feat.map_batches(lambda t: t.rename_columns(a_names),
+                          batch_format="pyarrow")
+    fb = feat.map_batches(lambda t: t.rename_columns(b_names),
+                          batch_format="pyarrow")
     withe_a = hash_partition_join(pairs, fa, key="id_a", num_buckets=num_buckets)
     return hash_partition_join(withe_a, fb, key="id_b", num_buckets=num_buckets)
 
@@ -143,6 +152,12 @@ def score_pairs(
         sig_a = sig_matrix(batch["sig_a"])
         sig_b = sig_matrix(batch["sig_b"])
         jacc = est_jaccard(sig_a, sig_b)
+        if "path_a" not in batch.column_names:
+            # pure-content scoring (paths not attached): score = w_jacc·jacc
+            score = w_jacc * jacc
+            keep = score >= threshold
+            return batch.select(["id_a", "id_b"]).append_column(
+                "score", pa.array(score, pa.float64())).filter(pa.array(keep))
         maybe = np.flatnonzero(w_jacc * jacc + w_jw + w_tok >= threshold)
         if maybe.size == 0:
             return pa.table({"id_a": pa.array([], pa.int64()),
