@@ -658,6 +658,19 @@ def q_lsh_ann_topk(sf_dir: str) -> rd.Dataset:
     return lsh_bucket_topk(_t(sf_dir, "embeddings"), queries, k=5)
 
 
+def q_ivf_ann_topk(sf_dir: str) -> rd.Dataset:
+    """IVF coarse-quantizer approximate ANN top-k (kmeans cells trained
+    on a deterministic id-keyed sample; recall < 1, checked against the
+    independent single-process golden)."""
+    import pyarrow.parquet as pq
+
+    from belb_ray.stages.ann import ivf_topk
+
+    emb = pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    queries = emb.filter(pa.compute.less(emb["vec_id"], pa.scalar(16)))
+    return ivf_topk(_t(sf_dir, "embeddings"), queries, k=5)
+
+
 def q_multimodal_features(sf_dir: str) -> rd.Dataset:
     """Multimodal plumbing: binary payload column → actor-pool featurize
     (decode stubbed deterministically — no image libs in this container)."""
@@ -737,6 +750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": q_doc_fingerprints,
         "lsh_neardup": q_lsh_neardup,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1155,6 +1169,6 @@ def oracle_sql() -> dict[str, str]:
         **{name: f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}.sf0.01.parquet')"
            for name in ("er_clusters", "minhash_dedup_docs",
                         "simhash_dedup_docs", "doc_fingerprints",
-                        "lsh_neardup", "lsh_ann_topk",
+                        "lsh_neardup", "lsh_ann_topk", "ivf_ann_topk",
                         "multimodal_features")},
     }

@@ -196,6 +196,32 @@ def hybrid_score(
     return w_jacc * est_jacc + w_jw * path_jw + w_tok * tok_ratio
 
 
+def kmeans_fit(mat: np.ndarray, n_cells: int, iters: int = 10,
+               seed: int = 11) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd, fixed iterations, seeded
+    init from data rows) → (n_cells, d) L2-normalized centroids. The IVF
+    coarse quantizer: deterministic in (input order-independent sample,
+    n_cells, iters, seed) so the distributed op and the single-process
+    oracle derive identical cells."""
+    n, d = mat.shape
+    normed = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                              1e-12)
+    rng = np.random.default_rng(seed)
+    k_eff = min(n_cells, n)
+    cent = normed[rng.choice(n, size=k_eff, replace=False)].copy()
+    for _ in range(iters):
+        sims = normed @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(k_eff):
+            members = normed[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 1e-12:
+                    cent[c] = v / nv
+    return cent
+
+
 def cosine_topk(queries: np.ndarray, corpus: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Brute-force cosine top-k: (q, d) @ (d, n) matmul per batch.
 

@@ -267,6 +267,99 @@ def lsh_bucket_topk(
                                                    batch_format="pandas")
 
 
+def ivf_topk(
+    corpus: rd.Dataset,
+    queries: pa.Table,
+    k: int = 5,
+    n_cells: int = 64,
+    nprobe: int = 4,
+    sample_mod: int = 4,
+    kmeans_iters: int = 10,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> rd.Dataset:
+    """IVF (inverted-file) approximate cosine top-k — the coarse-quantizer
+    scale path next to ``lsh_bucket_topk``:
+
+    1. TRAIN: a deterministic id-keyed sample (``id % sample_mod == 0`` —
+       partition-order independent) trains spherical k-means on the
+       driver (the quantizer is a vocabulary-sized model, not the corpus).
+    2. PROBE: each query selects its ``nprobe`` nearest cells.
+    3. SCAN: the corpus streams; each batch assigns rows to their nearest
+       cell (one matmul) and scores rows ONLY against queries probing
+       that cell. Recall < 1 by construction (documented tradeoff);
+       cost ≈ corpus · (n_cells + q·nprobe/n_cells) instead of corpus·q.
+    """
+    from ..functions.similarity import kmeans_fit
+
+    def _samp(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.select([id_col, vec_col]).filter(
+            pa.array(ids % sample_mod == 0))
+
+    sample = corpus.map_batches(_samp, batch_format="pyarrow")
+    s_tbl = pa.concat_tables(
+        [t for t in ray.get(sample.to_arrow_refs()) if t.num_rows])
+    # sort by id: kmeans init draws rows by POSITION, so the sample must
+    # be in a partition-independent order
+    s_tbl = s_tbl.sort_by(id_col)
+    s_mat = list_column_matrix(s_tbl[vec_col])
+    centroids = kmeans_fit(s_mat, n_cells, iters=kmeans_iters, seed=seed)
+
+    q_ids = queries[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    q_mat = _normalize(list_column_matrix(queries[vec_col]))
+    q_sims = q_mat @ centroids.T
+    nprobe_eff = min(nprobe, centroids.shape[0])
+    # full stable argsort (not argpartition): the probed SET must be
+    # identical in the single-process oracle, including tie handling
+    probe = np.argsort(-q_sims, axis=1, kind="stable")[:, :nprobe_eff]
+    cell_to_q: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for c in probe[qi]:
+            cell_to_q.setdefault(int(c), []).append(qi)
+    ref = ray.put((q_ids, q_mat, centroids, cell_to_q))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat, centroids, cell_to_q = ray.get(ref)
+        c_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        c_mat = _normalize(list_column_matrix(batch[vec_col]))
+        assign = np.argmax(c_mat @ centroids.T, axis=1)
+        ci_list, qi_list = [], []
+        for ci in range(len(c_ids)):
+            for qi in cell_to_q.get(int(assign[ci]), ()):
+                if exclude_self and q_ids[qi] == c_ids[ci]:
+                    continue
+                ci_list.append(ci)
+                qi_list.append(qi)
+        if not ci_list:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        ci_a = np.asarray(ci_list)
+        qi_a = np.asarray(qi_list)
+        sims = (c_mat[ci_a] * q_mat[qi_a]).sum(axis=1)
+        return pa.table({
+            "query_id": pa.array(q_ids[qi_a], pa.int64()),
+            "neighbor_id": pa.array(c_ids[ci_a], pa.int64()),
+            "sim": pa.array(sims, pa.float64()),
+        })
+
+    partials = corpus.map_batches(_partial, batch_format="pyarrow",
+                                  batch_size=4096)
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "neighbor_id"],
+                              ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank", "sim"]]
+
+    return partials.groupby("query_id").map_groups(_merge,
+                                                   batch_format="pandas")
+
+
 def lsh_neardup_pairs(
     corpus: rd.Dataset,
     dim: int,

@@ -347,3 +347,16 @@ def test_session_windows_gap_split():
     assert len(u1) == 2  # gap 10:10 → 11:30 exceeds 30min
     assert u1.iloc[0]["n_events"] == 2 and u1.iloc[1]["n_events"] == 1
     assert len(out[out.user_id == 2]) == 1
+
+
+def test_ivf_topk_contains_near_neighbor(embeddings):
+    from belb_ray.stages.ann import ivf_topk
+
+    queries = embeddings.filter(pa.compute.less(embeddings["vec_id"],
+                                                pa.scalar(8)))
+    out = ivf_topk(rd.from_arrow(embeddings), queries, k=3, n_cells=8,
+                   nprobe=2).to_pandas()
+    # planted near-dup (3, 7): cos≈1 ⇒ same cell ⇒ probed
+    top3 = out[(out.query_id == 3) & (out["rank"] == 1)]
+    assert len(top3) == 1 and top3.iloc[0]["neighbor_id"] == 7
+    assert (out["rank"] <= 3).all()

@@ -270,6 +270,58 @@ def golden_lsh_ann_topk(sf_dir: str, k=5, bits=64, bands=8, seed=13,
                      "sim": pa.array(out_s, pa.float64())})
 
 
+def golden_ivf_topk(sf_dir: str, k=5, n_cells=64, nprobe=4, sample_mod=4,
+                    kmeans_iters=10, seed=11, dim=64,
+                    n_queries=16) -> pa.Table:
+    """Single-process IVF recompute: same id-keyed sample (sorted by id),
+    same kmeans kernel, same probe sets, exhaustive scan."""
+    from belb_ray.functions.similarity import kmeans_fit
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    flat = emb["embedding"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False)
+    mat = flat.astype(np.float64).reshape(len(ids), dim)
+    norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+    s_sel = np.flatnonzero(ids % sample_mod == 0)
+    s_sel = s_sel[np.argsort(ids[s_sel], kind="stable")]
+    centroids = kmeans_fit(mat[s_sel], n_cells, iters=kmeans_iters, seed=seed)
+
+    q_sel = np.flatnonzero(ids < n_queries)
+    q_ids = ids[q_sel]
+    q_mat = norm[q_sel]
+    q_sims = q_mat @ centroids.T
+    nprobe_eff = min(nprobe, centroids.shape[0])
+    probe = np.argsort(-q_sims, axis=1, kind="stable")[:, :nprobe_eff]
+    cell_to_q: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for c in probe[qi]:
+            cell_to_q.setdefault(int(c), []).append(qi)
+
+    assign = np.argmax(norm @ centroids.T, axis=1)
+    per_q: dict[int, list[tuple[float, int]]] = {int(q): [] for q in q_ids}
+    for ci in range(len(ids)):
+        for qi in cell_to_q.get(int(assign[ci]), ()):
+            if q_ids[qi] == ids[ci]:
+                continue
+            sim = float((norm[ci] * q_mat[qi]).sum())
+            per_q[int(q_ids[qi])].append((sim, int(ids[ci])))
+
+    out_q, out_n, out_r, out_s = [], [], [], []
+    for q in sorted(per_q):
+        ranked = sorted(per_q[q], key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (sim, nid) in enumerate(ranked, 1):
+            out_q.append(q)
+            out_n.append(nid)
+            out_r.append(rank)
+            out_s.append(sim)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "neighbor_id": pa.array(out_n, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "sim": pa.array(out_s, pa.float64())})
+
+
 def golden_multimodal_features(sf_dir: str, feat_dim=16) -> pa.Table:
     from belb_ray.stages.multimodal import _fake_decode
 
@@ -308,6 +360,7 @@ def main() -> None:
         "doc_fingerprints": golden_doc_fingerprints(args.sf_dir),
         "lsh_neardup": golden_lsh_neardup(args.sf_dir),
         "lsh_ann_topk": golden_lsh_ann_topk(args.sf_dir),
+        "ivf_ann_topk": golden_ivf_topk(args.sf_dir),
         "multimodal_features": golden_multimodal_features(args.sf_dir),
     }
     for name, tbl in tables.items():
