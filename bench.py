@@ -45,6 +45,13 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "embedding_neardup",
         "doc_token_counts",
         "exact_dup_groups",
+        # round-2 additions (kept AFTER the round-1 set so per-query
+        # numbers stay comparable across rounds)
+        "events_sessions",
+        "sentence_split",
+        "lsh_ann_topk",
+        "ivf_ann_topk",
+        "span_merge",
     ]
     timings: dict[str, float] = {}
     for name in bench_set:
