@@ -72,9 +72,10 @@ def doc_lang_id(ds: rd.Dataset, id_col: str = "doc_id",
 
 
 class Fingerprinter:
-    """Actor-pool stage: rolling-hash document fingerprints. The token-hash
-    cache lives in the actor (amortizes the skewed vocabulary — SURVEY
-    §2.4 T6 pattern)."""
+    """Stateful stage: rolling-hash document fingerprints. The token-hash
+    cache amortizes the skewed vocabulary (SURVEY §2.4 T6 pattern) — held
+    per worker process via ``_FP_CACHE`` on a task-pool map (actor-pool
+    dispatch measured slower for ~100ms batches; stages/blocking.py)."""
 
     def __init__(self, k: int = 8, id_col: str = "doc_id", text_col: str = "text"):
         self.k = k
@@ -90,9 +91,17 @@ class Fingerprinter:
         })
 
 
+_FP_CACHE: dict[tuple, Fingerprinter] = {}
+
+
 def doc_fingerprints(ds: rd.Dataset, k: int = 8, id_col: str = "doc_id",
                      text_col: str = "text") -> rd.Dataset:
-    return ds.map_batches(Fingerprinter, batch_format="pyarrow",
-                          fn_constructor_kwargs=dict(k=k, id_col=id_col,
-                                                     text_col=text_col),
-                          concurrency=(1, 8))
+    def _fn(batch: pa.Table) -> pa.Table:
+        key = (k, id_col, text_col)
+        fp = _FP_CACHE.get(key)
+        if fp is None:
+            fp = _FP_CACHE[key] = Fingerprinter(k=k, id_col=id_col,
+                                                text_col=text_col)
+        return fp(batch)
+
+    return ds.map_batches(_fn, batch_format="pyarrow")

@@ -360,3 +360,14 @@ def test_ivf_topk_contains_near_neighbor(embeddings):
     top3 = out[(out.query_id == 3) & (out["rank"] == 1)]
     assert len(top3) == 1 and top3.iloc[0]["neighbor_id"] == 7
     assert (out["rank"] <= 3).all()
+
+
+def test_lsh_neardup_broadcast_and_join_paths_agree(embeddings):
+    from belb_ray.stages.ann import lsh_neardup_pairs
+
+    bc = lsh_neardup_pairs(rd.from_arrow(embeddings), dim=16,
+                           threshold=0.5).to_pandas()
+    jn = lsh_neardup_pairs(rd.from_arrow(embeddings), dim=16, threshold=0.5,
+                           broadcast_threshold=0).to_pandas()
+    key = lambda df: sorted(zip(df.id_a, df.id_b, df.sim))
+    assert key(bc) == key(jn) and len(bc) > 0
