@@ -143,6 +143,64 @@ def _doc_features(docs: rd.Dataset, num_perm: int, shingle_k: int, seed: int,
     return docs.map_batches(_fn, batch_format="pyarrow", batch_size=2048)
 
 
+def _attach_and_check_hamming(pairs: rd.Dataset, feats: rd.Dataset,
+                              max_hamming: int,
+                              broadcast_threshold: int = 20_000_000,
+                              num_buckets: int = 16) -> rd.Dataset:
+    """Pairs + per-row simhash → edges with Hamming ≤ max_hamming.
+    Size-aware: the simhash column is 8 B/row, so up to tens of millions
+    of rows it broadcasts once and pairs gather per batch (zero join
+    shuffles); past that, two hash-partitioned joins."""
+    import ray
+
+    n = feats.count()
+    if n <= broadcast_threshold:
+        from ..stages.joins import collect_arrow
+        from ..util import cached_get
+
+        tbl = collect_arrow(feats.select_columns(["row_id", "simhash"]))
+        ids = tbl["row_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids_sorted = ids[order]
+        sh_sorted = tbl["simhash"].to_numpy()[order].astype(np.uint64)
+        ref = ray.put((ids_sorted, sh_sorted))
+
+        def _check_bc(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"id_a": pa.array([], pa.int64()),
+                                 "id_b": pa.array([], pa.int64())})
+            ids_s, sh = cached_get(ref)
+            ia = np.searchsorted(ids_s, batch["id_a"].to_numpy())
+            ib = np.searchsorted(ids_s, batch["id_b"].to_numpy())
+            d = hamming64(sh[ia], sh[ib])
+            keep = pa.array(d <= max_hamming)
+            return pa.table({"id_a": batch["id_a"].filter(keep),
+                             "id_b": batch["id_b"].filter(keep)})
+
+        return pairs.map_batches(_check_bc, batch_format="pyarrow",
+                                 batch_size=16384)
+
+    sh_tbl = feats.select_columns(["row_id", "simhash"])
+    sa = sh_tbl.map_batches(lambda t: t.rename_columns(["id_a", "sh_a"]),
+                            batch_format="pyarrow")
+    sb = sh_tbl.map_batches(lambda t: t.rename_columns(["id_b", "sh_b"]),
+                            batch_format="pyarrow")
+    pf = hash_partition_join(pairs, sa, key="id_a", num_buckets=num_buckets)
+    pf = hash_partition_join(pf, sb, key="id_b", num_buckets=num_buckets)
+
+    def _check(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        d = hamming64(batch["sh_a"].to_numpy().astype(np.uint64),
+                      batch["sh_b"].to_numpy().astype(np.uint64))
+        keep = pa.array(d <= max_hamming)
+        return pa.table({"id_a": batch["id_a"].filter(keep),
+                         "id_b": batch["id_b"].filter(keep)})
+
+    return pf.map_batches(_check, batch_format="pyarrow")
+
+
 def simhash_dedup(docs: rd.Dataset, max_hamming: int = 3, n_bands: int = 4,
                   num_perm: int = 16, shingle_k: int = 3, seed: int = 7,
                   id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
@@ -173,26 +231,7 @@ def simhash_dedup(docs: rd.Dataset, max_hamming: int = 3, n_bands: int = 4,
 
     blocks = feats.map_batches(_bands, batch_format="pyarrow")
     pairs = candidate_pairs(blocks, max_block=512, window=16)
-
-    sh_tbl = feats.select_columns(["row_id", "simhash"])
-    sa = sh_tbl.map_batches(lambda t: t.rename_columns(["id_a", "sh_a"]),
-                            batch_format="pyarrow")
-    sb = sh_tbl.map_batches(lambda t: t.rename_columns(["id_b", "sh_b"]),
-                            batch_format="pyarrow")
-    pf = hash_partition_join(pairs, sa, key="id_a", num_buckets=16)
-    pf = hash_partition_join(pf, sb, key="id_b", num_buckets=16)
-
-    def _check(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
-        d = hamming64(batch["sh_a"].to_numpy().astype(np.uint64),
-                      batch["sh_b"].to_numpy().astype(np.uint64))
-        keep = pa.array(d <= max_hamming)
-        return pa.table({"id_a": batch["id_a"].filter(keep),
-                         "id_b": batch["id_b"].filter(keep)})
-
-    edges = pf.map_batches(_check, batch_format="pyarrow")
+    edges = _attach_and_check_hamming(pairs, feats, max_hamming)
     labels = connected_components(edges)
     members = feats.map_batches(
         lambda t: pa.table({"row_id": t["row_id"], "rep_id": t["row_id"]}),
@@ -234,6 +273,49 @@ def ngram_jaccard_pairs(docs: rd.Dataset, threshold: float = 0.5,
     blocks = feats.map_batches(_bands, batch_format="pyarrow")
     pairs = candidate_pairs(blocks, max_block=256, window=16)
 
+    def _jacc_table(ids_a, ids_b, sh_a_list, sh_b_list) -> pa.Table:
+        ja = []
+        for a, b in zip(sh_a_list, sh_b_list):
+            sa_ = np.frombuffer(a, dtype=np.int64)
+            sb_ = np.frombuffer(b, dtype=np.int64)
+            inter = np.intersect1d(sa_, sb_, assume_unique=True).size
+            union = sa_.size + sb_.size - inter
+            ja.append(inter / union if union else 1.0)
+        ja = np.asarray(ja, np.float64)
+        keep = pa.array(ja >= threshold)
+        return pa.table({"id_a": ids_a.filter(keep),
+                         "id_b": ids_b.filter(keep),
+                         "jaccard": pa.array(ja[ja >= threshold], pa.float64())})
+
+    n = feats.count()
+    if n <= 2_000_000:  # shingle payloads broadcast (zero join shuffles)
+        import ray
+
+        from ..stages.joins import collect_arrow
+        from ..util import cached_get
+
+        tbl = collect_arrow(feats.select_columns(["row_id", "shingles"]))
+        ids = tbl["row_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids_sorted = ids[order]
+        sh_arr = tbl["shingles"].combine_chunks().take(pa.array(order))
+        ref = ray.put((ids_sorted, sh_arr))
+
+        def _jacc_bc(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"id_a": pa.array([], pa.int64()),
+                                 "id_b": pa.array([], pa.int64()),
+                                 "jaccard": pa.array([], pa.float64())})
+            ids_s, sh = cached_get(ref)
+            ia = np.searchsorted(ids_s, batch["id_a"].to_numpy())
+            ib = np.searchsorted(ids_s, batch["id_b"].to_numpy())
+            return _jacc_table(batch["id_a"], batch["id_b"],
+                               sh.take(pa.array(ia)).to_pylist(),
+                               sh.take(pa.array(ib)).to_pylist())
+
+        return pairs.map_batches(_jacc_bc, batch_format="pyarrow",
+                                 batch_size=4096)
+
     sh_tbl = feats.select_columns(["row_id", "shingles"])
     sa = sh_tbl.map_batches(lambda t: t.rename_columns(["id_a", "sh_a"]),
                             batch_format="pyarrow")
@@ -243,17 +325,12 @@ def ngram_jaccard_pairs(docs: rd.Dataset, threshold: float = 0.5,
     pf = hash_partition_join(pf, sb, key="id_b", num_buckets=16)
 
     def _jacc(batch: pa.Table) -> pa.Table:
-        ja = []
-        for a, b in zip(batch["sh_a"].to_pylist(), batch["sh_b"].to_pylist()):
-            sa_ = np.frombuffer(a, dtype=np.int64)
-            sb_ = np.frombuffer(b, dtype=np.int64)
-            inter = np.intersect1d(sa_, sb_, assume_unique=True).size
-            union = sa_.size + sb_.size - inter
-            ja.append(inter / union if union else 1.0)
-        ja = np.asarray(ja, np.float64)
-        keep = pa.array(ja >= threshold)
-        return pa.table({"id_a": batch["id_a"].filter(keep),
-                         "id_b": batch["id_b"].filter(keep),
-                         "jaccard": pa.array(ja[ja >= threshold], pa.float64())})
+        if batch.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        return _jacc_table(batch["id_a"], batch["id_b"],
+                           batch["sh_a"].to_pylist(),
+                           batch["sh_b"].to_pylist())
 
     return pf.map_batches(_jacc, batch_format="pyarrow", batch_size=4096)
