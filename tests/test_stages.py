@@ -260,3 +260,42 @@ def test_distinct_values_budget_guard():
     ds = rd.from_arrow(pa.table({"k": list(range(100))}))
     with _pytest.raises(ValueError):
         distinct_values(ds, "k", max_size=10)
+
+
+def test_attach_features_broadcast_and_join_paths_agree():
+    from belb_ray.functions.minhash import MinHasher, sig_array
+    from belb_ray.stages.scoring import attach_features, score_pairs
+
+    hasher = MinHasher(num_perm=16, seed=5)
+    rng = np.random.default_rng(2)
+    sigs = rng.integers(0, 1 << 62, (6, 16), dtype=np.uint64)
+    sigs[1] = sigs[0]  # identical pair → jacc 1
+    feats = rd.from_arrow(pa.table({
+        "row_id": pa.array([10, 11, 12, 13, 14, 15], pa.int64()),
+        "sig": sig_array(sigs),
+        "path": pa.array([f"p/{i}.py" for i in range(6)], pa.string()),
+    }))
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array([10, 12], pa.int64()),
+        "id_b": pa.array([11, 13], pa.int64()),
+    }))
+
+    def _score(pf):
+        return score_pairs(pf, threshold=0.2, w_jacc=0.8, w_jw=0.1,
+                           w_tok=0.1).to_pandas()
+
+    bc = _score(attach_features(pairs, feats))
+    jn = _score(attach_features(pairs, feats, broadcast_threshold=0))
+    key = lambda df: sorted(zip(df.id_a, df.id_b, df.score.round(12)))
+    assert key(bc) == key(jn) and len(bc) >= 1
+
+    # pure-content form: no path columns anywhere, same jacc-driven edges
+    bc_np = attach_features(pairs, feats, need_paths=False)
+    assert "path_a" not in bc_np.schema().names
+    out_np = score_pairs(bc_np, threshold=0.2, w_jacc=1.0, w_jw=0.0,
+                         w_tok=0.0).to_pandas()
+    jn_np = score_pairs(attach_features(pairs, feats, broadcast_threshold=0,
+                                        need_paths=False),
+                        threshold=0.2, w_jacc=1.0, w_jw=0.0,
+                        w_tok=0.0).to_pandas()
+    assert key(out_np) == key(jn_np)
