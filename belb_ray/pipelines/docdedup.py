@@ -20,7 +20,7 @@ import ray.data as rd
 
 
 from ..functions.hashing import sha256_hex_list
-from ..functions.minhash import est_jaccard, hamming64
+from ..functions.minhash import hamming64
 
 from ..stages.cluster import assign_clusters, connected_components
 from ..stages.joins import hash_partition_join

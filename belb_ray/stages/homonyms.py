@@ -30,7 +30,6 @@ DataFrame per group — measured ~50x slower at high key cardinality.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import ray.data as rd
 

@@ -32,7 +32,6 @@ def evaluation_subsets(
     """→ test rows + ``subset`` ∈ {zeroshot, stratified, seen}:
     zeroshot = identifier absent from train∪dev; stratified = identifier
     present but (identifier, surface) pair absent; seen = both present."""
-    import pyarrow.compute as pc
 
     train_expr = " or ".join(f"{split_col} == {s!r}" for s in train_splits)
     train = anns.filter(expr=train_expr)
