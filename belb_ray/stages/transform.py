@@ -59,11 +59,9 @@ def split_sentences(docs: rd.Dataset, id_col: str = "doc_id",
         out_doc, out_sid, out_start, out_len, out_text = [], [], [], [], []
         ids = batch[id_col].to_pylist()
         for did, text in zip(ids, batch[text_col].to_pylist()):
-            pos = 0
             sid = 0
             bounds = [m.span() for m in _SENT_BOUNDARY.finditer(text)]
             edges = [0] + [e for _, e in bounds] + [len(text)]
-            seps = {s: e for s, e in bounds}
             for i in range(len(edges) - 1):
                 start = edges[i]
                 end = edges[i + 1]
@@ -166,7 +164,6 @@ def mark_mentions(docs: rd.Dataset, spans: rd.Dataset,
                 pieces.append(open_tok)
                 pieces.append(text[s:e])
                 pieces.append(close_tok)
-                new_start = s + shift + len(open_tok)
                 shift += grow
                 pos = e
             pieces.append(text[pos:])
