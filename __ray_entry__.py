@@ -689,6 +689,65 @@ def q_multimodal_features(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow")
 
 
+def q_asof_snapshot(sf_dir: str) -> rd.Dataset:
+    """Backward as-of join: every non-snapshot event picks up the latest
+    snapshot-event (event_id % 5 == 0) of the same user at-or-before its
+    timestamp (stages/asof.py — temporal-join extension; one bucketed
+    shuffle + per-bucket vectorized merge_asof)."""
+    from belb_ray.stages.asof import asof_join
+
+    def _split(want_snapshot: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["event_id"].to_numpy(zero_copy_only=False)
+            is_snap = pa.array(ids % 5 == 0)
+            return t.filter(is_snap if want_snapshot
+                            else pa.compute.invert(is_snap))
+        return fn
+
+    ev = _t(sf_dir, "events")
+    left = (ev.map_batches(_split(False), batch_format="pyarrow")
+              .select_columns(["event_id", "user_id", "ts", "value"]))
+    right = (ev.map_batches(_split(True), batch_format="pyarrow")
+               .select_columns(["user_id", "ts", "value"]))
+    return asof_join(left, right, key="user_id", ts="ts", inner=True,
+                     num_buckets=16)
+
+
+def q_top_orders_per_customer(sf_dir: str) -> rd.Dataset:
+    """Per-group top-k without a global sort (stages/agg.py grouped_topk:
+    per-block local head-k, then one bucketed combine — at most k rows
+    per key per block enter the shuffle)."""
+    from belb_ray.stages.agg import grouped_topk
+
+    orders = _t(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderkey", "o_totalprice"])
+    return grouped_topk(orders, keys=["o_custkey"],
+                        order_col="o_totalprice", k=3, descending=True,
+                        tiebreak="o_orderkey")
+
+
+BM25_TERMS = ("hash", "join", "window")
+
+
+def q_bm25_search(sf_dir: str) -> rd.Dataset:
+    """BM25 keyword top-k over documents (stages/search.py — two
+    streaming passes: per-block df/len partials, then broadcast idf +
+    vectorized scoring with local top-k)."""
+    from belb_ray.stages.search import bm25_topk
+
+    return bm25_topk(_t(sf_dir, "documents"), list(BM25_TERMS), k=25)
+
+
+def q_semantic_dedup(sf_dir: str) -> rd.Dataset:
+    """SemDeDup-style cluster-then-prune embedding dedup
+    (stages/semdedup.py): kmeans cells bound the O(n^2) cosine check;
+    golden from the independent brute-force oracle."""
+    from belb_ray.stages.semdedup import semantic_dedup
+
+    return semantic_dedup(_t(sf_dir, "embeddings"), n_cells=8,
+                          threshold=0.35)
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -740,6 +799,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "overlap_suppression": q_overlap_suppression,
         "foreign_name_homonyms": q_foreign_name_homonyms,
         "eval_subsets": q_eval_subsets,
+        "asof_snapshot": q_asof_snapshot,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "bm25_search": q_bm25_search,
+        "semantic_dedup": q_semantic_dedup,
         # rows-only (non-SQL-expressible)
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
@@ -753,6 +816,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "multimodal_features": q_multimodal_features,
     }
+
+
+def _bm25_sql(terms: tuple[str, ...], k: int, k1: float = 1.2,
+              b: float = 0.75) -> str:
+    """DuckDB mirror of stages/search.bm25_topk, expression-for-expression
+    in the same association order so doubles are bit-identical."""
+    tok = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+           "x -> x <> '')")
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN list_contains(t, '{t_}') THEN 1 ELSE 0 END) "
+        f"AS DOUBLE) AS df_{i}" for i, t_ in enumerate(terms))
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(t, x -> x = '{t_}')) AS DOUBLE) AS tf_{i}"
+        for i, t_ in enumerate(terms))
+    norm = f"{k1} * (1.0 - {b} + {b} * sc.dl / st.avgdl)"
+    term_exprs = [
+        f"(ln((st.n - st.df_{i} + 0.5) / (st.df_{i} + 0.5) + 1.0)"
+        f" * (sc.tf_{i} * ({k1} + 1.0)) / (sc.tf_{i} + {norm}))"
+        for i in range(len(terms))]
+    score = " + ".join(term_exprs)
+    return f"""
+        WITH toks AS (SELECT doc_id, {tok} AS t FROM documents),
+        st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                      CAST(sum(len(t)) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE) AS avgdl,
+                      {df_cols}
+               FROM toks),
+        sc AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, {tf_cols}
+               FROM toks)
+        SELECT sc.doc_id, round({score}, 4) AS score
+        FROM sc, st
+        ORDER BY score DESC, sc.doc_id
+        LIMIT {k}
+    """
 
 
 def _lang_id_sql() -> str:
@@ -1163,6 +1260,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, rk // 50 + (CAST(b AS BIGINT) << 32) AS chunk_id
             FROM r
         """,
+        "asof_snapshot": """
+            WITH l AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_id % 5 <> 0),
+            r AS (SELECT user_id, ts AS ts_r, value AS value_r FROM events
+                  WHERE event_id % 5 = 0)
+            SELECT l.user_id, l.event_id, l.ts, l.value, r.ts_r, r.value_r
+            FROM l ASOF JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts_r
+        """,
+        "top_orders_per_customer": """
+            WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                              row_number() OVER (
+                                  PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey)
+                                  AS rn
+                       FROM orders)
+            SELECT o_custkey, o_orderkey, o_totalprice FROM r WHERE rn <= 3
+        """,
+        "bm25_search": _bm25_sql(BM25_TERMS, k=25),
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py
         # over the driver's fixed sf0.01 inputs / seeded fixture
@@ -1170,5 +1286,5 @@ def oracle_sql() -> dict[str, str]:
            for name in ("er_clusters", "minhash_dedup_docs",
                         "simhash_dedup_docs", "doc_fingerprints",
                         "lsh_neardup", "lsh_ann_topk", "ivf_ann_topk",
-                        "multimodal_features")},
+                        "multimodal_features", "semantic_dedup")},
     }

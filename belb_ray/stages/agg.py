@@ -142,3 +142,34 @@ def topk(ds: rd.Dataset, key: str, k: int, descending: bool = True,
     cols = [key] if tiebreak is None else [key, tiebreak]
     desc = [descending] + ([False] if tiebreak else [])
     return ds.sort(cols, descending=desc if len(cols) > 1 else descending).limit(k)
+
+
+def grouped_topk(ds: rd.Dataset, keys: list[str], order_col: str, k: int,
+                 descending: bool = True, tiebreak: str | None = None,
+                 num_buckets: int = 64) -> rd.Dataset:
+    """Per-group top-k (``row_number() OVER (PARTITION BY keys ORDER BY
+    order_col) <= k``) without a global sort: each batch keeps its local
+    top-k per key (so at most k rows per key per block enter the
+    shuffle), then one bucketed combine finishes per key. ``tiebreak``
+    makes the cut deterministic under order-col ties."""
+    sort_cols = [order_col] + ([tiebreak] if tiebreak else [])
+    ascending = [not descending] + ([True] if tiebreak else [])
+
+    def _local(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+        return s.groupby(keys, sort=False).head(k)
+
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__bucket"] = _bucket_of_frame(batch, keys, num_buckets)
+        return batch
+
+    def _combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns="__bucket")
+        s = g.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+        return s.groupby(keys, sort=False).head(k)
+
+    partial = ds.map_batches(_local, batch_format="pandas", batch_size=65536)
+    bucketed = partial.map_batches(_bucketize, batch_format="pandas",
+                                   batch_size=1 << 18)
+    return bucketed.groupby("__bucket").map_groups(_combine,
+                                                   batch_format="pandas")

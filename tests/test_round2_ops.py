@@ -1,0 +1,215 @@
+"""Round-2 operators: as-of join, grouped top-k, BM25 search, semantic dedup.
+
+Each test checks the distributed stage against an independent
+single-process computation (pandas / numpy brute force) on small inputs,
+plus block-structure invariance where the cut is order-sensitive.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from belb_ray.stages.agg import grouped_topk
+from belb_ray.stages.asof import asof_join
+from belb_ray.stages.search import bm25_topk, _tokenize
+from belb_ray.stages.semdedup import semantic_dedup
+
+
+def _asof_frames(seed=7, n_left=200, n_right=80, n_keys=9):
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame({
+        "uid": rng.integers(0, n_keys, n_left),
+        "ts": base + pd.to_timedelta(rng.integers(0, 10_000, n_left), unit="s"),
+        "lv": rng.normal(size=n_left),
+    })
+    right = pd.DataFrame({
+        "uid": rng.integers(0, n_keys, n_right),
+        "ts": base + pd.to_timedelta(rng.integers(0, 10_000, n_right), unit="s"),
+        "rv": rng.normal(size=n_right),
+    })
+    # merge_asof right side must be unique per (uid, ts); so must ours
+    right = right.drop_duplicates(["uid", "ts"])
+    left = left.drop_duplicates(["uid", "ts"])
+    return left, right
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    return (df.sort_values(list(df.columns))
+              .reset_index(drop=True))
+
+
+def test_asof_join_matches_pandas_inner_and_left():
+    left, right = _asof_frames()
+    lds = rd.from_pandas(left).repartition(5)
+    rds = rd.from_pandas(right).repartition(3)
+
+    expect = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts").rename(
+            columns={"ts": "ts_r"}),
+        left_on="ts", right_on="ts_r", by="uid", direction="backward")
+
+    got_left = asof_join(lds, rds, key="uid", ts="ts", inner=False,
+                         num_buckets=4).to_pandas()
+    cols = ["uid", "ts", "lv", "ts_r", "rv"]
+    pd.testing.assert_frame_equal(_norm(got_left[cols]), _norm(expect[cols]))
+
+    got_inner = asof_join(lds, rds, key="uid", ts="ts", inner=True,
+                          num_buckets=4).to_pandas()
+    exp_inner = expect[expect["ts_r"].notna()]
+    pd.testing.assert_frame_equal(_norm(got_inner[cols]),
+                                  _norm(exp_inner[cols]))
+
+
+def test_asof_join_tolerance_and_exact_match():
+    left, right = _asof_frames(seed=3)
+    # plant an exact-timestamp match to pin allow_exact_matches=True
+    right = pd.concat([right, left.iloc[[0]][["uid", "ts"]].assign(rv=99.0)],
+                      ignore_index=True).drop_duplicates(["uid", "ts"])
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+    tol = pd.Timedelta(seconds=600)
+    got = asof_join(lds, rds, key="uid", ts="ts", tolerance=tol,
+                    inner=False, num_buckets=4).to_pandas()
+    expect = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts").rename(columns={"ts": "ts_r"}),
+        left_on="ts", right_on="ts_r", by="uid",
+        direction="backward", tolerance=tol)
+    cols = ["uid", "ts", "lv", "ts_r", "rv"]
+    pd.testing.assert_frame_equal(_norm(got[cols]), _norm(expect[cols]))
+    planted = got[(got["uid"] == left.iloc[0]["uid"])
+                  & (got["ts"] == left.iloc[0]["ts"])]
+    assert (planted["rv"] == 99.0).all()
+
+
+def test_grouped_topk_matches_pandas():
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 23, 600),
+        "x": rng.integers(0, 50, 600).astype(float),
+        "id": np.arange(600),
+    })
+    got = grouped_topk(rd.from_pandas(df).repartition(7), keys=["g"],
+                       order_col="x", k=3, descending=True,
+                       tiebreak="id").to_pandas()
+    expect = (df.sort_values(["x", "id"], ascending=[False, True])
+                .groupby("g", sort=False).head(3))
+    pd.testing.assert_frame_equal(_norm(got[["g", "x", "id"]]),
+                                  _norm(expect[["g", "x", "id"]]))
+    # ascending variant
+    got_a = grouped_topk(rd.from_pandas(df).repartition(7), keys=["g"],
+                         order_col="x", k=2, descending=False,
+                         tiebreak="id").to_pandas()
+    exp_a = (df.sort_values(["x", "id"], ascending=[True, True])
+               .groupby("g", sort=False).head(2))
+    pd.testing.assert_frame_equal(_norm(got_a[["g", "x", "id"]]),
+                                  _norm(exp_a[["g", "x", "id"]]))
+
+
+def _bm25_reference(texts, ids, terms, k, k1=1.2, b=0.75):
+    toks = [_tokenize(t) for t in texts]
+    n = float(len(texts))
+    dl = np.array([float(len(t)) for t in toks])
+    avgdl = dl.sum() / n
+    rows = []
+    for term in terms:
+        df = float(sum(1 for t in toks if term in set(t)))
+        idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        tf = np.array([float(t.count(term)) for t in toks])
+        rows.append(idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+    score = np.zeros(len(texts))
+    for r in rows:
+        score = score + r
+    out = pd.DataFrame({"doc_id": ids, "score": np.round(score, 4)})
+    return (out.sort_values(["score", "doc_id"], ascending=[False, True])
+               .head(k).reset_index(drop=True))
+
+
+def test_bm25_topk_matches_reference_and_block_invariant():
+    rng = np.random.default_rng(5)
+    vocab = ["hash", "join", "window", "scan", "table", "row", "agg", "sort"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 30)))
+             for _ in range(300)]
+    ids = list(range(300))
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    terms = ["hash", "window"]
+    expect = _bm25_reference(texts, ids, terms, k=15)
+    for nparts in (1, 6):
+        ds = rd.from_pandas(df).repartition(nparts)
+        got = bm25_topk(ds, terms, k=15).to_pandas().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["doc_id", "score"]], expect)
+    assert (expect["score"] > 0).any()
+
+
+def test_bm25_topk_empty_corpus():
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "text": pa.array([], pa.string())}))
+    out = bm25_topk(ds, ["hash"], k=5)
+    assert out.count() == 0
+    # schema survives at the Dataset layer (to_pandas drops it when empty)
+    assert set(out.schema().names) == {"doc_id", "score"}
+
+
+def _semdedup_reference(ids, mat, cells, threshold):
+    """Brute-force per-cell dup rule: smallest earlier id with sim>=thr."""
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    dup_of = {}
+    for c in np.unique(cells):
+        sel = np.where(cells == c)[0]
+        order = sel[np.argsort(ids[sel])]
+        for pos, i in enumerate(order):
+            match = -1
+            for j in order[:pos]:
+                if float(mat[i] @ mat[j]) >= threshold:
+                    match = int(ids[j])
+                    break
+            dup_of[int(ids[i])] = match
+    return dup_of
+
+
+def test_semantic_dedup_matches_bruteforce():
+    rng = np.random.default_rng(19)
+    n, d = 240, 16
+    base = rng.normal(size=(n, d))
+    # plant near-dup pairs: rows 2i+1 close to 2i for first 40 rows
+    for i in range(0, 40, 2):
+        base[i + 1] = base[i] + rng.normal(scale=0.01, size=d)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([list(map(float, r)) for r in base],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl).repartition(5)
+    got = semantic_dedup(ds, n_cells=6, threshold=0.9,
+                         sample_mod=3).to_pandas().sort_values("vec_id")
+    assert len(got) == n
+    # re-derive the expectation from the cells the stage assigned
+    # (centroid training is shared; the dup rule is what we verify)
+    mat = np.asarray(base, dtype=np.float64)
+    cells = got.sort_values("vec_id")["cell"].to_numpy()
+    expect = _semdedup_reference(ids, mat, cells, threshold=0.9)
+    for _, row in got.iterrows():
+        assert expect[int(row["vec_id"])] == int(row["dup_of"])
+    assert ((got["dup_of"] != -1) == got["is_dup"]).all()
+    assert got["is_dup"].sum() >= 15  # planted dups detected
+
+
+def test_semantic_dedup_block_invariant():
+    rng = np.random.default_rng(23)
+    n, d = 120, 8
+    base = rng.normal(size=(n, d))
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in base],
+                              pa.list_(pa.float32())),
+    })
+    outs = []
+    for nparts in (1, 4):
+        ds = rd.from_arrow(tbl).repartition(nparts)
+        outs.append(semantic_dedup(ds, n_cells=4, threshold=0.8,
+                                   sample_mod=2)
+                    .to_pandas().sort_values("vec_id")
+                    .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])

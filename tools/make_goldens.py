@@ -322,6 +322,44 @@ def golden_ivf_topk(sf_dir: str, k=5, n_cells=64, nprobe=4, sample_mod=4,
                      "sim": pa.array(out_s, pa.float64())})
 
 
+def golden_semantic_dedup(sf_dir: str, n_cells=8, threshold=0.35,
+                          sample_mod=4, kmeans_iters=10, seed=11,
+                          dim=64) -> pa.Table:
+    """Single-process SemDeDup recompute: same id-keyed sample + kmeans
+    kernel (shared pure function), then an independent per-cell
+    brute-force first-match scan (no chunking, no Ray)."""
+    from belb_ray.functions.similarity import kmeans_fit
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    flat = emb["embedding"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False)
+    mat = flat.astype(np.float64).reshape(len(ids), dim)
+    norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+    s_sel = np.flatnonzero(ids % sample_mod == 0)
+    s_sel = s_sel[np.argsort(ids[s_sel], kind="stable")]
+    centroids = kmeans_fit(mat[s_sel], n_cells, iters=kmeans_iters, seed=seed)
+    cell = np.argmax(norm @ centroids.T, axis=1).astype(np.int32)
+
+    out_id, out_cell, out_dup = [], [], []
+    for c in np.unique(cell):
+        sel = np.flatnonzero(cell == c)
+        sel = sel[np.argsort(ids[sel], kind="stable")]
+        sub = norm[sel]
+        sims = sub @ sub.T
+        for pos, idx in enumerate(sel):
+            hit = np.flatnonzero(sims[pos, :pos] >= threshold)
+            out_id.append(int(ids[idx]))
+            out_cell.append(int(c))
+            out_dup.append(int(ids[sel[hit[0]]]) if len(hit) else -1)
+    dup = np.array(out_dup, dtype=np.int64)
+    return pa.table({"vec_id": pa.array(out_id, pa.int64()),
+                     "cell": pa.array(out_cell, pa.int32()),
+                     "is_dup": pa.array(dup != -1),
+                     "dup_of": pa.array(dup, pa.int64())})
+
+
 def golden_multimodal_features(sf_dir: str, feat_dim=16) -> pa.Table:
     from belb_ray.stages.multimodal import _fake_decode
 
@@ -362,6 +400,7 @@ def main() -> None:
         "lsh_ann_topk": golden_lsh_ann_topk(args.sf_dir),
         "ivf_ann_topk": golden_ivf_topk(args.sf_dir),
         "multimodal_features": golden_multimodal_features(args.sf_dir),
+        "semantic_dedup": golden_semantic_dedup(args.sf_dir),
     }
     for name, tbl in tables.items():
         path = os.path.join(GOLDEN_DIR, f"{name}.{sf_tag}.parquet")
