@@ -748,6 +748,37 @@ def q_semantic_dedup(sf_dir: str) -> rd.Dataset:
                           threshold=0.35)
 
 
+def q_hll_distinct_users(sf_dir: str) -> rd.Dataset:
+    """HyperLogLog approximate distinct users per event type
+    (stages/sketch.py): register maxes + integer harmonic sum make the
+    distributed estimate bit-identical to the SQL re-derivation."""
+    from belb_ray.stages.sketch import hll_sketch
+
+    return hll_sketch(_t(sf_dir, "events"), "event_type", "user_id",
+                      p=9, seed=0)
+
+
+def q_heavy_hitter_tokens(sf_dir: str) -> rd.Dataset:
+    """Exact phi-heavy-hitter tokens over the document corpus at sketch
+    cost (stages/sketch.py): per-block Misra-Gries candidate superset +
+    one exact recount pass — output is the true heavy-hitter set."""
+    import re
+
+    from belb_ray.stages.sketch import heavy_hitters
+
+    pat = re.compile(r"[a-z0-9]+")
+
+    def _explode(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for txt in t["text"].to_pylist():
+            toks.extend(pat.findall((txt or "").lower()))
+        return pa.table({"token": pa.array(toks, pa.string())})
+
+    tokens = _t(sf_dir, "documents").map_batches(
+        _explode, batch_format="pyarrow")
+    return heavy_hitters(tokens, "token", phi=0.03)
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -803,6 +834,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": q_top_orders_per_customer,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
+        "hll_distinct_users": q_hll_distinct_users,
+        "heavy_hitter_tokens": q_heavy_hitter_tokens,
         # rows-only (non-SQL-expressible)
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
@@ -878,6 +911,8 @@ FROM scored
 
 
 def oracle_sql() -> dict[str, str]:
+    from belb_ray.stages.sketch import hll_sql as _hll_sql
+
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
     return {
         "pricing_summary": """
@@ -1279,6 +1314,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, o_orderkey, o_totalprice FROM r WHERE rn <= 3
         """,
         "bm25_search": _bm25_sql(BM25_TERMS, k=25),
+        "hll_distinct_users": _hll_sql("events", "event_type", "user_id",
+                                       p=9, seed=0),
+        "heavy_hitter_tokens": """
+            WITH t AS (SELECT unnest(regexp_extract_all(lower(text),
+                                                        '[a-z0-9]+'))
+                           AS token
+                       FROM documents)
+            SELECT token, count(*) AS cnt FROM t GROUP BY token
+            HAVING count(*) > 0.03 * (SELECT count(*) FROM t)
+        """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py
         # over the driver's fixed sf0.01 inputs / seeded fixture

@@ -1,0 +1,267 @@
+"""Streaming sketches: HyperLogLog count-distinct and Misra-Gries heavy
+hitters — the two cardinality/frequency primitives a 100-TB curation
+pipeline needs where exact ``groupby`` is unaffordable.
+
+Both are designed so the *distributed* result is bit-identical to a SQL
+re-derivation (the driver's DuckDB oracle can check them exactly — no
+"approximately equal" escape hatch):
+
+- ``hll_sketch`` hashes with the engine-portable 60-bit md5 hash
+  (``sampling._md5_hash60`` — re-derivable as
+  ``md5(CAST(v AS VARCHAR) || ':seed')`` in any engine). Register maxes
+  are integers (order-independent), and the harmonic denominator is
+  computed as the INTEGER ``Z = Σ 2^(40 - rho)`` (every term a power of
+  two, summed exactly in int64) so the float estimate is one
+  deterministic expression over exact integers — no float-summation-order
+  divergence between numpy and SQL.
+- ``heavy_hitters`` runs per-block Misra-Gries with k = ceil(1/phi)
+  counters. Pigeonhole guarantees the union of per-block candidates is a
+  superset of every globally phi-heavy key (a key with global count
+  > phi·n must exceed phi·n_b in some block, and block-MG finds
+  everything above n_b/(k+1) ≤ phi·n_b). The tiny candidate union is
+  broadcast and recounted EXACTLY in one filtered pass, so the output is
+  the true heavy-hitter set with exact counts — sketch recall, exact
+  precision.
+
+Scale shape: HLL shuffles ≤ m register rows per group per block
+(m = 2^p, bytes); MG shuffles nothing — per-block summaries of ≤ k rows
+are collected (k ≈ 1/phi, e.g. 200 rows/block at phi = 0.005), and the
+recount is a streaming filtered aggregate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from .agg import _bucket_of_frame
+from .sampling import _md5_hash60
+
+# rho is the leading-zero rank inside a 38-bit window (bits p..p+37 of the
+# 60-bit hash): [1, 39], 39 for w == 0. Keeping the window under 53 bits
+# makes float64(w) exact, so floor(log2(w)) matches SQL's double log2
+# bit-for-bit; and 2^(40 - rho) stays an exact int64 power of two.
+_W_BITS = 38
+_W_MASK = (1 << _W_BITS) - 1
+_SCALE = 1 << (_W_BITS + 2)  # 2^40, the Z fixed-point scale
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    """Standard HLL estimate from one register vector (uint8, len = m),
+    with the small-range linear-counting correction. Pure + deterministic:
+    the golden oracle and the SQL mirror both re-derive it exactly."""
+    m = len(registers)
+    z = sum(1 << (_W_BITS + 2 - int(r)) for r in registers)  # exact int
+    am2 = _alpha(m) * m * m
+    # est = am2 * 2^40 / z — association order mirrored in the SQL oracle
+    est = am2 * float(_SCALE) / float(z)
+    zeros = int((registers == 0).sum())
+    if zeros > 0 and est <= 2.5 * m:
+        est = float(m) * math.log(float(m) / float(zeros))
+    return est
+
+
+def _rho_of(hv: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rho) for 60-bit hashes: idx = low p bits,
+    w = next 38 bits, rho = 38 - floor(log2(w)) (39 when w = 0)."""
+    idx = (hv & ((1 << p) - 1)).astype(np.int32)
+    w = (hv >> p) & _W_MASK
+    rho = np.full(len(hv), _W_BITS + 1, dtype=np.int64)
+    nz = w > 0
+    rho[nz] = _W_BITS - np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64)
+    return idx, rho
+
+
+def hll_sketch(ds: rd.Dataset, group_key: str, value_key: str, p: int = 6,
+               seed: int = 0, num_buckets: int = 32) -> rd.Dataset:
+    """Approximate count-distinct of ``value_key`` per ``group_key``.
+
+    → (group_key, n_nonzero:int64, reg_digest:str, approx_distinct:float)
+    where ``reg_digest`` is md5 of the comma-joined register vector in
+    index order (the exactly-checkable fingerprint of the sketch state)
+    and ``approx_distinct`` is the HLL estimate rounded to 2 decimals.
+    """
+    m = 1 << p
+    am2 = _alpha(m) * m * m
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        hv = _md5_hash60(batch[value_key], seed)
+        idx, rho = _rho_of(hv, p)
+        df = pd.DataFrame({
+            "__g": batch[group_key].to_numpy(zero_copy_only=False),
+            "__idx": idx, "__rho": rho})
+        part = (df.groupby(["__g", "__idx"], sort=False)["__rho"]
+                  .max().reset_index())
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__bucket"] = _bucket_of_frame(batch, ["__g"], num_buckets)
+        return batch
+
+    def _finalize(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns="__bucket")
+        maxes = g.groupby(["__g", "__idx"], sort=False)["__rho"].max()
+        out_g, out_nz, out_dig, out_est = [], [], [], []
+        for gval, sub in maxes.groupby(level=0, sort=False):
+            regs = np.zeros(m, dtype=np.int64)
+            regs[sub.index.get_level_values(1).to_numpy()] = sub.to_numpy()
+            z = sum(1 << (_W_BITS + 2 - int(r)) for r in regs)
+            est = am2 * float(_SCALE) / float(z)
+            zeros = int((regs == 0).sum())
+            if zeros > 0 and est <= 2.5 * m:
+                est = float(m) * math.log(float(m) / float(zeros))
+            out_g.append(gval)
+            out_nz.append(m - zeros)
+            out_dig.append(hashlib.md5(
+                ",".join(str(int(r)) for r in regs).encode()).hexdigest())
+            out_est.append(round(est, 2))
+        return pd.DataFrame({group_key: out_g,
+                             "n_nonzero": np.array(out_nz, dtype=np.int64),
+                             "reg_digest": out_dig,
+                             "approx_distinct": out_est})
+
+    partial = ds.select_columns([group_key, value_key]).map_batches(
+        _partial, batch_format="pyarrow")
+    bucketed = partial.map_batches(_bucketize, batch_format="pandas",
+                                   batch_size=1 << 18)
+    return bucketed.groupby("__bucket").map_groups(_finalize,
+                                                   batch_format="pandas")
+
+
+def hll_sql(table: str, group_key: str, value_key: str, p: int = 6,
+            seed: int = 0) -> str:
+    """DuckDB mirror of ``hll_sketch`` — same hash, same registers, same
+    integer Z, same estimate expression (exact parity by construction)."""
+    m = 1 << p
+    wmod = 1 << _W_BITS
+    # DuckDB types bare decimal literals as DECIMAL (overflows in the
+    # Z multiply) — force DOUBLE so arithmetic matches numpy float64
+    am2 = f"CAST({_alpha(m) * m * m!r} AS DOUBLE)"
+    scale = f"CAST({float(_SCALE)!r} AS DOUBLE)"
+    md = f"CAST({float(m)!r} AS DOUBLE)"
+    lim = f"CAST({2.5 * m!r} AS DOUBLE)"
+    return f"""
+        WITH h AS (
+            SELECT {group_key} AS g,
+                   CAST(('0x' || substr(md5(CAST({value_key} AS VARCHAR)
+                                            || ':{seed}'), 1, 15))
+                        AS BIGINT) AS hv
+            FROM {table}),
+        b AS (SELECT g, hv % {m} AS idx, (hv // {m}) % {wmod} AS w FROM h),
+        r AS (SELECT g, idx,
+                     max(CASE WHEN w = 0 THEN {_W_BITS + 1}
+                              ELSE {_W_BITS} - CAST(floor(log2(
+                                       CAST(w AS DOUBLE))) AS BIGINT)
+                         END) AS rho
+              FROM b GROUP BY g, idx),
+        grid AS (SELECT DISTINCT g FROM h),
+        idxs AS (SELECT unnest(range({m})) AS idx),
+        fullreg AS (
+            SELECT grid.g, idxs.idx, coalesce(r.rho, 0) AS rho
+            FROM grid CROSS JOIN idxs
+            LEFT JOIN r ON r.g = grid.g AND r.idx = idxs.idx),
+        agg AS (
+            SELECT g,
+                   sum(CASE WHEN rho > 0 THEN 1 ELSE 0 END) AS n_nonzero,
+                   md5(string_agg(CAST(rho AS VARCHAR), ','
+                                  ORDER BY idx)) AS reg_digest,
+                   sum(CAST(1 AS BIGINT) << ({_W_BITS + 2} - rho)) AS z,
+                   {m} - sum(CASE WHEN rho > 0 THEN 1 ELSE 0 END) AS zeros
+            FROM fullreg GROUP BY g)
+        SELECT g AS {group_key},
+               CAST(n_nonzero AS BIGINT) AS n_nonzero,
+               reg_digest,
+               round(CASE WHEN zeros > 0
+                           AND {am2} * {scale}
+                               / CAST(z AS DOUBLE) <= {lim}
+                          THEN {md} * ln({md} / CAST(zeros AS DOUBLE))
+                          ELSE {am2} * {scale} / CAST(z AS DOUBLE)
+                     END, 2) AS approx_distinct
+        FROM agg
+    """
+
+
+def _misra_gries(keys: np.ndarray, k: int) -> dict:
+    """Classic Misra-Gries with k counters over one block (vectorized in
+    chunks: exact per-key counts via pandas, then summary merge — the
+    result is a valid MG summary of the block, error ≤ n_block/(k+1))."""
+    vc = pd.Series(keys).value_counts()
+    if len(vc) <= k:
+        return vc.to_dict()
+    # keep top-k counters, subtract the (k+1)-th count (the MG decrement
+    # generalized: removing c_(k+1) from everything keeps the guarantee)
+    cut = int(vc.iloc[k])
+    top = vc.iloc[:k] - cut
+    return top[top > 0].to_dict()
+
+
+def heavy_hitters(ds: rd.Dataset, key: str, phi: float,
+                  num_buckets: int = 32) -> rd.Dataset:
+    """Exact phi-heavy hitters (count > phi·n) found at sketch cost.
+
+    Pass 1 streams per-block Misra-Gries summaries (≤ ceil(1/phi) rows
+    each) to the driver — their key union provably contains every global
+    heavy hitter. Pass 2 broadcasts that tiny candidate set and recounts
+    it exactly. → (key, cnt:int64), the exact heavy-hitter rows.
+    """
+    import ray
+
+    k = max(1, math.ceil(1.0 / phi))
+
+    def _summary(batch: pa.Table) -> pa.Table:
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        mg = _misra_gries(keys, k)
+        return pa.table({"__key": pa.array(list(mg.keys()),
+                                           batch[key].type)})
+
+    summaries = ds.select_columns([key]).map_batches(
+        _summary, batch_format="pyarrow").to_pandas()
+    if len(summaries) == 0:
+        schema = ds.schema()
+        ktype = dict(zip(schema.names, schema.types))[key]
+        empty = pa.table({key: pa.array([], ktype),
+                          "cnt": pa.array([], pa.int64())})
+        return rd.from_arrow(empty)
+    candidates = set(summaries["__key"].tolist())
+    n_total = ds.count()
+    cand_ref = ray.put(candidates)
+
+    def _count_cands(batch: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        s = pd.Series(keys)
+        s = s[s.isin(cands)]
+        vc = s.value_counts()
+        return pa.table({key: pa.array(vc.index.to_numpy(),
+                                       batch[key].type),
+                         "cnt": pa.array(vc.to_numpy(), pa.int64())})
+
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__bucket"] = _bucket_of_frame(batch, [key], num_buckets)
+        return batch
+
+    def _combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns="__bucket")
+        out = g.groupby(key, sort=False)["cnt"].sum().reset_index()
+        return out[out["cnt"] > phi * n_total]
+
+    partial = ds.select_columns([key]).map_batches(
+        _count_cands, batch_format="pyarrow")
+    bucketed = partial.map_batches(_bucketize, batch_format="pandas")
+    return bucketed.groupby("__bucket").map_groups(_combine,
+                                                   batch_format="pandas")

@@ -1,4 +1,5 @@
-"""Round-2 operators: as-of join, grouped top-k, BM25 search, semantic dedup.
+"""Round-2 operators: as-of join, grouped top-k, BM25 search, semantic
+dedup, HLL count-distinct, Misra-Gries heavy hitters.
 
 Each test checks the distributed stage against an independent
 single-process computation (pandas / numpy brute force) on small inputs,
@@ -213,3 +214,71 @@ def test_semantic_dedup_block_invariant():
                     .to_pandas().sort_values("vec_id")
                     .reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_hll_sketch_accuracy_and_block_invariance():
+    from belb_ray.stages.sketch import _rho_of, hll_estimate, hll_sketch
+    from belb_ray.stages.sampling import _md5_hash60
+
+    rng = np.random.default_rng(31)
+    n, m = 4000, 512  # p=9
+    df = pd.DataFrame({
+        "g": np.where(np.arange(n) % 2 == 0, "a", "b"),
+        "v": rng.integers(0, 1200, n),
+    })
+    outs = []
+    for nparts in (1, 6):
+        ds = rd.from_pandas(df).repartition(nparts)
+        outs.append(hll_sketch(ds, "g", "v", p=9).to_pandas()
+                    .sort_values("g").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # independent single-process recompute of the registers + estimate
+    for gval, sub in df.groupby("g"):
+        hv = _md5_hash60(pa.array(sub["v"].to_numpy()), 0)
+        idx, rho = _rho_of(hv, 9)
+        regs = np.zeros(m, dtype=np.int64)
+        np.maximum.at(regs, idx, rho)
+        est = round(hll_estimate(regs), 2)
+        row = outs[0][outs[0]["g"] == gval].iloc[0]
+        assert row["approx_distinct"] == est
+        exact = sub["v"].nunique()
+        assert abs(est - exact) / exact < 0.15  # ~3 sigma at m=512
+
+
+def test_heavy_hitters_exact_under_any_blocking():
+    from belb_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.default_rng(37)
+    # zipf-ish: few hot keys + long tail
+    hot = np.repeat(["h0", "h1", "h2"], [900, 500, 260])
+    tail = np.array([f"t{i}" for i in rng.integers(0, 2000, 3000)])
+    keys = np.concatenate([hot, tail])
+    rng.shuffle(keys)
+    df = pd.DataFrame({"k": keys})
+    phi = 0.05
+    exact = df["k"].value_counts()
+    expect = exact[exact > phi * len(df)].rename("cnt").reset_index()
+    expect.columns = ["k", "cnt"]
+    for nparts in (1, 3, 11):
+        ds = rd.from_pandas(df).repartition(nparts)
+        got = (heavy_hitters(ds, "k", phi=phi).to_pandas()
+               .sort_values("k").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got, expect.sort_values("k").reset_index(drop=True))
+
+
+def test_misra_gries_candidate_superset():
+    from belb_ray.stages.sketch import _misra_gries
+
+    rng = np.random.default_rng(41)
+    keys = np.concatenate([np.repeat("hot", 150),
+                           rng.integers(0, 400, 850).astype(str)])
+    rng.shuffle(keys)
+    k = 20  # phi = 0.05
+    mg = _misra_gries(keys, k)
+    assert len(mg) <= k
+    # every key with count > n/(k+1) must survive
+    vc = pd.Series(keys).value_counts()
+    for key, cnt in vc.items():
+        if cnt > len(keys) / (k + 1):
+            assert key in mg
