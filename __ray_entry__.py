@@ -779,6 +779,15 @@ def q_heavy_hitter_tokens(sf_dir: str) -> rd.Dataset:
     return heavy_hitters(tokens, "token", phi=0.03)
 
 
+def q_tfidf_top_terms(sf_dir: str) -> rd.Dataset:
+    """Top-3 tf·idf terms per document (stages/tfidf.py — no-shuffle tf,
+    combiner df over the vocabulary, size-aware idf broadcast, per-doc
+    top-k via grouped_topk)."""
+    from belb_ray.stages.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(_t(sf_dir, "documents"), k=3)
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -836,6 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": q_semantic_dedup,
         "hll_distinct_users": q_hll_distinct_users,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
+        "tfidf_top_terms": q_tfidf_top_terms,
         # rows-only (non-SQL-expressible)
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
@@ -1323,6 +1333,29 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents)
             SELECT token, count(*) AS cnt FROM t GROUP BY token
             HAVING count(*) > 0.03 * (SELECT count(*) FROM t)
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                           AS token
+                FROM documents),
+            tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+                   FROM toks GROUP BY doc_id, token),
+            df AS (SELECT token, CAST(count(*) AS DOUBLE) AS df
+                   FROM (SELECT DISTINCT doc_id, token FROM toks)
+                   GROUP BY token),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            w AS (SELECT tf.doc_id, tf.token,
+                         round(tf.tf * (ln((1.0 + n.n) / (1.0 + df.df))
+                                        + 1.0), 4) AS weight
+                  FROM tf JOIN df ON df.token = tf.token, n),
+            r AS (SELECT doc_id, token, weight,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY weight DESC, token)
+                             AS rn
+                  FROM w)
+            SELECT doc_id, token, weight FROM r WHERE rn <= 3
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

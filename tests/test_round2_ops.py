@@ -282,3 +282,50 @@ def test_misra_gries_candidate_superset():
     for key, cnt in vc.items():
         if cnt > len(keys) / (k + 1):
             assert key in mg
+
+
+def test_tfidf_top_terms_matches_bruteforce():
+    from belb_ray.stages.tfidf import tfidf_top_terms, _TOKEN_RE
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(60),
+        "text": [" ".join(rng.choice(vocab, rng.integers(3, 25)))
+                 for _ in range(60)],
+    })
+    # independent single-process recompute
+    rows = []
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        for tok in _TOKEN_RE.findall(txt.lower()):
+            rows.append((did, tok))
+    t = pd.DataFrame(rows, columns=["doc_id", "token"])
+    tf = t.groupby(["doc_id", "token"]).size().rename("tf").reset_index()
+    df_ = (t.drop_duplicates().groupby("token").size()
+           .rename("df").reset_index())
+    n = float(len(docs))
+    m = tf.merge(df_, on="token")
+    m["weight"] = np.round(
+        m["tf"] * (np.log((1.0 + n) / (1.0 + m["df"])) + 1.0), 4)
+    m = m.sort_values(["doc_id", "weight", "token"],
+                      ascending=[True, False, True])
+    expect = (m.groupby("doc_id").head(3)[["doc_id", "token", "weight"]]
+              .reset_index(drop=True))
+    for nparts in (1, 4):
+        ds = rd.from_pandas(docs).repartition(nparts)
+        got = tfidf_top_terms(ds, k=3).to_pandas()
+        pd.testing.assert_frame_equal(_norm(got), _norm(expect),
+                                      check_dtype=False)
+
+
+def test_tfidf_join_path_matches_broadcast():
+    from belb_ray.stages.tfidf import tfidf_top_terms
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(25),
+        "text": [f"alpha beta w{i % 7} w{i % 3} gamma" for i in range(25)],
+    })
+    ds = rd.from_pandas(docs)
+    a = tfidf_top_terms(ds, k=2).to_pandas()
+    b = tfidf_top_terms(ds, k=2, broadcast_vocab_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(_norm(a), _norm(b), check_dtype=False)
