@@ -788,6 +788,39 @@ def q_tfidf_top_terms(sf_dir: str) -> rd.Dataset:
     return tfidf_top_terms(_t(sf_dir, "documents"), k=3)
 
 
+def q_user_event_windows(sf_dir: str) -> rd.Dataset:
+    """Per-user ordered analytic windows over the event stream
+    (stages/analytic.py): lag/lead of value, exact integer running sum
+    (cents), row_number — one co-location shuffle, vectorized
+    whole-bucket kernels with key-boundary masks. Order is total via the
+    (ts, event_id) tiebreak; running sums are int64 cents so the value
+    hash is bit-identical to SQL BIGINT window sums."""
+    import pandas as pd
+
+    from belb_ray.stages.analytic import ordered_window
+
+    events = _t(sf_dir, "events").select_columns(
+        ["event_id", "ts", "user_id", "value"])
+
+    def _cents(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        batch["cents"] = np.round(
+            batch["value"].to_numpy() * 100.0).astype(np.int64)
+        return batch
+
+    out = ordered_window(
+        events.map_batches(_cents, batch_format="pandas"),
+        key="user_id", order_cols=["ts", "event_id"],
+        specs=[("lag", "value", "prev_value"),
+               ("lead", "value", "next_value"),
+               ("cumsum", "cents", "cum_cents"),
+               ("row_number", "", "rn")])
+    return out.select_columns(
+        ["event_id", "user_id", "prev_value", "next_value",
+         "cum_cents", "rn"])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -846,6 +879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": q_hll_distinct_users,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "user_event_windows": q_user_event_windows,
         # rows-only (non-SQL-expressible)
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
@@ -1356,6 +1390,23 @@ def oracle_sql() -> dict[str, str]:
                              AS rn
                   FROM w)
             SELECT doc_id, token, weight FROM r WHERE rn <= 3
+        """,
+        "user_event_windows": """
+            WITH t AS (
+                SELECT event_id, ts, user_id, value,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events)
+            SELECT event_id, user_id,
+                   lag(value) OVER w AS prev_value,
+                   lead(value) OVER w AS next_value,
+                   CAST(sum(cents) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW)
+                        AS BIGINT) AS cum_cents,
+                   row_number() OVER w AS rn
+            FROM t
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

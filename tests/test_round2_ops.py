@@ -329,3 +329,43 @@ def test_tfidf_join_path_matches_broadcast():
     a = tfidf_top_terms(ds, k=2).to_pandas()
     b = tfidf_top_terms(ds, k=2, broadcast_vocab_limit=0).to_pandas()
     pd.testing.assert_frame_equal(_norm(a), _norm(b), check_dtype=False)
+
+
+def test_ordered_window_matches_pandas():
+    from belb_ray.stages.analytic import ordered_window
+
+    rng = np.random.default_rng(23)
+    n = 400
+    df = pd.DataFrame({
+        "eid": np.arange(n),
+        "k": rng.integers(0, 12, n),
+        "v": np.round(rng.normal(size=n), 2),  # negative values too
+    })
+    g = df.sort_values(["k", "eid"], kind="stable").reset_index(drop=True)
+    grp = g.groupby("k", sort=False)
+    expect = g.copy()
+    expect["prev"] = grp["v"].shift(1)
+    expect["nxt"] = grp["v"].shift(-1)
+    expect["cs"] = grp["v"].cumsum()
+    expect["rn"] = grp.cumcount() + 1
+    for nparts in (1, 5):
+        ds = rd.from_pandas(df).repartition(nparts)
+        got = ordered_window(
+            ds, key="k", order_cols=["eid"],
+            specs=[("lag", "v", "prev"), ("lead", "v", "nxt"),
+                   ("cumsum", "v", "cs"), ("row_number", "", "rn")],
+            num_buckets=7).to_pandas()
+        pd.testing.assert_frame_equal(
+            _norm(got[expect.columns]), _norm(expect), check_dtype=False)
+
+
+def test_ordered_window_int_cumsum_stays_int():
+    from belb_ray.stages.analytic import ordered_window
+
+    df = pd.DataFrame({"eid": [0, 1, 2, 3], "k": [1, 1, 2, 2],
+                       "c": np.array([5, -3, 7, 7], dtype=np.int64)})
+    got = ordered_window(rd.from_pandas(df), key="k", order_cols=["eid"],
+                         specs=[("cumsum", "c", "cs")]).to_pandas()
+    assert got["cs"].dtype == np.int64
+    got = got.sort_values("eid").reset_index(drop=True)
+    assert got["cs"].tolist() == [5, 2, 7, 14]
