@@ -821,6 +821,46 @@ def q_user_event_windows(sf_dir: str) -> rd.Dataset:
          "cum_cents", "rn"])
 
 
+def q_event_overlaps(sf_dir: str) -> rd.Dataset:
+    """Per-user interval-overlap join (stages/rangejoin.py): click
+    intervals [ts, ts + floor(value·240) s] × purchase intervals, joined
+    on closed-interval overlap with user equality. Both sides explode
+    over 24 h bins (duration ≤ 33 h → ≤3 copies/row), ONE bucketed shuffle
+    on hash(user, bin), per-bucket vectorized sweep, exact-once emission
+    via the max-start anchor bin. floor (not round) keeps the duration
+    arithmetic bit-identical to the SQL CAST(floor(value) AS BIGINT)."""
+    import pandas as pd
+
+    from belb_ray.stages.rangejoin import interval_join
+
+    events = _t(sf_dir, "events").select_columns(
+        ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def _mk(etype: str, idname: str):
+        def _prep(b: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            b = b[b["event_type"] == etype]
+            dur = np.floor(b["value"].to_numpy() * 240.0).astype(np.int64)
+            return pd.DataFrame({
+                idname: b["event_id"].to_numpy(),
+                "user_id": b["user_id"].to_numpy(),
+                "start": b["ts"].to_numpy(),
+                "stop": (b["ts"] + pd.to_timedelta(dur, unit="s")
+                         ).to_numpy(),
+            })
+        return _prep
+
+    clicks = events.map_batches(_mk("click", "click_id"),
+                                batch_format="pandas")
+    purchases = events.map_batches(_mk("purchase", "purchase_id"),
+                                   batch_format="pandas")
+    out = interval_join(clicks, purchases, "start", "stop", "start",
+                        "stop", key="user_id",
+                        bin_width=86_400 * 1_000_000)
+    return out.select_columns(["click_id", "purchase_id", "user_id"])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -880,6 +920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
         "user_event_windows": q_user_event_windows,
+        "event_overlaps": q_event_overlaps,
         # rows-only (non-SQL-expressible)
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
@@ -1407,6 +1448,20 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER w AS rn
             FROM t
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "event_overlaps": """
+            WITH iv AS (
+                SELECT event_id, user_id, event_type, ts AS start,
+                       ts + to_seconds(CAST(floor(value * 240) AS BIGINT))
+                           AS stop
+                FROM events
+                WHERE event_type IN ('click', 'purchase'))
+            SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+                   c.user_id AS user_id
+            FROM iv c JOIN iv p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND c.start <= p.stop AND p.start <= c.stop
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

@@ -369,3 +369,64 @@ def test_ordered_window_int_cumsum_stays_int():
     assert got["cs"].dtype == np.int64
     got = got.sort_values("eid").reset_index(drop=True)
     assert got["cs"].tolist() == [5, 2, 7, 14]
+
+
+def _brute_overlaps(ldf, rdf, key=None):
+    m = ldf.merge(rdf, how="cross", suffixes=("", "_r"))
+    keep = (m["s"] <= m["e_r"]) & (m["s_r"] <= m["e"])
+    if key is not None:
+        keep &= m[key] == m[f"{key}_r"]
+    return m[keep].reset_index(drop=True)
+
+
+def test_interval_join_matches_bruteforce():
+    from belb_ray.stages.rangejoin import interval_join
+
+    rng = np.random.default_rng(7)
+    nl, nr = 300, 250
+    ldf = pd.DataFrame({
+        "lid": np.arange(nl),
+        "k": rng.integers(0, 6, nl),
+        "s": rng.integers(0, 5000, nl).astype(np.int64),
+    })
+    ldf["e"] = ldf["s"] + rng.integers(0, 400, nl)
+    rdf = pd.DataFrame({
+        "rid": np.arange(nr),
+        "k": rng.integers(0, 6, nr),
+        "s": rng.integers(0, 5000, nr).astype(np.int64),
+    })
+    rdf["e"] = rdf["s"] + rng.integers(0, 400, nr)
+
+    for key in (None, "k"):
+        want = _brute_overlaps(ldf, rdf, key)
+        wset = set(zip(want["lid"], want["rid"]))
+        for bw in (256, 1000, 10_000):  # bins smaller / similar / larger
+            got = interval_join(
+                rd.from_pandas(ldf).repartition(5),
+                rd.from_pandas(rdf).repartition(3),
+                "s", "e", "s", "e", key=key, bin_width=bw,
+                num_buckets=9).to_pandas()
+            gset = set(zip(got["lid"], got["rid"]))
+            assert len(got) == len(gset), "duplicate pairs emitted"
+            assert gset == wset, (key, bw, len(gset), len(wset))
+
+
+def test_interval_join_timestamps_and_suffix():
+    from belb_ray.stages.rangejoin import interval_join
+
+    base = pd.Timestamp("2024-01-01")
+    ldf = pd.DataFrame({
+        "eid": [1, 2],
+        "start": [base, base + pd.Timedelta(minutes=90)],
+    })
+    ldf["stop"] = ldf["start"] + pd.Timedelta(minutes=30)
+    rdf = pd.DataFrame({
+        "eid": [10, 20, 30],
+        "start": [base + pd.Timedelta(minutes=t) for t in (15, 50, 100)],
+    })
+    rdf["stop"] = rdf["start"] + pd.Timedelta(minutes=10)
+    got = interval_join(rd.from_pandas(ldf), rd.from_pandas(rdf),
+                        "start", "stop", "start", "stop").to_pandas()
+    pairs = sorted(zip(got["eid"], got["eid_r"]))
+    assert pairs == [(1, 10), (2, 30)]
+    assert got["eid"].dtype == np.int64 and got["eid_r"].dtype == np.int64
