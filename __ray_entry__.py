@@ -821,6 +821,62 @@ def q_user_event_windows(sf_dir: str) -> rd.Dataset:
          "cum_cents", "rn"])
 
 
+def q_user_event_rolling(sf_dir: str) -> rd.Dataset:
+    """Per-user rolling 5-row frames (SQL ROWS BETWEEN 4 PRECEDING AND
+    CURRENT ROW): exact int64 rolling sum via clamped cumsum differences,
+    rolling min/max via pandas' O(n) monotonic-deque kernels — all in
+    the same single co-location shuffle as the other window kinds."""
+    import pandas as pd
+
+    from belb_ray.stages.analytic import ordered_window
+
+    events = _t(sf_dir, "events").select_columns(
+        ["event_id", "ts", "user_id", "value"])
+
+    def _cents(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        batch["cents"] = np.round(
+            batch["value"].to_numpy() * 100.0).astype(np.int64)
+        return batch.drop(columns=["value"])
+
+    out = ordered_window(
+        events.map_batches(_cents, batch_format="pandas"),
+        key="user_id", order_cols=["ts", "event_id"],
+        specs=[("rollsum", "cents", "roll_sum", 5),
+               ("rollmin", "cents", "roll_min", 5),
+               ("rollmax", "cents", "roll_max", 5)])
+    return out.select_columns(
+        ["event_id", "user_id", "roll_sum", "roll_min", "roll_max"])
+
+
+def q_event_value_quantiles(sf_dir: str) -> rd.Dataset:
+    """Exact per-event-type discrete quantiles of value cents
+    (stages/analytic.grouped_quantiles): per-block (key, value)→count
+    combiner BEFORE the shuffle (exchange moves histograms, not rows),
+    then all-keys-at-once vectorized rank selection over cumulative
+    counts. quantile_disc picks an existing element — no float
+    arithmetic — so the hash matches SQL bit-for-bit."""
+    import pandas as pd
+
+    from belb_ray.stages.analytic import grouped_quantiles
+
+    events = _t(sf_dir, "events").select_columns(["event_type", "value"])
+
+    def _cents(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        batch["cents"] = np.round(
+            batch["value"].to_numpy() * 100.0).astype(np.int64)
+        return batch.drop(columns=["value"])
+
+    return grouped_quantiles(
+        events.map_batches(_cents, batch_format="pandas"),
+        key="event_type", value_col="cents",
+        specs=[(0.25, "p25"), (0.5, "p50"), (0.75, "p75"),
+               (0.95, "p95")])
+
+
 def q_event_overlaps(sf_dir: str) -> rd.Dataset:
     """Per-user interval-overlap join (stages/rangejoin.py): click
     intervals [ts, ts + floor(value·240) s] × purchase intervals, joined
@@ -921,6 +977,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "user_event_windows": q_user_event_windows,
         "event_overlaps": q_event_overlaps,
+        "user_event_rolling": q_user_event_rolling,
+        "event_value_quantiles": q_event_value_quantiles,
         # rows-only (non-SQL-expressible)
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
@@ -1448,6 +1506,31 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER w AS rn
             FROM t
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "user_event_rolling": """
+            WITH t AS (
+                SELECT event_id, ts, user_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events)
+            SELECT event_id, user_id,
+                   CAST(sum(cents) OVER w AS BIGINT) AS roll_sum,
+                   min(cents) OVER w AS roll_min,
+                   max(cents) OVER w AS roll_max
+            FROM t
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "event_value_quantiles": """
+            WITH t AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events)
+            SELECT event_type,
+                   quantile_disc(cents, 0.25) AS p25,
+                   quantile_disc(cents, 0.50) AS p50,
+                   quantile_disc(cents, 0.75) AS p75,
+                   quantile_disc(cents, 0.95) AS p95
+            FROM t GROUP BY event_type
         """,
         "event_overlaps": """
             WITH iv AS (

@@ -24,9 +24,11 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-# (kind, value_col, out_col); kind: lag | lead | cumsum | row_number
-# value_col is ignored for row_number.
-WindowSpec = tuple[str, str, str]
+# (kind, value_col, out_col) or (kind, value_col, out_col, window_rows);
+# kind: lag | lead | cumsum | row_number | rollsum | rollmin | rollmax.
+# value_col is ignored for row_number; window_rows (the N of SQL
+# ``ROWS BETWEEN N-1 PRECEDING AND CURRENT ROW``) is required for roll*.
+WindowSpec = tuple
 
 
 def ordered_window(
@@ -43,9 +45,12 @@ def ordered_window(
     running inclusive sum (``ROWS UNBOUNDED PRECEDING``); row_number is
     1-based.
     """
-    for kind, _, _ in specs:
-        if kind not in ("lag", "lead", "cumsum", "row_number"):
-            raise ValueError(f"unknown window kind: {kind}")
+    for spec in specs:
+        if spec[0] not in ("lag", "lead", "cumsum", "row_number",
+                           "rollsum", "rollmin", "rollmax"):
+            raise ValueError(f"unknown window kind: {spec[0]}")
+        if spec[0].startswith("roll") and (len(spec) < 4 or spec[3] < 1):
+            raise ValueError(f"{spec[0]} needs a window_rows >= 1")
 
     def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_array(batch[key].to_numpy(), categorize=False)
@@ -60,7 +65,10 @@ def ordered_window(
         # True at the first row of each key-partition
         new_key = np.r_[True, ks[1:] != ks[:-1]]
         pid = np.cumsum(new_key) - 1  # partition index per row
-        for kind, vcol, out in specs:
+        idx = np.arange(len(g), dtype=np.int64)
+        part_start = idx[new_key][pid]  # index of each row's partition head
+        for spec in specs:
+            kind, vcol, out = spec[0], spec[1], spec[2]
             if kind == "lag":
                 v = g[vcol].to_numpy()
                 shifted = np.empty_like(v, dtype=np.float64)
@@ -85,12 +93,96 @@ def ordered_window(
                 # subtract the running total up to each partition's start
                 # (indexed by pid — sign-safe, unlike a max-accumulate)
                 g[out] = cs - (cs - v)[new_key][pid]
+            elif kind == "rollsum":
+                # SQL ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW, clamped
+                # at partition heads; exact for int64 (use integer units
+                # for SQL hash parity — float subtraction reassociates)
+                w = int(spec[3])
+                v = g[vcol].to_numpy()
+                cs0 = np.concatenate((np.zeros(1, v.dtype), np.cumsum(v)))
+                j = np.maximum(part_start, idx - w + 1)
+                g[out] = cs0[idx + 1] - cs0[j]
+            elif kind in ("rollmin", "rollmax"):
+                # pandas grouped rolling: O(n) monotonic-deque Cython
+                # kernel per partition, order-preserving under sort=False
+                w = int(spec[3])
+                r = g.groupby(pid, sort=False)[vcol].rolling(
+                    window=w, min_periods=1)
+                vals = (r.min() if kind == "rollmin" else r.max()
+                        ).reset_index(drop=True)
+                g[out] = vals.to_numpy().astype(g[vcol].dtype)
             else:  # row_number
-                idx = np.arange(len(g), dtype=np.int64)
-                g[out] = idx - idx[new_key][pid] + 1
+                g[out] = idx - part_start + 1
         return g
 
     bucketed = events.map_batches(_bucketize, batch_format="pandas",
                                   batch_size=1 << 17)
     return bucketed.groupby("__bucket").map_groups(_windows,
                                                    batch_format="pandas")
+
+
+def grouped_quantiles(
+    ds: rd.Dataset,
+    key: str,
+    value_col: str,
+    specs: list[tuple[float, str]],
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Exact per-key discrete quantiles (SQL ``quantile_disc`` /
+    ``percentile_disc``: the element at 0-based index
+    ``max(ceil(q·n) - 1, 0)`` of the key's sorted values) → one row per
+    key with one column per ``(q, out_col)`` spec.
+
+    Scale shape: a per-block ``(key, value) → count`` combiner runs
+    BEFORE the shuffle, so the exchange moves distinct pairs, not rows —
+    a hot key with a billion rows but bounded value cardinality ships
+    only its histogram. Selection is then a rank lookup over cumulative
+    counts, vectorized across ALL keys of a bucket at once with the same
+    merge-rank trick as the interval join (no per-key dispatch). Nulls
+    in ``value_col`` are ignored (SQL aggregate semantics). The
+    partitioning assumption is one key's *histogram* fits a worker —
+    far weaker than fitting its rows."""
+    import math
+
+    from .rangejoin import _group_upper_bound
+
+    def _combine(batch: pd.DataFrame) -> pd.DataFrame:
+        c = (batch[[key, value_col]].dropna(subset=[value_col])
+             .groupby([key, value_col], sort=False, observed=True)
+             .size().reset_index(name="__cnt"))
+        h = pd.util.hash_array(c[key].to_numpy(), categorize=False)
+        c["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return c
+
+    def _select(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.drop(columns="__bucket")
+                  .groupby([key, value_col], sort=False, observed=True)
+                  ["__cnt"].sum().reset_index()
+                  .sort_values([key, value_col], kind="stable")
+                  .reset_index(drop=True))
+        ks = g[key].to_numpy()
+        new_key = np.r_[True, ks[1:] != ks[:-1]]
+        gid = np.cumsum(new_key) - 1
+        cnt = g["__cnt"].to_numpy()
+        cum = np.cumsum(cnt)
+        # per-key cumulative count (reset at key boundaries)
+        cum_in = cum - (cum - cnt)[new_key][gid]
+        n_per_key = cum_in[np.r_[new_key[1:], True]]
+        uk = g[key].to_numpy()[new_key]
+        vals = g[value_col].to_numpy()
+        out = {key: uk}
+        kid = np.arange(len(uk), dtype=np.int64)
+        for q, name in specs:
+            # target rank (1-based) of the q-quantile element per key
+            tgt = np.maximum(
+                np.ceil(q * n_per_key - 1e-9).astype(np.int64), 1)
+            # first histogram position with cum_in >= tgt, across all
+            # keys at once: count entries with cum_in <= tgt-1
+            pos = _group_upper_bound(gid, cum_in, kid, tgt - 1)
+            out[name] = vals[pos]
+        return pd.DataFrame(out)
+
+    partial = ds.map_batches(_combine, batch_format="pandas",
+                             batch_size=1 << 17)
+    return partial.groupby("__bucket").map_groups(_select,
+                                                  batch_format="pandas")

@@ -52,6 +52,17 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "lsh_ann_topk",
         "ivf_ann_topk",
         "span_merge",
+        "asof_snapshot",
+        "top_orders_per_customer",
+        "bm25_search",
+        "semantic_dedup",
+        "hll_distinct_users",
+        "heavy_hitter_tokens",
+        "tfidf_top_terms",
+        "user_event_windows",
+        "user_event_rolling",
+        "event_overlaps",
+        "event_value_quantiles",
     ]
     timings: dict[str, float] = {}
     for name in bench_set:

@@ -430,3 +430,58 @@ def test_interval_join_timestamps_and_suffix():
     pairs = sorted(zip(got["eid"], got["eid_r"]))
     assert pairs == [(1, 10), (2, 30)]
     assert got["eid"].dtype == np.int64 and got["eid_r"].dtype == np.int64
+
+
+def test_ordered_window_rolling_matches_pandas():
+    from belb_ray.stages.analytic import ordered_window
+
+    rng = np.random.default_rng(31)
+    n = 500
+    df = pd.DataFrame({
+        "eid": np.arange(n),
+        "k": rng.integers(0, 9, n),
+        "c": rng.integers(-50, 50, n).astype(np.int64),
+    })
+    g = df.sort_values(["k", "eid"], kind="stable").reset_index(drop=True)
+    grp = g.groupby("k", sort=False)["c"]
+    expect = g.copy()
+    expect["rs"] = grp.rolling(4, min_periods=1).sum().reset_index(drop=True).to_numpy().astype(np.int64)
+    expect["rmin"] = grp.rolling(4, min_periods=1).min().reset_index(drop=True).to_numpy().astype(np.int64)
+    expect["rmax"] = grp.rolling(4, min_periods=1).max().reset_index(drop=True).to_numpy().astype(np.int64)
+    got = ordered_window(
+        rd.from_pandas(df).repartition(6), key="k", order_cols=["eid"],
+        specs=[("rollsum", "c", "rs", 4), ("rollmin", "c", "rmin", 4),
+               ("rollmax", "c", "rmax", 4)], num_buckets=5).to_pandas()
+    assert got["rs"].dtype == np.int64
+    pd.testing.assert_frame_equal(
+        _norm(got[expect.columns]), _norm(expect), check_dtype=False)
+
+
+def test_grouped_quantiles_matches_bruteforce():
+    import math
+
+    from belb_ray.stages.analytic import grouped_quantiles
+
+    rng = np.random.default_rng(41)
+    n = 2000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 7, n),
+        "v": rng.integers(0, 40, n).astype(np.int64),  # heavy repeats
+    })
+
+    def brute(q):
+        out = {}
+        for k, grp in df.groupby("k"):
+            s = np.sort(grp["v"].to_numpy())
+            out[k] = s[max(math.ceil(q * len(s)) - 1, 0)]
+        return out
+
+    got = grouped_quantiles(
+        rd.from_pandas(df).repartition(7), key="k", value_col="v",
+        specs=[(0.25, "p25"), (0.5, "p50"), (0.75, "p75"),
+               (0.0, "p0"), (1.0, "p100")],
+        num_buckets=5).to_pandas().sort_values("k").reset_index(drop=True)
+    for q, col in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"),
+                   (0.0, "p0"), (1.0, "p100")]:
+        want = brute(q)
+        assert got[col].tolist() == [want[k] for k in got["k"]], col
