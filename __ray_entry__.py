@@ -877,6 +877,61 @@ def q_event_value_quantiles(sf_dir: str) -> rd.Dataset:
                (0.95, "p95")])
 
 
+def q_event_daily_pivot(sf_dir: str) -> rd.Dataset:
+    """Daily × event-type pivot (stages/agg.pivot_agg): the pivot runs
+    INSIDE the per-block partial, so the shuffle moves one wide row per
+    (day, block) — never the events — and the combine is the standard
+    bucketed sum. Mirrors SQL count(*) FILTER (WHERE ...) GROUP BY."""
+    import pandas as pd
+
+    from belb_ray.stages.agg import pivot_agg
+
+    events = _t(sf_dir, "events").select_columns(["ts", "event_type"])
+
+    def _day(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["day"] = batch["ts"].dt.strftime("%Y-%m-%d")
+        return batch.drop(columns=["ts"])
+
+    return pivot_agg(
+        events.map_batches(_day, batch_format="pandas"),
+        row_key="day", col_key="event_type",
+        values=["click", "view", "purchase", "signup", "error"],
+        agg="count", prefix="n_")
+
+
+def q_customer_order_counts(sf_dir: str) -> rd.Dataset:
+    """Large×large LEFT OUTER hash join (stages/joins.py
+    hash_partition_join join_type='left outer': pyarrow per-bucket join
+    keeps customers with no orders as nulls), then a combiner count of
+    non-null order keys — customers with zero orders survive with 0."""
+    import pandas as pd
+
+    from belb_ray.stages.agg import preagg_groupby
+    from belb_ray.stages.joins import hash_partition_join
+
+    customer = _t(sf_dir, "customer").select_columns(["c_custkey"])
+    orders = _t(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey"])
+
+    def _ren(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.rename(columns={"o_custkey": "c_custkey"})
+
+    joined = hash_partition_join(
+        customer, orders.map_batches(_ren, batch_format="pandas"),
+        key="c_custkey", join_type="left outer")
+
+    def _ind(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        batch["__has"] = batch["o_orderkey"].notna().astype(np.int64)
+        return batch[["c_custkey", "__has"]]
+
+    out = preagg_groupby(
+        joined.map_batches(_ind, batch_format="pandas"),
+        keys=["c_custkey"], specs=[("sum", "__has", "n_orders")])
+    return out
+
+
 def q_event_overlaps(sf_dir: str) -> rd.Dataset:
     """Per-user interval-overlap join (stages/rangejoin.py): click
     intervals [ts, ts + floor(value·240) s] × purchase intervals, joined
@@ -979,6 +1034,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_overlaps": q_event_overlaps,
         "user_event_rolling": q_user_event_rolling,
         "event_value_quantiles": q_event_value_quantiles,
+        "event_daily_pivot": q_event_daily_pivot,
+        "customer_order_counts": q_customer_order_counts,
         # rows-only (non-SQL-expressible)
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
@@ -1531,6 +1588,20 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(cents, 0.75) AS p75,
                    quantile_disc(cents, 0.95) AS p95
             FROM t GROUP BY event_type
+        """,
+        "event_daily_pivot": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+                   count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'error')    AS n_error
+            FROM events GROUP BY day
+        """,
+        "customer_order_counts": """
+            SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
         """,
         "event_overlaps": """
             WITH iv AS (

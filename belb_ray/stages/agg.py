@@ -173,3 +173,50 @@ def grouped_topk(ds: rd.Dataset, keys: list[str], order_col: str, k: int,
                                    batch_size=1 << 18)
     return bucketed.groupby("__bucket").map_groups(_combine,
                                                    batch_format="pandas")
+
+
+def pivot_agg(
+    ds: rd.Dataset,
+    row_key: str,
+    col_key: str,
+    values: list,
+    value_col: str | None = None,
+    agg: str = "sum",
+    prefix: str = "",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Pivot ``col_key``'s (caller-enumerated) ``values`` into one wide
+    column each, aggregated per ``row_key`` — SQL
+    ``agg(x) FILTER (WHERE col_key = v) ... GROUP BY row_key``.
+
+    ``agg="count"`` counts rows (``value_col`` ignored); ``agg="sum"``
+    sums ``value_col``. The pivot happens INSIDE the per-block partial
+    (``pd.crosstab``-style groupby per batch), so the shuffle moves one
+    row per (row_key, block) at width ``len(values)`` — never the input
+    rows — and the combine is the standard bucketed sum. ``values`` must
+    be the full enumeration of interest: unlisted values are dropped
+    (pass them explicitly to keep the output schema deterministic, a
+    requirement for streaming blocks). Empty cells are 0 (SQL's FILTER
+    count) — use int64 units for sums that must hash-match SQL BIGINT.
+    """
+    if agg not in ("sum", "count"):
+        raise ValueError(f"pivot_agg supports sum|count, got {agg!r}")
+    out_cols = [f"{prefix}{v}" for v in values]
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch[batch[col_key].isin(values)]
+        if agg == "count":
+            wide = (sub.groupby([row_key, col_key], sort=False, observed=True)
+                    .size().unstack(col_key, fill_value=0))
+        else:
+            wide = (sub.groupby([row_key, col_key], sort=False, observed=True)
+                    [value_col].sum().unstack(col_key, fill_value=0))
+        wide = wide.reindex(columns=values, fill_value=0)
+        wide.columns = out_cols
+        return wide.reset_index()
+
+    partial = ds.map_batches(_partial, batch_format="pandas",
+                             batch_size=1 << 17)
+    return bucketed_combine(partial, [row_key],
+                            {c: "sum" for c in out_cols},
+                            num_buckets=num_buckets)

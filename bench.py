@@ -63,6 +63,8 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "user_event_rolling",
         "event_overlaps",
         "event_value_quantiles",
+        "event_daily_pivot",
+        "customer_order_counts",
     ]
     timings: dict[str, float] = {}
     for name in bench_set:

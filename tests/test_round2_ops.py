@@ -485,3 +485,32 @@ def test_grouped_quantiles_matches_bruteforce():
                    (0.0, "p0"), (1.0, "p100")]:
         want = brute(q)
         assert got[col].tolist() == [want[k] for k in got["k"]], col
+
+
+def test_pivot_agg_counts_and_sums():
+    from belb_ray.stages.agg import pivot_agg
+
+    rng = np.random.default_rng(5)
+    n = 1200
+    df = pd.DataFrame({
+        "day": rng.integers(0, 10, n),
+        "kind": rng.choice(["a", "b", "c"], n),
+        "amt": rng.integers(1, 100, n).astype(np.int64),
+    })
+    ds = rd.from_pandas(df).repartition(6)
+    got = (pivot_agg(ds, "day", "kind", ["a", "b", "c"], agg="count",
+                     prefix="n_").to_pandas()
+           .sort_values("day").reset_index(drop=True))
+    want = (df.groupby(["day", "kind"]).size().unstack(fill_value=0)
+            .reindex(columns=["a", "b", "c"], fill_value=0))
+    for k in ["a", "b", "c"]:
+        assert got[f"n_{k}"].tolist() == want[k].tolist()
+
+    got = (pivot_agg(ds, "day", "kind", ["a", "b"], value_col="amt",
+                     agg="sum", prefix="s_").to_pandas()
+           .sort_values("day").reset_index(drop=True))
+    want = (df[df["kind"].isin(["a", "b"])]
+            .groupby(["day", "kind"])["amt"].sum().unstack(fill_value=0))
+    for k in ["a", "b"]:
+        assert got[f"s_{k}"].tolist() == want[k].tolist()
+    assert got["s_a"].dtype == np.int64
