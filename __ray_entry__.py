@@ -877,6 +877,41 @@ def q_event_value_quantiles(sf_dir: str) -> rd.Dataset:
                (0.95, "p95")])
 
 
+def q_user_value_ranks(sf_dir: str) -> rd.Dataset:
+    """Ranking window functions per user ordered by spend
+    (stages/analytic.py rank/dense_rank/ntile/first_value/last_value):
+    same single co-location shuffle and whole-bucket vectorized kernels
+    as the other window kinds — tie runs found by one shifted compare,
+    rank via max-accumulate of run starts, ntile by the SQL
+    remainder-to-first-tiles rule. Mirrors RANK()/DENSE_RANK()/NTILE(4)/
+    first_value/last_value OVER (PARTITION BY user ORDER BY cents)."""
+    import pandas as pd
+
+    from belb_ray.stages.analytic import ordered_window
+
+    events = _t(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "value"])
+
+    def _cents(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        batch["cents"] = np.round(
+            batch["value"].to_numpy() * 100.0).astype(np.int64)
+        return batch.drop(columns=["value"])
+
+    out = ordered_window(
+        events.map_batches(_cents, batch_format="pandas"),
+        key="user_id", order_cols=["cents", "event_id"],
+        specs=[("rank", "cents", "rnk"),
+               ("dense_rank", "cents", "drnk"),
+               ("ntile", "", "quartile", 4),
+               ("first_value", "event_id", "cheapest_event"),
+               ("last_value", "event_id", "dearest_event")])
+    return out.select_columns(
+        ["event_id", "user_id", "rnk", "drnk", "quartile",
+         "cheapest_event", "dearest_event"])
+
+
 def q_event_daily_pivot(sf_dir: str) -> rd.Dataset:
     """Daily × event-type pivot (stages/agg.pivot_agg): the pivot runs
     INSIDE the per-block partial, so the shuffle moves one wide row per
@@ -1034,6 +1069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_overlaps": q_event_overlaps,
         "user_event_rolling": q_user_event_rolling,
         "event_value_quantiles": q_event_value_quantiles,
+        "user_value_ranks": q_user_value_ranks,
         "event_daily_pivot": q_event_daily_pivot,
         "customer_order_counts": q_customer_order_counts,
         # rows-only (non-SQL-expressible)
@@ -1588,6 +1624,25 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(cents, 0.75) AS p75,
                    quantile_disc(cents, 0.95) AS p95
             FROM t GROUP BY event_type
+        """,
+        "user_value_ranks": """
+            WITH t AS (
+                SELECT event_id, user_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events)
+            SELECT event_id, user_id,
+                   RANK() OVER w_ties AS rnk,
+                   DENSE_RANK() OVER w_ties AS drnk,
+                   NTILE(4) OVER w_total AS quartile,
+                   first_value(event_id) OVER w_total AS cheapest_event,
+                   last_value(event_id) OVER (
+                       PARTITION BY user_id ORDER BY cents, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS dearest_event
+            FROM t
+            WINDOW w_ties AS (PARTITION BY user_id ORDER BY cents),
+                   w_total AS (PARTITION BY user_id
+                               ORDER BY cents, event_id)
         """,
         "event_daily_pivot": """
             SELECT strftime(ts, '%Y-%m-%d') AS day,

@@ -24,10 +24,17 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-# (kind, value_col, out_col) or (kind, value_col, out_col, window_rows);
-# kind: lag | lead | cumsum | row_number | rollsum | rollmin | rollmax.
-# value_col is ignored for row_number; window_rows (the N of SQL
-# ``ROWS BETWEEN N-1 PRECEDING AND CURRENT ROW``) is required for roll*.
+# (kind, value_col, out_col) or (kind, value_col, out_col, param);
+# kind: lag | lead | cumsum | row_number | rollsum | rollmin | rollmax
+#       | rank | dense_rank | ntile | first_value | last_value.
+# value_col is ignored for row_number and ntile; param is window_rows
+# (the N of SQL ``ROWS BETWEEN N-1 PRECEDING AND CURRENT ROW``) for
+# roll* and the tile count for ntile. rank/dense_rank tie on equal
+# ``value_col`` runs — value_col must be a PREFIX of ``order_cols`` (SQL
+# ``RANK() OVER (... ORDER BY value_col)``; the remaining order_cols act
+# only as the deterministic tiebreak). first_value/last_value use the
+# full-partition frame (SQL ``ROWS BETWEEN UNBOUNDED PRECEDING AND
+# UNBOUNDED FOLLOWING``).
 WindowSpec = tuple
 
 
@@ -47,10 +54,13 @@ def ordered_window(
     """
     for spec in specs:
         if spec[0] not in ("lag", "lead", "cumsum", "row_number",
-                           "rollsum", "rollmin", "rollmax"):
+                           "rollsum", "rollmin", "rollmax", "rank",
+                           "dense_rank", "ntile", "first_value",
+                           "last_value"):
             raise ValueError(f"unknown window kind: {spec[0]}")
-        if spec[0].startswith("roll") and (len(spec) < 4 or spec[3] < 1):
-            raise ValueError(f"{spec[0]} needs a window_rows >= 1")
+        if (spec[0].startswith("roll") or spec[0] == "ntile") and (
+                len(spec) < 4 or spec[3] < 1):
+            raise ValueError(f"{spec[0]} needs a positive count param")
 
     def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_array(batch[key].to_numpy(), categorize=False)
@@ -102,6 +112,38 @@ def ordered_window(
                 cs0 = np.concatenate((np.zeros(1, v.dtype), np.cumsum(v)))
                 j = np.maximum(part_start, idx - w + 1)
                 g[out] = cs0[idx + 1] - cs0[j]
+            elif kind in ("rank", "dense_rank"):
+                # ties = runs of equal vcol within a key (vcol is an
+                # order_cols prefix, so runs are contiguous after sort)
+                v = g[vcol].to_numpy()
+                new_tie = new_key | np.r_[True, v[1:] != v[:-1]]
+                if kind == "rank":
+                    # start index of each tie run, per row
+                    tie_start = np.maximum.accumulate(
+                        np.where(new_tie, idx, 0))
+                    g[out] = tie_start - part_start + 1
+                else:
+                    t = np.cumsum(new_tie)
+                    g[out] = t - t[new_key][pid] + 1
+            elif kind == "ntile":
+                # SQL NTILE(n): first (len % n) tiles get ceil(len/n)
+                # rows, the rest floor(len/n)
+                n = int(spec[3])
+                last = np.r_[new_key[1:], True]
+                part_len = idx[last][pid] - part_start + 1
+                rn0 = idx - part_start
+                qa, ra = part_len // n, part_len % n
+                cut = ra * (qa + 1)
+                g[out] = np.where(
+                    rn0 < cut, rn0 // (qa + 1) + 1,
+                    ra + (rn0 - cut) // np.maximum(qa, 1) + 1)
+            elif kind in ("first_value", "last_value"):
+                v = g[vcol].to_numpy()
+                if kind == "first_value":
+                    g[out] = v[part_start]
+                else:
+                    last = np.r_[new_key[1:], True]
+                    g[out] = v[idx[last][pid]]
             elif kind in ("rollmin", "rollmax"):
                 # pandas grouped rolling: O(n) monotonic-deque Cython
                 # kernel per partition, order-preserving under sort=False

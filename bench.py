@@ -63,6 +63,7 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "user_event_rolling",
         "event_overlaps",
         "event_value_quantiles",
+        "user_value_ranks",
         "event_daily_pivot",
         "customer_order_counts",
     ]

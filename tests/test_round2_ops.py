@@ -514,3 +514,47 @@ def test_pivot_agg_counts_and_sums():
     for k in ["a", "b"]:
         assert got[f"s_{k}"].tolist() == want[k].tolist()
     assert got["s_a"].dtype == np.int64
+
+
+def test_ordered_window_rank_ntile_firstlast():
+    from belb_ray.stages.analytic import ordered_window
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n),
+        "v": rng.integers(0, 15, n).astype(np.int64),  # many ties
+        "id": np.arange(n, dtype=np.int64),
+    })
+    ds = rd.from_pandas(df).repartition(7)
+    got = (ordered_window(ds, "k", ["v", "id"],
+                          [("rank", "v", "rnk"),
+                           ("dense_rank", "v", "drnk"),
+                           ("ntile", "", "t3", 3),
+                           ("first_value", "id", "fv"),
+                           ("last_value", "id", "lv")])
+           .to_pandas().sort_values("id").reset_index(drop=True))
+
+    want = df.sort_values(["k", "v", "id"]).copy()
+    grp = want.groupby("k", sort=False)
+    want["rnk"] = grp["v"].rank(method="min").astype(np.int64)
+    want["drnk"] = grp["v"].rank(method="dense").astype(np.int64)
+    want["fv"] = grp["id"].transform("first")
+    want["lv"] = grp["id"].transform("last")
+
+    def _ntile(g, ntiles):
+        ln = len(g)
+        q, r = divmod(ln, ntiles)
+        out = np.empty(ln, dtype=np.int64)
+        pos = 0
+        for tile in range(1, ntiles + 1):
+            size = q + (1 if tile <= r else 0)
+            out[pos:pos + size] = tile
+            pos += size
+        return pd.Series(out, index=g.index)
+
+    want["t3"] = grp["id"].apply(lambda g: _ntile(g, 3)).reset_index(
+        level=0, drop=True)
+    want = want.sort_values("id").reset_index(drop=True)
+    for c in ["rnk", "drnk", "t3", "fv", "lv"]:
+        assert got[c].tolist() == want[c].tolist(), c
