@@ -1007,6 +1007,77 @@ def q_event_overlaps(sf_dir: str) -> rd.Dataset:
     return out.select_columns(["click_id", "purchase_id", "user_id"])
 
 
+def q_hourly_distinct_users(sf_dir: str) -> rd.Dataset:
+    """Exact COUNT(DISTINCT user) per (hour, event_type): tumbling-window
+    key assignment + stages/agg.count_distinct — batch-local dedup of
+    (window, type, user) means the shuffle moves distinct triples per
+    block, never events; one bucketed shuffle keyed on (window, type)
+    finishes the exact nunique (vs hll_distinct_users' sketch path)."""
+    import pandas as pd
+
+    from belb_ray.stages.agg import count_distinct
+
+    events = _t(sf_dir, "events").select_columns(
+        ["ts", "event_type", "user_id"])
+
+    def _win(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["window_start"] = batch["ts"].dt.floor("h").dt.strftime(
+            "%Y-%m-%d %H:%M:%S")
+        return batch[["window_start", "event_type", "user_id"]]
+
+    windowed = events.map_batches(_win, batch_format="pandas",
+                                  batch_size=65536)
+    return count_distinct(windowed, ["window_start", "event_type"],
+                          "user_id", "n_users")
+
+
+def q_parts_never_ordered(sf_dir: str) -> rd.Dataset:
+    """SQL EXCEPT set-op (stages/setops.py): distinct part keys absent
+    from the high-quantity lineitems — the reference's notinkb anti-join
+    (belb/kbs/query.py) as pure set algebra over two large sides (no
+    broadcast, one co-location shuffle of locally-deduped keys)."""
+    from belb_ray.stages.setops import set_except
+
+    part = _t(sf_dir, "part").select_columns(["p_partkey"])
+    li = (_t(sf_dir, "lineitem")
+          .select_columns(["l_partkey", "l_quantity"])
+          .filter(expr="l_quantity >= 48.0")
+          .select_columns(["l_partkey"]))
+    out = set_except(part, li, ["p_partkey"], b_cols=["l_partkey"])
+
+    def _ren(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.rename(columns={"p_partkey": "partkey"})
+
+    return out.map_batches(_ren, batch_format="pandas")
+
+
+def q_supplier_customer_nations(sf_dir: str) -> rd.Dataset:
+    """SQL INTERSECT set-op: nation keys present on BOTH the supplier and
+    customer sides (stages/setops.set_intersect, same single-shuffle
+    distinct-key engine as EXCEPT)."""
+    from belb_ray.stages.setops import set_intersect
+
+    sup = _t(sf_dir, "supplier").select_columns(["s_nationkey"])
+    cust = _t(sf_dir, "customer").select_columns(["c_nationkey"])
+    out = set_intersect(sup, cust, ["s_nationkey"],
+                        b_cols=["c_nationkey"])
+
+    def _ren(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.rename(columns={"s_nationkey": "nationkey"})
+
+    return out.map_batches(_ren, batch_format="pandas")
+
+
+def q_user_modal_event_type(sf_dir: str) -> rd.Dataset:
+    """Per-user modal event type (stages/agg.mode_agg): deterministic
+    mode with smallest-value tie-break; combiner ships per-block distinct
+    (user, type) counts, one bucketed shuffle, vectorized arg-max."""
+    from belb_ray.stages.agg import mode_agg
+
+    events = _t(sf_dir, "events").select_columns(["user_id", "event_type"])
+    return mode_agg(events, ["user_id"], "event_type", "modal_type")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -1072,6 +1143,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_ranks": q_user_value_ranks,
         "event_daily_pivot": q_event_daily_pivot,
         "customer_order_counts": q_customer_order_counts,
+        "hourly_distinct_users": q_hourly_distinct_users,
+        "parts_never_ordered": q_parts_never_ordered,
+        "supplier_customer_nations": q_supplier_customer_nations,
+        "user_modal_event_type": q_user_modal_event_type,
         # rows-only (non-SQL-expressible)
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
@@ -1657,6 +1732,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
             FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
             GROUP BY c.c_custkey
+        """,
+        "hourly_distinct_users": """
+            SELECT strftime(date_trunc('hour', ts),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        "parts_never_ordered": """
+            SELECT p_partkey AS partkey FROM part
+            EXCEPT
+            SELECT l_partkey AS partkey FROM lineitem
+            WHERE l_quantity >= 48.0
+        """,
+        "supplier_customer_nations": """
+            SELECT s_nationkey AS nationkey FROM supplier
+            INTERSECT
+            SELECT c_nationkey AS nationkey FROM customer
+        """,
+        "user_modal_event_type": """
+            SELECT user_id, event_type AS modal_type FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY count(*) DESC, event_type) AS rn
+                FROM events GROUP BY user_id, event_type)
+            WHERE rn = 1
         """,
         "event_overlaps": """
             WITH iv AS (

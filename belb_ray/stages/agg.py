@@ -220,3 +220,43 @@ def pivot_agg(
     return bucketed_combine(partial, [row_key],
                             {c: "sum" for c in out_cols},
                             num_buckets=num_buckets)
+
+
+def mode_agg(ds: rd.Dataset, keys: list[str], value_col: str,
+             out_col: str, num_buckets: int = 64) -> rd.Dataset:
+    """Per-key mode (most frequent ``value_col``), ties broken by the
+    smallest value — the deterministic arg-max SQL shape
+    ``row_number() OVER (PARTITION BY keys ORDER BY count DESC, value)``.
+
+    Combiner shape: each block emits one (keys, value, partial_count) row
+    per distinct (keys, value) it saw, the bucketed combine (bucket by
+    KEYS so every candidate value of a key co-locates) sums counts and
+    picks the winner vectorized — sort by (count desc, value asc) then
+    ``groupby(keys).head(1)``. The shuffle moves per-block distinct
+    (key, value) pairs, never input rows; worst case equals the distinct
+    pair count, the same bound a SQL GROUP BY key,value would pay."""
+    cols = keys + [value_col]
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = (batch.groupby(cols, sort=False, observed=True)
+               .size().rename("__n").reset_index())
+        return out
+
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__bucket"] = _bucket_of_frame(batch, keys, num_buckets)
+        return batch
+
+    def _pick(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby(cols, sort=False, observed=True)["__n"]
+             .sum().reset_index())
+        g = g.sort_values(["__n", value_col], ascending=[False, True],
+                          kind="mergesort")
+        win = g.groupby(keys, sort=False).head(1)
+        return win[cols].rename(columns={value_col: out_col})
+
+    partial = ds.map_batches(_partial, batch_format="pandas",
+                             batch_size=1 << 17)
+    bucketed = partial.map_batches(_bucketize, batch_format="pandas",
+                                   batch_size=1 << 18)
+    return bucketed.groupby("__bucket").map_groups(_pick,
+                                                   batch_format="pandas")

@@ -1,0 +1,77 @@
+"""Distributed SQL set operations (EXCEPT / INTERSECT, distinct
+semantics) over arbitrary key tuples.
+
+Reference analog: the notinkb subset and cross-KB membership checks
+(/root/reference/belb/kbs/query.py anti-join shapes) expressed as set
+algebra. Shape at 100 TB: each side is projected to the key columns and
+locally deduplicated inside ``map_batches`` (so the shuffle moves at most
+one row per distinct key per block, never the input rows), the two sides
+union into ONE dataset tagged by side, and a single hash-bucket shuffle
+co-locates equal keys; the per-bucket combine is a vectorized pandas
+merge — no driver-side collect, no broadcast, works for two large sides.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data as rd
+
+from .agg import _bucket_of_frame
+
+_SIDE = "__setop_side"
+_BUCKET = "__bucket"
+
+
+def _tagged_distinct(ds: rd.Dataset, cols: list[str], side: int,
+                     rename: dict[str, str] | None) -> rd.Dataset:
+    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[cols].drop_duplicates()
+        if rename:
+            out = out.rename(columns=rename)
+        out[_SIDE] = side
+        return out
+
+    return ds.map_batches(_fn, batch_format="pandas", batch_size=65536)
+
+
+def _set_op(a: rd.Dataset, b: rd.Dataset, cols: list[str],
+            keep: str, b_cols: list[str] | None,
+            num_buckets: int) -> rd.Dataset:
+    """Shared EXCEPT/INTERSECT engine. ``keep`` is the pandas merge
+    indicator value to retain ('left_only' → EXCEPT, 'both' → INTERSECT).
+    """
+    rename = dict(zip(b_cols, cols)) if b_cols else None
+    both = _tagged_distinct(a, cols, 0, None).union(
+        _tagged_distinct(b, b_cols or cols, 1, rename))
+
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch[_BUCKET] = _bucket_of_frame(batch, cols, num_buckets)
+        return batch
+
+    def _combine(group: pd.DataFrame) -> pd.DataFrame:
+        da = group.loc[group[_SIDE] == 0, cols].drop_duplicates()
+        db = group.loc[group[_SIDE] == 1, cols].drop_duplicates()
+        merged = da.merge(db, on=cols, how="left", indicator=True)
+        return merged.loc[merged["_merge"] == keep, cols]
+
+    bucketed = both.map_batches(_bucketize, batch_format="pandas",
+                                batch_size=1 << 18)
+    return bucketed.groupby(_BUCKET).map_groups(_combine,
+                                                batch_format="pandas")
+
+
+def set_except(a: rd.Dataset, b: rd.Dataset, cols: list[str],
+               b_cols: list[str] | None = None,
+               num_buckets: int = 64) -> rd.Dataset:
+    """``SELECT DISTINCT cols FROM a EXCEPT SELECT DISTINCT b_cols FROM
+    b`` — distinct keys of ``a`` absent from ``b``. ``b_cols`` maps b's
+    column names positionally onto ``cols`` (SQL set ops match by
+    position, not name)."""
+    return _set_op(a, b, cols, "left_only", b_cols, num_buckets)
+
+
+def set_intersect(a: rd.Dataset, b: rd.Dataset, cols: list[str],
+                  b_cols: list[str] | None = None,
+                  num_buckets: int = 64) -> rd.Dataset:
+    """``SELECT DISTINCT cols FROM a INTERSECT SELECT ... FROM b``."""
+    return _set_op(a, b, cols, "both", b_cols, num_buckets)

@@ -66,6 +66,9 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "user_value_ranks",
         "event_daily_pivot",
         "customer_order_counts",
+        "hourly_distinct_users",
+        "parts_never_ordered",
+        "user_modal_event_type",
     ]
     timings: dict[str, float] = {}
     for name in bench_set:

@@ -558,3 +558,53 @@ def test_ordered_window_rank_ntile_firstlast():
     want = want.sort_values("id").reset_index(drop=True)
     for c in ["rnk", "drnk", "t3", "fv", "lv"]:
         assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_set_ops_match_pandas():
+    from belb_ray.stages.setops import set_except, set_intersect
+
+    rng = np.random.default_rng(11)
+    a = pd.DataFrame({"k": rng.integers(0, 60, 300),
+                      "g": rng.integers(0, 3, 300)})
+    b = pd.DataFrame({"kk": rng.integers(30, 90, 250),
+                      "gg": rng.integers(0, 3, 250)})
+    da = rd.from_pandas(a).repartition(5)
+    db = rd.from_pandas(b).repartition(4)
+
+    got_ex = set_except(da, db, ["k", "g"], b_cols=["kk", "gg"],
+                        num_buckets=7).to_pandas()
+    got_in = set_intersect(da, db, ["k", "g"], b_cols=["kk", "gg"],
+                           num_buckets=7).to_pandas()
+
+    sa = set(map(tuple, a.drop_duplicates().itertuples(index=False)))
+    sb = set(map(tuple, b.drop_duplicates().itertuples(index=False)))
+    assert set(map(tuple, got_ex.itertuples(index=False))) == sa - sb
+    assert set(map(tuple, got_in.itertuples(index=False))) == sa & sb
+    # distinct semantics: no duplicate output rows
+    assert not got_ex.duplicated().any() and not got_in.duplicated().any()
+
+
+def test_mode_agg_deterministic_ties():
+    from belb_ray.stages.agg import mode_agg
+
+    # key 1: 'b' wins outright; key 2: tie between 'a' and 'c' -> 'a'
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 2, 2, 3],
+        "v": ["a", "b", "b", "c", "a", "c", "a", "z"],
+    })
+    got = (mode_agg(rd.from_pandas(df).repartition(4), ["k"], "v",
+                    "modal", num_buckets=3)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got["modal"].tolist() == ["b", "a", "z"]
+
+    # fuzz vs pandas mode with the same tie-break
+    rng = np.random.default_rng(5)
+    big = pd.DataFrame({"k": rng.integers(0, 40, 2000),
+                        "v": rng.choice(list("abcdef"), 2000)})
+    got = (mode_agg(rd.from_pandas(big).repartition(6), ["k"], "v", "m")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = (big.groupby(["k", "v"]).size().rename("n").reset_index()
+           .sort_values(["n", "v"], ascending=[False, True], kind="mergesort")
+           .groupby("k").head(1).sort_values("k").reset_index(drop=True))
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["m"].tolist() == exp["v"].tolist()
