@@ -1078,6 +1078,59 @@ def q_user_modal_event_type(sf_dir: str) -> rd.Dataset:
     return mode_agg(events, ["user_id"], "event_type", "modal_type")
 
 
+def q_user_value_stats(sf_dir: str) -> rd.Dataset:
+    """Per-user count/mean/var/std of event value via raw-moment shipping
+    (stages/agg.moment_stats): blocks emit (n, Σx, Σx²) per key — fixed
+    width, never rows — one bucketed sum-combine, closed-form finish.
+    Compared to the oracle at 4dp (naive vs Welford fp differences sit
+    far below that)."""
+    from belb_ray.stages.agg import moment_stats
+
+    events = _t(sf_dir, "events").select_columns(["user_id", "value"])
+    out = moment_stats(events, ["user_id"], "value")
+    return _round_cols(out, {"mean": 4, "var": 4, "std": 4})
+
+
+def q_lineitem_corr(sf_dir: str) -> rd.Dataset:
+    """Per-returnflag Pearson corr(extendedprice, discount)
+    (stages/agg.grouped_corr): blocks ship six raw moments per key, one
+    bucketed combine, closed-form finish; 4dp oracle compare."""
+    from belb_ray.stages.agg import grouped_corr
+
+    li = _t(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_extendedprice", "l_discount"])
+    out = grouped_corr(li, ["l_returnflag"], "l_extendedprice",
+                       "l_discount", out_col="price_discount_corr")
+    return _round_cols(out, {"price_discount_corr": 4})
+
+
+def q_event_rollup(sf_dir: str) -> rd.Dataset:
+    """GROUP BY ROLLUP(event_type, day) totals (stages/agg.rollup_agg):
+    input aggregated once at the finest level, every coarser level —
+    through the grand total — re-aggregates that small RESULT; rolled-up
+    keys carry 'ALL' (SQL mirror: COALESCE after ROLLUP). Cents int64
+    keeps sums exact for the BIGINT hash compare."""
+    import numpy as np
+
+    from belb_ray.stages.agg import rollup_agg
+
+    def _prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": batch["event_type"],
+            "day": batch["ts"].dt.strftime("%Y-%m-%d"),
+            "cents": np.round(batch["value"].to_numpy() * 100.0)
+            .astype(np.int64),
+        })
+
+    ev = _t(sf_dir, "events").select_columns(
+        ["event_type", "ts", "value"]).map_batches(
+        _prep, batch_format="pandas", batch_size=65536)
+    return rollup_agg(ev, ["event_type", "day"], [
+        ("count", "", "n_events"),
+        ("sum", "cents", "sum_cents"),
+    ])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -1147,6 +1200,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_never_ordered": q_parts_never_ordered,
         "supplier_customer_nations": q_supplier_customer_nations,
         "user_modal_event_type": q_user_modal_event_type,
+        "user_value_stats": q_user_value_stats,
+        "lineitem_corr": q_lineitem_corr,
+        "event_rollup": q_event_rollup,
         # rows-only (non-SQL-expressible)
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
@@ -1759,6 +1815,29 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY count(*) DESC, event_type) AS rn
                 FROM events GROUP BY user_id, event_type)
             WHERE rn = 1
+        """,
+        "user_value_stats": """
+            SELECT user_id, count(*) AS n,
+                   round(avg(value), 4) AS mean,
+                   round(var_samp(value), 4) AS var,
+                   round(stddev_samp(value), 4) AS std
+            FROM events GROUP BY user_id
+        """,
+        "lineitem_corr": """
+            SELECT l_returnflag,
+                   round(corr(l_extendedprice, l_discount), 4)
+                       AS price_discount_corr
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "event_rollup": """
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   COALESCE(day, 'ALL') AS day,
+                   count(*) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+            GROUP BY ROLLUP(event_type, day)
         """,
         "event_overlaps": """
             WITH iv AS (

@@ -260,3 +260,131 @@ def mode_agg(ds: rd.Dataset, keys: list[str], value_col: str,
                                    batch_size=1 << 18)
     return bucketed.groupby("__bucket").map_groups(_pick,
                                                    batch_format="pandas")
+
+
+def moment_stats(ds: rd.Dataset, keys: list[str], value_col: str,
+                 prefix: str = "", ddof: int = 1,
+                 num_buckets: int = 64) -> rd.Dataset:
+    """Per-key count / mean / sample-variance / sample-stddev by shipping
+    raw moments: each block emits (n, Σx, Σx²) per key — three doubles,
+    never rows — one bucketed sum-combine, then the closed-form finish
+    ``var = (Σx² − (Σx)²/n) / (n − ddof)``. The textbook distributed
+    moments shape; at 100 TB the shuffle is keys × blocks rows of fixed
+    width regardless of input size. Caveat: the naive Σx² formula loses
+    precision when |mean| ≫ stddev — callers needing SQL-engine parity
+    should compare at rounded precision (the oracle rounds to 4dp)."""
+    n_c, s_c, s2_c = f"__{prefix}n", f"__{prefix}s", f"__{prefix}s2"
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch[value_col].astype(np.float64)
+        g = batch.assign(**{s_c: x, s2_c: x * x}).groupby(keys, sort=False)
+        out = g.agg(**{n_c: (value_col, "size"), s_c: (s_c, "sum"),
+                       s2_c: (s2_c, "sum")})
+        return out.reset_index()
+
+    partials = ds.map_batches(_partial, batch_format="pandas",
+                              batch_size=1 << 17)
+    combined = bucketed_combine(partials, keys,
+                                {n_c: "sum", s_c: "sum", s2_c: "sum"},
+                                num_buckets)
+
+    def _finish(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch[n_c].astype(np.float64)
+        mean = batch[s_c] / n
+        var = (batch[s2_c] - batch[s_c] * mean) / (n - ddof)
+        var = var.clip(lower=0.0)  # guard tiny negative fp residue
+        batch[f"{prefix}n"] = batch[n_c].astype(np.int64)
+        batch[f"{prefix}mean"] = mean
+        batch[f"{prefix}var"] = var
+        batch[f"{prefix}std"] = np.sqrt(var)
+        return batch.drop(columns=[n_c, s_c, s2_c])
+
+    return combined.map_batches(_finish, batch_format="pandas")
+
+
+def grouped_corr(ds: rd.Dataset, keys: list[str], x_col: str, y_col: str,
+                 out_col: str = "corr", num_buckets: int = 64) -> rd.Dataset:
+    """Per-key Pearson correlation via the same raw-moment shipping:
+    blocks emit (n, Σx, Σy, Σx², Σy², Σxy) per key, one bucketed
+    sum-combine, closed-form finish. Keys with zero variance on either
+    side yield NaN (SQL NULL)."""
+    cols = ["__n", "__sx", "__sy", "__sxx", "__syy", "__sxy"]
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch[x_col].astype(np.float64)
+        y = batch[y_col].astype(np.float64)
+        ext = batch.assign(__sx=x, __sy=y, __sxx=x * x, __syy=y * y,
+                           __sxy=x * y)
+        g = ext.groupby(keys, sort=False)
+        out = g.agg(__n=(x_col, "size"), __sx=("__sx", "sum"),
+                    __sy=("__sy", "sum"), __sxx=("__sxx", "sum"),
+                    __syy=("__syy", "sum"), __sxy=("__sxy", "sum"))
+        return out.reset_index()
+
+    partials = ds.map_batches(_partial, batch_format="pandas",
+                              batch_size=1 << 17)
+    combined = bucketed_combine(partials, keys, {c: "sum" for c in cols},
+                                num_buckets)
+
+    def _finish(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["__n"].astype(np.float64)
+        cov = batch["__sxy"] - batch["__sx"] * batch["__sy"] / n
+        vx = batch["__sxx"] - batch["__sx"] ** 2 / n
+        vy = batch["__syy"] - batch["__sy"] ** 2 / n
+        denom = np.sqrt(vx * vy)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            batch[out_col] = np.where(denom > 0, cov / denom, np.nan)
+        return batch.drop(columns=cols)
+
+    return combined.map_batches(_finish, batch_format="pandas")
+
+
+def rollup_agg(ds: rd.Dataset, keys: list[str], specs: list[AggSpec],
+               marker: str = "ALL", num_buckets: int = 64) -> rd.Dataset:
+    """``GROUP BY ROLLUP(keys)`` for re-aggregable functions
+    (sum/count/min/max): the INPUT is aggregated once at the finest level
+    (the only pass that sees input rows), then every coarser level —
+    down to the grand total — re-aggregates the finest RESULT, which is
+    keys-cardinality small. Rolled-up key columns carry ``marker``
+    (the SQL mirror is ``COALESCE(key, marker)``), so keys must be
+    string-typed. Shuffle cost = one combiner groupby over the input +
+    len(keys) tiny aggregations over aggregates."""
+    for f, _, _ in specs:
+        if f not in ("sum", "count", "min", "max"):
+            raise ValueError(f"rollup_agg needs re-aggregable funcs, got {f!r}")
+
+    finest = preagg_groupby(ds, keys, specs, num_buckets)
+    # re-aggregating the finest level: counts become sums of counts
+    respec = [("sum" if f in ("sum", "count") else f, o, o)
+              for f, _, o in specs]
+
+    levels = [finest]
+    for i in range(len(keys) - 1, -1, -1):
+        kept = keys[:i]
+        if kept:
+            lvl = preagg_groupby(finest, kept, respec, num_buckets=8)
+        else:
+            def _tag(batch: pd.DataFrame) -> pd.DataFrame:
+                batch = batch.copy()
+                batch["__all"] = 0
+                return batch
+            lvl = preagg_groupby(
+                finest.map_batches(_tag, batch_format="pandas"),
+                ["__all"], respec, num_buckets=1)
+            lvl = lvl.map_batches(
+                lambda b: b.drop(columns="__all"), batch_format="pandas")
+
+        def _fill(batch: pd.DataFrame, _kept=tuple(kept)) -> pd.DataFrame:
+            batch = batch.copy()
+            for k in keys:
+                if k not in _kept:
+                    batch[k] = marker
+            return batch[keys + [o for _, _, o in specs]]
+
+        levels.append(lvl.map_batches(_fill, batch_format="pandas"))
+
+    out = levels[0].map_batches(
+        lambda b: b[keys + [o for _, _, o in specs]], batch_format="pandas")
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

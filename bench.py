@@ -69,6 +69,8 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "hourly_distinct_users",
         "parts_never_ordered",
         "user_modal_event_type",
+        "user_value_stats",
+        "event_rollup",
     ]
     timings: dict[str, float] = {}
     for name in bench_set:

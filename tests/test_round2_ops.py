@@ -608,3 +608,65 @@ def test_mode_agg_deterministic_ties():
            .groupby("k").head(1).sort_values("k").reset_index(drop=True))
     assert got["k"].tolist() == exp["k"].tolist()
     assert got["m"].tolist() == exp["v"].tolist()
+
+
+def test_moment_stats_and_corr_match_pandas():
+    from belb_ray.stages.agg import grouped_corr, moment_stats
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"k": rng.integers(0, 25, 3000),
+                       "x": rng.normal(50, 9, 3000),
+                       "y": rng.normal(size=3000)})
+    df["y"] = df["y"] + 0.3 * df["x"]  # induce correlation
+    ds = rd.from_pandas(df).repartition(6)
+
+    got = (moment_stats(ds, ["k"], "x").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    exp = df.groupby("k")["x"].agg(["size", "mean", "var", "std"])
+    np.testing.assert_allclose(got["mean"], exp["mean"], rtol=1e-9)
+    np.testing.assert_allclose(got["var"], exp["var"], rtol=1e-7)
+    np.testing.assert_allclose(got["std"], exp["std"], rtol=1e-7)
+    assert got["n"].tolist() == exp["size"].tolist()
+
+    gotc = (grouped_corr(ds, ["k"], "x", "y").to_pandas()
+            .sort_values("k").reset_index(drop=True))
+    expc = df.groupby("k").apply(
+        lambda g: g["x"].corr(g["y"]), include_groups=False)
+    np.testing.assert_allclose(gotc["corr"], expc.values, rtol=1e-7)
+
+    # zero-variance key -> NaN, not a crash
+    const = pd.DataFrame({"k": [0] * 5, "x": [2.0] * 5,
+                          "y": [1.0, 2, 3, 4, 5]})
+    g0 = grouped_corr(rd.from_pandas(const), ["k"], "x", "y").to_pandas()
+    assert np.isnan(g0["corr"].iloc[0])
+
+
+def test_rollup_agg_levels_consistent():
+    from belb_ray.stages.agg import rollup_agg
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "a": rng.choice(["p", "q", "r"], 500),
+        "b": rng.choice(["u", "v"], 500),
+        "val": rng.integers(0, 100, 500).astype(np.int64),
+    })
+    got = rollup_agg(rd.from_pandas(df).repartition(5), ["a", "b"], [
+        ("count", "", "n"), ("sum", "val", "s"),
+    ]).to_pandas()
+
+    finest = got[(got.a != "ALL") & (got.b != "ALL")]
+    mid = got[(got.a != "ALL") & (got.b == "ALL")]
+    total = got[(got.a == "ALL") & (got.b == "ALL")]
+    exp = df.groupby(["a", "b"]).agg(n=("val", "size"), s=("val", "sum"))
+    assert len(finest) == len(exp) and len(total) == 1
+    m = finest.set_index(["a", "b"]).sort_index()
+    pd.testing.assert_frame_equal(m[["n", "s"]], exp.sort_index(),
+                                  check_dtype=False)
+    # every level conserves totals
+    assert finest.n.sum() == mid.n.sum() == total.n.iloc[0] == 500
+    assert finest.s.sum() == mid.s.sum() == total.s.iloc[0] == df.val.sum()
+    # mid level matches a direct groupby on 'a'
+    expa = df.groupby("a").agg(n=("val", "size"), s=("val", "sum"))
+    ma = mid.set_index("a").sort_index()
+    pd.testing.assert_frame_equal(ma[["n", "s"]], expa.sort_index(),
+                                  check_dtype=False)
