@@ -1131,6 +1131,22 @@ def q_event_rollup(sf_dir: str) -> rd.Dataset:
     ])
 
 
+def q_event_value_percentiles(sf_dir: str) -> rd.Dataset:
+    """Continuous (interpolated) per-event-type percentiles —
+    quantile_cont — via the same histogram-shuffle engine as the
+    discrete path (grouped_quantiles(interpolate=True)): the selection
+    gathers the two bracketing ranks per key and blends linearly;
+    compared to the oracle at 4dp."""
+    from belb_ray.stages.analytic import grouped_quantiles
+
+    events = _t(sf_dir, "events").select_columns(["event_type", "value"])
+    out = grouped_quantiles(
+        events, key="event_type", value_col="value",
+        specs=[(0.25, "p25"), (0.5, "p50"), (0.75, "p75"),
+               (0.99, "p99")], interpolate=True)
+    return _round_cols(out, {"p25": 4, "p50": 4, "p75": 4, "p99": 4})
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -1203,6 +1219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_stats": q_user_value_stats,
         "lineitem_corr": q_lineitem_corr,
         "event_rollup": q_event_rollup,
+        "event_value_percentiles": q_event_value_percentiles,
         # rows-only (non-SQL-expressible)
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
@@ -1838,6 +1855,14 @@ def oracle_sql() -> dict[str, str]:
                          CAST(round(value * 100) AS BIGINT) AS cents
                   FROM events)
             GROUP BY ROLLUP(event_type, day)
+        """,
+        "event_value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 4) AS p25,
+                   round(quantile_cont(value, 0.50), 4) AS p50,
+                   round(quantile_cont(value, 0.75), 4) AS p75,
+                   round(quantile_cont(value, 0.99), 4) AS p99
+            FROM events GROUP BY event_type
         """,
         "event_overlaps": """
             WITH iv AS (

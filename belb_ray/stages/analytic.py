@@ -169,11 +169,17 @@ def grouped_quantiles(
     value_col: str,
     specs: list[tuple[float, str]],
     num_buckets: int = 64,
+    interpolate: bool = False,
 ) -> rd.Dataset:
     """Exact per-key discrete quantiles (SQL ``quantile_disc`` /
     ``percentile_disc``: the element at 0-based index
     ``max(ceil(q·n) - 1, 0)`` of the key's sorted values) → one row per
-    key with one column per ``(q, out_col)`` spec.
+    key with one column per ``(q, out_col)`` spec. With
+    ``interpolate=True`` it is instead ``quantile_cont`` /
+    ``percentile_cont``: linear interpolation at 0-based fractional rank
+    ``h = q·(n−1)`` between the two bracketing sorted elements — same
+    histogram shuffle, the selection just gathers two ranks per key and
+    blends (callers should round before hash-comparing to SQL).
 
     Scale shape: a per-block ``(key, value) → count`` combiner runs
     BEFORE the shuffle, so the exchange moves distinct pairs, not rows —
@@ -215,13 +221,27 @@ def grouped_quantiles(
         out = {key: uk}
         kid = np.arange(len(uk), dtype=np.int64)
         for q, name in specs:
-            # target rank (1-based) of the q-quantile element per key
-            tgt = np.maximum(
-                np.ceil(q * n_per_key - 1e-9).astype(np.int64), 1)
-            # first histogram position with cum_in >= tgt, across all
-            # keys at once: count entries with cum_in <= tgt-1
-            pos = _group_upper_bound(gid, cum_in, kid, tgt - 1)
-            out[name] = vals[pos]
+            if interpolate:
+                # fractional 0-based rank h = q·(n−1); gather the two
+                # bracketing ranks (1-based lo+1, lo+2 clamped) and blend
+                h = q * (n_per_key - 1).astype(np.float64)
+                lo = np.floor(h).astype(np.int64)
+                frac = h - lo
+                t_lo = lo + 1
+                t_hi = np.minimum(lo + 2, n_per_key)
+                p_lo = _group_upper_bound(gid, cum_in, kid, t_lo - 1)
+                p_hi = _group_upper_bound(gid, cum_in, kid, t_hi - 1)
+                v_lo = vals[p_lo].astype(np.float64)
+                v_hi = vals[p_hi].astype(np.float64)
+                out[name] = v_lo + frac * (v_hi - v_lo)
+            else:
+                # target rank (1-based) of the q-quantile element per key
+                tgt = np.maximum(
+                    np.ceil(q * n_per_key - 1e-9).astype(np.int64), 1)
+                # first histogram position with cum_in >= tgt, across all
+                # keys at once: count entries with cum_in <= tgt-1
+                pos = _group_upper_bound(gid, cum_in, kid, tgt - 1)
+                out[name] = vals[pos]
         return pd.DataFrame(out)
 
     partial = ds.map_batches(_combine, batch_format="pandas",

@@ -279,3 +279,99 @@ def _manual_partition_join(
         return out.select([key] + [c for c in lcols if c != key] + rcols_out)
 
     return both.groupby("__bucket").map_groups(_join_bucket, batch_format="pyarrow")
+
+
+def _bloom_hashes(col: pa.ChunkedArray | pa.Array, m_bits: int,
+                  k: int) -> np.ndarray:
+    """(k, n) bit positions via double hashing h1 + i·h2. Integer keys
+    remix arithmetically (pd.util.hash_array ignores hash_key for ints);
+    strings use two keyed xxhashes."""
+    import pandas as pd
+
+    vals = col.to_numpy(zero_copy_only=False)
+    if np.issubdtype(vals.dtype, np.integer):
+        u = vals.astype(np.uint64)
+        h1 = u * np.uint64(0x9E3779B97F4A7C15)
+        h2 = ((u ^ np.uint64(0xA076_1D64_78BD_642F))
+              * np.uint64(0xE703_7ED1_A0B4_28DB))
+    else:
+        h1 = pd.util.hash_array(vals, hash_key="belbray_bloom_h1",
+                                categorize=False)
+        h2 = pd.util.hash_array(vals, hash_key="belbray_bloom_h2",
+                                categorize=False)
+    h2 |= np.uint64(1)  # odd step so probes don't collapse
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :])
+            % np.uint64(m_bits)).astype(np.int64)
+
+
+def build_bloom_filter(keys_side: rd.Dataset, key: str,
+                       m_bits: int | None = None, k: int = 7,
+                       n_hint: int | None = None) -> tuple:
+    """Distributed Bloom-filter build over a key column: every block
+    emits a packed local bitmap (m/8 bytes regardless of block rows),
+    the driver OR-combines them STREAMING via iter_batches — it never
+    holds more than one block bitmap plus the accumulator, and no key
+    values ever reach the driver. m defaults to ~10 bits/key (≈1% FPR
+    at k=7). Returns (ray.ObjectRef bitmap, m_bits, k)."""
+    if m_bits is None:
+        n = n_hint if n_hint is not None else keys_side.count()
+        m_bits = max(1 << 13, 1 << int(np.ceil(np.log2(max(n, 1) * 10))))
+
+    nbytes = m_bits // 8
+
+    def _local(t: pa.Table) -> pa.Table:
+        bm = np.zeros(nbytes, np.uint8)
+        if t.num_rows:
+            pos = _bloom_hashes(t[key].combine_chunks(), m_bits, k).ravel()
+            np.bitwise_or.at(bm, pos >> 3,
+                             np.left_shift(1, (pos & 7)).astype(np.uint8))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    parts = keys_side.select_columns([key]).map_batches(
+        _local, batch_format="pyarrow", batch_size=1 << 18)
+    acc = np.zeros(nbytes, np.uint8)
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=16):
+        for buf in b["bm"].to_pylist():
+            acc |= np.frombuffer(buf, np.uint8)
+    return ray.put(acc), m_bits, k
+
+
+def bloom_semi_join(ds: rd.Dataset, keys_side: rd.Dataset, key: str,
+                    anti: bool = False, m_bits: int | None = None,
+                    k: int = 7, broadcast_threshold: int = 5_000_000,
+                    num_buckets: int = 64) -> rd.Dataset:
+    """EXACT semi/anti join for two LARGE sides with a Bloom pre-filter:
+    the key side compresses to an m-bit bitmap (fixed size, built
+    distributed, broadcast once), the probe side drops definite
+    non-members BEFORE any shuffle — only bloom-positive rows (true
+    matches + ~1% false positives) enter the exact shuffle semi-join, so
+    the all-to-all moves ~|matches| rows instead of |ds|. Anti joins
+    split instead of filter: bloom-negative rows are *definitely*
+    non-members (emitted directly, zero shuffle), only the positive
+    sliver is exactly anti-checked. Unlike ``semi_join``'s broadcast
+    path this never collects key VALUES anywhere — the bitmap is the
+    only global state, sized by FPR not cardinality."""
+    from ..util import cached_get
+
+    ref, m_bits, k = build_bloom_filter(keys_side, key, m_bits, k)
+
+    def _probe(batch: pa.Table, want: bool) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        bm = cached_get(ref)
+        pos = _bloom_hashes(batch[key].combine_chunks(), m_bits, k)
+        hit = (bm[pos >> 3] & np.left_shift(
+            1, (pos & 7)).astype(np.uint8)).astype(bool).all(axis=0)
+        return batch.filter(pa.array(hit if want else ~hit))
+
+    positive = ds.map_batches(lambda t: _probe(t, True),
+                              batch_format="pyarrow")
+    exact = semi_join(positive, keys_side, key, anti=anti,
+                      broadcast_threshold=broadcast_threshold,
+                      num_buckets=num_buckets)
+    if not anti:
+        return exact
+    definite_out = ds.map_batches(lambda t: _probe(t, False),
+                                  batch_format="pyarrow")
+    return exact.union(definite_out)

@@ -670,3 +670,73 @@ def test_rollup_agg_levels_consistent():
     ma = mid.set_index("a").sort_index()
     pd.testing.assert_frame_equal(ma[["n", "s"]], expa.sort_index(),
                                   check_dtype=False)
+
+
+def test_grouped_quantiles_interpolated_matches_numpy():
+    from belb_ray.stages.analytic import grouped_quantiles
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({"k": rng.integers(0, 12, 4000),
+                       "v": rng.normal(size=4000)})
+    got = (grouped_quantiles(rd.from_pandas(df).repartition(7), "k", "v",
+                             [(0.25, "p25"), (0.5, "p50"), (0.9, "p90")],
+                             interpolate=True)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    for q, c in [(0.25, "p25"), (0.5, "p50"), (0.9, "p90")]:
+        exp = df.groupby("k")["v"].quantile(q, interpolation="linear")
+        np.testing.assert_allclose(got[c], exp.values, rtol=1e-12)
+
+    # single-value keys: both brackets are the value itself
+    one = pd.DataFrame({"k": [1, 2], "v": [3.5, -1.0]})
+    g1 = (grouped_quantiles(rd.from_pandas(one), "k", "v",
+                            [(0.5, "m")], interpolate=True)
+          .to_pandas().sort_values("k"))
+    assert g1["m"].tolist() == [3.5, -1.0]
+
+
+def test_bloom_semi_join_exact_both_forms():
+    from belb_ray.stages.joins import bloom_semi_join, semi_join
+
+    rng = np.random.default_rng(17)
+    big = pd.DataFrame({"k": rng.integers(0, 5000, 20000),
+                        "payload": rng.normal(size=20000)})
+    keys = pd.DataFrame({"k": rng.choice(5000, 400, replace=False)})
+    dbig = rd.from_pandas(big).repartition(8)
+    dkeys = rd.from_pandas(keys).repartition(3)
+
+    for anti in (False, True):
+        got = bloom_semi_join(
+            dbig, dkeys, "k", anti=anti,
+            broadcast_threshold=0,  # force the exact SHUFFLE path
+        ).to_pandas().sort_values(["k", "payload"]).reset_index(drop=True)
+        exp = semi_join(dbig, dkeys, "k", anti=anti).to_pandas() \
+            .sort_values(["k", "payload"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
+
+    # string keys exercise the keyed-hash path
+    sbig = pd.DataFrame({"k": [f"id{i % 90}" for i in range(800)],
+                         "v": range(800)})
+    skeys = pd.DataFrame({"k": [f"id{i}" for i in range(0, 90, 3)]})
+    got = bloom_semi_join(rd.from_pandas(sbig), rd.from_pandas(skeys),
+                          "k").to_pandas()
+    exp = sbig[sbig.k.isin(set(skeys.k))]
+    assert sorted(got.v) == sorted(exp.v)
+
+
+def test_bloom_filter_no_false_negatives():
+    from belb_ray.stages.joins import _bloom_hashes, build_bloom_filter
+    import pyarrow as pa_
+    import ray as ray_
+
+    keys = pd.DataFrame({"k": np.arange(1000, 3000)})
+    ref, m, k = build_bloom_filter(rd.from_pandas(keys).repartition(4), "k")
+    bm = ray_.get(ref)
+    pos = _bloom_hashes(pa_.array(keys.k.to_numpy()), m, k)
+    hit = (bm[pos >> 3] & np.left_shift(1, (pos & 7)).astype(np.uint8)
+           ).astype(bool).all(axis=0)
+    assert hit.all()  # every inserted key must test positive
+    # FPR sanity on disjoint probes (~1% expected at 10 bits/key)
+    probe = _bloom_hashes(pa_.array(np.arange(50_000, 60_000)), m, k)
+    fp = (bm[probe >> 3] & np.left_shift(1, (probe & 7)).astype(np.uint8)
+          ).astype(bool).all(axis=0).mean()
+    assert fp < 0.05
