@@ -1147,6 +1147,89 @@ def q_event_value_percentiles(sf_dir: str) -> rd.Dataset:
     return _round_cols(out, {"p25": 4, "p50": 4, "p75": 4, "p99": 4})
 
 
+def q_event_cube(sf_dir: str) -> rd.Dataset:
+    """GROUP BY CUBE(event_type, day) totals (stages/agg.cube_agg): the
+    input is aggregated ONCE at the finest level and every other
+    grouping set (including the by-day-alone set ROLLUP misses)
+    re-aggregates that small RESULT; rolled-up keys carry 'ALL' (SQL
+    mirror: COALESCE after CUBE). Cents int64 keeps sums exact for the
+    BIGINT hash compare."""
+    import numpy as np
+
+    from belb_ray.stages.agg import cube_agg
+
+    def _prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": batch["event_type"],
+            "day": batch["ts"].dt.strftime("%Y-%m-%d"),
+            "cents": np.round(batch["value"].to_numpy() * 100.0)
+            .astype(np.int64),
+        })
+
+    ev = _t(sf_dir, "events").select_columns(
+        ["event_type", "ts", "value"]).map_batches(
+        _prep, batch_format="pandas", batch_size=65536)
+    return cube_agg(ev, ["event_type", "day"], [
+        ("count", "", "n_events"),
+        ("sum", "cents", "sum_cents"),
+    ])
+
+
+def q_user_value_pctl(sf_dir: str) -> rd.Dataset:
+    """Distribution window functions per user ordered by spend
+    (stages/analytic.py percent_rank/cume_dist/nth_value): same single
+    co-location shuffle and whole-bucket vectorized kernels as the
+    ranking kinds — percent_rank blends the tie-run start rank into
+    (rank-1)/(rows-1), cume_dist uses the tie-run END index, nth_value
+    gathers the partition's Nth ordered row with a null mask for short
+    partitions (emitted as float64 so the SQL NULL→NaN compare is
+    representation-identical)."""
+    import numpy as np
+
+    from belb_ray.stages.analytic import ordered_window
+
+    events = _t(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "value"])
+
+    def _cents(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["cents"] = np.round(
+            batch["value"].to_numpy() * 100.0).astype(np.int64)
+        return batch.drop(columns=["value"])
+
+    out = ordered_window(
+        events.map_batches(_cents, batch_format="pandas"),
+        key="user_id", order_cols=["cents", "event_id"],
+        specs=[("percent_rank", "cents", "pr"),
+               ("cume_dist", "cents", "cd"),
+               ("nth_value", "event_id", "third_cheapest", 3)])
+
+    def _cast(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["third_cheapest"] = batch["third_cheapest"].astype(
+            "float64")
+        return batch[["event_id", "user_id", "pr", "cd",
+                      "third_cheapest"]]
+
+    out = out.map_batches(_cast, batch_format="pandas")
+    return _round_cols(out, {"pr": 6, "cd": 6})
+
+
+def q_user_event_paths(sf_dir: str) -> rd.Dataset:
+    """Ordered per-user event-type journey string
+    (stages/analytic.grouped_string_agg): one hash-bucket co-location
+    shuffle, one stable whole-bucket sort, grouped join — mirrors SQL
+    string_agg(event_type, ',' ORDER BY ts, event_id). The output
+    string is O(user's events); the shuffle moves each event row
+    exactly once."""
+    from belb_ray.stages.analytic import grouped_string_agg
+
+    events = _t(sf_dir, "events").select_columns(
+        ["user_id", "event_type", "ts", "event_id"])
+    return grouped_string_agg(events, key="user_id",
+                              value_col="event_type",
+                              order_cols=["ts", "event_id"],
+                              sep=",", out_col="journey")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -1220,6 +1303,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr": q_lineitem_corr,
         "event_rollup": q_event_rollup,
         "event_value_percentiles": q_event_value_percentiles,
+        "event_cube": q_event_cube,
+        "user_value_pctl": q_user_value_pctl,
+        "user_event_paths": q_user_event_paths,
         # rows-only (non-SQL-expressible)
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
@@ -1863,6 +1949,38 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.75), 4) AS p75,
                    round(quantile_cont(value, 0.99), 4) AS p99
             FROM events GROUP BY event_type
+        """,
+        "event_cube": """
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   COALESCE(day, 'ALL') AS day,
+                   count(*) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+            GROUP BY CUBE(event_type, day)
+        """,
+        "user_value_pctl": """
+            WITH t AS (
+                SELECT event_id, user_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events)
+            SELECT event_id, user_id,
+                   round(percent_rank() OVER w_ties, 6) AS pr,
+                   round(cume_dist() OVER w_ties, 6) AS cd,
+                   CAST(nth_value(event_id, 3) OVER (
+                       PARTITION BY user_id ORDER BY cents, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS DOUBLE)
+                       AS third_cheapest
+            FROM t
+            WINDOW w_ties AS (PARTITION BY user_id ORDER BY cents)
+        """,
+        "user_event_paths": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id)
+                       AS journey
+            FROM events GROUP BY user_id
         """,
         "event_overlaps": """
             WITH iv AS (

@@ -388,3 +388,53 @@ def rollup_agg(ds: rd.Dataset, keys: list[str], specs: list[AggSpec],
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def cube_agg(ds: rd.Dataset, keys: list[str], specs: list[AggSpec],
+             marker: str = "ALL", num_buckets: int = 64) -> rd.Dataset:
+    """``GROUP BY CUBE(keys)`` — every one of the 2**len(keys) grouping
+    sets — with the same derivation strategy as :func:`rollup_agg`: the
+    input is aggregated ONCE at the finest level, and every other
+    grouping set re-aggregates that keys-cardinality-small result, so
+    the input rows are read exactly once no matter how many sets the
+    cube expands to. Functions must be re-aggregable (sum/count/min/max;
+    counts re-aggregate as sums). Rolled-up key columns carry ``marker``
+    (SQL mirror: ``COALESCE(key, marker)``), so keys must be strings."""
+    from itertools import combinations
+
+    for f, _, _ in specs:
+        if f not in ("sum", "count", "min", "max"):
+            raise ValueError(f"cube_agg needs re-aggregable funcs, got {f!r}")
+
+    finest = preagg_groupby(ds, keys, specs, num_buckets)
+    respec = [("sum" if f in ("sum", "count") else f, o, o)
+              for f, _, o in specs]
+
+    def _project(lvl: rd.Dataset, kept: tuple[str, ...]) -> rd.Dataset:
+        def _fill(batch: pd.DataFrame, _kept=kept) -> pd.DataFrame:
+            batch = batch.copy()
+            for k in keys:
+                if k not in _kept:
+                    batch[k] = marker
+            return batch[keys + [o for _, _, o in specs]]
+        return lvl.map_batches(_fill, batch_format="pandas")
+
+    out = _project(finest, tuple(keys))
+    for r in range(len(keys) - 1, -1, -1):
+        for kept in combinations(keys, r):
+            if kept:
+                lvl = preagg_groupby(finest, list(kept), respec,
+                                     num_buckets=8)
+            else:
+                def _tag(batch: pd.DataFrame) -> pd.DataFrame:
+                    batch = batch.copy()
+                    batch["__all"] = 0
+                    return batch
+                lvl = preagg_groupby(
+                    finest.map_batches(_tag, batch_format="pandas"),
+                    ["__all"], respec, num_buckets=1)
+                lvl = lvl.map_batches(
+                    lambda b: b.drop(columns="__all"),
+                    batch_format="pandas")
+            out = out.union(_project(lvl, kept))
+    return out

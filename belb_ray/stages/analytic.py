@@ -26,15 +26,18 @@ import ray.data as rd
 
 # (kind, value_col, out_col) or (kind, value_col, out_col, param);
 # kind: lag | lead | cumsum | row_number | rollsum | rollmin | rollmax
-#       | rank | dense_rank | ntile | first_value | last_value.
+#       | rank | dense_rank | ntile | first_value | last_value
+#       | percent_rank | cume_dist | nth_value.
 # value_col is ignored for row_number and ntile; param is window_rows
 # (the N of SQL ``ROWS BETWEEN N-1 PRECEDING AND CURRENT ROW``) for
-# roll* and the tile count for ntile. rank/dense_rank tie on equal
-# ``value_col`` runs — value_col must be a PREFIX of ``order_cols`` (SQL
+# roll*, the tile count for ntile, and the 1-based N for nth_value.
+# rank/dense_rank/percent_rank/cume_dist tie on equal ``value_col`` runs
+# — value_col must be a PREFIX of ``order_cols`` (SQL
 # ``RANK() OVER (... ORDER BY value_col)``; the remaining order_cols act
-# only as the deterministic tiebreak). first_value/last_value use the
-# full-partition frame (SQL ``ROWS BETWEEN UNBOUNDED PRECEDING AND
-# UNBOUNDED FOLLOWING``).
+# only as the deterministic tiebreak). first_value/last_value/nth_value
+# use the full-partition frame (SQL ``ROWS BETWEEN UNBOUNDED PRECEDING
+# AND UNBOUNDED FOLLOWING``); nth_value is null when the partition has
+# fewer than N rows (int64-with-null output, pandas ``Int64``).
 WindowSpec = tuple
 
 
@@ -56,10 +59,11 @@ def ordered_window(
         if spec[0] not in ("lag", "lead", "cumsum", "row_number",
                            "rollsum", "rollmin", "rollmax", "rank",
                            "dense_rank", "ntile", "first_value",
-                           "last_value"):
+                           "last_value", "percent_rank", "cume_dist",
+                           "nth_value"):
             raise ValueError(f"unknown window kind: {spec[0]}")
-        if (spec[0].startswith("roll") or spec[0] == "ntile") and (
-                len(spec) < 4 or spec[3] < 1):
+        if (spec[0].startswith("roll") or spec[0] in ("ntile", "nth_value")
+                ) and (len(spec) < 4 or spec[3] < 1):
             raise ValueError(f"{spec[0]} needs a positive count param")
 
     def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
@@ -112,19 +116,52 @@ def ordered_window(
                 cs0 = np.concatenate((np.zeros(1, v.dtype), np.cumsum(v)))
                 j = np.maximum(part_start, idx - w + 1)
                 g[out] = cs0[idx + 1] - cs0[j]
-            elif kind in ("rank", "dense_rank"):
+            elif kind in ("rank", "dense_rank", "percent_rank",
+                          "cume_dist"):
                 # ties = runs of equal vcol within a key (vcol is an
                 # order_cols prefix, so runs are contiguous after sort)
                 v = g[vcol].to_numpy()
                 new_tie = new_key | np.r_[True, v[1:] != v[:-1]]
-                if kind == "rank":
+                if kind == "dense_rank":
+                    t = np.cumsum(new_tie)
+                    g[out] = t - t[new_key][pid] + 1
+                elif kind == "cume_dist":
+                    # SQL: (# peers ordered <= current) / partition rows
+                    # = 1-based index of the LAST row of the tie run
+                    last_tie = np.r_[new_tie[1:], True]
+                    tid = np.cumsum(new_tie) - 1
+                    tie_end = idx[last_tie][tid]
+                    plast = np.r_[new_key[1:], True]
+                    part_len = idx[plast][pid] - part_start + 1
+                    g[out] = ((tie_end - part_start + 1).astype(np.float64)
+                              / part_len)
+                else:
                     # start index of each tie run, per row
                     tie_start = np.maximum.accumulate(
                         np.where(new_tie, idx, 0))
-                    g[out] = tie_start - part_start + 1
+                    rnk = tie_start - part_start + 1
+                    if kind == "rank":
+                        g[out] = rnk
+                    else:  # percent_rank = (rank-1)/(rows-1), 0 if rows=1
+                        plast = np.r_[new_key[1:], True]
+                        part_len = idx[plast][pid] - part_start + 1
+                        denom = np.maximum(part_len - 1, 1)
+                        g[out] = (rnk - 1).astype(np.float64) / denom
+            elif kind == "nth_value":
+                # full-partition frame; null when partition < N rows
+                n = int(spec[3])
+                v = g[vcol].to_numpy()
+                plast = np.r_[new_key[1:], True]
+                part_end = idx[plast][pid]
+                pos = part_start + n - 1
+                valid = pos <= part_end
+                vals = v[np.minimum(pos, len(g) - 1)]
+                if np.issubdtype(vals.dtype, np.integer):
+                    g[out] = pd.arrays.IntegerArray(
+                        vals.astype(np.int64), mask=~valid)
                 else:
-                    t = np.cumsum(new_tie)
-                    g[out] = t - t[new_key][pid] + 1
+                    g[out] = np.where(valid, vals.astype(np.float64),
+                                      np.nan)
             elif kind == "ntile":
                 # SQL NTILE(n): first (len % n) tiles get ceil(len/n)
                 # rows, the rest floor(len/n)
@@ -248,3 +285,48 @@ def grouped_quantiles(
                              batch_size=1 << 17)
     return partial.groupby("__bucket").map_groups(_select,
                                                   batch_format="pandas")
+
+
+def grouped_string_agg(
+    ds: rd.Dataset,
+    key: str,
+    value_col: str,
+    order_cols: list[str],
+    sep: str = ",",
+    out_col: str = "agg",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Ordered per-key string concatenation — SQL
+    ``string_agg(value_col, sep ORDER BY order_cols) GROUP BY key`` →
+    one row per key with ``out_col``.
+
+    Same single co-location shuffle as ``ordered_window``: hash-bucket
+    the key, one ``groupby(__bucket)``, then one stable whole-bucket
+    sort by (key, order_cols). Concatenation itself is inherently
+    O(output bytes) — pandas' grouped ``sep.join`` walks each group's
+    Python strings once, which is the information-theoretic floor for
+    this op, so there is no vectorized kernel to prefer. ``order_cols``
+    must end in a total-order tiebreak for a deterministic result (same
+    contract as ``ordered_window``). Partitioning assumption: one key's
+    rows (and its output string) fit a worker — same caveat as
+    sessionization; a key with gigabytes of values needs a hierarchical
+    concat instead."""
+
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[key, value_col] + order_cols]
+        h = pd.util.hash_array(batch[key].to_numpy(), categorize=False)
+        batch = batch.copy()
+        batch["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return batch
+
+    def _concat(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.drop(columns="__bucket")
+                  .sort_values([key] + order_cols, kind="stable"))
+        out = (g.groupby(key, sort=False)[value_col]
+                .agg(sep.join).reset_index(name=out_col))
+        return out
+
+    bucketed = ds.map_batches(_bucketize, batch_format="pandas",
+                              batch_size=1 << 17)
+    return bucketed.groupby("__bucket").map_groups(_concat,
+                                                   batch_format="pandas")

@@ -71,6 +71,9 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "user_modal_event_type",
         "user_value_stats",
         "event_rollup",
+        "event_cube",
+        "user_value_pctl",
+        "user_event_paths",
     ]
     timings: dict[str, float] = {}
     for name in bench_set:

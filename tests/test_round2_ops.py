@@ -740,3 +740,95 @@ def test_bloom_filter_no_false_negatives():
     fp = (bm[probe >> 3] & np.left_shift(1, (probe & 7)).astype(np.uint8)
           ).astype(bool).all(axis=0).mean()
     assert fp < 0.05
+
+
+def test_ordered_window_pctl_kinds_match_pandas():
+    from belb_ray.stages.analytic import ordered_window
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n),
+        "v": rng.integers(0, 15, n).astype(np.int64),  # many ties
+        "id": np.arange(n, dtype=np.int64),
+    })
+    # some singleton partitions (percent_rank denom-0 edge)
+    df.loc[df.index[:3], "k"] = [100, 101, 102]
+    ds = rd.from_pandas(df).repartition(7)
+    got = (ordered_window(ds, "k", ["v", "id"],
+                          [("percent_rank", "v", "pr"),
+                           ("cume_dist", "v", "cd"),
+                           ("nth_value", "id", "n3", 3)])
+           .to_pandas().sort_values("id").reset_index(drop=True))
+
+    want = df.sort_values(["k", "v", "id"]).copy()
+    grp = want.groupby("k", sort=False)
+    sz = grp["v"].transform("size")
+    rmin = grp["v"].rank(method="min")
+    rmax = grp["v"].rank(method="max")
+    want["pr"] = np.where(sz > 1, (rmin - 1) / np.maximum(sz - 1, 1), 0.0)
+    want["cd"] = rmax / sz
+    want["n3"] = grp["id"].transform(
+        lambda g: g.iloc[2] if len(g) >= 3 else np.nan)
+    want = want.sort_values("id").reset_index(drop=True)
+    np.testing.assert_allclose(got["pr"], want["pr"], rtol=1e-12)
+    np.testing.assert_allclose(got["cd"], want["cd"], rtol=1e-12)
+    got_n3 = got["n3"].astype("float64").to_numpy(na_value=np.nan)
+    np.testing.assert_array_equal(np.isnan(got_n3), want["n3"].isna())
+    m = ~want["n3"].isna()
+    np.testing.assert_array_equal(got_n3[m], want["n3"][m])
+
+
+def test_cube_agg_all_grouping_sets():
+    from belb_ray.stages.agg import cube_agg
+
+    rng = np.random.default_rng(19)
+    df = pd.DataFrame({
+        "a": rng.choice(["p", "q", "r"], 600),
+        "b": rng.choice(["u", "v"], 600),
+        "val": rng.integers(0, 100, 600).astype(np.int64),
+    })
+    got = cube_agg(rd.from_pandas(df).repartition(5), ["a", "b"], [
+        ("count", "", "n"), ("sum", "val", "s"),
+    ]).to_pandas()
+
+    fin = got[(got.a != "ALL") & (got.b != "ALL")]
+    by_a = got[(got.a != "ALL") & (got.b == "ALL")]
+    by_b = got[(got.a == "ALL") & (got.b != "ALL")]
+    tot = got[(got.a == "ALL") & (got.b == "ALL")]
+    assert len(got) == len(fin) + len(by_a) + len(by_b) + 1
+
+    exp = df.groupby(["a", "b"]).agg(n=("val", "size"), s=("val", "sum"))
+    pd.testing.assert_frame_equal(
+        fin.set_index(["a", "b"]).sort_index()[["n", "s"]],
+        exp.sort_index(), check_dtype=False)
+    # the ROLLUP-missing set: group by b alone
+    expb = df.groupby("b").agg(n=("val", "size"), s=("val", "sum"))
+    pd.testing.assert_frame_equal(
+        by_b.set_index("b").sort_index()[["n", "s"]],
+        expb.sort_index(), check_dtype=False)
+    expa = df.groupby("a").agg(n=("val", "size"), s=("val", "sum"))
+    pd.testing.assert_frame_equal(
+        by_a.set_index("a").sort_index()[["n", "s"]],
+        expa.sort_index(), check_dtype=False)
+    assert tot.n.iloc[0] == 600 and tot.s.iloc[0] == df.val.sum()
+
+
+def test_grouped_string_agg_matches_pandas():
+    from belb_ray.stages.analytic import grouped_string_agg
+
+    rng = np.random.default_rng(23)
+    n = 1500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 60, n),
+        "v": rng.choice(list("abcdef"), n),
+        "ord": rng.permutation(n).astype(np.int64),
+    })
+    got = (grouped_string_agg(rd.from_pandas(df).repartition(6),
+                              "k", "v", ["ord"], sep=",", out_col="path")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = (df.sort_values(["k", "ord"], kind="stable")
+           .groupby("k")["v"].agg(",".join).reset_index(name="path")
+           .sort_values("k").reset_index(drop=True))
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["path"].tolist() == exp["path"].tolist()
