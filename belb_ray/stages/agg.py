@@ -353,7 +353,11 @@ def rollup_agg(ds: rd.Dataset, keys: list[str], specs: list[AggSpec],
         if f not in ("sum", "count", "min", "max"):
             raise ValueError(f"rollup_agg needs re-aggregable funcs, got {f!r}")
 
-    finest = preagg_groupby(ds, keys, specs, num_buckets)
+    # materialize: the finest level is reused by every coarser branch, and
+    # Ray Datasets are lazy — without this each union arm would re-execute
+    # the whole input aggregation. The materialized table is one row per
+    # key combination (keys-cardinality small), never the input.
+    finest = preagg_groupby(ds, keys, specs, num_buckets).materialize()
     # re-aggregating the finest level: counts become sums of counts
     respec = [("sum" if f in ("sum", "count") else f, o, o)
               for f, _, o in specs]
@@ -406,7 +410,10 @@ def cube_agg(ds: rd.Dataset, keys: list[str], specs: list[AggSpec],
         if f not in ("sum", "count", "min", "max"):
             raise ValueError(f"cube_agg needs re-aggregable funcs, got {f!r}")
 
-    finest = preagg_groupby(ds, keys, specs, num_buckets)
+    # materialize — see rollup_agg: lazy reuse across 2**len(keys) union
+    # arms would re-run the input aggregation per arm. The materialized
+    # finest level is keys-cardinality small, never the input.
+    finest = preagg_groupby(ds, keys, specs, num_buckets).materialize()
     respec = [("sum" if f in ("sum", "count") else f, o, o)
               for f, _, o in specs]
 
