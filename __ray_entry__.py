@@ -1230,6 +1230,103 @@ def q_user_event_paths(sf_dir: str) -> rd.Dataset:
                               sep=",", out_col="journey")
 
 
+def q_event_grouping_sets(sf_dir: str) -> rd.Dataset:
+    """GROUP BY GROUPING SETS ((event_type), (day), ()) — the general
+    form of ROLLUP/CUBE (stages/agg.grouping_sets_agg): input aggregated
+    ONCE at the finest (event_type, day) level, each requested set
+    re-aggregates that small materialized result. Deliberately neither a
+    rollup prefix chain nor the full cube (it omits the finest set).
+    Rolled-up keys carry 'ALL'; cents int64 keeps sums exact."""
+    import numpy as np
+
+    from belb_ray.stages.agg import grouping_sets_agg
+
+    def _prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": batch["event_type"],
+            "day": batch["ts"].dt.strftime("%Y-%m-%d"),
+            "cents": np.round(batch["value"].to_numpy() * 100.0)
+            .astype(np.int64),
+        })
+
+    ev = _t(sf_dir, "events").select_columns(
+        ["event_type", "ts", "value"]).map_batches(
+        _prep, batch_format="pandas", batch_size=65536)
+    return grouping_sets_agg(
+        ev, ["event_type", "day"],
+        [("event_type",), ("day",), ()],
+        [("count", "", "n_events"), ("sum", "cents", "sum_cents")])
+
+
+def q_user_value_shape(sf_dir: str) -> rd.Dataset:
+    """Per-user population skewness / excess kurtosis of event value
+    (stages/agg.higher_moment_stats): blocks ship five raw moments per
+    key (fixed width, never rows), one bucketed sum-combine, closed-form
+    finish. Oracle mirrors the central-moment arithmetic from
+    SUM(x..x⁴)/COUNT expression-for-expression; 4dp compare."""
+    from belb_ray.stages.agg import higher_moment_stats
+
+    events = _t(sf_dir, "events").select_columns(["user_id", "value"])
+    out = higher_moment_stats(events, ["user_id"], "value")
+    return _round_cols(out, {"mean": 4, "skew": 4, "kurt": 4})
+
+
+def q_part_attributes_long(sf_dir: str) -> rd.Dataset:
+    """Wide→long UNPIVOT of part's numeric attributes
+    (stages/reshape.unpivot): zero-shuffle map_batches melt — each input
+    row yields one output row per value column; streams at any scale."""
+    from belb_ray.stages.reshape import unpivot
+
+    part = _t(sf_dir, "part").select_columns(
+        ["p_partkey", "p_size", "p_retailprice"])
+    return unpivot(part, ["p_partkey"], ["p_size", "p_retailprice"],
+                   var_name="attribute", value_name="value")
+
+
+def q_order_item_balance(sf_dir: str) -> rd.Dataset:
+    """Large-large FULL OUTER hash-partitioned join: big orders (>300k)
+    vs high-quantity item revenue per orderkey — each side has keys the
+    other lacks, so both null-extension paths are exercised. Same
+    one-shuffle manual partition join as the inner/left paths
+    (stages/joins.hash_partition_join, pyarrow full-outer per bucket);
+    nulls are coalesced to sentinels so the hash compare is stable."""
+    from belb_ray.stages.agg import preagg_groupby
+    from belb_ray.stages.joins import hash_partition_join
+
+    big = _t(sf_dir, "orders").filter(
+        expr="o_totalprice > 300000").map_batches(
+        lambda t: pa.table({"orderkey": t["o_orderkey"],
+                            "o_orderpriority": t["o_orderpriority"]}),
+        batch_format="pyarrow")
+    def _cents(t: pa.Table) -> pa.Table:
+        # exact int64 cents×cents so the distributed partial-sum order
+        # can't flip a penny at a rounding boundary vs the SQL oracle
+        pc_ = pa.compute
+        price = pc_.cast(pc_.round(pc_.multiply(
+            t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        keep = pc_.cast(pc_.round(pc_.multiply(
+            pc_.subtract(pa.scalar(1.0), t["l_discount"]),
+            pa.scalar(100.0))), pa.int64())
+        return pa.table({"orderkey": t["l_orderkey"],
+                         "rev_e4": pc_.multiply(price, keep)})
+
+    items = _t(sf_dir, "lineitem").filter(
+        expr="l_quantity > 45").map_batches(_cents, batch_format="pyarrow")
+    item_rev = preagg_groupby(items, ["orderkey"],
+                              [("sum", "rev_e4", "item_rev")])
+    j = hash_partition_join(big, item_rev, key="orderkey",
+                            num_buckets=32, join_type="full outer")
+
+    def _coalesce(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["o_orderpriority"] = batch["o_orderpriority"].fillna("NONE")
+        # keep exact integer 1e-4-dollar units: a float division would sit
+        # exactly on .5 rounding halves (banker's-vs-away divergence)
+        batch["item_rev_e4"] = batch.pop("item_rev").fillna(0).astype("int64")
+        return batch
+
+    return j.map_batches(_coalesce, batch_format="pandas")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -1306,6 +1403,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_cube": q_event_cube,
         "user_value_pctl": q_user_value_pctl,
         "user_event_paths": q_user_event_paths,
+        "event_grouping_sets": q_event_grouping_sets,
+        "user_value_shape": q_user_value_shape,
+        "part_attributes_long": q_part_attributes_long,
+        "order_item_balance": q_order_item_balance,
         # rows-only (non-SQL-expressible)
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
@@ -1995,6 +2096,58 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = p.user_id
              AND c.event_type = 'click' AND p.event_type = 'purchase'
              AND c.start <= p.stop AND p.start <= c.stop
+        """,
+        "event_grouping_sets": """
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   COALESCE(day, 'ALL') AS day,
+                   count(*) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+            GROUP BY GROUPING SETS ((event_type), (day), ())
+        """,
+        "user_value_shape": """
+            SELECT user_id, count(*) AS n,
+                   round(sum(value) / count(*), 4) AS mean,
+                   round((sum(value*value*value)/count(*)
+                          - 3*(sum(value)/count(*))*(sum(value*value)/count(*))
+                          + 2*pow(sum(value)/count(*), 3))
+                         / pow(sum(value*value)/count(*)
+                               - pow(sum(value)/count(*), 2), 1.5), 4)
+                       AS skew,
+                   round((sum(value*value*value*value)/count(*)
+                          - 4*(sum(value)/count(*))
+                              *(sum(value*value*value)/count(*))
+                          + 6*pow(sum(value)/count(*), 2)
+                              *(sum(value*value)/count(*))
+                          - 3*pow(sum(value)/count(*), 4))
+                         / pow(sum(value*value)/count(*)
+                               - pow(sum(value)/count(*), 2), 2) - 3, 4)
+                       AS kurt
+            FROM events GROUP BY user_id
+        """,
+        "part_attributes_long": """
+            SELECT p_partkey, 'p_size' AS attribute,
+                   CAST(p_size AS DOUBLE) AS value FROM part
+            UNION ALL
+            SELECT p_partkey, 'p_retailprice' AS attribute,
+                   p_retailprice AS value FROM part
+        """,
+        "order_item_balance": """
+            WITH big AS (SELECT o_orderkey AS orderkey, o_orderpriority
+                         FROM orders WHERE o_totalprice > 300000),
+                 rev AS (SELECT l_orderkey AS orderkey,
+                                sum(CAST(round(l_extendedprice * 100)
+                                         AS BIGINT)
+                                    * CAST(round((1 - l_discount) * 100)
+                                           AS BIGINT)) AS rev_e4
+                         FROM lineitem WHERE l_quantity > 45
+                         GROUP BY l_orderkey)
+            SELECT COALESCE(big.orderkey, rev.orderkey) AS orderkey,
+                   COALESCE(o_orderpriority, 'NONE') AS o_orderpriority,
+                   CAST(COALESCE(rev_e4, 0) AS BIGINT) AS item_rev_e4
+            FROM big FULL OUTER JOIN rev ON big.orderkey = rev.orderkey
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

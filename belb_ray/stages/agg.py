@@ -445,3 +445,119 @@ def cube_agg(ds: rd.Dataset, keys: list[str], specs: list[AggSpec],
                     batch_format="pandas")
             out = out.union(_project(lvl, kept))
     return out
+
+
+def grouping_sets_agg(ds: rd.Dataset, keys: list[str],
+                      sets: list[tuple[str, ...]], specs: list[AggSpec],
+                      marker: str = "ALL",
+                      num_buckets: int = 64) -> rd.Dataset:
+    """``GROUP BY GROUPING SETS (...)`` for arbitrary subsets of ``keys``
+    — the general form of :func:`rollup_agg` / :func:`cube_agg`
+    (reference analog: the ad-hoc multi-granularity QAQC counters,
+    /root/reference/belb/kbs/query.py:196-232 runs one query per
+    granularity). Same one-pass strategy: the input is aggregated ONCE at
+    the finest level (all of ``keys``), then every requested set
+    re-aggregates that keys-cardinality-small materialized result.
+    Functions must be re-aggregable (sum/count/min/max); rolled-up key
+    columns carry ``marker`` (SQL mirror: ``COALESCE(key, marker)``), so
+    keys must be strings. Duplicate sets are emitted once; a requested
+    set not ⊆ keys raises."""
+    for f, _, _ in specs:
+        if f not in ("sum", "count", "min", "max"):
+            raise ValueError(
+                f"grouping_sets_agg needs re-aggregable funcs, got {f!r}")
+    norm: list[tuple[str, ...]] = []
+    for s in sets:
+        t = tuple(k for k in keys if k in s)
+        if len(t) != len(s):
+            raise ValueError(f"grouping set {s!r} is not a subset of {keys}")
+        if t not in norm:
+            norm.append(t)
+    if not norm:
+        raise ValueError("grouping_sets_agg needs at least one set")
+
+    # materialize — see rollup_agg: the finest level feeds every set's
+    # union arm; lazily it would re-run the input aggregation per arm.
+    finest = preagg_groupby(ds, keys, specs, num_buckets).materialize()
+    respec = [("sum" if f in ("sum", "count") else f, o, o)
+              for f, _, o in specs]
+
+    def _project(lvl: rd.Dataset, kept: tuple[str, ...]) -> rd.Dataset:
+        def _fill(batch: pd.DataFrame, _kept=kept) -> pd.DataFrame:
+            batch = batch.copy()
+            for k in keys:
+                if k not in _kept:
+                    batch[k] = marker
+            return batch[keys + [o for _, _, o in specs]]
+        return lvl.map_batches(_fill, batch_format="pandas")
+
+    out = None
+    for kept in norm:
+        if kept == tuple(keys):
+            lvl = finest
+        elif kept:
+            lvl = preagg_groupby(finest, list(kept), respec, num_buckets=8)
+        else:
+            def _tag(batch: pd.DataFrame) -> pd.DataFrame:
+                batch = batch.copy()
+                batch["__all"] = 0
+                return batch
+            lvl = preagg_groupby(
+                finest.map_batches(_tag, batch_format="pandas"),
+                ["__all"], respec, num_buckets=1)
+            lvl = lvl.map_batches(
+                lambda b: b.drop(columns="__all"), batch_format="pandas")
+        arm = _project(lvl, kept)
+        out = arm if out is None else out.union(arm)
+    return out
+
+
+def higher_moment_stats(ds: rd.Dataset, keys: list[str], value_col: str,
+                        num_buckets: int = 64) -> rd.Dataset:
+    """Per-key population skewness and excess kurtosis by the same
+    raw-moment shipping as :func:`moment_stats`, extended to Σx³/Σx⁴:
+    each block emits five doubles per key (n, Σx, Σx², Σx³, Σx⁴) — fixed
+    width regardless of rows — one bucketed sum-combine, closed-form
+    finish from central moments::
+
+        m2 = Σx²/n − μ²
+        m3 = Σx³/n − 3μΣx²/n + 2μ³
+        m4 = Σx⁴/n − 4μΣx³/n + 6μ²Σx²/n − 3μ⁴
+        skew = m3 / m2^1.5,  kurt = m4 / m2² − 3
+
+    The SQL oracle mirrors this arithmetic expression-for-expression from
+    SUM(x)/SUM(x²)/SUM(x³)/SUM(x⁴)/COUNT, compared at 4dp (naive raw
+    moments lose precision when |mean| ≫ stddev — same caveat as
+    moment_stats)."""
+    cols = [f"__m{i}" for i in range(5)]
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch[value_col].to_numpy(dtype=np.float64)
+        x2 = x * x
+        g = batch.assign(**{cols[1]: x, cols[2]: x2, cols[3]: x2 * x,
+                            cols[4]: x2 * x2}).groupby(keys, sort=False)
+        out = g.agg(**{cols[0]: (value_col, "size"),
+                       **{c: (c, "sum") for c in cols[1:]}})
+        return out.reset_index()
+
+    partials = ds.map_batches(_partial, batch_format="pandas",
+                              batch_size=1 << 17)
+    combined = bucketed_combine(partials, keys,
+                                {c: "sum" for c in cols}, num_buckets)
+
+    def _finish(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch[cols[0]].astype(np.float64)
+        mu = batch[cols[1]] / n
+        r2, r3, r4 = (batch[cols[2]] / n, batch[cols[3]] / n,
+                      batch[cols[4]] / n)
+        m2 = (r2 - mu * mu).clip(lower=0.0)
+        m3 = r3 - 3.0 * mu * r2 + 2.0 * mu ** 3
+        m4 = r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu ** 4
+        batch["n"] = batch[cols[0]].astype(np.int64)
+        batch["mean"] = mu
+        with np.errstate(divide="ignore", invalid="ignore"):
+            batch["skew"] = m3 / np.power(m2, 1.5)
+            batch["kurt"] = m4 / (m2 * m2) - 3.0
+        return batch.drop(columns=cols)
+
+    return combined.map_batches(_finish, batch_format="pandas")

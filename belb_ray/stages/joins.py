@@ -237,14 +237,25 @@ def _manual_partition_join(
     """Explicit partitioned hash join: bucket column on both sides,
     aligned schemas with a side tag, one ``groupby(bucket)``,
     ``pyarrow.Table.join`` per bucket."""
+    def _arrow_type(t) -> pa.DataType:
+        # pandas-block datasets report numpy dtypes / Python classes in
+        # Schema.types; pa.nulls needs a real Arrow DataType
+        if isinstance(t, pa.DataType):
+            return t
+        if t is object or t is str:
+            return pa.string()
+        return pa.from_numpy_dtype(np.dtype(t))
+
     lschema = left.schema()
     rschema = right.schema()
     lcols = list(lschema.names)
-    rtype_by_name = dict(zip(rschema.names, rschema.types))
+    rtype_by_name = {n: _arrow_type(t)
+                     for n, t in zip(rschema.names, rschema.types)}
     rcols = [c for c in rschema.names if c != key]
     rcols_out = [c + right_suffix if c in lcols else c for c in rcols]
     rtypes = {co: rtype_by_name[c] for c, co in zip(rcols, rcols_out)}
-    ltypes = dict(zip(lschema.names, lschema.types))
+    ltypes = {n: _arrow_type(t)
+              for n, t in zip(lschema.names, lschema.types)}
 
     def _prep(side: int, rename: dict[str, str]):
         def fn(batch: pa.Table) -> pa.Table:

@@ -9,6 +9,7 @@ plus block-structure invariance where the cut is order-sensitive.
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from belb_ray.stages.agg import grouped_topk
@@ -832,3 +833,98 @@ def test_grouped_string_agg_matches_pandas():
            .sort_values("k").reset_index(drop=True))
     assert got["k"].tolist() == exp["k"].tolist()
     assert got["path"].tolist() == exp["path"].tolist()
+
+
+def test_grouping_sets_agg_matches_pandas():
+    from belb_ray.stages.agg import grouping_sets_agg
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({
+        "a": rng.choice(["p", "q", "r"], 600),
+        "b": rng.choice(["u", "v"], 600),
+        "val": rng.integers(0, 100, 600).astype(np.int64),
+    })
+    got = grouping_sets_agg(
+        rd.from_pandas(df).repartition(5), ["a", "b"],
+        [("a",), ("b",), ()],
+        [("count", "", "n"), ("sum", "val", "s")]).to_pandas()
+
+    by_a = got[(got.a != "ALL") & (got.b == "ALL")].set_index("a").sort_index()
+    by_b = got[(got.a == "ALL") & (got.b != "ALL")].set_index("b").sort_index()
+    total = got[(got.a == "ALL") & (got.b == "ALL")]
+    # the finest (a,b) set was NOT requested and must not appear
+    assert len(got) == len(by_a) + len(by_b) + len(total)
+    pd.testing.assert_frame_equal(
+        by_a[["n", "s"]],
+        df.groupby("a").agg(n=("val", "size"), s=("val", "sum")).sort_index(),
+        check_dtype=False)
+    pd.testing.assert_frame_equal(
+        by_b[["n", "s"]],
+        df.groupby("b").agg(n=("val", "size"), s=("val", "sum")).sort_index(),
+        check_dtype=False)
+    assert total.n.iloc[0] == 600 and total.s.iloc[0] == df.val.sum()
+
+    # duplicates collapse; finest set passes through the materialized level
+    got2 = grouping_sets_agg(
+        rd.from_pandas(df).repartition(3), ["a", "b"],
+        [("a", "b"), ("b", "a")], [("count", "", "n")]).to_pandas()
+    assert len(got2) == df.groupby(["a", "b"]).ngroups
+
+    with pytest.raises(ValueError):
+        grouping_sets_agg(rd.from_pandas(df), ["a"], [("zz",)],
+                          [("count", "", "n")])
+
+
+def test_higher_moment_stats_matches_scipy_formulas():
+    from belb_ray.stages.agg import higher_moment_stats
+
+    rng = np.random.default_rng(32)
+    df = pd.DataFrame({"k": rng.integers(0, 8, 5000).astype(str),
+                       "v": rng.exponential(50.0, 5000)})
+    got = (higher_moment_stats(rd.from_pandas(df).repartition(9), ["k"], "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    for _, row in got.iterrows():
+        x = df.loc[df.k == row.k, "v"].to_numpy()
+        mu = x.mean()
+        m2, m3, m4 = ((x - mu) ** 2).mean(), ((x - mu) ** 3).mean(), \
+            ((x - mu) ** 4).mean()
+        assert row.n == len(x)
+        np.testing.assert_allclose(row["mean"], mu, rtol=1e-9)
+        np.testing.assert_allclose(row["skew"], m3 / m2 ** 1.5, rtol=1e-6)
+        np.testing.assert_allclose(row["kurt"], m4 / m2 ** 2 - 3, rtol=1e-6)
+
+
+def test_unpivot_matches_pandas_melt():
+    from belb_ray.stages.reshape import unpivot
+
+    rng = np.random.default_rng(33)
+    df = pd.DataFrame({"id": np.arange(200),
+                       "x": rng.normal(size=200),
+                       "y": rng.integers(0, 9, 200)})
+    got = (unpivot(rd.from_pandas(df).repartition(4), ["id"], ["x", "y"])
+           .to_pandas().sort_values(["id", "attribute"])
+           .reset_index(drop=True))
+    exp = (df.melt(id_vars="id", value_vars=["x", "y"],
+                   var_name="attribute", value_name="value")
+           .sort_values(["id", "attribute"]).reset_index(drop=True))
+    exp["value"] = exp["value"].astype(np.float64)
+    pd.testing.assert_frame_equal(got, exp)
+
+    with pytest.raises(ValueError):
+        unpivot(rd.from_pandas(df), ["id"], [])
+
+
+def test_full_outer_hash_partition_join():
+    from belb_ray.stages.joins import hash_partition_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "lv": ["a", "b", "c", "d"]})
+    right = pd.DataFrame({"k": [3, 4, 5, 6], "rv": [30, 40, 50, 60]})
+    got = (hash_partition_join(rd.from_pandas(left), rd.from_pandas(right),
+                               key="k", num_buckets=4,
+                               join_type="full outer")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = (left.merge(right, on="k", how="outer")
+           .sort_values("k").reset_index(drop=True))
+    assert got.k.tolist() == exp.k.tolist()
+    assert got.lv.fillna("-").tolist() == exp.lv.fillna("-").tolist()
+    assert got.rv.fillna(-1).tolist() == exp.rv.fillna(-1).tolist()
