@@ -1327,6 +1327,22 @@ def q_order_item_balance(sf_dir: str) -> rd.Dataset:
     return j.map_batches(_coalesce, batch_format="pandas")
 
 
+def q_dup_passage_spans(sf_dir: str) -> rd.Dataset:
+    """Exact-substring (duplicate-passage) dedup at token 5-gram
+    granularity — Lee et al. 2022's training-data operator
+    (stages/dupspans.duplicate_passage_spans): one streaming pass emits
+    (gram-hash, doc, pos) via a vectorized polynomial token-hash window,
+    a combiner count finds corpus-wide duplicated grams, a Bloom
+    semi-join keeps only duplicated positions (the unique majority never
+    shuffles), and one co-location shuffle merges windows into maximal
+    per-doc spans (gaps-and-islands). Oracle mirrors it on the literal
+    gram strings."""
+    from belb_ray.stages.dupspans import duplicate_passage_spans
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return duplicate_passage_spans(docs, k=5, min_count=2)
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -1407,6 +1423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_shape": q_user_value_shape,
         "part_attributes_long": q_part_attributes_long,
         "order_item_balance": q_order_item_balance,
+        "dup_passage_spans": q_dup_passage_spans,
         # rows-only (non-SQL-expressible)
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
@@ -2148,6 +2165,34 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(o_orderpriority, 'NONE') AS o_orderpriority,
                    CAST(COALESCE(rev_e4, 0) AS BIGINT) AS item_rev_e4
             FROM big FULL OUTER JOIN rev ON big.orderkey = rev.orderkey
+        """,
+        "dup_passage_spans": """
+            WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+                 p AS (SELECT doc_id, toks,
+                              unnest(range(0, len(toks) - 4)) AS pos
+                       FROM s),
+                 g AS (SELECT doc_id, pos,
+                              array_to_string(toks[pos+1:pos+5], ' ')
+                                  AS gram
+                       FROM p),
+                 d AS (SELECT gram FROM g
+                       GROUP BY gram HAVING count(*) >= 2),
+                 m AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+                 b AS (SELECT doc_id, pos,
+                              CASE WHEN lag(pos) OVER w IS NULL
+                                     OR pos - lag(pos) OVER w > 5
+                                   THEN 1 ELSE 0 END AS brk
+                       FROM m
+                       WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+                 i AS (SELECT doc_id, pos,
+                              sum(brk) OVER (PARTITION BY doc_id
+                                             ORDER BY pos) AS island
+                       FROM b)
+            SELECT doc_id, CAST(min(pos) AS INT) AS tok_start,
+                   CAST(max(pos) + 5 AS INT) AS tok_end,
+                   count(*) AS n_dup_grams
+            FROM i GROUP BY doc_id, island
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

@@ -928,3 +928,72 @@ def test_full_outer_hash_partition_join():
     assert got.k.tolist() == exp.k.tolist()
     assert got.lv.fillna("-").tolist() == exp.lv.fillna("-").tolist()
     assert got.rv.fillna(-1).tolist() == exp.rv.fillna(-1).tolist()
+
+
+def _bruteforce_dup_spans(df: pd.DataFrame, k: int, min_count: int = 2):
+    from collections import Counter
+
+    grams = []
+    for _, r in df.iterrows():
+        toks = r.text.split(" ")
+        for i in range(len(toks) - k + 1):
+            grams.append((r.doc_id, i, " ".join(toks[i:i + k])))
+    counts = Counter(g for _, _, g in grams)
+    marked = sorted((d, p) for d, p, g in grams if counts[g] >= min_count)
+    spans = []
+    for d, p in marked:
+        if spans and spans[-1][0] == d and p <= spans[-1][2]:
+            spans[-1][2] = p + k
+            spans[-1][3] += 1
+        else:
+            spans.append([d, p, p + k, 1])
+    return sorted(map(tuple, spans))
+
+
+def test_duplicate_passage_spans_matches_bruteforce():
+    from belb_ray.stages.dupspans import duplicate_passage_spans
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(40)]
+    base = " ".join(rng.choice(vocab, 30))
+    docs = []
+    for d in range(30):
+        words = list(rng.choice(vocab, 50))
+        if d % 3 == 0:  # plant a shared passage
+            ins = int(rng.integers(0, 40))
+            words[ins:ins] = base.split(" ")[:12]
+        docs.append((d, " ".join(words)))
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+
+    got = (duplicate_passage_spans(
+        rd.from_arrow(pa.Table.from_pandas(df)).repartition(6), k=5)
+        .to_pandas())
+    got_t = sorted(map(tuple, got[["doc_id", "tok_start", "tok_end",
+                                   "n_dup_grams"]].itertuples(index=False)))
+    assert got_t == _bruteforce_dup_spans(df, 5)
+    assert len(got_t) >= 10  # the planted passages were found
+
+    # block-structure invariance
+    got2 = (duplicate_passage_spans(
+        rd.from_arrow(pa.Table.from_pandas(df)).repartition(2), k=5)
+        .to_pandas())
+    assert sorted(map(tuple, got2[["doc_id", "tok_start", "tok_end",
+                                   "n_dup_grams"]]
+                      .itertuples(index=False))) == got_t
+
+
+def test_duplicate_passage_spans_short_and_empty_docs():
+    from belb_ray.stages.dupspans import duplicate_passage_spans
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["", "a b", "x y z q r s t u", "x y z q r s t u"],
+    })
+    got = (duplicate_passage_spans(rd.from_arrow(pa.Table.from_pandas(df)),
+                                   k=5).to_pandas()
+           .sort_values(["doc_id"]).reset_index(drop=True))
+    # docs 2 and 3 are identical 8-token docs: one maximal span each
+    assert got.doc_id.tolist() == [2, 3]
+    assert got.tok_start.tolist() == [0, 0]
+    assert got.tok_end.tolist() == [8, 8]
+    assert got.n_dup_grams.tolist() == [4, 4]
