@@ -1343,6 +1343,18 @@ def q_dup_passage_spans(sf_dir: str) -> rd.Dataset:
     return duplicate_passage_spans(docs, k=5, min_count=2)
 
 
+def q_parts_bought_together(sf_dir: str) -> rd.Dataset:
+    """Market-basket co-occurrence: top-40 part pairs sharing an order
+    (stages/cooccur.cooccurrence_topk): ONE hash(order) co-location
+    shuffle, fully vectorized intra-group pair generation (repeat/offset
+    index arithmetic, no per-group Python), combiner pair counts,
+    deterministic (count desc, a, b) order."""
+    from belb_ray.stages.cooccur import cooccurrence_topk
+
+    li = _t(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
+    return cooccurrence_topk(li, "l_orderkey", "l_partkey", k=40)
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -1424,6 +1436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_attributes_long": q_part_attributes_long,
         "order_item_balance": q_order_item_balance,
         "dup_passage_spans": q_dup_passage_spans,
+        "parts_bought_together": q_parts_bought_together,
         # rows-only (non-SQL-expressible)
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
@@ -2193,6 +2206,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(pos) + 5 AS INT) AS tok_end,
                    count(*) AS n_dup_grams
             FROM i GROUP BY doc_id, island
+        """,
+        "parts_bought_together": """
+            WITH items AS (SELECT DISTINCT l_orderkey AS g,
+                                  l_partkey AS it FROM lineitem),
+                 pairs AS (SELECT x.it AS a, y.it AS b
+                           FROM items x JOIN items y
+                             ON x.g = y.g AND x.it < y.it)
+            SELECT a, b, count(*) AS n_groups FROM pairs GROUP BY a, b
+            ORDER BY n_groups DESC, a, b LIMIT 40
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

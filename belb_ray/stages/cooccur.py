@@ -1,0 +1,91 @@
+"""Item co-occurrence (market-basket) counting.
+
+Counts unordered item pairs that appear together in the same group
+(parts in one order, tokens in one doc, entities in one citation — the
+reference's citation-accumulator shape, belb/kbs/kb.py's pmid→set
+aggregation, generalized to pairwise counts).
+
+Distributed shape: ONE hash(group) co-location shuffle brings each
+group's items together; pair generation inside each bucket is fully
+vectorized (repeat/offset index arithmetic — no per-group Python
+dispatch); a second combiner aggregation counts each (a, b) pair with
+fixed-width partials. The pair blow-up is quadratic per group, so
+``max_group_size`` caps pathological groups (a group over the cap is
+dropped whole, deterministically, rather than silently exploding the
+shuffle) — the standard skew guard, same policy as the ER pair
+generator (pairs.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def cooccurrence_pairs(ds: rd.Dataset, group_col: str, item_col: str,
+                       num_buckets: int = 64,
+                       max_group_size: int | None = None) -> rd.Dataset:
+    """(a, b) rows — one per unordered distinct item pair per group,
+    with a < b. Items are deduped within a group first."""
+
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[group_col, item_col]].drop_duplicates()
+        h = pd.util.hash_array(batch[group_col].to_numpy(),
+                               categorize=False)
+        batch = batch.assign(
+            __bucket=(h % np.uint64(num_buckets)).astype(np.int32))
+        return batch
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.drop(columns="__bucket")
+             .drop_duplicates()  # same (group,item) from two input blocks
+             .sort_values([group_col, item_col], kind="mergesort"))
+        gv = g[group_col].to_numpy()
+        it = g[item_col].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({"a": it[:0], "b": it[:0]})
+        new = np.ones(n, dtype=bool)
+        new[1:] = gv[1:] != gv[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.concatenate((starts, [n])))
+        if max_group_size is not None:
+            keep = counts <= max_group_size
+            mask = np.repeat(keep, counts)
+            gv, it = gv[mask], it[mask]
+            n = len(it)
+            counts = counts[keep]
+            if n == 0:
+                return pd.DataFrame({"a": it[:0], "b": it[:0]})
+            starts = np.concatenate(
+                ([0], np.cumsum(counts)[:-1])).astype(np.int64)
+        # every row pairs with the rows after it inside its group:
+        # fully vectorized repeat/offset index arithmetic
+        idx = np.arange(n)
+        local = idx - np.repeat(starts, counts)
+        reps = np.repeat(counts, counts) - local - 1
+        first = np.repeat(idx, reps)
+        offs = np.arange(int(reps.sum())) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        second = first + 1 + offs
+        return pd.DataFrame({"a": it[first], "b": it[second]})
+
+    return (ds.map_batches(_bucketize, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(_pairs, batch_format="pandas"))
+
+
+def cooccurrence_topk(ds: rd.Dataset, group_col: str, item_col: str,
+                      k: int, num_buckets: int = 64,
+                      max_group_size: int | None = None) -> rd.Dataset:
+    """Top-k most co-occurring item pairs: (a, b, n_groups), ordered by
+    count desc with a deterministic (a, b) tie-break."""
+    from .agg import preagg_groupby
+
+    pairs = cooccurrence_pairs(ds, group_col, item_col, num_buckets,
+                               max_group_size)
+    counts = preagg_groupby(pairs, ["a", "b"],
+                            [("count", "", "n_groups")], num_buckets)
+    return counts.sort(["n_groups", "a", "b"],
+                       descending=[True, False, False]).limit(k)

@@ -997,3 +997,46 @@ def test_duplicate_passage_spans_short_and_empty_docs():
     assert got.tok_start.tolist() == [0, 0]
     assert got.tok_end.tolist() == [8, 8]
     assert got.n_dup_grams.tolist() == [4, 4]
+
+
+def test_cooccurrence_pairs_matches_bruteforce():
+    from itertools import combinations
+
+    from belb_ray.stages.cooccur import cooccurrence_pairs, cooccurrence_topk
+
+    rng = np.random.default_rng(51)
+    rows = []
+    for g in range(120):
+        for it in rng.choice(50, size=rng.integers(1, 8), replace=True):
+            rows.append((g, int(it)))
+    df = pd.DataFrame(rows, columns=["g", "it"])
+
+    got = (cooccurrence_pairs(rd.from_pandas(df).repartition(7), "g", "it")
+           .to_pandas())
+    exp = sorted(
+        p for g, sub in df.groupby("g")
+        for p in combinations(sorted(set(sub["it"])), 2))
+    assert sorted(map(tuple, got[["a", "b"]].itertuples(index=False))) == exp
+
+    top = (cooccurrence_topk(rd.from_pandas(df).repartition(3), "g", "it",
+                             k=10).to_pandas())
+    from collections import Counter
+    cnt = Counter(exp)
+    exp_top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [((a, b), n) for (a, b), n in zip(
+        map(tuple, top[["a", "b"]].itertuples(index=False)),
+        top["n_groups"])] == exp_top
+
+
+def test_cooccurrence_max_group_size_drops_whole_group():
+    from belb_ray.stages.cooccur import cooccurrence_pairs
+
+    df = pd.DataFrame({
+        "g": [1] * 10 + [2, 2, 2],
+        "it": list(range(10)) + [7, 8, 9],
+    })
+    got = (cooccurrence_pairs(rd.from_pandas(df), "g", "it",
+                              max_group_size=5).to_pandas())
+    # group 1 (10 items) dropped whole; group 2 contributes its 3 pairs
+    assert sorted(map(tuple, got[["a", "b"]].itertuples(index=False))) == \
+        [(7, 8), (7, 9), (8, 9)]
