@@ -1355,6 +1355,30 @@ def q_parts_bought_together(sf_dir: str) -> rd.Dataset:
     return cooccurrence_topk(li, "l_orderkey", "l_partkey", k=40)
 
 
+def q_user_value_mad(sf_dir: str) -> rd.Dataset:
+    """Per-user median absolute deviation (stages/analytic.grouped_mad):
+    two histogram-shuffle quantile passes with a size-guarded broadcast
+    attach between them — input rows never shuffle; discrete-median
+    (quantile_disc) semantics mirrored in SQL."""
+    from belb_ray.stages.analytic import grouped_mad
+
+    events = _t(sf_dir, "events").select_columns(["user_id", "value"])
+    return grouped_mad(events, "user_id", "value")
+
+
+def q_user_value_zscores(sf_dir: str) -> rd.Dataset:
+    """Per-group z-score standardization — compute-stats-then-apply
+    (stages/analytic.normalize_by_group): one combiner moment pass, the
+    per-key (mean, std) table broadcast back, rescale streams per row.
+    4dp compare vs the SQL window mirror."""
+    from belb_ray.stages.analytic import normalize_by_group
+
+    events = _t(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "value"])
+    out = normalize_by_group(events, "user_id", "value")
+    return _round_cols(out, {"z": 4, "value": 4})
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -1437,6 +1461,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_item_balance": q_order_item_balance,
         "dup_passage_spans": q_dup_passage_spans,
         "parts_bought_together": q_parts_bought_together,
+        "user_value_mad": q_user_value_mad,
+        "user_value_zscores": q_user_value_zscores,
         # rows-only (non-SQL-expressible)
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
@@ -2215,6 +2241,21 @@ def oracle_sql() -> dict[str, str]:
                              ON x.g = y.g AND x.it < y.it)
             SELECT a, b, count(*) AS n_groups FROM pairs GROUP BY a, b
             ORDER BY n_groups DESC, a, b LIMIT 40
+        """,
+        "user_value_mad": """
+            WITH med AS (SELECT user_id,
+                                quantile_disc(value, 0.5) AS med
+                         FROM events GROUP BY user_id)
+            SELECT e.user_id,
+                   quantile_disc(abs(e.value - m.med), 0.5) AS mad
+            FROM events e JOIN med m USING (user_id)
+            GROUP BY e.user_id
+        """,
+        "user_value_zscores": """
+            SELECT event_id, user_id, round(value, 4) AS value,
+                   round((value - avg(value) OVER w)
+                         / stddev_samp(value) OVER w, 4) AS z
+            FROM events WINDOW w AS (PARTITION BY user_id)
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

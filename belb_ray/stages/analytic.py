@@ -330,3 +330,75 @@ def grouped_string_agg(
                               batch_size=1 << 17)
     return bucketed.groupby("__bucket").map_groups(_concat,
                                                    batch_format="pandas")
+
+
+def _attach_small(ds: rd.Dataset, side: rd.Dataset, key: str,
+                  broadcast_threshold: int = 2_000_000) -> rd.Dataset:
+    """Attach a per-key side table (one row per key) to every row:
+    broadcast join when the side is small (one ray.put, zero shuffles),
+    hash-partition join past the threshold — same size-guard policy as
+    scoring.attach_features."""
+    from .joins import broadcast_join, hash_partition_join
+
+    side = side.materialize()  # consumed for count + join; tiny by contract
+    if side.count() <= broadcast_threshold:
+        return broadcast_join(ds, side, keys=key)
+    return hash_partition_join(ds, side, key=key)
+
+
+def grouped_mad(ds: rd.Dataset, key: str, value_col: str,
+                out_col: str = "mad",
+                num_buckets: int = 64,
+                broadcast_threshold: int = 2_000_000) -> rd.Dataset:
+    """Per-key median absolute deviation (discrete medians, SQL
+    ``quantile_disc`` semantics): two histogram-shuffle quantile passes
+    — per-key median, attach (broadcast when the key table is small),
+    |x − median|, median again. Input rows are read twice but never
+    shuffled; both quantile exchanges move (key, value)-count histograms
+    only."""
+    med = grouped_quantiles(ds, key, value_col, [(0.5, "__med")],
+                            num_buckets)
+    withmed = _attach_small(ds, med, key, broadcast_threshold)
+
+    def _absdev(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key: batch[key],
+            "__absdev": (batch[value_col] - batch["__med"]).abs(),
+        })
+
+    dev = withmed.map_batches(_absdev, batch_format="pandas",
+                              batch_size=1 << 17)
+    return grouped_quantiles(dev, key, "__absdev", [(0.5, out_col)],
+                             num_buckets)
+
+
+def normalize_by_group(ds: rd.Dataset, key: str, value_col: str,
+                       out_col: str = "z", ddof: int = 1,
+                       num_buckets: int = 64,
+                       broadcast_threshold: int = 2_000_000) -> rd.Dataset:
+    """Per-group z-score standardization — the compute-stats-then-apply
+    ML-preprocessing shape: one combiner moment pass (fixed-width
+    partials), the per-key (mean, std) table attaches back via the same
+    size-guarded broadcast, and the rescale streams. Groups with fewer
+    than ddof+1 rows get a null z (matches SQL stddev_samp)."""
+    from .agg import moment_stats
+
+    stats = moment_stats(ds, [key], value_col, ddof=ddof,
+                         num_buckets=num_buckets)
+
+    def _slim(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[[key, "mean", "std", "n"]]
+
+    withstats = _attach_small(ds, stats.map_batches(
+        _slim, batch_format="pandas"), key, broadcast_threshold)
+
+    def _z(batch: pd.DataFrame) -> pd.DataFrame:
+        std = batch["std"].to_numpy(dtype=np.float64)
+        ok = (batch["n"].to_numpy() > ddof) & (std > 0.0)
+        z = np.where(ok, (batch[value_col] - batch["mean"]) / std, np.nan)
+        out = batch.drop(columns=["mean", "std", "n"]).copy()
+        out[out_col] = z
+        return out
+
+    return withstats.map_batches(_z, batch_format="pandas",
+                                 batch_size=1 << 17)

@@ -1040,3 +1040,44 @@ def test_cooccurrence_max_group_size_drops_whole_group():
     # group 1 (10 items) dropped whole; group 2 contributes its 3 pairs
     assert sorted(map(tuple, got[["a", "b"]].itertuples(index=False))) == \
         [(7, 8), (7, 9), (8, 9)]
+
+
+def test_grouped_mad_matches_pandas():
+    from belb_ray.stages.analytic import grouped_mad
+
+    rng = np.random.default_rng(61)
+    df = pd.DataFrame({"k": rng.integers(0, 10, 3000),
+                       "v": rng.normal(50, 9, 3000)})
+
+    def disc_median(x):
+        s = np.sort(np.asarray(x))
+        return s[max(int(np.ceil(0.5 * len(s))) - 1, 0)]
+
+    got = (grouped_mad(rd.from_pandas(df).repartition(6), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = df.groupby("k")["v"].apply(
+        lambda x: disc_median((x - disc_median(x)).abs()))
+    np.testing.assert_allclose(got["mad"], exp.values, rtol=1e-12)
+
+    # hash-join fallback path gives identical results
+    got2 = (grouped_mad(rd.from_pandas(df).repartition(6), "k", "v",
+                        broadcast_threshold=2)
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    np.testing.assert_allclose(got2["mad"], exp.values, rtol=1e-12)
+
+
+def test_normalize_by_group_matches_pandas():
+    from belb_ray.stages.analytic import normalize_by_group
+
+    rng = np.random.default_rng(62)
+    df = pd.DataFrame({"id": np.arange(2000),
+                       "k": rng.integers(0, 8, 2000),
+                       "v": rng.exponential(5, 2000)})
+    # one singleton group -> null z
+    df.loc[len(df)] = [2000, 99, 3.3]
+    got = (normalize_by_group(rd.from_pandas(df).repartition(5), "k", "v")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    exp = df.groupby("k")["v"].transform(
+        lambda x: (x - x.mean()) / x.std(ddof=1))
+    np.testing.assert_allclose(got["z"], exp.values, rtol=1e-9)
+    assert np.isnan(got.loc[got.k == 99, "z"]).all()
