@@ -1379,6 +1379,35 @@ def q_user_value_zscores(sf_dir: str) -> rd.Dataset:
     return _round_cols(out, {"z": 4, "value": 4})
 
 
+def q_quality_weighted_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic weighted sampling without replacement, 5 docs per
+    language, P(pick) ∝ n_chars (stages/sampling.
+    weighted_sample_per_group — Efraimidis-Spirakis A-Res with the md5
+    key hash as the draw, re-derivable in SQL): the auditable
+    quality-weighted training-subset curation op."""
+    from belb_ray.stages.sampling import weighted_sample_per_group
+
+    docs = _t(sf_dir, "documents").select_columns(
+        ["doc_id", "lang", "n_chars"])
+    return weighted_sample_per_group(docs, "lang", "doc_id", "n_chars",
+                                     k=5, seed=11)
+
+
+def q_event_value_approx_quantiles(sf_dir: str) -> rd.Dataset:
+    """Bounded-memory approximate per-type quantiles
+    (stages/analytic.approx_grouped_quantiles): values quantized to
+    width-0.5 bins before the histogram shuffle, so the exchange is
+    bounded by range/bin_width per key at ANY input cardinality; error
+    ≤ bin_width, mirrored exactly by SQL quantile_disc over the same
+    quantized values."""
+    from belb_ray.stages.analytic import approx_grouped_quantiles
+
+    ev = _t(sf_dir, "events").select_columns(["event_type", "value"])
+    return approx_grouped_quantiles(ev, "event_type", "value",
+                                    [(0.5, "p50"), (0.95, "p95")],
+                                    bin_width=0.5)
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -1463,6 +1492,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_bought_together": q_parts_bought_together,
         "user_value_mad": q_user_value_mad,
         "user_value_zscores": q_user_value_zscores,
+        "quality_weighted_sample": q_quality_weighted_sample,
+        "event_value_approx_quantiles": q_event_value_approx_quantiles,
         # rows-only (non-SQL-expressible)
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
@@ -2256,6 +2287,27 @@ def oracle_sql() -> dict[str, str]:
                    round((value - avg(value) OVER w)
                          / stddev_samp(value) OVER w, 4) AS z
             FROM events WINDOW w AS (PARTITION BY user_id)
+        """,
+        "quality_weighted_sample": """
+            WITH w AS (
+                SELECT doc_id, lang, n_chars,
+                       pow(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                    || ':11'), 1, 15))
+                                AS BIGINT) / 1152921504606846976.0,
+                           1.0 / n_chars) AS wkey
+                FROM documents WHERE n_chars > 0),
+                 r AS (SELECT doc_id, lang, n_chars,
+                              row_number() OVER (PARTITION BY lang
+                                                 ORDER BY wkey DESC,
+                                                          doc_id) AS rk
+                       FROM w)
+            SELECT doc_id, lang, n_chars FROM r WHERE rk <= 5
+        """,
+        "event_value_approx_quantiles": """
+            SELECT event_type,
+                   quantile_disc(floor(value / 0.5) * 0.5, 0.5) AS p50,
+                   quantile_disc(floor(value / 0.5) * 0.5, 0.95) AS p95
+            FROM events GROUP BY event_type
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

@@ -402,3 +402,30 @@ def normalize_by_group(ds: rd.Dataset, key: str, value_col: str,
 
     return withstats.map_batches(_z, batch_format="pandas",
                                  batch_size=1 << 17)
+
+
+def approx_grouped_quantiles(ds: rd.Dataset, key: str, value_col: str,
+                             specs: list[tuple[float, str]],
+                             bin_width: float,
+                             num_buckets: int = 64) -> rd.Dataset:
+    """Bounded-memory approximate quantiles: values are quantized to
+    fixed ``bin_width`` bins (lower edge) BEFORE the exact histogram
+    machinery, so the shuffled (key, value)→count histogram is bounded
+    by value-range/bin_width per key regardless of input cardinality —
+    the scale path when :func:`grouped_quantiles`'s exact histogram
+    would blow up on high-cardinality floats (error ≤ bin_width,
+    deterministic, SQL-mirrorable as quantile_disc over the same
+    quantized values)."""
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+
+    def _quantize(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            key: batch[key],
+            value_col: np.floor(v / bin_width) * bin_width,
+        })
+
+    q = ds.map_batches(_quantize, batch_format="pandas",
+                       batch_size=1 << 17)
+    return grouped_quantiles(q, key, value_col, specs, num_buckets)

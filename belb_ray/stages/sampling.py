@@ -110,3 +110,39 @@ def upsample_chunks(ds: rd.Dataset, key: str, max_chunk: int,
 
     bucketed = ds.map_batches(_bucketize, batch_format="pyarrow")
     return bucketed.groupby("__bucket").map_groups(_chunk, batch_format="pyarrow")
+
+
+def weighted_sample_per_group(ds: rd.Dataset, group_col: str, id_col: str,
+                              weight_col: str, k: int, seed: int = 0,
+                              method: str = "md5",
+                              num_buckets: int = 64) -> rd.Dataset:
+    """Deterministic weighted sampling without replacement, k per group —
+    Efraimidis-Spirakis A-Res with the row's key hash as its "random"
+    draw: u = hash(id)/space ∈ [0,1), sample key u^(1/w), keep the k
+    largest keys per group. P(selection) ∝ weight, every run/partition
+    selects the same rows, and with ``method="md5"`` the draw is
+    re-derivable in any engine (SQL: ``pow(md5-int / 16^15, 1.0/w)``) —
+    the auditable way to curate a quality-weighted training subset.
+    Rows with weight ≤ 0 are dropped. Shuffle cost = grouped_topk's
+    (≤ k rows per group per block enter the exchange); the sampling key
+    column is dropped from the output."""
+    from .agg import grouped_topk
+
+    def _keyed(batch: pa.Table) -> pa.Table:
+        hv = (_md5_hash60(batch[id_col], seed) if method == "md5"
+              else (_key_hash(batch[id_col], seed)
+                    >> np.uint64(4)).astype(np.int64))
+        u = hv.astype(np.float64) / float(MD5_SPACE)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        keep = w > 0
+        out = batch.filter(pa.array(keep))
+        with np.errstate(invalid="ignore"):
+            wkey = np.power(u[keep], 1.0 / w[keep])
+        return out.append_column("__wkey", pa.array(wkey))
+
+    keyed = ds.map_batches(_keyed, batch_format="pyarrow")
+    top = grouped_topk(keyed, [group_col], "__wkey", k,
+                       descending=True, tiebreak=id_col,
+                       num_buckets=num_buckets)
+    return top.drop_columns(["__wkey"])

@@ -1081,3 +1081,54 @@ def test_normalize_by_group_matches_pandas():
         lambda x: (x - x.mean()) / x.std(ddof=1))
     np.testing.assert_allclose(got["z"], exp.values, rtol=1e-9)
     assert np.isnan(got.loc[got.k == 99, "z"]).all()
+
+
+def test_weighted_sample_per_group_properties():
+    from belb_ray.stages.sampling import weighted_sample_per_group
+
+    rng = np.random.default_rng(71)
+    df = pd.DataFrame({
+        "id": np.arange(4000),
+        "g": rng.integers(0, 4, 4000),
+        "w": np.where(np.arange(4000) % 100 == 0, 0.0,
+                      rng.exponential(1.0, 4000)),
+    })
+    got = (weighted_sample_per_group(
+        rd.from_arrow(pa.Table.from_pandas(df)).repartition(6),
+        "g", "id", "w", k=7, seed=3).to_pandas())
+    # exactly k per group, weight-0 rows never chosen
+    assert (got.groupby("g").size() == 7).all()
+    assert (df.set_index("id").loc[got.id, "w"] > 0).all()
+
+    # deterministic under different blocking
+    got2 = (weighted_sample_per_group(
+        rd.from_arrow(pa.Table.from_pandas(df)).repartition(2),
+        "g", "id", "w", k=7, seed=3).to_pandas())
+    assert sorted(got.id) == sorted(got2.id)
+
+    # selection is weight-biased: heavy rows picked far above uniform rate
+    df2 = pd.DataFrame({"id": np.arange(2000), "g": 0,
+                        "w": np.where(np.arange(2000) < 20, 1000.0, 0.001)})
+    got3 = (weighted_sample_per_group(
+        rd.from_arrow(pa.Table.from_pandas(df2)), "g", "id", "w",
+        k=10, seed=5).to_pandas())
+    assert (got3.id < 20).mean() > 0.8
+
+
+def test_approx_grouped_quantiles_within_bin_width():
+    from belb_ray.stages.analytic import approx_grouped_quantiles
+
+    rng = np.random.default_rng(72)
+    df = pd.DataFrame({"k": rng.integers(0, 6, 5000),
+                       "v": rng.normal(100, 25, 5000)})
+    bw = 2.0
+    got = (approx_grouped_quantiles(rd.from_pandas(df).repartition(5),
+                                    "k", "v", [(0.5, "p50")], bin_width=bw)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exact = df.groupby("k")["v"].quantile(0.5).values
+    assert (np.abs(got["p50"].values - exact) <= bw).all()
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        approx_grouped_quantiles(rd.from_pandas(df), "k", "v",
+                                 [(0.5, "p50")], bin_width=0.0)
