@@ -1408,6 +1408,33 @@ def q_event_value_approx_quantiles(sf_dir: str) -> rd.Dataset:
                                     bin_width=0.5)
 
 
+def q_event_prop_stats(sf_dir: str) -> rd.Dataset:
+    """JSON field extraction from the semi-structured props column
+    (stages/semistructured.json_field — streaming, zero shuffle) feeding
+    a combiner aggregate: per event_type count + sum of props.k."""
+    from belb_ray.stages.agg import preagg_groupby
+    from belb_ray.stages.semistructured import json_field
+
+    ev = _t(sf_dir, "events").select_columns(["event_type", "props"])
+    withk = json_field(ev, "props", "k", out_col="k", out_type=pa.int64())
+    return preagg_groupby(withk, ["event_type"], [
+        ("count", "", "n"), ("sum", "k", "sum_k")])
+
+
+def q_doc_first_words(sf_dir: str) -> rd.Dataset:
+    """Vectorized regex capture-group extraction
+    (stages/semistructured.regex_extract, pandas C regex engine) feeding
+    a combiner count: top-20 document first words."""
+    from belb_ray.stages.agg import preagg_groupby
+    from belb_ray.stages.semistructured import regex_extract
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    fw = regex_extract(docs, "text", r"^([A-Za-z0-9_]+)", ["first_word"])
+    counts = preagg_groupby(fw, ["first_word"], [("count", "", "n_docs")])
+    return counts.sort(["n_docs", "first_word"],
+                       descending=[True, False]).limit(20)
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -1494,6 +1521,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_zscores": q_user_value_zscores,
         "quality_weighted_sample": q_quality_weighted_sample,
         "event_value_approx_quantiles": q_event_value_approx_quantiles,
+        "event_prop_stats": q_event_prop_stats,
+        "doc_first_words": q_doc_first_words,
         # rows-only (non-SQL-expressible)
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
@@ -2308,6 +2337,19 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(floor(value / 0.5) * 0.5, 0.5) AS p50,
                    quantile_disc(floor(value / 0.5) * 0.5, 0.95) AS p95
             FROM events GROUP BY event_type
+        """,
+        "event_prop_stats": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type
+        """,
+        "doc_first_words": """
+            SELECT regexp_extract(text, '^([A-Za-z0-9_]+)', 1)
+                       AS first_word,
+                   count(*) AS n_docs
+            FROM documents GROUP BY first_word
+            ORDER BY n_docs DESC, first_word LIMIT 20
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

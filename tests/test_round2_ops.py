@@ -1132,3 +1132,28 @@ def test_approx_grouped_quantiles_within_bin_width():
     with _pt.raises(ValueError):
         approx_grouped_quantiles(rd.from_pandas(df), "k", "v",
                                  [(0.5, "p50")], bin_width=0.0)
+
+
+def test_json_field_and_regex_extract():
+    from belb_ray.stages.semistructured import json_field, regex_extract
+
+    df = pd.DataFrame({
+        "id": [0, 1, 2, 3, 4],
+        "js": ['{"k": 1, "s": "x"}', '{"k": 2}', 'not json', None,
+               '{"other": 9}'],
+        "txt": ["alpha beta", "gamma-1", "", "42 start", None],
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df))
+    got = json_field(ds, "js", "k").to_pandas().sort_values("id")
+    assert got["k"].tolist() == ["1", "2", None, None, None]
+    gi = (json_field(ds, "js", "k", out_col="ki", out_type=pa.int64())
+          .to_pandas().sort_values("id"))
+    assert gi["ki"].fillna(-1).tolist() == [1, 2, -1, -1, -1]
+
+    gr = (regex_extract(ds, "txt", r"^([A-Za-z]+)", ["w"])
+          .to_pandas().sort_values("id"))
+    assert gr["w"].tolist() == ["alpha", "gamma", "", "", ""]
+
+    import pytest as _pt
+    with _pt.raises(Exception):
+        regex_extract(ds, "txt", r"^([A-Za-z]+)", ["a", "b"]).to_pandas()
