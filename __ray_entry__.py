@@ -1435,6 +1435,39 @@ def q_doc_first_words(sf_dir: str) -> rd.Dataset:
                        descending=[True, False]).limit(20)
 
 
+def q_part_pagerank(sf_dir: str) -> rd.Dataset:
+    """Fixed-iteration PageRank over the part co-occurrence graph
+    (stages/graph.pagerank): per iteration the node-rank table (tiny vs
+    the edge list) broadcasts onto the edges via the size-guarded
+    attach, contributions pre-aggregate in map_batches, one bucketed
+    combine produces the next rank table — the edge list is scanned
+    once per iteration and never shuffled. Oracle = 3 unrolled CTE
+    iterations; 9dp compare, top-30 deterministic order."""
+    from belb_ray.stages.agg import preagg_groupby
+    from belb_ray.stages.cooccur import cooccurrence_pairs
+    from belb_ray.stages.graph import pagerank
+
+    li = _t(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+    und = preagg_groupby(pairs, ["a", "b"],
+                         [("count", "", "__n")]).drop_columns(["__n"])
+
+    def _mirror(batch: pa.Table) -> pa.Table:
+        fwd = pa.table({"src": batch["a"], "dst": batch["b"]})
+        rev = pa.table({"src": batch["b"], "dst": batch["a"]})
+        return pa.concat_tables([fwd, rev])
+
+    edges = und.map_batches(_mirror, batch_format="pyarrow")
+    pr = pagerank(edges, iters=3)
+
+    def _round(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["rank"] = batch["rank"].round(9)
+        return batch
+
+    return (pr.map_batches(_round, batch_format="pandas")
+            .sort(["rank", "node"], descending=[True, False]).limit(30))
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -1523,6 +1556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_approx_quantiles": q_event_value_approx_quantiles,
         "event_prop_stats": q_event_prop_stats,
         "doc_first_words": q_doc_first_words,
+        "part_pagerank": q_part_pagerank,
         # rows-only (non-SQL-expressible)
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
@@ -2350,6 +2384,51 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM documents GROUP BY first_word
             ORDER BY n_docs DESC, first_word LIMIT 20
+        """,
+        "part_pagerank": """
+            WITH items AS (SELECT DISTINCT l_orderkey AS g,
+                                  l_partkey AS it FROM lineitem),
+                 edges AS (SELECT DISTINCT x.it AS src, y.it AS dst
+                           FROM items x JOIN items y
+                             ON x.g = y.g AND x.it <> y.it),
+                 nodes AS (SELECT DISTINCT src AS node FROM edges),
+                 nn AS (SELECT count(*) AS n FROM nodes),
+                 deg AS (SELECT src AS node, count(*) AS d
+                         FROM edges GROUP BY src),
+                 r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank
+                        FROM nodes),
+                 r1 AS (SELECT nodes.node,
+                               0.15 / (SELECT n FROM nn)
+                               + 0.85 * COALESCE(c.c, 0) AS rank
+                        FROM nodes LEFT JOIN (
+                            SELECT e.dst AS node,
+                                   sum(r0.rank / deg.d) AS c
+                            FROM edges e
+                            JOIN r0 ON e.src = r0.node
+                            JOIN deg ON e.src = deg.node
+                            GROUP BY e.dst) c USING (node)),
+                 r2 AS (SELECT nodes.node,
+                               0.15 / (SELECT n FROM nn)
+                               + 0.85 * COALESCE(c.c, 0) AS rank
+                        FROM nodes LEFT JOIN (
+                            SELECT e.dst AS node,
+                                   sum(r1.rank / deg.d) AS c
+                            FROM edges e
+                            JOIN r1 ON e.src = r1.node
+                            JOIN deg ON e.src = deg.node
+                            GROUP BY e.dst) c USING (node)),
+                 r3 AS (SELECT nodes.node,
+                               0.15 / (SELECT n FROM nn)
+                               + 0.85 * COALESCE(c.c, 0) AS rank
+                        FROM nodes LEFT JOIN (
+                            SELECT e.dst AS node,
+                                   sum(r2.rank / deg.d) AS c
+                            FROM edges e
+                            JOIN r2 ON e.src = r2.node
+                            JOIN deg ON e.src = deg.node
+                            GROUP BY e.dst) c USING (node))
+            SELECT node, round(rank, 9) AS rank FROM r3
+            ORDER BY rank DESC, node LIMIT 30
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

@@ -333,7 +333,8 @@ def grouped_string_agg(
 
 
 def _attach_small(ds: rd.Dataset, side: rd.Dataset, key: str,
-                  broadcast_threshold: int = 2_000_000) -> rd.Dataset:
+                  broadcast_threshold: int = 2_000_000,
+                  join_type: str = "inner") -> rd.Dataset:
     """Attach a per-key side table (one row per key) to every row:
     broadcast join when the side is small (one ray.put, zero shuffles),
     hash-partition join past the threshold — same size-guard policy as
@@ -342,8 +343,8 @@ def _attach_small(ds: rd.Dataset, side: rd.Dataset, key: str,
 
     side = side.materialize()  # consumed for count + join; tiny by contract
     if side.count() <= broadcast_threshold:
-        return broadcast_join(ds, side, keys=key)
-    return hash_partition_join(ds, side, key=key)
+        return broadcast_join(ds, side, keys=key, join_type=join_type)
+    return hash_partition_join(ds, side, key=key, join_type=join_type)
 
 
 def grouped_mad(ds: rd.Dataset, key: str, value_col: str,

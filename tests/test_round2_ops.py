@@ -1157,3 +1157,36 @@ def test_json_field_and_regex_extract():
     import pytest as _pt
     with _pt.raises(Exception):
         regex_extract(ds, "txt", r"^([A-Za-z]+)", ["a", "b"]).to_pandas()
+
+
+def test_pagerank_matches_power_iteration():
+    from belb_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(81)
+    e = pd.DataFrame({"src": rng.integers(0, 25, 150),
+                      "dst": rng.integers(0, 25, 150)})
+    e = e[e.src != e.dst].drop_duplicates().reset_index(drop=True)
+    # add a dangling node (in-edges only): node 99
+    e.loc[len(e)] = [0, 99]
+
+    got = (pagerank(rd.from_pandas(e).repartition(4), iters=3)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+
+    nodes = sorted(set(e.src) | set(e.dst))
+    idx = {n: i for i, n in enumerate(nodes)}
+    N, d = len(nodes), 0.85
+    deg = e.groupby("src").size()
+    r = pd.Series(np.full(N, 1.0 / N), index=nodes)
+    for _ in range(3):
+        contrib = np.zeros(N)
+        sh = r[e.src].to_numpy() / deg[e.src].to_numpy()
+        for t, s in zip(e.dst, sh):
+            contrib[idx[t]] += s
+        r = pd.Series((1 - d) / N + d * contrib, index=nodes)
+
+    assert got.node.tolist() == nodes
+    np.testing.assert_allclose(got["rank"], r.values, rtol=1e-12)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pagerank(rd.from_pandas(e), iters=0)
