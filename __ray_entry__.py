@@ -1468,6 +1468,19 @@ def q_part_pagerank(sf_dir: str) -> rd.Dataset:
             .sort(["rank", "node"], descending=[True, False]).limit(30))
 
 
+def q_signup_funnel(sf_dir: str) -> rd.Dataset:
+    """Ordered conversion funnel signup → click → purchase
+    (stages/funnel.funnel): earliest chain per user, each step at or
+    after the previous step's time; ONE hash(user) co-location shuffle
+    + one vectorized pass per step inside each bucket."""
+    from belb_ray.stages.funnel import funnel
+
+    ev = _t(sf_dir, "events").select_columns(
+        ["user_id", "event_type", "ts"])
+    return funnel(ev, "user_id", "event_type", "ts",
+                  ["signup", "click", "purchase"])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -1557,6 +1570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_prop_stats": q_event_prop_stats,
         "doc_first_words": q_doc_first_words,
         "part_pagerank": q_part_pagerank,
+        "signup_funnel": q_signup_funnel,
         # rows-only (non-SQL-expressible)
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
@@ -2429,6 +2443,26 @@ def oracle_sql() -> dict[str, str]:
                             GROUP BY e.dst) c USING (node))
             SELECT node, round(rank, 9) AS rank FROM r3
             ORDER BY rank DESC, node LIMIT 30
+        """,
+        "signup_funnel": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'signup' GROUP BY user_id),
+                 s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                        FROM events e JOIN s1 USING (user_id)
+                        WHERE e.event_type = 'click' AND e.ts >= s1.t1
+                        GROUP BY e.user_id),
+                 s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                        FROM events e JOIN s2 USING (user_id)
+                        WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+                        GROUP BY e.user_id)
+            SELECT s1.user_id,
+                   CASE WHEN t3 IS NOT NULL THEN 3
+                        WHEN t2 IS NOT NULL THEN 2
+                        ELSE 1 END AS steps_completed,
+                   t1 AS t_first,
+                   COALESCE(t3, t2, t1) AS t_last
+            FROM s1 LEFT JOIN s2 USING (user_id)
+                    LEFT JOIN s3 USING (user_id)
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

@@ -1190,3 +1190,45 @@ def test_pagerank_matches_power_iteration():
     import pytest as _pt
     with _pt.raises(ValueError):
         pagerank(rd.from_pandas(e), iters=0)
+
+
+def test_funnel_matches_bruteforce():
+    from belb_ray.stages.funnel import funnel
+
+    rng = np.random.default_rng(91)
+    n = 3000
+    df = pd.DataFrame({
+        "u": rng.integers(0, 60, n),
+        "t": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+        "e": rng.choice(["A", "B", "C", "X"], n, p=[.2, .2, .1, .5]),
+    })
+    steps = ["A", "B", "C"]
+    got = (funnel(rd.from_pandas(df).repartition(6), "u", "e", "t", steps)
+           .to_pandas().sort_values("u").reset_index(drop=True))
+
+    exp_rows = []
+    for u, g in df.groupby("u"):
+        t_prev = g.loc[g.e == "A", "t"].min()
+        if pd.isna(t_prev):
+            continue
+        t1, done, last = t_prev, 1, t_prev
+        for s in steps[1:]:
+            nxt = g.loc[(g.e == s) & (g.t >= t_prev), "t"].min()
+            if pd.isna(nxt):
+                break
+            done += 1
+            last = t_prev = nxt
+        exp_rows.append((u, done, t1, last))
+    exp = pd.DataFrame(exp_rows, columns=["u", "steps_completed",
+                                          "t_first", "t_last"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # within-window variant: chains longer than the window cut off
+    got_w = (funnel(rd.from_pandas(df).repartition(3), "u", "e", "t",
+                    steps, within=pd.Timedelta(days=1)).to_pandas())
+    full = got_w[got_w.steps_completed == 3]
+    assert ((full.t_last - full.t_first) <= pd.Timedelta(days=1)).all()
+    # window can only reduce completion depth
+    m = got.merge(got_w, on="u", suffixes=("", "_w"))
+    assert (m.steps_completed_w <= m.steps_completed).all()
