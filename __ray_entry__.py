@@ -1481,6 +1481,19 @@ def q_signup_funnel(sf_dir: str) -> rd.Dataset:
                   ["signup", "click", "purchase"])
 
 
+def q_value_deciles(sf_dir: str) -> rd.Dataset:
+    """Global equi-depth bucketing (stages/analytic.equi_depth_buckets):
+    the 9 decile boundaries come from one fixed-width histogram
+    exchange, broadcast once; assignment is a streaming vectorized
+    searchsorted — input rows never shuffle. Output: rows per decile."""
+    from belb_ray.stages.agg import preagg_groupby
+    from belb_ray.stages.analytic import equi_depth_buckets
+
+    ev = _t(sf_dir, "events").select_columns(["value"])
+    b = equi_depth_buckets(ev, "value", 10, out_col="decile")
+    return preagg_groupby(b, ["decile"], [("count", "", "n")])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -1571,6 +1584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_first_words": q_doc_first_words,
         "part_pagerank": q_part_pagerank,
         "signup_funnel": q_signup_funnel,
+        "value_deciles": q_value_deciles,
         # rows-only (non-SQL-expressible)
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
@@ -2463,6 +2477,16 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(t3, t2, t1) AS t_last
             FROM s1 LEFT JOIN s2 USING (user_id)
                     LEFT JOIN s3 USING (user_id)
+        """,
+        "value_deciles": """
+            WITH b AS (SELECT quantile_disc(value,
+                           [0.1, 0.2, 0.3, 0.4, 0.5,
+                            0.6, 0.7, 0.8, 0.9]) AS bs FROM events)
+            SELECT CAST(len(list_filter(b.bs, x -> x < e.value)) + 1
+                        AS INT) AS decile,
+                   count(*) AS n
+            FROM events e CROSS JOIN b
+            GROUP BY decile
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

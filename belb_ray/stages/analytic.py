@@ -430,3 +430,43 @@ def approx_grouped_quantiles(ds: rd.Dataset, key: str, value_col: str,
     q = ds.map_batches(_quantize, batch_format="pandas",
                        batch_size=1 << 17)
     return grouped_quantiles(q, key, value_col, specs, num_buckets)
+
+
+def equi_depth_buckets(ds: rd.Dataset, value_col: str, n_buckets: int,
+                       out_col: str = "bucket",
+                       num_buckets: int = 64) -> rd.Dataset:
+    """Global equi-depth (quantile) bucketing: rows are labeled 1..n by
+    which inter-quantile range their value falls in. Boundaries are the
+    discrete q=i/n quantiles (i=1..n−1) computed with the histogram
+    machinery (one fixed-width exchange), then broadcast — the
+    assignment pass is a streaming vectorized searchsorted, so input
+    rows never shuffle. Values equal to a boundary go to the LOWER
+    bucket (SQL mirror: 1 + count of boundaries strictly below the
+    value), which also means duplicated boundary values collapse ties
+    deterministically rather than splitting them by row order."""
+    import ray
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+
+    def _tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__g": np.int8(0),
+                             value_col: batch[value_col]})
+
+    specs = [(i / n_buckets, f"__q{i}") for i in range(1, n_buckets)]
+    qrow = grouped_quantiles(
+        ds.map_batches(_tag, batch_format="pandas", batch_size=1 << 17),
+        "__g", value_col, specs, num_buckets).to_pandas()
+    bounds = np.sort(qrow.iloc[0][[c for _, c in specs]]
+                     .to_numpy(dtype=np.float64))
+    ref = ray.put(bounds)
+
+    def _assign(batch: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(ref)
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        batch[out_col] = (np.searchsorted(b, v, side="left") + 1).astype(
+            np.int32)
+        return batch
+
+    return ds.map_batches(_assign, batch_format="pandas",
+                          batch_size=1 << 17)

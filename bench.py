@@ -94,20 +94,32 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "user_value_pctl",
         "user_event_paths",
     ]
+    # the sandbox host is co-tenant (same-config trials vary up to ~5x as
+    # CPU steal moves around): report min over up to GRAFT_BENCH_TRIALS
+    # passes, but never start another pass past the soft time budget
+    trials = int(os.environ.get("GRAFT_BENCH_TRIALS", "2"))
+    budget_s = float(os.environ.get("GRAFT_BENCH_BUDGET_S", "300"))
     timings: dict[str, float] = {}
-    for name in bench_set:
-        t0 = time.time()
-        if name == "er_files_bench":
-            res = entrymod.q_er_clusters(sf_dir)
-        else:
-            res = qs[name](sf_dir)
-        # consume fully (count() drives the lazy pipeline to completion)
-        if hasattr(res, "count"):
-            n = res.count()
-        else:
-            n = len(res)
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+    started = time.time()
+    for trial in range(max(1, trials)):
+        if trial > 0 and time.time() - started > budget_s:
+            print(f"# trial {trial + 1} skipped (past {budget_s:.0f}s "
+                  "budget)", file=sys.stderr)
+            break
+        for name in bench_set:
+            t0 = time.time()
+            if name == "er_files_bench":
+                res = entrymod.q_er_clusters(sf_dir)
+            else:
+                res = qs[name](sf_dir)
+            # consume fully (count() drives the lazy pipeline to end)
+            if hasattr(res, "count"):
+                n = res.count()
+            else:
+                n = len(res)
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+            print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
     return timings
 
 

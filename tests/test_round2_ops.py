@@ -1232,3 +1232,27 @@ def test_funnel_matches_bruteforce():
     # window can only reduce completion depth
     m = got.merge(got_w, on="u", suffixes=("", "_w"))
     assert (m.steps_completed_w <= m.steps_completed).all()
+
+
+def test_equi_depth_buckets_balanced_and_boundary_ties():
+    from belb_ray.stages.analytic import equi_depth_buckets
+
+    rng = np.random.default_rng(101)
+    df = pd.DataFrame({"v": rng.normal(0, 1, 10000)})
+    got = (equi_depth_buckets(rd.from_pandas(df).repartition(8), "v", 10,
+                              out_col="b").to_pandas())
+    sizes = got.groupby("b").size()
+    assert sorted(sizes.index) == list(range(1, 11))
+    # near-balanced on continuous data
+    assert sizes.min() > 800 and sizes.max() < 1200
+
+    # boundary ties all collapse to the lower bucket deterministically
+    df2 = pd.DataFrame({"v": np.repeat([1.0, 2.0, 3.0, 4.0], 100)})
+    got2 = (equi_depth_buckets(rd.from_pandas(df2).repartition(4),
+                               "v", 4, out_col="b").to_pandas())
+    per_value = got2.groupby("v")["b"].nunique()
+    assert (per_value == 1).all()
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        equi_depth_buckets(rd.from_pandas(df), "v", 1)
