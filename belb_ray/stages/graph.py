@@ -36,6 +36,14 @@ def pagerank(edges: rd.Dataset, src: str = "src", dst: str = "dst",
     if iters < 1:
         raise ValueError("iters must be >= 1")
 
+    # materialize once: the edge list is consumed by every iteration (plus
+    # the node/degree derivations) and Ray Datasets are lazy — without
+    # this the edges' entire upstream lineage (often an expensive pair
+    # generation) re-executes per iteration. The object store spills past
+    # memory, so pinning the edge list is bounded-risk and strictly
+    # cheaper than iters× recomputation.
+    edges = edges.materialize()
+
     ends = edges.select_columns([src]).map_batches(
         lambda b: b.rename_columns(["node"]), batch_format="pyarrow").union(
         edges.select_columns([dst]).map_batches(
@@ -53,7 +61,7 @@ def pagerank(edges: rd.Dataset, src: str = "src", dst: str = "dst",
     deg = preagg_groupby(
         edges.select_columns([src]).map_batches(
             lambda b: b.rename_columns(["node"]), batch_format="pyarrow"),
-        ["node"], [("count", "", "deg")], num_buckets)
+        ["node"], [("count", "", "deg")], num_buckets).materialize()
 
     base = (1.0 - damping) / n_nodes
     # rank ⋈ deg once: per-node share denominator (small table)

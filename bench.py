@@ -93,6 +93,21 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "event_cube",
         "user_value_pctl",
         "user_event_paths",
+        "event_grouping_sets",
+        "user_value_shape",
+        "part_attributes_long",
+        "order_item_balance",
+        "dup_passage_spans",
+        "parts_bought_together",
+        "user_value_mad",
+        "user_value_zscores",
+        "quality_weighted_sample",
+        "event_value_approx_quantiles",
+        "event_prop_stats",
+        "doc_first_words",
+        "part_pagerank",
+        "signup_funnel",
+        "value_deciles",
     ]
     # the sandbox host is co-tenant (same-config trials vary up to ~5x as
     # CPU steal moves around): report min over up to GRAFT_BENCH_TRIALS
