@@ -1494,6 +1494,19 @@ def q_value_deciles(sf_dir: str) -> rd.Dataset:
     return preagg_groupby(b, ["decile"], [("count", "", "n")])
 
 
+def q_doc_lm_scores(sf_dir: str) -> rd.Dataset:
+    """Corpus-trained bigram LM quality score per document
+    (stages/lm.lm_score — the KenLM-style training-data filter): one
+    pass builds the bigram/context count tables (combiner groupbys,
+    vocabulary-sized), a second pass attaches them via the size-guarded
+    broadcast and averages ln P(w2|w1) with add-1 smoothing per doc.
+    6dp compare vs the expression-level SQL mirror."""
+    from belb_ray.stages.lm import lm_score
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return _round_cols(lm_score(docs), {"logprob_mean": 6})
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -1585,6 +1598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_pagerank": q_part_pagerank,
         "signup_funnel": q_signup_funnel,
         "value_deciles": q_value_deciles,
+        "doc_lm_scores": q_doc_lm_scores,
         # rows-only (non-SQL-expressible)
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
@@ -2487,6 +2501,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events e CROSS JOIN b
             GROUP BY decile
+        """,
+        "doc_lm_scores": """
+            WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+                 p AS (SELECT doc_id, toks,
+                              unnest(range(0, len(toks) - 1)) AS i
+                       FROM s),
+                 bg AS (SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+                        FROM p),
+                 c12 AS (SELECT w1, w2, count(*) AS c12
+                         FROM bg GROUP BY w1, w2),
+                 c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+                 vv AS (SELECT count(DISTINCT tok) AS v
+                        FROM (SELECT unnest(toks) AS tok FROM s)),
+                 lp AS (SELECT bg.doc_id,
+                               ln((c12.c12 + 1.0)
+                                  / (c1.c1 + 1.0 * (SELECT v FROM vv)))
+                                   AS lp
+                        FROM bg JOIN c12 USING (w1, w2)
+                                JOIN c1 USING (w1))
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(lp), 6) AS logprob_mean
+            FROM lp GROUP BY doc_id
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

@@ -108,6 +108,7 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "part_pagerank",
         "signup_funnel",
         "value_deciles",
+        "doc_lm_scores",
     ]
     # the sandbox host is co-tenant (same-config trials vary up to ~5x as
     # CPU steal moves around): report min over up to GRAFT_BENCH_TRIALS

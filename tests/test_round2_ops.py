@@ -1256,3 +1256,46 @@ def test_equi_depth_buckets_balanced_and_boundary_ties():
     import pytest as _pt
     with _pt.raises(ValueError):
         equi_depth_buckets(rd.from_pandas(df), "v", 1)
+
+
+def test_lm_score_matches_bruteforce():
+    import math
+    from collections import Counter
+
+    from belb_ray.stages.lm import lm_score
+
+    rng = np.random.default_rng(111)
+    vocab = [f"t{i}" for i in range(15)]
+    docs = [(d, " ".join(rng.choice(vocab, rng.integers(1, 25))))
+            for d in range(80)]
+    docs.append((80, "solo"))      # 1 token: no bigrams, excluded
+    docs.append((81, ""))          # split(' ') -> [''] : no bigrams
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+
+    got = (lm_score(rd.from_arrow(pa.Table.from_pandas(df)).repartition(5))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    bgs = {d: list(zip(t.split(" "), t.split(" ")[1:]))
+           for d, t in docs if len(t.split(" ")) > 1}
+    c12 = Counter(b for lst in bgs.values() for b in lst)
+    c1 = Counter()
+    for (w1, _), c in c12.items():
+        c1[w1] += c
+    V = len(set(t for _, s in docs for t in s.split(" ")))
+    assert set(got.doc_id) == set(bgs.keys())
+    for _, row in got.iterrows():
+        lst = bgs[row.doc_id]
+        lp = [math.log((c12[b] + 1.0) / (c1[b[0]] + V)) for b in lst]
+        assert row.n_bigrams == len(lst)
+        np.testing.assert_allclose(row.logprob_mean,
+                                   sum(lp) / len(lp), rtol=1e-12)
+
+    # near-dup doc scores higher than a gibberish doc of the same length
+    base = " ".join(rng.choice(vocab[:5], 30))
+    df2 = pd.concat([df, pd.DataFrame({
+        "doc_id": [100, 101, 102],
+        "text": [base, base, " ".join(f"zz{i}" for i in range(30))],
+    })], ignore_index=True)
+    g2 = (lm_score(rd.from_arrow(pa.Table.from_pandas(df2)))
+          .to_pandas().set_index("doc_id"))
+    assert g2.loc[100, "logprob_mean"] > g2.loc[102, "logprob_mean"]
