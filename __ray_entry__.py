@@ -1507,6 +1507,35 @@ def q_doc_lm_scores(sf_dir: str) -> rd.Dataset:
     return _round_cols(lm_score(docs), {"logprob_mean": 6})
 
 
+def q_incremental_dedup(sf_dir: str) -> rd.Dataset:
+    """Cross-run incremental exact dedup
+    (stages/incremental.dedup_against_state): wave 1 (first half of the
+    corpus by doc_id) seeds an append-only parquet hash state; wave 2
+    drops rows whose content wave 1 already accepted plus within-wave
+    duplicates (keep-first). ONE co-location shuffle per wave; the state
+    side ships only md5 hashes (SQL-re-derivable). Returns wave-2
+    survivors."""
+    import shutil
+    import tempfile
+
+    from belb_ray.stages.incremental import dedup_against_state
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    split = docs.count() // 2
+    state = _os.path.join(tempfile.gettempdir(),
+                          f"belb_ray_incr_state_{split}")
+    shutil.rmtree(state, ignore_errors=True)
+    wave1 = docs.filter(expr=f"doc_id < {split}")
+    wave2 = docs.filter(expr=f"doc_id >= {split}")
+    dedup_against_state(wave1, state).materialize()  # seed the state
+    out = dedup_against_state(wave2, state)
+
+    def _slim(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["doc_id"]]
+
+    return out.map_batches(_slim, batch_format="pandas")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -1599,6 +1628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "signup_funnel": q_signup_funnel,
         "value_deciles": q_value_deciles,
         "doc_lm_scores": q_doc_lm_scores,
+        "incremental_dedup": q_incremental_dedup,
         # rows-only (non-SQL-expressible)
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
@@ -2524,6 +2554,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_bigrams,
                    round(avg(lp), 6) AS logprob_mean
             FROM lp GROUP BY doc_id
+        """,
+        "incremental_dedup": """
+            WITH k AS (SELECT count(*) // 2 AS s FROM documents),
+                 w1 AS (SELECT md5(text) AS h FROM documents
+                        WHERE doc_id < (SELECT s FROM k)),
+                 w2 AS (SELECT doc_id, md5(text) AS h FROM documents
+                        WHERE doc_id >= (SELECT s FROM k))
+            SELECT doc_id FROM w2
+            WHERE h NOT IN (SELECT h FROM w1)
+              AND doc_id = (SELECT min(doc_id) FROM w2 b
+                            WHERE b.h = w2.h)
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

@@ -1299,3 +1299,39 @@ def test_lm_score_matches_bruteforce():
     g2 = (lm_score(rd.from_arrow(pa.Table.from_pandas(df2)))
           .to_pandas().set_index("doc_id"))
     assert g2.loc[100, "logprob_mean"] > g2.loc[102, "logprob_mean"]
+
+
+def test_dedup_against_state_across_runs(tmp_path):
+    from belb_ray.stages.incremental import dedup_against_state
+
+    state = str(tmp_path / "state")
+    w1 = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "text": ["aa", "bb", "cc", "bb"]})  # 4 dups 2
+    got1 = (dedup_against_state(
+        rd.from_arrow(pa.Table.from_pandas(w1)), state)
+        .to_pandas().sort_values("doc_id"))
+    assert got1.doc_id.tolist() == [1, 2, 3]  # keep-first within batch
+
+    w2 = pd.DataFrame({"doc_id": [10, 11, 12, 13],
+                       "text": ["cc", "dd", "dd", "ee"]})
+    got2 = (dedup_against_state(
+        rd.from_arrow(pa.Table.from_pandas(w2)), state)
+        .to_pandas().sort_values("doc_id"))
+    # 10 seen in run 1; 12 is a within-batch dup of 11
+    assert got2.doc_id.tolist() == [11, 13]
+
+    # third run: everything seen
+    got3 = (dedup_against_state(
+        rd.from_arrow(pa.Table.from_pandas(w2)), state)
+        .to_pandas())
+    assert len(got3) == 0
+    # one shard per run that accepted rows (the empty third run adds none)
+    import glob as _g
+    assert len(_g.glob(str(tmp_path / "state" / "run-*"))) == 2
+
+    # read-only probe: update_state=False leaves state untouched
+    got4 = (dedup_against_state(
+        rd.from_arrow(pa.Table.from_pandas(w1)), state,
+        update_state=False).to_pandas())
+    assert len(_g.glob(str(tmp_path / "state" / "run-*"))) == 2
+    assert len(got4) == 0
