@@ -1536,6 +1536,20 @@ def q_incremental_dedup(sf_dir: str) -> rd.Dataset:
     return out.map_batches(_slim, batch_format="pandas")
 
 
+def q_pca_projection(sf_dir: str) -> rd.Dataset:
+    """Distributed PCA (stages/pca.pca_project): each block ships ONE
+    fixed-width moment row (n, Σx, Σxxᵀ), the d×d eigendecomposition
+    runs on the driver, the top-4 components broadcast once, and the
+    projection streams as one matmul per batch. Deterministic sign
+    convention; checked against an independent single-process numpy
+    PCA golden at 6dp."""
+    from belb_ray.stages.pca import pca_project
+
+    emb = _t(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    out = pca_project(emb, "embedding", 4, id_cols=["vec_id"])
+    return _round_cols(out, {f"pc{j}": 6 for j in range(1, 5)})
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -1630,6 +1644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_scores": q_doc_lm_scores,
         "incremental_dedup": q_incremental_dedup,
         # rows-only (non-SQL-expressible)
+        "pca_projection": q_pca_projection,
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
         "er_clusters": q_er_clusters,
@@ -2570,7 +2585,8 @@ def oracle_sql() -> dict[str, str]:
         # the independent single-process oracle in tools/make_goldens.py
         # over the driver's fixed sf0.01 inputs / seeded fixture
         **{name: f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}.sf0.01.parquet')"
-           for name in ("er_clusters", "minhash_dedup_docs",
+           for name in ("pca_projection",
+                        "er_clusters", "minhash_dedup_docs",
                         "simhash_dedup_docs", "doc_fingerprints",
                         "lsh_neardup", "lsh_ann_topk", "ivf_ann_topk",
                         "multimodal_features", "semantic_dedup")},

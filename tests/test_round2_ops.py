@@ -1335,3 +1335,47 @@ def test_dedup_against_state_across_runs(tmp_path):
         update_state=False).to_pandas())
     assert len(_g.glob(str(tmp_path / "state" / "run-*"))) == 2
     assert len(got4) == 0
+
+
+def test_pca_project_matches_numpy_and_block_invariant():
+    from belb_ray.stages.pca import explained_variance, pca_project
+
+    rng = np.random.default_rng(121)
+    d, n, k = 8, 600, 3
+    # anisotropic data: known dominant directions
+    basis = np.linalg.qr(rng.normal(size=(d, d)))[0]
+    scales = np.array([10, 5, 2, 1, .5, .2, .1, .05])
+    x = rng.normal(size=(n, d)) * scales @ basis.T + rng.normal(size=d)
+    tbl = pa.table({"id": pa.array(np.arange(n)),
+                    "v": pa.array(x.tolist(), pa.list_(pa.float64()))})
+
+    got = (pca_project(rd.from_arrow(tbl).repartition(5), "v", k,
+                       id_cols=["id"])
+           .to_pandas().sort_values("id").reset_index(drop=True))
+
+    cov = np.cov(x, rowvar=False, bias=True)
+    _, vecs = np.linalg.eigh(cov)
+    comp = vecs[:, ::-1][:, :k]
+    flip = np.sign(comp[np.abs(comp).argmax(axis=0), np.arange(k)])
+    comp = comp * flip
+    exp = (x - x.mean(axis=0)) @ comp
+    np.testing.assert_allclose(
+        got[[f"pc{j+1}" for j in range(k)]].to_numpy(), exp, atol=1e-8)
+
+    # block-structure invariance
+    got2 = (pca_project(rd.from_arrow(tbl).repartition(2), "v", k,
+                        id_cols=["id"])
+            .to_pandas().sort_values("id").reset_index(drop=True))
+    np.testing.assert_allclose(
+        got2[[f"pc{j+1}" for j in range(k)]].to_numpy(),
+        got[[f"pc{j+1}" for j in range(k)]].to_numpy(), atol=1e-10)
+
+    ev = explained_variance(rd.from_arrow(tbl), "v")
+    assert (np.diff(ev.eigenvalue) <= 1e-9).all()  # descending
+    assert abs(ev.cum_explained_ratio.iloc[-1] - 1.0) < 1e-9
+    # the top component dominates by construction
+    assert ev.explained_ratio.iloc[0] > 0.5
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pca_project(rd.from_arrow(tbl), "v", 99)

@@ -383,6 +383,27 @@ def golden_er_clusters(sf: float) -> pa.Table:
     return make_fixture(n_files=n_files, seed=42)["gold_clusters"]
 
 
+def golden_pca_projection(sf_dir: str, k=4) -> pa.Table:
+    """Independent single-process PCA: load the whole embedding matrix,
+    population covariance via np.cov, numpy eigh, same sign convention
+    (largest-|coordinate| entry positive), project, round 6dp."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    x = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    cov = np.cov(x, rowvar=False, bias=True)
+    _, vecs = np.linalg.eigh(cov)
+    comp = vecs[:, ::-1][:, :k]
+    flip = np.sign(comp[np.abs(comp).argmax(axis=0), np.arange(k)])
+    flip[flip == 0] = 1.0
+    comp = comp * flip
+    p = (x - x.mean(axis=0)) @ comp
+    cols = {"vec_id": pa.array(ids, pa.int64())}
+    for j in range(k):
+        cols[f"pc{j + 1}"] = pa.array(np.round(p[:, j], 6))
+    return pa.table(cols)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -401,6 +422,7 @@ def main() -> None:
         "ivf_ann_topk": golden_ivf_topk(args.sf_dir),
         "multimodal_features": golden_multimodal_features(args.sf_dir),
         "semantic_dedup": golden_semantic_dedup(args.sf_dir),
+        "pca_projection": golden_pca_projection(args.sf_dir),
     }
     for name, tbl in tables.items():
         path = os.path.join(GOLDEN_DIR, f"{name}.{sf_tag}.parquet")
