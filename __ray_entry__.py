@@ -1550,6 +1550,35 @@ def q_pca_projection(sf_dir: str) -> rd.Dataset:
     return _round_cols(out, {f"pc{j}": 6 for j in range(1, 5)})
 
 
+def q_incremental_neardup(sf_dir: str) -> rd.Dataset:
+    """Cross-run NEAR-dup dedup against persisted MinHash state
+    (stages/incremental.neardup_against_state): wave 1 seeds band-key +
+    signature parquet state, wave 2 drops docs LSH-paired (shared band,
+    est-Jaccard ≥ 0.5) with a wave-1 survivor or a smaller-id wave-2
+    doc. Candidate generation is one band-key co-location shuffle; the
+    state ships band rows, never text. Golden from the independent
+    brute-force two-wave oracle."""
+    import shutil
+    import tempfile
+
+    from belb_ray.stages.incremental import neardup_against_state
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    split = docs.count() // 2
+    state = _os.path.join(tempfile.gettempdir(),
+                          f"belb_ray_nd_state_{split}")
+    shutil.rmtree(state, ignore_errors=True)
+    wave1 = docs.filter(expr=f"doc_id < {split}")
+    wave2 = docs.filter(expr=f"doc_id >= {split}")
+    neardup_against_state(wave1, state).materialize()  # seed the state
+    out = neardup_against_state(wave2, state)
+
+    def _slim(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["doc_id"]]
+
+    return out.map_batches(_slim, batch_format="pandas")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -1645,6 +1674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": q_incremental_dedup,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
+        "incremental_neardup": q_incremental_neardup,
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
         "er_clusters": q_er_clusters,
@@ -2585,7 +2615,7 @@ def oracle_sql() -> dict[str, str]:
         # the independent single-process oracle in tools/make_goldens.py
         # over the driver's fixed sf0.01 inputs / seeded fixture
         **{name: f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}.sf0.01.parquet')"
-           for name in ("pca_projection",
+           for name in ("pca_projection", "incremental_neardup",
                         "er_clusters", "minhash_dedup_docs",
                         "simhash_dedup_docs", "doc_fingerprints",
                         "lsh_neardup", "lsh_ann_topk", "ivf_ann_topk",

@@ -107,3 +107,138 @@ def dedup_against_state(new_docs: rd.Dataset, state_dir: str,
         survivors.select_columns(["__h"]).write_parquet(shard_dir)
 
     return survivors.drop_columns(["__h"])
+
+
+def neardup_against_state(new_docs: rd.Dataset, state_dir: str,
+                          threshold: float = 0.5, num_perm: int = 128,
+                          bands: int = 32, shingle_k: int = 3,
+                          seed: int = 7, id_col: str = "doc_id",
+                          text_col: str = "text", num_buckets: int = 64,
+                          update_state: bool = True,
+                          broadcast_threshold: int = 2_000_000) -> rd.Dataset:
+    """Cross-run NEAR-duplicate dedup against persisted MinHash state —
+    the streaming-ingest completion of the flagship's LSH machinery.
+
+    A new row is dropped when LSH banding pairs it with (a) any doc a
+    previous run accepted or (b) a smaller-id doc of the same batch, and
+    the signature-estimated Jaccard clears ``threshold``. The in-batch
+    rule is "drops if similar to ANY smaller-id batch doc" (regardless
+    of that doc's own fate) — deterministic without iteration; the
+    golden oracle mirrors it exactly. Ids must be unique across runs.
+
+    State = two append-only parquet families under ``state_dir``:
+    ``bands/run-*`` (band_key, rid — what candidate generation joins
+    against) and ``sigs/run-*`` (rid, sig — what verification reads).
+    Shapes: candidate generation is ONE band-key co-location shuffle
+    (state ships band rows, never signatures or text); verification
+    attaches signatures to the candidate sliver via the size-guarded
+    broadcast/hash join; recall is the LSH band guarantee (<1, same as
+    the flagship; raise ``bands`` for higher recall)."""
+    from ..functions.minhash import band_keys, est_jaccard, sig_matrix
+    from ..pipelines.docdedup import _doc_features
+    from .analytic import _attach_small
+    from .joins import semi_join
+
+    feats = _doc_features(new_docs, num_perm, shingle_k, seed,
+                          id_col, text_col,
+                          keep_shingles=False).materialize()
+
+    def _bands(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"band_key": pa.array([], pa.int64()),
+                             "rid": pa.array([], pa.int64())})
+        keys = band_keys(sig_matrix(batch["sig"]), bands)
+        rids = batch["row_id"].to_numpy()
+        return pa.table({
+            "band_key": pa.array(keys.ravel(), pa.int64()),
+            "rid": pa.array(np.repeat(rids, bands), pa.int64()),
+        })
+
+    new_bands = feats.map_batches(_bands, batch_format="pyarrow")
+
+    band_shards = sorted(glob.glob(
+        os.path.join(state_dir, "bands", "run-*", "*.parquet")))
+    sig_shards = sorted(glob.glob(
+        os.path.join(state_dir, "sigs", "run-*", "*.parquet")))
+
+    def _tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__side", pa.array(np.full(batch.num_rows, side, np.int8)))
+        return fn
+
+    both = new_bands.map_batches(_tag(1), batch_format="pyarrow")
+    if band_shards:
+        both = both.union(rd.read_parquet(band_shards).map_batches(
+            _tag(0), batch_format="pyarrow"))
+
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(batch["band_key"].to_numpy(),
+                               categorize=False)
+        batch["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return batch
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns="__bucket")
+        new = g.loc[g["__side"] == 1, ["band_key", "rid"]]
+        old = g.loc[g["__side"] == 0, ["band_key", "rid"]]
+        cross = new.merge(old, on="band_key", suffixes=("", "_o"))
+        nn = new.merge(new, on="band_key", suffixes=("", "_o"))
+        nn = nn[nn["rid"] > nn["rid_o"]]
+        pairs = pd.concat([cross, nn], ignore_index=True)
+        pairs = pairs[["rid", "rid_o"]].drop_duplicates()
+        return pairs.rename(columns={"rid": "new_id",
+                                     "rid_o": "other_id"})
+
+    cands = (both.map_batches(_bucketize, batch_format="pandas")
+             .groupby("__bucket")
+             .map_groups(_pairs, batch_format="pandas"))
+
+    sigs_all = feats.map_batches(
+        lambda t: pa.table({"rid": t["row_id"], "sig": t["sig"]}),
+        batch_format="pyarrow")
+    if sig_shards:
+        sigs_all = sigs_all.union(rd.read_parquet(sig_shards))
+
+    new_keyed = sigs_all.map_batches(
+        lambda t: pa.table({"new_id": t["rid"], "sig": t["sig"]}),
+        batch_format="pyarrow")
+    other_keyed = sigs_all.map_batches(
+        lambda t: pa.table({"other_id": t["rid"], "sig": t["sig"]}),
+        batch_format="pyarrow")
+    withsig = _attach_small(cands, new_keyed, "new_id",
+                            broadcast_threshold)
+    withsig = _attach_small(withsig, other_keyed, "other_id",
+                            broadcast_threshold)
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        a = sig_matrix(batch["sig"], num_perm)
+        b = sig_matrix(batch["sig_r"], num_perm)
+        hit = est_jaccard(a, b) >= threshold
+        ids = batch["new_id"].to_numpy(zero_copy_only=False)[hit]
+        return pa.table({id_col: pa.array(np.unique(ids), pa.int64())})
+
+    dropped = withsig.map_batches(_verify, batch_format="pyarrow")
+    survivors = semi_join(new_docs, dropped, key=id_col, anti=True,
+                          broadcast_threshold=broadcast_threshold,
+                          num_buckets=num_buckets).materialize()
+
+    if update_state:
+        keep = survivors.select_columns([id_col]).map_batches(
+            lambda t: t.rename_columns(["row_id"]), batch_format="pyarrow")
+        feats_s = semi_join(feats, keep, key="row_id",
+                            broadcast_threshold=broadcast_threshold,
+                            num_buckets=num_buckets).materialize()
+        runs = sorted(glob.glob(os.path.join(state_dir, "bands", "run-*")))
+        tag = f"run-{len(runs):06d}-{int(time.time())}"
+        feats_s.map_batches(_bands, batch_format="pyarrow").write_parquet(
+            os.path.join(state_dir, "bands", tag))
+        feats_s.map_batches(
+            lambda t: pa.table({"rid": t["row_id"], "sig": t["sig"]}),
+            batch_format="pyarrow").write_parquet(
+            os.path.join(state_dir, "sigs", tag))
+
+    return survivors

@@ -125,6 +125,11 @@ def semi_join(ds: rd.Dataset, keys_side: rd.Dataset, key: str,
     Same results either way; the guard picks the shape."""
     keys_only = keys_side.select_columns([key])
     n = keys_only.count()
+    if n == 0:
+        # empty key side: anti keeps everything, semi keeps nothing —
+        # (an all-empty-block dataset can also have no schema, which
+        # would break the collect below)
+        return ds if anti else ds.limit(0)
     if n <= broadcast_threshold:
         vals = distinct_values(keys_only, key)
         return broadcast_semi_join(ds, vals, key=key, anti=anti)

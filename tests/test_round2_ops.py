@@ -1379,3 +1379,44 @@ def test_pca_project_matches_numpy_and_block_invariant():
     import pytest as _pt
     with _pt.raises(ValueError):
         pca_project(rd.from_arrow(tbl), "v", 99)
+
+
+def test_neardup_against_state_across_runs(tmp_path):
+    from belb_ray.stages.incremental import neardup_against_state
+
+    rng = np.random.default_rng(131)
+    vocab = [f"w{i}" for i in range(200)]
+
+    def doc():
+        return " ".join(rng.choice(vocab, 60))
+
+    def mutate(s, k=3):
+        w = s.split(" ")
+        for i in rng.choice(len(w), k, replace=False):
+            w[i] = str(rng.choice(vocab))
+        return " ".join(w)
+
+    state = str(tmp_path / "nd")
+    base = [doc() for _ in range(20)]
+    w1 = pd.DataFrame({"doc_id": range(20), "text": base})
+    s1 = (neardup_against_state(
+        rd.from_arrow(pa.Table.from_pandas(w1)), state).to_pandas())
+    assert len(s1) == 20  # all distinct
+
+    fresh = [doc() for _ in range(10)]
+    w2_texts = ([mutate(base[i]) for i in range(10)] + fresh
+                + [mutate(fresh[0])])
+    w2 = pd.DataFrame({"doc_id": range(100, 100 + len(w2_texts)),
+                       "text": w2_texts})
+    s2 = (neardup_against_state(
+        rd.from_arrow(pa.Table.from_pandas(w2)), state,
+        ).to_pandas())
+    # cross-run near-dups (100-109) and the in-batch near-dup (120)
+    # dropped; the 10 fresh docs survive
+    assert sorted(s2.doc_id) == list(range(110, 120))
+
+    # third run: re-sending the fresh docs under new ids drops them all
+    w3 = pd.DataFrame({"doc_id": range(200, 210), "text": fresh})
+    s3 = (neardup_against_state(
+        rd.from_arrow(pa.Table.from_pandas(w3)), state).to_pandas())
+    assert len(s3) == 0

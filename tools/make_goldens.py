@@ -404,6 +404,45 @@ def golden_pca_projection(sf_dir: str, k=4) -> pa.Table:
     return pa.table(cols)
 
 
+def golden_incremental_neardup(sf_dir: str, threshold=0.5, num_perm=128,
+                                bands=32, shingle_k=3, seed=7) -> pa.Table:
+    """Independent single-process two-wave near-dup ingestion: wave 1 =
+    doc_id < count//2 self-dedups (drop if sharing >=1 band with ANY
+    smaller-id wave-1 doc at est-Jaccard >= t); wave 2 drops on a
+    shared band with any wave-1 SURVIVOR or any smaller-id wave-2 doc.
+    Brute-force dict buckets; mirrors incremental.neardup_against_state
+    (no lang salt, unique-shingle signatures)."""
+    from belb_ray.functions.hashing import ngram_hashes, token_hashes
+    from belb_ray.functions.minhash import MinHasher, band_keys, est_jaccard
+    from belb_ray.functions.text import tokenize
+
+    ids, texts, _ = _doc_arrays(sf_dir)
+    split = len(ids) // 2
+    hasher = MinHasher(num_perm=num_perm, seed=seed)
+    cache: dict[str, int] = {}
+    sigs = np.empty((len(ids), num_perm), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        th = token_hashes(tokenize(t), cache)
+        sigs[i] = hasher.signature(np.unique(ngram_hashes(th, shingle_k)))
+    keys = band_keys(sigs, bands)
+    band_sets = [set(int(k) for k in keys[i]) for i in range(len(ids))]
+
+    def similar(i: int, j: int) -> bool:
+        return (bool(band_sets[i] & band_sets[j])
+                and est_jaccard(sigs[i:i + 1], sigs[j:j + 1])[0]
+                >= threshold)
+
+    order = np.argsort(ids, kind="stable")
+    w1 = [int(i) for i in order if ids[i] < split]
+    w2 = [int(i) for i in order if ids[i] >= split]
+    w1_kept = [i for n, i in enumerate(w1)
+               if not any(similar(i, j) for j in w1[:n])]
+    out = [int(ids[i]) for n, i in enumerate(w2)
+           if not any(similar(i, j) for j in w1_kept)
+           and not any(similar(i, j) for j in w2[:n])]
+    return pa.table({"doc_id": pa.array(sorted(out), pa.int64())})
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -423,6 +462,7 @@ def main() -> None:
         "multimodal_features": golden_multimodal_features(args.sf_dir),
         "semantic_dedup": golden_semantic_dedup(args.sf_dir),
         "pca_projection": golden_pca_projection(args.sf_dir),
+        "incremental_neardup": golden_incremental_neardup(args.sf_dir),
     }
     for name, tbl in tables.items():
         path = os.path.join(GOLDEN_DIR, f"{name}.{sf_tag}.parquet")
