@@ -111,6 +111,7 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "doc_lm_scores",
         "incremental_dedup",
         "pca_projection",
+        "incremental_neardup",
     ]
     # the sandbox host is co-tenant (same-config trials vary up to ~5x as
     # CPU steal moves around): report min over up to GRAFT_BENCH_TRIALS
