@@ -42,13 +42,28 @@ def merge_span_identifiers(
     def _merge(group: pd.DataFrame) -> pa.Table:
         dd = (group.drop(columns="__bucket").drop_duplicates()
               .sort_values(keys + [id_col], kind="stable"))
-        g = dd.groupby(keys, sort=False)
-        merged = g[id_col].agg(list).rename("identifiers").reset_index()
-        merged["n_ids"] = g[id_col].size().to_numpy()
-        arrays = {c: pa.array(merged[c]) for c in keys}
-        arrays["identifiers"] = pa.array(merged["identifiers"],
-                                         pa.list_(pa.string()))
-        arrays["n_ids"] = pa.array(merged["n_ids"], pa.int64())
+        n = len(dd)
+        if n == 0:
+            return pa.table(
+                {**{c: pa.array([]) for c in keys},
+                 "identifiers": pa.array([], pa.list_(pa.string())),
+                 "n_ids": pa.array([], pa.int64())})
+        # whole-bucket vectorized list assembly: group boundaries by one
+        # shifted compare per key column, then ListArray.from_arrays over
+        # the sorted identifier values — no per-group Python agg(list)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for c in keys:
+            v = dd[c].to_numpy()
+            change[1:] |= v[1:] != v[:-1]
+        starts = np.flatnonzero(change)
+        offsets = np.concatenate((starts, [n])).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(dd[id_col], pa.string()))
+        firsts = dd.iloc[starts]
+        arrays = {c: pa.array(firsts[c]) for c in keys}
+        arrays["identifiers"] = lists
+        arrays["n_ids"] = pa.array(np.diff(offsets).astype(np.int64))
         return pa.table(arrays)
 
     bucketed = anns.map_batches(_bucketize, batch_format="pandas",
