@@ -1579,6 +1579,19 @@ def q_incremental_neardup(sf_dir: str) -> rd.Dataset:
     return out.map_batches(_slim, batch_format="pandas")
 
 
+def q_pca_variance(sf_dir: str) -> pd.DataFrame:
+    """Explained-variance spectrum of the embedding covariance
+    (stages/pca.explained_variance): one fixed-width moment row per
+    block, driver eigh; d-row output. Golden from independent numpy."""
+    from belb_ray.stages.pca import explained_variance
+
+    emb = _t(sf_dir, "embeddings").select_columns(["embedding"])
+    out = explained_variance(emb, "embedding")
+    for c in ("eigenvalue", "explained_ratio", "cum_explained_ratio"):
+        out[c] = out[c].round(8)
+    return out
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -1674,6 +1687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": q_incremental_dedup,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
+        "pca_variance": q_pca_variance,
         "incremental_neardup": q_incremental_neardup,
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
@@ -2615,7 +2629,8 @@ def oracle_sql() -> dict[str, str]:
         # the independent single-process oracle in tools/make_goldens.py
         # over the driver's fixed sf0.01 inputs / seeded fixture
         **{name: f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}.sf0.01.parquet')"
-           for name in ("pca_projection", "incremental_neardup",
+           for name in ("pca_projection", "pca_variance",
+                        "incremental_neardup",
                         "er_clusters", "minhash_dedup_docs",
                         "simhash_dedup_docs", "doc_fingerprints",
                         "lsh_neardup", "lsh_ann_topk", "ivf_ann_topk",

@@ -443,6 +443,22 @@ def golden_incremental_neardup(sf_dir: str, threshold=0.5, num_perm=128,
     return pa.table({"doc_id": pa.array(sorted(out), pa.int64())})
 
 
+def golden_pca_variance(sf_dir: str) -> pa.Table:
+    """Independent single-process eigenvalue spectrum (np.cov + eigh)."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["embedding"])
+    x = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    vals = np.linalg.eigh(np.cov(x, rowvar=False, bias=True))[0][::-1]
+    vals = np.clip(vals, 0.0, None)
+    ratio = vals / vals.sum()
+    return pa.table({
+        "component": pa.array(np.arange(1, len(vals) + 1), pa.int64()),
+        "eigenvalue": pa.array(np.round(vals, 8)),
+        "explained_ratio": pa.array(np.round(ratio, 8)),
+        "cum_explained_ratio": pa.array(np.round(np.cumsum(ratio), 8)),
+    })
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -463,6 +479,7 @@ def main() -> None:
         "semantic_dedup": golden_semantic_dedup(args.sf_dir),
         "pca_projection": golden_pca_projection(args.sf_dir),
         "incremental_neardup": golden_incremental_neardup(args.sf_dir),
+        "pca_variance": golden_pca_variance(args.sf_dir),
     }
     for name, tbl in tables.items():
         path = os.path.join(GOLDEN_DIR, f"{name}.{sf_tag}.parquet")
