@@ -31,8 +31,20 @@ import ray.data as rd
 def collect_arrow(ds: rd.Dataset) -> pa.Table:
     """Materialize a (small) Dataset to one driver-side Arrow table.
     Empty blocks carry a degenerate empty schema — drop them before
-    concat; a fully-empty Dataset falls back to the Dataset schema."""
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    concat; a fully-empty Dataset falls back to the Dataset schema.
+    ``to_arrow_refs`` hands back pandas blocks UNconverted (empty
+    DataFrames from a pandas map_groups can slip through an arrow
+    map_batches untouched) — convert or skip them here."""
+    import pandas as _pd
+
+    tables = []
+    for t in ray.get(ds.to_arrow_refs()):
+        if isinstance(t, _pd.DataFrame):
+            if len(t) == 0:
+                continue
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows > 0:
+            tables.append(t)
     if tables:
         return pa.concat_tables(tables)
     schema = ds.schema()
