@@ -128,8 +128,9 @@ def embedding_neardup_pairs(
                 max_broadcast_rows)
             return lsh_neardup_pairs(corpus, dim=dim, threshold=threshold,
                                      id_col=id_col, vec_col=vec_col)
-    full = pa.concat_tables(
-        ray.get(corpus.select_columns([id_col, vec_col]).to_arrow_refs()))
+    from .joins import collect_arrow
+
+    full = collect_arrow(corpus.select_columns([id_col, vec_col]))
     all_ids = full[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     all_mat = _normalize(list_column_matrix(full[vec_col]))
     ref = ray.put((all_ids, all_mat))
@@ -302,9 +303,10 @@ def ivf_topk(
         return t.select([id_col, vec_col]).filter(
             pa.array(ids % sample_mod == 0))
 
+    from .joins import collect_arrow
+
     sample = corpus.map_batches(_samp, batch_format="pyarrow")
-    s_tbl = pa.concat_tables(
-        [t for t in ray.get(sample.to_arrow_refs()) if t.num_rows])
+    s_tbl = collect_arrow(sample)
     # sort by id: kmeans init draws rows by POSITION, so the sample must
     # be in a partition-independent order
     s_tbl = s_tbl.sort_by(id_col)
@@ -417,10 +419,9 @@ def lsh_neardup_pairs(
                          "sim": pa.array([], pa.float64())})
 
     if n <= broadcast_threshold:
-        full = pa.concat_tables(
-            [t for t in ray.get(
-                corpus.select_columns([id_col, vec_col]).to_arrow_refs())
-             if t.num_rows])
+        from .joins import collect_arrow
+
+        full = collect_arrow(corpus.select_columns([id_col, vec_col]))
         ids = full[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(ids, kind="stable")
         ids_sorted = ids[order]

@@ -51,9 +51,10 @@ def semantic_dedup(
         return t.select([id_col, vec_col]).filter(
             pa.array(ids % sample_mod == 0))
 
+    from .joins import collect_arrow
+
     sample = corpus.map_batches(_samp, batch_format="pyarrow")
-    s_tbl = pa.concat_tables(
-        [t for t in ray.get(sample.to_arrow_refs()) if t.num_rows])
+    s_tbl = collect_arrow(sample)
     s_tbl = s_tbl.sort_by(id_col)  # partition-order-independent init
     centroids = kmeans_fit(list_column_matrix(s_tbl[vec_col]), n_cells,
                            iters=kmeans_iters, seed=seed)
