@@ -1420,3 +1420,20 @@ def test_neardup_against_state_across_runs(tmp_path):
     s3 = (neardup_against_state(
         rd.from_arrow(pa.Table.from_pandas(w3)), state).to_pandas())
     assert len(s3) == 0
+
+
+def test_collect_arrow_handles_pandas_blocks():
+    from belb_ray.stages.joins import collect_arrow
+
+    # pandas map_groups emits pandas blocks — incl. possibly EMPTY ones,
+    # which to_arrow_refs hands back unconverted
+    df = pd.DataFrame({"k": [1, 1, 2], "v": ["a", "b", "c"]})
+
+    def _grp(g: pd.DataFrame) -> pd.DataFrame:
+        return g if g.k.iloc[0] == 1 else g.iloc[:0]
+
+    ds = (rd.from_pandas(df).groupby("k")
+          .map_groups(_grp, batch_format="pandas"))
+    tbl = collect_arrow(ds)
+    assert tbl.num_rows == 2
+    assert sorted(tbl["v"].to_pylist()) == ["a", "b"]
