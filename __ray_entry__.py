@@ -1592,6 +1592,32 @@ def q_pca_variance(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_user_event_entropy(sf_dir: str) -> rd.Dataset:
+    """Per-user Shannon entropy of the event-type mix
+    (stages/docstats.grouped_entropy): two combiner aggregations (counts,
+    then Σc / Σc·ln c per key — fixed width) + closed-form finish.
+    6dp compare vs the arithmetic SQL mirror."""
+    from belb_ray.stages.docstats import grouped_entropy
+
+    ev = _t(sf_dir, "events").select_columns(["user_id", "event_type"])
+    out = grouped_entropy(ev, "user_id", "event_type")
+    return _round_cols(out, {"entropy": 6})
+
+
+def q_stratified_docs_sample(sf_dir: str) -> rd.Dataset:
+    """Per-language deterministic fraction sampling
+    (stages/sampling.stratified_hash_sample, md5 mode): rebalance a
+    corpus by keeping 50% of 'en', 25% of 'de', 10% of everything else —
+    partition-independent, SQL-re-derivable draw per row."""
+    from belb_ray.stages.sampling import stratified_hash_sample
+
+    docs = _t(sf_dir, "documents").select_columns(
+        ["doc_id", "lang", "source"])
+    return stratified_hash_sample(docs, "doc_id", "lang",
+                                  {"en": 0.5, "de": 0.25},
+                                  default_frac=0.10, seed=7)
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -1684,6 +1710,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "signup_funnel": q_signup_funnel,
         "value_deciles": q_value_deciles,
         "doc_lm_scores": q_doc_lm_scores,
+        "user_event_entropy": q_user_event_entropy,
+        "stratified_docs_sample": q_stratified_docs_sample,
         "incremental_dedup": q_incremental_dedup,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
@@ -2624,6 +2652,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE h NOT IN (SELECT h FROM w1)
               AND doc_id = (SELECT min(doc_id) FROM w2 b
                             WHERE b.h = w2.h)
+        """,
+        "user_event_entropy": """
+            WITH c AS (SELECT user_id, event_type, count(*) AS c
+                       FROM events GROUP BY user_id, event_type),
+                 t AS (SELECT user_id, sum(c) AS n FROM c
+                       GROUP BY user_id)
+            SELECT c.user_id,
+                   round(ln(t.n) - sum(c.c * ln(c.c)) / t.n, 6)
+                       AS entropy
+            FROM c JOIN t USING (user_id) GROUP BY c.user_id, t.n
+        """,
+        "stratified_docs_sample": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                            || ':7'), 1, 15)) AS BIGINT)
+                  < CASE lang WHEN 'en' THEN {int(0.5 * 16 ** 15)}
+                              WHEN 'de' THEN {int(0.25 * 16 ** 15)}
+                              ELSE {int(0.10 * 16 ** 15)} END
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

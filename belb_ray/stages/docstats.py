@@ -12,6 +12,7 @@ trigram profiles — the config contract).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
@@ -105,3 +106,36 @@ def doc_fingerprints(ds: rd.Dataset, k: int = 8, id_col: str = "doc_id",
         return fp(batch)
 
     return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+def grouped_entropy(ds: rd.Dataset, key: str, value_col: str,
+                    out_col: str = "entropy",
+                    num_buckets: int = 64) -> rd.Dataset:
+    """Per-key Shannon entropy (nats) of the ``value_col`` distribution —
+    the diversity score of a user's event mix / a source's doc types.
+    Fully combiner-shaped: one (key, value) count aggregation, then the
+    counts re-aggregate per key as Σc and Σc·ln c (fixed width), finished
+    closed-form as ``H = ln n − Σc·ln c / n``. Input rows shuffle as
+    count partials only; the SQL oracle mirrors the arithmetic."""
+    from .agg import preagg_groupby
+
+    counts = preagg_groupby(ds.select_columns([key, value_col]),
+                            [key, value_col], [("count", "", "__c")],
+                            num_buckets)
+
+    def _terms(batch: pd.DataFrame) -> pd.DataFrame:
+        c = batch["__c"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({key: batch[key], "__n": c,
+                             "__clnc": c * np.log(c)})
+
+    sums = preagg_groupby(
+        counts.map_batches(_terms, batch_format="pandas"),
+        [key], [("sum", "__n", "__n"), ("sum", "__clnc", "__clnc")],
+        num_buckets)
+
+    def _finish(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["__n"].to_numpy(dtype=np.float64)
+        batch[out_col] = np.log(n) - batch["__clnc"] / n
+        return batch.drop(columns=["__n", "__clnc"])
+
+    return sums.map_batches(_finish, batch_format="pandas")

@@ -146,3 +146,28 @@ def weighted_sample_per_group(ds: rd.Dataset, group_col: str, id_col: str,
                        descending=True, tiebreak=id_col,
                        num_buckets=num_buckets)
     return top.drop_columns(["__wkey"])
+
+
+def stratified_hash_sample(ds: rd.Dataset, key: str, group_col: str,
+                           fracs: dict, default_frac: float = 0.0,
+                           seed: int = 0,
+                           method: str = "md5") -> rd.Dataset:
+    """Per-group deterministic fraction sampling: keep a row when its
+    key hash falls below ``fracs[group]`` (``default_frac`` for unlisted
+    groups) of the hash space — :func:`hash_sample` with a per-stratum
+    rate, the training-data curation knob for rebalancing sources or
+    languages. Same determinism/re-derivability guarantees as
+    hash_sample (md5 mode mirrors in SQL via a CASE over the group)."""
+    space = float(MD5_SPACE if method == "md5" else 2 ** 60)
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        hv = (_md5_hash60(batch[key], seed) if method == "md5"
+              else (_key_hash(batch[key], seed)
+                    >> np.uint64(4)).astype(np.int64))
+        groups = batch[group_col].to_pylist()
+        cut = np.fromiter(
+            (fracs.get(g, default_frac) * space for g in groups),
+            np.float64, len(groups))
+        return batch.filter(pa.array(hv < cut))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")

@@ -1437,3 +1437,48 @@ def test_collect_arrow_handles_pandas_blocks():
     tbl = collect_arrow(ds)
     assert tbl.num_rows == 2
     assert sorted(tbl["v"].to_pylist()) == ["a", "b"]
+
+
+def test_grouped_entropy_matches_scipy_and_block_invariant():
+    from belb_ray.stages.docstats import grouped_entropy
+
+    rng = np.random.default_rng(141)
+    df = pd.DataFrame({"k": rng.integers(0, 12, 6000),
+                       "v": rng.choice(list("abcde"), 6000,
+                                       p=[.4, .3, .15, .1, .05])})
+    got = (grouped_entropy(rd.from_pandas(df).repartition(7), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+
+    def ent(x):
+        p = x.value_counts(normalize=True).to_numpy()
+        return -(p * np.log(p)).sum()
+
+    exp = df.groupby("k")["v"].apply(ent)
+    np.testing.assert_allclose(got["entropy"], exp.values, rtol=1e-12)
+
+    # single-value keys have zero entropy
+    one = pd.DataFrame({"k": [1, 1, 2], "v": ["x", "x", "y"]})
+    g1 = (grouped_entropy(rd.from_pandas(one), "k", "v")
+          .to_pandas().sort_values("k"))
+    np.testing.assert_allclose(g1["entropy"], [0.0, 0.0], atol=1e-12)
+
+
+def test_stratified_hash_sample_rates_and_determinism():
+    from belb_ray.stages.sampling import stratified_hash_sample
+
+    rng = np.random.default_rng(142)
+    df = pd.DataFrame({"id": np.arange(20000),
+                       "g": rng.choice(["a", "b", "c"], 20000)})
+    fr = {"a": 0.5, "b": 0.1}
+    got = (stratified_hash_sample(
+        rd.from_arrow(pa.Table.from_pandas(df)).repartition(6),
+        "id", "g", fr, default_frac=0.0, seed=3).to_pandas())
+    rates = got.groupby("g").size() / df.groupby("g").size()
+    assert abs(rates.get("a", 0) - 0.5) < 0.03
+    assert abs(rates.get("b", 0) - 0.1) < 0.02
+    assert "c" not in set(got.g)  # default_frac=0 drops unlisted groups
+
+    got2 = (stratified_hash_sample(
+        rd.from_arrow(pa.Table.from_pandas(df)).repartition(2),
+        "id", "g", fr, default_frac=0.0, seed=3).to_pandas())
+    assert sorted(got.id) == sorted(got2.id)  # partition-independent
