@@ -1618,6 +1618,52 @@ def q_stratified_docs_sample(sf_dir: str) -> rd.Dataset:
                                   default_frac=0.10, seed=7)
 
 
+def q_user_value_winsorized(sf_dir: str) -> rd.Dataset:
+    """Per-user winsorization at [p10, p90]
+    (stages/analytic.winsorize_by_group): one histogram quantile
+    exchange for the per-key bounds, broadcast attach, streaming clip.
+    Aggregated per user for a compact oracle compare (sum of clipped
+    cents, exact int64)."""
+    import numpy as np
+
+    from belb_ray.stages.agg import preagg_groupby
+    from belb_ray.stages.analytic import winsorize_by_group
+
+    ev = _t(sf_dir, "events").select_columns(["user_id", "value"])
+    w = winsorize_by_group(ev, "user_id", "value", lo=0.10, hi=0.90,
+                           out_col="wv")
+
+    def _cents(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": batch["user_id"],
+            "wc": np.round(batch["wv"].to_numpy() * 100.0)
+            .astype(np.int64),
+        })
+
+    return preagg_groupby(w.map_batches(_cents, batch_format="pandas"),
+                          ["user_id"], [("count", "", "n"),
+                                        ("sum", "wc", "sum_wc")])
+
+
+def q_user_event_validity(sf_dir: str) -> rd.Dataset:
+    """SCD2-style validity intervals: each user event is valid until the
+    user's next event (null-capped tail) — the lead window composition
+    (stages/analytic.ordered_window, one co-location shuffle)."""
+    from belb_ray.stages.analytic import ordered_window
+
+    ev = _t(sf_dir, "events").select_columns(
+        ["user_id", "event_id", "ts"]).map_batches(
+        lambda b: b.assign(ts_us=b["ts"].astype("int64")),
+        batch_format="pandas").drop_columns(["ts"])
+    out = ordered_window(ev, "user_id", ["ts_us", "event_id"],
+                         [("lead", "ts_us", "valid_to_us")])
+
+    def _shape(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["user_id", "event_id", "ts_us", "valid_to_us"]]
+
+    return out.map_batches(_shape, batch_format="pandas")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -1712,6 +1758,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_scores": q_doc_lm_scores,
         "user_event_entropy": q_user_event_entropy,
         "stratified_docs_sample": q_stratified_docs_sample,
+        "user_value_winsorized": q_user_value_winsorized,
+        "user_event_validity": q_user_event_validity,
         "incremental_dedup": q_incremental_dedup,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
@@ -2670,6 +2718,27 @@ def oracle_sql() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN {int(0.5 * 16 ** 15)}
                               WHEN 'de' THEN {int(0.25 * 16 ** 15)}
                               ELSE {int(0.10 * 16 ** 15)} END
+        """,
+        "user_value_winsorized": """
+            WITH b AS (SELECT user_id,
+                              quantile_disc(value, 0.10) AS qlo,
+                              quantile_disc(value, 0.90) AS qhi
+                       FROM events GROUP BY user_id)
+            SELECT e.user_id, count(*) AS n,
+                   CAST(sum(CAST(round(
+                       least(greatest(e.value, b.qlo), b.qhi) * 100)
+                       AS BIGINT)) AS BIGINT) AS sum_wc
+            FROM events e JOIN b USING (user_id)
+            GROUP BY e.user_id
+        """,
+        "user_event_validity": """
+            SELECT user_id, event_id,
+                   epoch_us(ts) AS ts_us,
+                   lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                            ORDER BY epoch_us(ts),
+                                                     event_id)
+                       AS valid_to_us
+            FROM events
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

@@ -470,3 +470,31 @@ def equi_depth_buckets(ds: rd.Dataset, value_col: str, n_buckets: int,
 
     return ds.map_batches(_assign, batch_format="pandas",
                           batch_size=1 << 17)
+
+
+def winsorize_by_group(ds: rd.Dataset, key: str, value_col: str,
+                       lo: float = 0.05, hi: float = 0.95,
+                       out_col: str | None = None,
+                       num_buckets: int = 64,
+                       broadcast_threshold: int = 2_000_000) -> rd.Dataset:
+    """Per-group winsorization (outlier clipping): values clip to the
+    group's [lo, hi] discrete quantiles — the standard robust-cleaning
+    transform before training-statistics. One histogram quantile
+    exchange produces the per-key bounds (fixed width), the bounds
+    attach back via the size-guarded broadcast, and the clip streams.
+    SQL mirror: least(greatest(v, q_lo), q_hi) with quantile_disc."""
+    if not (0.0 <= lo <= hi <= 1.0):
+        raise ValueError("need 0 <= lo <= hi <= 1")
+    out_col = out_col or value_col
+    bounds = grouped_quantiles(ds, key, value_col,
+                               [(lo, "__qlo"), (hi, "__qhi")], num_buckets)
+    withb = _attach_small(ds, bounds, key, broadcast_threshold)
+
+    def _clip(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        out = batch.drop(columns=["__qlo", "__qhi"]).copy()
+        out[out_col] = np.clip(v, batch["__qlo"], batch["__qhi"])
+        return out
+
+    return withb.map_batches(_clip, batch_format="pandas",
+                             batch_size=1 << 17)

@@ -114,6 +114,8 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "incremental_neardup",
         "user_event_entropy",
         "stratified_docs_sample",
+        "user_value_winsorized",
+        "user_event_validity",
     ]
     # the sandbox host is co-tenant (same-config trials vary up to ~5x as
     # CPU steal moves around): report min over up to GRAFT_BENCH_TRIALS

@@ -1482,3 +1482,32 @@ def test_stratified_hash_sample_rates_and_determinism():
         rd.from_arrow(pa.Table.from_pandas(df)).repartition(2),
         "id", "g", fr, default_frac=0.0, seed=3).to_pandas())
     assert sorted(got.id) == sorted(got2.id)  # partition-independent
+
+
+def test_winsorize_by_group_matches_pandas():
+    from belb_ray.stages.analytic import winsorize_by_group
+
+    rng = np.random.default_rng(151)
+    df = pd.DataFrame({"k": rng.integers(0, 8, 4000),
+                       "v": rng.standard_cauchy(4000)})
+
+    def disc_q(x, q):
+        s = np.sort(np.asarray(x))
+        return s[max(int(np.ceil(q * len(s))) - 1, 0)]
+
+    got = (winsorize_by_group(rd.from_pandas(df).repartition(5), "k", "v",
+                              lo=0.05, hi=0.95, out_col="w")
+           .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    exp_rows = []
+    for k, g in df.groupby("k"):
+        qlo, qhi = disc_q(g.v, 0.05), disc_q(g.v, 0.95)
+        for v in g.v:
+            exp_rows.append((k, v, min(max(v, qlo), qhi)))
+    exp = (pd.DataFrame(exp_rows, columns=["k", "v", "w"])
+           .sort_values(["k", "v"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["k", "v", "w"]], exp,
+                                  check_dtype=False)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        winsorize_by_group(rd.from_pandas(df), "k", "v", lo=0.9, hi=0.1)
