@@ -1664,6 +1664,32 @@ def q_user_event_validity(sf_dir: str) -> rd.Dataset:
     return out.map_batches(_shape, batch_format="pandas")
 
 
+def q_wealthy_or_supplier_nations(sf_dir: str) -> rd.Dataset:
+    """UNION (distinct) of two key sets (stages/setops.set_union): both
+    sides locally dedup before ONE co-location shuffle — nations with a
+    wealthy customer or any supplier."""
+    from belb_ray.stages.setops import set_union
+
+    rich = _t(sf_dir, "customer").filter(expr="c_acctbal > 9000")
+    sup = _t(sf_dir, "supplier")
+    return set_union(rich, sup, ["c_nationkey"], b_cols=["s_nationkey"])
+
+
+def q_nation_type_matrix(sf_dir: str) -> rd.Dataset:
+    """Broadcast CROSS JOIN (stages/joins.cross_join): every nation ×
+    every distinct event type — the small side is ray.put once, each
+    batch expands locally, no shuffle."""
+    from belb_ray.stages.agg import preagg_groupby
+    from belb_ray.stages.joins import cross_join
+
+    nations = _t(sf_dir, "nation").select_columns(
+        ["n_nationkey", "n_name"])
+    types = preagg_groupby(
+        _t(sf_dir, "events").select_columns(["event_type"]),
+        ["event_type"], [("count", "", "__n")]).drop_columns(["__n"])
+    return cross_join(nations, types)
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -1760,6 +1786,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_docs_sample": q_stratified_docs_sample,
         "user_value_winsorized": q_user_value_winsorized,
         "user_event_validity": q_user_event_validity,
+        "wealthy_or_supplier_nations": q_wealthy_or_supplier_nations,
+        "nation_type_matrix": q_nation_type_matrix,
         "incremental_dedup": q_incremental_dedup,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
@@ -2739,6 +2767,16 @@ def oracle_sql() -> dict[str, str]:
                                                      event_id)
                        AS valid_to_us
             FROM events
+        """,
+        "wealthy_or_supplier_nations": """
+            SELECT c_nationkey FROM customer WHERE c_acctbal > 9000
+            UNION
+            SELECT s_nationkey FROM supplier
+        """,
+        "nation_type_matrix": """
+            SELECT n_nationkey, n_name, event_type
+            FROM nation CROSS JOIN (SELECT DISTINCT event_type
+                                    FROM events)
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

@@ -403,3 +403,34 @@ def bloom_semi_join(ds: rd.Dataset, keys_side: rd.Dataset, key: str,
     definite_out = ds.map_batches(lambda t: _probe(t, False),
                                   batch_format="pyarrow")
     return exact.union(definite_out)
+
+
+def cross_join(ds: rd.Dataset, small, right_suffix: str = "_r") -> rd.Dataset:
+    """Cartesian product of a Dataset with a SMALL in-memory side (the
+    only cross-join shape that makes sense distributed: the small table
+    is ray.put once and each batch expands locally — output streams at
+    |batch| × |small| rows per task, no shuffle). Pass small as a
+    pa.Table / DataFrame / small Dataset."""
+    small_tbl = _as_arrow(small)
+    ref = ray.put(small_tbl)
+
+    def _cross(batch: pa.Table) -> pa.Table:
+        right = ray.get(ref)
+        n, m = batch.num_rows, right.num_rows
+        if n == 0 or m == 0:
+            cols = {c: batch[c].slice(0, 0) for c in batch.column_names}
+            for c in right.column_names:
+                name = c + right_suffix if c in batch.column_names else c
+                cols[name] = right[c].slice(0, 0)
+            return pa.table(cols)
+        left_idx = np.repeat(np.arange(n, dtype=np.int64), m)
+        right_idx = np.tile(np.arange(m, dtype=np.int64), n)
+        cols = {c: batch[c].take(pa.array(left_idx))
+                for c in batch.column_names}
+        for c in right.column_names:
+            name = c + right_suffix if c in batch.column_names else c
+            cols[name] = right[c].take(pa.array(right_idx))
+        return pa.table(cols)
+
+    return ds.map_batches(_cross, batch_format="pyarrow",
+                          batch_size=8192)

@@ -75,3 +75,26 @@ def set_intersect(a: rd.Dataset, b: rd.Dataset, cols: list[str],
                   num_buckets: int = 64) -> rd.Dataset:
     """``SELECT DISTINCT cols FROM a INTERSECT SELECT ... FROM b``."""
     return _set_op(a, b, cols, "both", b_cols, num_buckets)
+
+
+def set_union(a: rd.Dataset, b: rd.Dataset, cols: list[str],
+              b_cols: list[str] | None = None,
+              num_buckets: int = 64) -> rd.Dataset:
+    """``SELECT DISTINCT cols FROM a UNION SELECT ... FROM b`` —
+    distinct keys present on EITHER side. Same one-shuffle shape: both
+    sides locally dedup, the tagged union co-locates, the per-bucket
+    combine is a plain drop_duplicates over the key columns."""
+    rename = dict(zip(b_cols, cols)) if b_cols else None
+    both = _tagged_distinct(a, cols, 0, None).union(
+        _tagged_distinct(b, b_cols or cols, 1, rename))
+
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch[_BUCKET] = _bucket_of_frame(batch, cols, num_buckets)
+        return batch
+
+    def _combine(group: pd.DataFrame) -> pd.DataFrame:
+        return group[cols].drop_duplicates()
+
+    return (both.map_batches(_bucketize, batch_format="pandas",
+                             batch_size=1 << 18)
+            .groupby(_BUCKET).map_groups(_combine, batch_format="pandas"))

@@ -1511,3 +1511,26 @@ def test_winsorize_by_group_matches_pandas():
     import pytest as _pt
     with _pt.raises(ValueError):
         winsorize_by_group(rd.from_pandas(df), "k", "v", lo=0.9, hi=0.1)
+
+
+def test_set_union_and_cross_join():
+    from belb_ray.stages.joins import cross_join
+    from belb_ray.stages.setops import set_union
+
+    a = pd.DataFrame({"k": [1, 2, 2, 3]})
+    b = pd.DataFrame({"j": [3, 4, 4]})
+    got = (set_union(rd.from_pandas(a), rd.from_pandas(b), ["k"],
+                     b_cols=["j"]).to_pandas())
+    assert sorted(got.k) == [1, 2, 3, 4]
+
+    left = pd.DataFrame({"x": [1, 2, 3], "k": ["a", "b", "c"]})
+    right = pa.table({"y": [10, 20], "k": ["p", "q"]})
+    cj = (cross_join(rd.from_pandas(left).repartition(2), right)
+          .to_pandas().sort_values(["x", "y"]).reset_index(drop=True))
+    assert len(cj) == 6
+    assert set(cj.columns) == {"x", "k", "y", "k_r"}
+    assert cj.loc[0, ["x", "y"]].tolist() == [1, 10]
+    exp = left.merge(right.to_pandas(), how="cross",
+                     suffixes=("", "_r")).sort_values(
+        ["x", "y"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(cj[exp.columns], exp)
