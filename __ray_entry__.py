@@ -1690,6 +1690,66 @@ def q_nation_type_matrix(sf_dir: str) -> rd.Dataset:
     return cross_join(nations, types)
 
 
+def q_user_value_regression(sf_dir: str) -> rd.Dataset:
+    """Per-user OLS of event value over time (stages/agg.
+    grouped_regression): blocks ship six raw moments per key, one
+    bucketed sum-combine, closed-form slope/intercept/r². x is
+    DAYS since 2024-01-01 (fixed origin keeps |x| small so the
+    intercept's ybar − slope·xbar cancellation stays benign) as double — the identical expression the SQL mirror uses, so
+    the 6dp/4dp rounded compare is exact."""
+    from belb_ray.stages.agg import grouped_regression
+
+    ev = _t(sf_dir, "events").select_columns(["user_id", "ts", "value"])
+
+    def _x(batch: pd.DataFrame) -> pd.DataFrame:
+        secs = (batch["ts"].astype("int64") / 1e6)
+        return pd.DataFrame({"user_id": batch["user_id"],
+                             "x": (secs - 1704067200.0) / 86400.0,
+                             "value": batch["value"]})
+
+    xy = ev.map_batches(_x, batch_format="pandas", batch_size=1 << 17)
+    out = grouped_regression(xy, ["user_id"], "x", "value")
+    return _round_cols(out, {"slope": 6, "intercept": 4, "r2": 6})
+
+
+def q_weekly_cohort_retention(sf_dir: str) -> rd.Dataset:
+    """Weekly cohort retention triangle (stages/cohort.cohort_retention):
+    batch-local (user, week) dedup → ONE hash(user) shuffle → per-bucket
+    first-week + offset counts → tiny sum-combine. Weeks are
+    Monday-aligned integer indices so the SQL mirror needs no date_trunc
+    dialect."""
+    from belb_ray.stages.cohort import cohort_retention
+
+    ev = _t(sf_dir, "events").select_columns(["user_id", "ts"])
+    return cohort_retention(ev, "user_id", "ts")
+
+
+def q_customer_table_diff(sf_dir: str) -> rd.Dataset:
+    """CDC keyed diff (stages/setops.keyed_diff): two deterministically
+    derived versions of the customer table — 'old' drops custkey%11==0,
+    'new' drops custkey%13==0 and patches acctbal where custkey%5==0 —
+    classified added/removed/changed with per-row changed-column list in
+    ONE co-location shuffle."""
+    from belb_ray.stages.setops import keyed_diff
+
+    cust = _t(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_acctbal", "c_mktsegment"])
+    old = cust.map_batches(
+        lambda b: b[b["c_custkey"] % 11 != 0],
+        batch_format="pandas", batch_size=1 << 16)
+
+    def _patch(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["c_custkey"] % 13 != 0].copy()
+        hit = batch["c_custkey"] % 5 == 0
+        batch.loc[hit, "c_acctbal"] = batch.loc[hit, "c_acctbal"] + 100.0
+        return batch
+
+    new = cust.map_batches(_patch, batch_format="pandas",
+                           batch_size=1 << 16)
+    return keyed_diff(old, new, ["c_custkey"],
+                      ["c_acctbal", "c_mktsegment"])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -1788,6 +1848,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_validity": q_user_event_validity,
         "wealthy_or_supplier_nations": q_wealthy_or_supplier_nations,
         "nation_type_matrix": q_nation_type_matrix,
+        "user_value_regression": q_user_value_regression,
+        "weekly_cohort_retention": q_weekly_cohort_retention,
+        "customer_table_diff": q_customer_table_diff,
         "incremental_dedup": q_incremental_dedup,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
@@ -2777,6 +2840,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_nationkey, n_name, event_type
             FROM nation CROSS JOIN (SELECT DISTINCT event_type
                                     FROM events)
+        """,
+        "user_value_regression": """
+            WITH m AS (
+                SELECT user_id, count(*) AS n,
+                       sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+                       sum(y * y) AS syy, sum(x * y) AS sxy
+                FROM (SELECT user_id,
+                             (epoch(ts) - 1704067200.0) / 86400.0 AS x,
+                             value AS y FROM events)
+                GROUP BY user_id)
+            SELECT user_id, n,
+                   round(CASE WHEN sxx - sx * sx / n > 0
+                         THEN (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                         END, 6) AS slope,
+                   round(CASE WHEN sxx - sx * sx / n > 0
+                         THEN (sy - (sxy - sx * sy / n)
+                               / (sxx - sx * sx / n) * sx) / n
+                         END, 4) AS intercept,
+                   round(CASE WHEN sxx - sx * sx / n > 0 THEN
+                         CASE WHEN syy - sy * sy / n > 0
+                         THEN (sxy - sx * sy / n) * (sxy - sx * sy / n)
+                              / ((sxx - sx * sx / n) * (syy - sy * sy / n))
+                         ELSE 1.0 END END, 6) AS r2
+            FROM m
+        """,
+        "weekly_cohort_retention": """
+            WITH a AS (SELECT DISTINCT user_id,
+                              (CAST(floor(epoch(ts)) AS BIGINT) + 259200)
+                              // 604800 AS w
+                       FROM events),
+                 f AS (SELECT user_id, min(w) AS cw FROM a
+                       GROUP BY user_id)
+            SELECT f.cw AS cohort_period, a.w - f.cw AS period_offset,
+                   count(*) AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY f.cw, a.w - f.cw
+        """,
+        "customer_table_diff": """
+            WITH old AS (SELECT c_custkey, c_acctbal, c_mktsegment
+                         FROM customer WHERE c_custkey % 11 != 0),
+                 new AS (SELECT c_custkey,
+                                CASE WHEN c_custkey % 5 = 0
+                                     THEN c_acctbal + 100.0
+                                     ELSE c_acctbal END AS c_acctbal,
+                                c_mktsegment
+                         FROM customer WHERE c_custkey % 13 != 0),
+                 j AS (SELECT coalesce(old.c_custkey, new.c_custkey)
+                              AS c_custkey,
+                              old.c_custkey IS NULL AS only_new,
+                              new.c_custkey IS NULL AS only_old,
+                              old.c_acctbal IS DISTINCT FROM
+                                  new.c_acctbal AS d_bal,
+                              old.c_mktsegment IS DISTINCT FROM
+                                  new.c_mktsegment AS d_seg
+                       FROM old FULL OUTER JOIN new
+                            ON old.c_custkey = new.c_custkey)
+            SELECT c_custkey,
+                   CASE WHEN only_new THEN 'added'
+                        WHEN only_old THEN 'removed'
+                        ELSE 'changed' END AS status,
+                   CASE WHEN only_new OR only_old THEN ''
+                        ELSE concat_ws(',',
+                             CASE WHEN d_bal THEN 'c_acctbal' END,
+                             CASE WHEN d_seg THEN 'c_mktsegment' END)
+                        END AS changed_cols
+            FROM j
+            WHERE only_new OR only_old OR d_bal OR d_seg
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

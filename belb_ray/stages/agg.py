@@ -339,6 +339,57 @@ def grouped_corr(ds: rd.Dataset, keys: list[str], x_col: str, y_col: str,
     return combined.map_batches(_finish, batch_format="pandas")
 
 
+def grouped_regression(ds: rd.Dataset, keys: list[str], x_col: str,
+                       y_col: str, num_buckets: int = 64) -> rd.Dataset:
+    """Per-key simple OLS (``y = slope·x + intercept``) plus r² via the
+    same raw-moment shipping as ``grouped_corr``: blocks emit
+    (n, Σx, Σy, Σx², Σy², Σxy) per key — six doubles, never rows — one
+    bucketed sum-combine, closed-form finish. SQL parity:
+    ``regr_slope(y, x)`` / ``regr_intercept`` / ``regr_r2``. Keys with
+    zero x-variance yield NULL slope/intercept/r2 (the SQL convention).
+    At 100 TB the shuffle is keys × blocks fixed-width rows regardless
+    of input size."""
+    cols = ["__n", "__sx", "__sy", "__sxx", "__syy", "__sxy"]
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch[x_col].astype(np.float64)
+        y = batch[y_col].astype(np.float64)
+        ext = batch.assign(__sx=x, __sy=y, __sxx=x * x, __syy=y * y,
+                           __sxy=x * y)
+        g = ext.groupby(keys, sort=False)
+        out = g.agg(__n=(x_col, "size"), __sx=("__sx", "sum"),
+                    __sy=("__sy", "sum"), __sxx=("__sxx", "sum"),
+                    __syy=("__syy", "sum"), __sxy=("__sxy", "sum"))
+        return out.reset_index()
+
+    partials = ds.map_batches(_partial, batch_format="pandas",
+                              batch_size=1 << 17)
+    combined = bucketed_combine(partials, keys, {c: "sum" for c in cols},
+                                num_buckets)
+
+    def _finish(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["__n"].astype(np.float64)
+        cov = batch["__sxy"] - batch["__sx"] * batch["__sy"] / n
+        vx = batch["__sxx"] - batch["__sx"] ** 2 / n
+        vy = batch["__syy"] - batch["__sy"] ** 2 / n
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = np.where(vx > 0, cov / vx, np.nan)
+            intercept = np.where(
+                vx > 0, (batch["__sy"] - slope * batch["__sx"]) / n, np.nan)
+            # regr_r2 = corr² when both variances positive; when the y
+            # side is constant (vy == 0) DuckDB returns 1.0.
+            r2 = np.where(vx > 0,
+                          np.where(vy > 0, (cov * cov) / (vx * vy), 1.0),
+                          np.nan)
+        batch["n"] = batch["__n"].astype(np.int64)
+        batch["slope"] = slope
+        batch["intercept"] = intercept
+        batch["r2"] = r2
+        return batch.drop(columns=cols)
+
+    return combined.map_batches(_finish, batch_format="pandas")
+
+
 def rollup_agg(ds: rd.Dataset, keys: list[str], specs: list[AggSpec],
                marker: str = "ALL", num_buckets: int = 64) -> rd.Dataset:
     """``GROUP BY ROLLUP(keys)`` for re-aggregable functions

@@ -116,6 +116,9 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "stratified_docs_sample",
         "user_value_winsorized",
         "user_event_validity",
+        "user_value_regression",
+        "weekly_cohort_retention",
+        "customer_table_diff",
     ]
     # the sandbox host is co-tenant (same-config trials vary up to ~5x as
     # CPU steal moves around): report min over up to GRAFT_BENCH_TRIALS

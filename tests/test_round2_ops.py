@@ -1534,3 +1534,93 @@ def test_set_union_and_cross_join():
                      suffixes=("", "_r")).sort_values(
         ["x", "y"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(cj[exp.columns], exp)
+
+
+def test_grouped_regression_matches_numpy_and_block_invariant():
+    from belb_ray.stages.agg import grouped_regression
+
+    rng = np.random.default_rng(11)
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.integers(0, 7, n),
+        "x": rng.normal(100.0, 5.0, n),
+    })
+    df["y"] = 3.5 * df["x"] + rng.normal(0, 2.0, n)
+    # one single-point key (zero x-variance → NULLs), one constant-y key
+    df = pd.concat([df, pd.DataFrame({"k": [90, 91, 91, 91],
+                                      "x": [1.0, 1.0, 2.0, 3.0],
+                                      "y": [5.0, 7.0, 7.0, 7.0]})],
+                   ignore_index=True)
+
+    for nblocks in (1, 5):
+        got = (grouped_regression(rd.from_pandas(df).repartition(nblocks),
+                                  ["k"], "x", "y")
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        for _, row in got.iterrows():
+            sub = df[df.k == row.k]
+            if sub.x.nunique() == 1:
+                assert np.isnan(row.slope) and np.isnan(row.r2)
+                continue
+            slope, intercept = np.polyfit(sub.x, sub.y, 1)
+            assert abs(row.slope - slope) < 1e-8
+            assert abs(row.intercept - intercept) < 1e-6
+            r = np.corrcoef(sub.x, sub.y)[0, 1]
+            exp_r2 = 1.0 if sub.y.nunique() == 1 else r * r
+            assert abs(row.r2 - exp_r2) < 1e-8
+
+
+def test_cohort_retention_matches_bruteforce():
+    from belb_ray.stages.cohort import cohort_retention
+
+    rng = np.random.default_rng(3)
+    n = 800
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 60, n),
+        "ts": (pd.Timestamp("2024-01-01")
+               + pd.to_timedelta(rng.integers(0, 90 * 86400, n), unit="s")),
+    })
+    got = (cohort_retention(rd.from_pandas(df).repartition(6),
+                            "user_id", "ts")
+           .to_pandas()
+           .sort_values(["cohort_period", "period_offset"])
+           .reset_index(drop=True))
+
+    # brute force
+    week = (df.ts.astype("int64") // 10**9 + 259200) // 604800
+    a = pd.DataFrame({"u": df.user_id, "w": week}).drop_duplicates()
+    first = a.groupby("u").w.transform("min")
+    cells = pd.DataFrame({"cohort_period": first,
+                          "period_offset": a.w - first})
+    exp = (cells.groupby(["cohort_period", "period_offset"])
+           .size().rename("n_users").reset_index()
+           .sort_values(["cohort_period", "period_offset"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # offset-0 row exists for every cohort and equals the cohort size
+    zero = got[got.period_offset == 0]
+    sizes = a.groupby("u").w.min().value_counts()
+    for _, r in zero.iterrows():
+        assert r.n_users == sizes[r.cohort_period]
+
+
+def test_keyed_diff_classifies_and_lists_changed_cols():
+    from belb_ray.stages.setops import keyed_diff
+
+    old = pd.DataFrame({"id": [1, 2, 3, 4, 5],
+                        "a": [1.0, 2.0, 3.0, 4.0, np.nan],
+                        "b": ["x", "y", "z", "w", "v"]})
+    new = pd.DataFrame({"id": [2, 3, 4, 5, 6],
+                        "a": [2.0, 30.0, 4.0, np.nan, 6.0],
+                        "b": ["y", "z", "W", "v", "u"]})
+    got = (keyed_diff(rd.from_pandas(old).repartition(2),
+                      rd.from_pandas(new).repartition(3),
+                      ["id"], ["a", "b"])
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    by_id = {int(r.id): (r.status, r.changed_cols)
+             for _, r in got.iterrows()}
+    assert by_id == {
+        1: ("removed", ""),
+        3: ("changed", "a"),
+        4: ("changed", "b"),
+        6: ("added", ""),
+    }  # id 2 unchanged, id 5 NaN==NaN → unchanged
