@@ -1750,6 +1750,44 @@ def q_customer_table_diff(sf_dir: str) -> rd.Dataset:
                       ["c_acctbal", "c_mktsegment"])
 
 
+def q_user_value_daily_ffill(sf_dir: str) -> rd.Dataset:
+    """Time-series resample + gap-fill (stages/resample.resample_ffill):
+    per-block (user, day) max partials → ONE hash(user) co-location
+    shuffle → per-bucket dense day grid + composite-searchsorted forward
+    fill. max is order-independent over float64, so the filled values are
+    bit-identical to the SQL last_value(... IGNORE NULLS) mirror."""
+    from belb_ray.stages.resample import resample_ffill
+
+    ev = _t(sf_dir, "events").select_columns(["user_id", "ts", "value"])
+    return resample_ffill(ev, "user_id", "ts", "value", period_s=86_400,
+                          agg="max")
+
+
+def q_user_event_transitions(sf_dir: str) -> rd.Dataset:
+    """Markov transition counts over the per-user ordered event stream
+    (stages/analytic.transition_counts): consecutive event_type pairs in
+    (ts, event_id) order — one co-location shuffle, whole-bucket sort +
+    shifted compare, per-pair counts combined bucketed."""
+    from belb_ray.stages.analytic import transition_counts
+
+    ev = _t(sf_dir, "events").select_columns(
+        ["user_id", "ts", "event_id", "event_type"])
+    return transition_counts(ev, "user_id", ["ts", "event_id"],
+                             "event_type")
+
+
+def q_doc_shard_assignment(sf_dir: str) -> rd.Dataset:
+    """Deterministic global shuffle + sharding for training-data export
+    (stages/sampling.shard_assign): md5-derived shard plus the row's
+    exact 0-based position within its shard — partitioning-independent,
+    so the SQL row_number() mirror re-derives both columns."""
+    from belb_ray.stages.sampling import shard_assign
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "lang"])
+    out = shard_assign(docs, key="doc_id", num_shards=8, seed=5)
+    return out.select_columns(["doc_id", "lang", "shard", "pos"])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -1852,6 +1890,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_cohort_retention": q_weekly_cohort_retention,
         "customer_table_diff": q_customer_table_diff,
         "incremental_dedup": q_incremental_dedup,
+        "user_value_daily_ffill": q_user_value_daily_ffill,
+        "user_event_transitions": q_user_event_transitions,
+        "doc_shard_assignment": q_doc_shard_assignment,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -2907,6 +2948,49 @@ def oracle_sql() -> dict[str, str]:
                         END AS changed_cols
             FROM j
             WHERE only_new OR only_old OR d_bal OR d_seg
+        """,
+        "user_value_daily_ffill": """
+            WITH obs AS (
+                SELECT user_id,
+                       CAST(floor(epoch(ts) / 86400) AS BIGINT) AS period,
+                       max(value) AS v
+                FROM events GROUP BY 1, 2),
+            bounds AS (
+                SELECT user_id, min(period) AS lo, max(period) AS hi
+                FROM obs GROUP BY 1),
+            grid AS (
+                SELECT b.user_id, unnest(generate_series(b.lo, b.hi))
+                       AS period
+                FROM bounds b)
+            SELECT g.user_id, g.period,
+                   last_value(o.v IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.period
+                       ROWS UNBOUNDED PRECEDING) AS value_ffill
+            FROM grid g LEFT JOIN obs o
+                 ON g.user_id = o.user_id AND g.period = o.period
+        """,
+        "user_event_transitions": """
+            WITH seq AS (
+                SELECT event_type AS from_state,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS to_state
+                FROM events)
+            SELECT from_state, to_state, count(*) AS n
+            FROM seq WHERE to_state IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "doc_shard_assignment": """
+            WITH h AS (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                || ':5'), 1, 15)) AS BIGINT)
+                           AS hv
+                FROM documents)
+            SELECT doc_id, lang, hv % 8 AS shard,
+                   row_number() OVER (PARTITION BY hv % 8
+                                      ORDER BY hv, doc_id) - 1 AS pos
+            FROM h
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

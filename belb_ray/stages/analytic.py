@@ -498,3 +498,57 @@ def winsorize_by_group(ds: rd.Dataset, key: str, value_col: str,
 
     return withb.map_batches(_clip, batch_format="pandas",
                              batch_size=1 << 17)
+
+
+def transition_counts(events: rd.Dataset, key: str,
+                      order_cols: list[str], state_col: str,
+                      num_buckets: int = 64) -> rd.Dataset:
+    """Markov transition matrix over a keyed event stream: counts of
+    consecutive (from_state → to_state) pairs, where "consecutive" is
+    per ``key`` in ``order_cols`` order (SQL: ``lead(state) OVER
+    (PARTITION BY key ORDER BY ...)`` then GROUP BY pair).
+
+    Shape at 100 TB: ONE hash(key)-bucket co-location shuffle of the
+    projected (key, order, state) rows; the per-bucket pass is a whole-
+    bucket stable sort + one shifted compare (no per-key dispatch, works
+    for string states — unlike the float64 ``lead`` kernel in
+    ``ordered_window``); each bucket emits per-pair COUNTS, so the final
+    combine moves at most |states|² fixed-width rows per bucket."""
+    from .agg import _bucket_of_frame, bucketed_combine
+
+    cols = [key] + order_cols + [state_col]
+
+    def _project(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[cols]
+
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__bucket"] = _bucket_of_frame(batch, [key], num_buckets)
+        return batch
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.drop(columns="__bucket")
+                  .sort_values([key] + order_cols, kind="stable")
+                  .reset_index(drop=True))
+        if len(g) < 2:
+            return pd.DataFrame({"from_state": [], "to_state": [],
+                                 "n": pd.Series([], dtype=np.int64)})
+        ks = g[key].to_numpy()
+        st = g[state_col].to_numpy()
+        same_key = ks[1:] == ks[:-1]
+        pairs = pd.DataFrame({"from_state": st[:-1][same_key],
+                              "to_state": st[1:][same_key]})
+        out = (pairs.groupby(["from_state", "to_state"], sort=False)
+               .size().rename("n").reset_index())
+        return out
+
+    bucketed = (events.map_batches(_project, batch_format="pandas",
+                                   batch_size=1 << 17)
+                .map_batches(_bucketize, batch_format="pandas",
+                             batch_size=1 << 18))
+    partial = bucketed.groupby("__bucket").map_groups(
+        _pairs, batch_format="pandas")
+    out = bucketed_combine(partial, ["from_state", "to_state"],
+                           {"n": "sum"}, num_buckets=16)
+    return out.map_batches(
+        lambda b: b.assign(n=b["n"].astype(np.int64)),
+        batch_format="pandas")

@@ -171,3 +171,52 @@ def stratified_hash_sample(ds: rd.Dataset, key: str, group_col: str,
         return batch.filter(pa.array(hv < cut))
 
     return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def shard_assign(ds: rd.Dataset, key: str, num_shards: int,
+                 seed: int = 0, num_buckets: int = 64) -> rd.Dataset:
+    """Deterministic global shuffle + sharding for training-data export:
+    → input columns + ``shard`` (md5-hash of ``key`` mod num_shards) and
+    ``pos`` (0-based rank of the hash within the shard — the record's
+    position in its output shard file). The md5 hash is the SQL-
+    re-derivable ``_md5_hash60`` form, so shard AND position are exactly
+    checkable by ``row_number() OVER (PARTITION BY shard ORDER BY h,
+    key)``; the same assignment on any partitioning of the input.
+
+    Shape at 100 TB: one hash(shard)-bucket co-location shuffle (each
+    shard lands wholly in one bucket; size ≈ rows/num_shards — pick
+    num_shards so a shard fits a worker, which an export wants anyway
+    for bounded file sizes); within a bucket positions come from one
+    whole-bucket lexsort over (shard, h, key). Downstream:
+    ``out.write_parquet(path, partition_cols=['shard'])`` gives the
+    resumable one-directory-per-shard layout."""
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        h = _md5_hash60(batch[key], seed)
+        batch = batch.append_column("__h", pa.array(h, pa.int64()))
+        return batch.append_column(
+            "shard", pa.array(h % num_shards, pa.int64()))
+
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(batch["shard"].to_numpy(),
+                               hash_key="belb_ray_shard000",
+                               categorize=False)
+        batch["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return batch
+
+    def _rank(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.drop(columns="__bucket")
+                  .sort_values(["shard", "__h", key], kind="stable")
+                  .reset_index(drop=True))
+        sh = g["shard"].to_numpy()
+        new_shard = np.r_[True, sh[1:] != sh[:-1]]
+        idx = np.arange(len(g), dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new_shard, idx, 0))
+        g["pos"] = idx - start
+        return g.drop(columns="__h")
+
+    bucketed = (ds.map_batches(_hash, batch_format="pyarrow")
+                .map_batches(_bucketize, batch_format="pandas",
+                             batch_size=1 << 18))
+    return bucketed.groupby("__bucket").map_groups(_rank,
+                                                   batch_format="pandas")

@@ -1624,3 +1624,87 @@ def test_keyed_diff_classifies_and_lists_changed_cols():
         4: ("changed", "b"),
         6: ("added", ""),
     }  # id 2 unchanged, id 5 NaN==NaN → unchanged
+
+
+def test_resample_ffill_matches_bruteforce_and_block_invariant():
+    from belb_ray.stages.resample import resample_ffill
+
+    rng = np.random.default_rng(11)
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.integers(0, 25, n),
+        "ts": (pd.Timestamp("2024-01-01")
+               + pd.to_timedelta(rng.integers(0, 40 * 86400, n), unit="s")),
+        "v": np.round(rng.normal(size=n) * 50, 2),
+    })
+
+    def run(nparts):
+        return (resample_ffill(rd.from_pandas(df).repartition(nparts),
+                               "k", "ts", "v", period_s=86_400, agg="max")
+                .to_pandas().sort_values(["k", "period"])
+                .reset_index(drop=True))
+
+    got = run(5)
+    # brute force: per-key daily max reindexed onto the dense grid + ffill
+    day = df.ts.astype("int64") // (10**9 * 86_400)
+    obs = (pd.DataFrame({"k": df.k, "period": day, "v": df.v})
+           .groupby(["k", "period"]).v.max())
+    rows = []
+    for k, sub in obs.groupby(level=0):
+        s = sub.droplevel(0)
+        grid = s.reindex(range(int(s.index.min()), int(s.index.max()) + 1))
+        for p, v in grid.ffill().items():
+            rows.append((k, p, v))
+    exp = (pd.DataFrame(rows, columns=["k", "period", "value_ffill"])
+           .sort_values(["k", "period"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # partitioning must not change the result
+    pd.testing.assert_frame_equal(got, run(13), check_dtype=False)
+
+
+def test_transition_counts_matches_bruteforce():
+    from belb_ray.stages.analytic import transition_counts
+
+    rng = np.random.default_rng(4)
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 20, n),
+        "o": rng.permutation(n),
+        "s": rng.choice(list("abcd"), n),
+    })
+    got = (transition_counts(rd.from_pandas(df).repartition(7),
+                             "k", ["o"], "s")
+           .to_pandas().sort_values(["from_state", "to_state"])
+           .reset_index(drop=True))
+    sdf = df.sort_values(["k", "o"])
+    same = sdf.k.to_numpy()[1:] == sdf.k.to_numpy()[:-1]
+    exp = (pd.DataFrame({"from_state": sdf.s.to_numpy()[:-1][same],
+                         "to_state": sdf.s.to_numpy()[1:][same]})
+           .groupby(["from_state", "to_state"]).size().rename("n")
+           .reset_index()
+           .sort_values(["from_state", "to_state"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert int(got.n.sum()) == int(same.sum())
+
+
+def test_shard_assign_positions_dense_and_partition_independent():
+    from belb_ray.stages.sampling import shard_assign
+
+    df = pd.DataFrame({"id": np.arange(300), "x": np.arange(300) * 1.5})
+
+    def run(nparts):
+        return (shard_assign(rd.from_pandas(df).repartition(nparts),
+                             "id", num_shards=6, seed=9)
+                .to_pandas().sort_values(["shard", "pos"])
+                .reset_index(drop=True))
+
+    got = run(4)
+    # every shard's positions are exactly 0..len-1 (dense, no gaps)
+    for _, sub in got.groupby("shard"):
+        assert sub.pos.tolist() == list(range(len(sub)))
+    # all input rows present exactly once, payload intact
+    assert sorted(got.id.tolist()) == list(range(300))
+    assert (got.x == got.id * 1.5).all()
+    # deterministic across partitioning
+    pd.testing.assert_frame_equal(got, run(11), check_dtype=False)
