@@ -119,6 +119,9 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "user_value_regression",
         "weekly_cohort_retention",
         "customer_table_diff",
+        "user_value_daily_ffill",
+        "user_event_transitions",
+        "doc_shard_assignment",
     ]
     # the sandbox host is co-tenant (same-config trials vary up to ~5x as
     # CPU steal moves around): report min over up to GRAFT_BENCH_TRIALS
