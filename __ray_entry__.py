@@ -1788,6 +1788,71 @@ def q_doc_shard_assignment(sf_dir: str) -> rd.Dataset:
     return out.select_columns(["doc_id", "lang", "shard", "pos"])
 
 
+def q_doc_chunks(sf_dir: str) -> rd.Dataset:
+    """Sliding-window character chunking with overlap
+    (stages/curation.chunk_documents): size 120, overlap 40 → stride 80.
+    Pure row explosion, no shuffle; SQL mirror is generate_series +
+    substring."""
+    from belb_ray.stages.curation import chunk_documents
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return chunk_documents(docs, chunk_size=120, overlap=40)
+
+
+def q_seq_packing(sf_dir: str) -> rd.Dataset:
+    """GPT-style sequence-packing offsets (stages/curation.pack_sequences):
+    global token prefix-sum in doc_id order via the two-phase ordered-
+    bucket scan, seq_len 512. SQL mirror is a window cumulative sum."""
+    from belb_ray.stages.curation import pack_sequences
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return pack_sequences(docs, seq_len=512, bucket_width=64)
+
+
+def q_pii_redaction(sf_dir: str) -> rd.Dataset:
+    """PII redaction (stages/curation.redact_pii): vectorized RE2
+    replace for emails / IPv4 / SSN-shaped ids / phone numbers with
+    per-doc match counts; the oracle applies the same patterns in the
+    same order via DuckDB's RE2."""
+    from belb_ray.stages.curation import redact_pii
+
+    return redact_pii(_t(sf_dir, "documents").select_columns(
+        ["doc_id", "text"]))
+
+
+def q_contamination_flags(sf_dir: str) -> rd.Dataset:
+    """Benchmark-contamination flagging (stages/curation.
+    contamination_flags): docs sharing any word 3-gram with the
+    benchmark suite (docs with doc_id % 50 = 0 stand in for the
+    benchmark). Benchmark grams broadcast once; corpus never shuffles."""
+    from belb_ray.stages.curation import contamination_flags
+    from belb_ray.stages.joins import collect_arrow
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def _split(batch: pa.Table, keep_bench: bool) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        m = (ids % 50) == 0
+        return batch.filter(pa.array(m if keep_bench else ~m))
+
+    bench = collect_arrow(docs.map_batches(
+        lambda t: _split(t, True), batch_format="pyarrow"))
+    corpus = docs.map_batches(lambda t: _split(t, False),
+                              batch_format="pyarrow")
+    return contamination_flags(corpus, bench["text"].to_pylist(), n=3)
+
+
+def q_repetition_stats(sf_dir: str) -> rd.Dataset:
+    """C4/Gopher repetition signals per doc (stages/curation.
+    repetition_stats): duplicate-line fraction, top-word fraction,
+    duplicate-bigram fraction — pure map_batches, oracle-mirrored
+    tokenizer contract."""
+    from belb_ray.stages.curation import repetition_stats
+
+    return repetition_stats(_t(sf_dir, "documents").select_columns(
+        ["doc_id", "text"]))
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -1893,6 +1958,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_daily_ffill": q_user_value_daily_ffill,
         "user_event_transitions": q_user_event_transitions,
         "doc_shard_assignment": q_doc_shard_assignment,
+        "doc_chunks": q_doc_chunks,
+        "seq_packing": q_seq_packing,
+        "pii_redaction": q_pii_redaction,
+        "contamination_flags": q_contamination_flags,
+        "repetition_stats": q_repetition_stats,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -2991,6 +3061,126 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY hv % 8
                                       ORDER BY hv, doc_id) - 1 AS pos
             FROM h
+        """,
+        "doc_chunks": r"""
+            WITH idx AS (
+                SELECT doc_id, text,
+                       unnest(generate_series(
+                           0, greatest(length(text) - 1, 0) // 80)) AS i
+                FROM documents)
+            SELECT doc_id, i AS chunk_idx, i * 80 AS chunk_start,
+                   substring(text, i * 80 + 1, 120) AS chunk_text,
+                   length(substring(text, i * 80 + 1, 120)) AS chunk_len
+            FROM idx
+        """,
+        "seq_packing": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(list_filter(regexp_split_to_array(text, '\s+'),
+                                       x -> x <> '')) AS n_tokens
+                FROM documents),
+            s AS (
+                SELECT doc_id, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS start_token
+                FROM t)
+            SELECT doc_id, n_tokens, start_token,
+                   start_token + n_tokens AS end_token,
+                   start_token // 512 AS first_seq,
+                   CASE WHEN n_tokens = 0 THEN start_token // 512
+                        ELSE (start_token + n_tokens - 1) // 512
+                   END AS last_seq
+            FROM s
+        """,
+        "pii_redaction": r"""
+            WITH s0 AS (SELECT doc_id, text AS t FROM documents),
+            s1 AS (SELECT doc_id,
+                       len(regexp_extract_all(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                           AS c1,
+                       regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t
+                   FROM s0),
+            s2 AS (SELECT doc_id, c1,
+                       len(regexp_extract_all(t,
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS c2,
+                       regexp_replace(t,
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                           '<IP>', 'g') AS t
+                   FROM s1),
+            s3 AS (SELECT doc_id, c1, c2,
+                       len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))
+                           AS c3,
+                       regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b',
+                                      '<ID>', 'g') AS t
+                   FROM s2),
+            s4 AS (SELECT doc_id, c1, c2, c3,
+                       len(regexp_extract_all(t, '\+\d{7,15}\b')) AS c4,
+                       regexp_replace(t, '\+\d{7,15}\b', '<PHONE>', 'g') AS t
+                   FROM s3)
+            SELECT doc_id, t AS text_redacted,
+                   CAST(c1 + c2 + c3 + c4 AS BIGINT) AS n_pii
+            FROM s4
+        """,
+        "contamination_flags": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents),
+            grams AS (
+                SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+                FROM (SELECT doc_id, w,
+                             unnest(generate_series(1, len(w) - 2)) AS i
+                      FROM words)),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+            hits AS (
+                SELECT g2.doc_id, count(*) AS n_hits
+                FROM (SELECT DISTINCT doc_id, g FROM grams
+                      WHERE doc_id % 50 <> 0) g2
+                JOIN bench USING (g)
+                GROUP BY g2.doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT)
+                       AS n_contaminated_ngrams,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 50 <> 0
+        """,
+        "repetition_stats": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, chr(10)),
+                                   x -> x <> '') AS ls,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents),
+            wordstats AS (
+                SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c)
+                           AS top_word_frac
+                FROM (SELECT doc_id, word, count(*) AS c
+                      FROM (SELECT doc_id, unnest(w) AS word FROM base)
+                      GROUP BY doc_id, word)
+                GROUP BY doc_id),
+            bigrams AS (
+                SELECT doc_id, count(*) AS nb, count(DISTINCT g) AS db
+                FROM (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+                      FROM (SELECT doc_id, w,
+                                   unnest(generate_series(1, len(w) - 1)) AS i
+                            FROM base))
+                GROUP BY doc_id)
+            SELECT b.doc_id,
+                   CASE WHEN len(ls) = 0 THEN 0.0
+                        ELSE CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE)
+                             / len(ls)
+                   END AS dup_line_frac,
+                   COALESCE(ws.top_word_frac, 0.0) AS top_word_frac,
+                   CASE WHEN bg.nb IS NULL THEN 0.0
+                        ELSE CAST(bg.nb - bg.db AS DOUBLE) / bg.nb
+                   END AS dup_bigram_frac
+            FROM base b
+            LEFT JOIN wordstats ws USING (doc_id)
+            LEFT JOIN bigrams bg USING (doc_id)
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

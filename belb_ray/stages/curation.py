@@ -1,0 +1,251 @@
+"""Training-data curation operators: chunking, sequence packing, PII
+redaction, benchmark-contamination flagging, repetition (quality) stats.
+
+These are the named ops of an LLM pretraining-data pipeline, built on the
+same per-batch / broadcast / ordered-bucket-scan primitives as the rest of
+the engine. Reference analogs: the reference's passage segmentation
+(/root/reference/belb/preprocessing/segment.py:249-331) generalizes to
+``chunk_documents``; its offset bookkeeping (data.py passage assembly) to
+``pack_sequences``'s global token-offset scan; its text cleaning
+(clean.py:237-300) to ``redact_pii``; its corpus-statistics layer
+(scripts/stats.py) to ``repetition_stats``.
+
+Scale shapes (100 TB):
+- ``chunk_documents``, ``redact_pii``, ``repetition_stats`` are pure
+  map_batches — no shuffle, streaming, embarrassingly parallel.
+- ``contamination_flags`` broadcasts the (small) benchmark n-gram set once
+  via ``ray.put`` and probes it per batch — no shuffle of the corpus.
+- ``pack_sequences`` is the classic two-phase distributed scan: per-batch
+  partial sums per ordered id-range bucket (tiny), driver-side exclusive
+  cumsum over bucket sums (O(#buckets) rows), then ONE bucket shuffle for
+  the within-bucket prefix. Input rows shuffle exactly once.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..util import cached_get
+
+WORD_TOKEN_RE = re.compile(r"\S+")
+GRAM_WORD_RE = re.compile(r"[a-z0-9]+")
+
+
+# ---------------------------------------------------------------- chunking
+
+def chunk_documents(ds: rd.Dataset, chunk_size: int = 120, overlap: int = 40,
+                    id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
+    """Sliding-window character chunking with overlap.
+
+    → (id_col, chunk_idx, chunk_start, chunk_text, chunk_len): chunks start
+    at 0, stride, 2·stride … for every start < len(text) (one empty chunk
+    for empty text), stride = chunk_size − overlap. Pure row explosion —
+    no shuffle; output order within a doc is by chunk_idx.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_id, out_idx, out_start, out_text = [], [], [], []
+        for i, t in zip(ids, texts):
+            t = t or ""
+            n = len(t)
+            n_chunks = 1 if n == 0 else (n - 1) // stride + 1
+            for c in range(n_chunks):
+                s = c * stride
+                out_id.append(i)
+                out_idx.append(c)
+                out_start.append(s)
+                out_text.append(t[s:s + chunk_size])
+        return pa.table({
+            id_col: pa.array(out_id, batch[id_col].type),
+            "chunk_idx": pa.array(out_idx, pa.int64()),
+            "chunk_start": pa.array(out_start, pa.int64()),
+            "chunk_text": pa.array(out_text, pa.string()),
+            "chunk_len": pa.array([len(t) for t in out_text], pa.int64()),
+        })
+
+    return ds.map_batches(_explode, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ seq packing
+
+def pack_sequences(ds: rd.Dataset, seq_len: int = 512,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   tokens_col: str | None = None,
+                   bucket_width: int = 4096) -> rd.Dataset:
+    """GPT-style sequence packing offsets via a distributed prefix sum.
+
+    Documents are concatenated in ``id_col`` order into one token stream
+    split every ``seq_len`` tokens; each doc gets its global
+    (start_token, end_token) and the (first_seq, last_seq) it lands in.
+
+    → (id_col, n_tokens, start_token, end_token, first_seq, last_seq).
+
+    Partitioning assumption: ``id_col`` is an integer; ordered range
+    buckets are ``id // bucket_width``. Phase 1 computes per-bucket token
+    sums as per-batch partials (no row shuffle); the driver cumsums the
+    O(#buckets) sums; phase 2 shuffles rows once by bucket and finishes
+    the within-bucket prefix vectorized.
+    """
+
+    def _tokens(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch[id_col], pa.int64())
+        if tokens_col is not None:
+            n = pc.cast(batch[tokens_col], pa.int64())
+        else:
+            n = pa.array([len(WORD_TOKEN_RE.findall(t or ""))
+                          for t in batch[text_col].to_pylist()], pa.int64())
+        return pa.table({id_col: ids, "n_tokens": n})
+
+    toks = ds.map_batches(_tokens, batch_format="pyarrow")
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[id_col].to_numpy() // bucket_width
+        g = pd.DataFrame({"__bucket": b, "__n": batch["n_tokens"]})
+        return g.groupby("__bucket", sort=False)["__n"].sum().reset_index()
+
+    # O(#buckets) rows: safe to finish on the driver (same small-side
+    # pattern as joins.collect_arrow callers).
+    bs = toks.map_batches(_partial, batch_format="pandas").to_pandas()
+    bs = bs.groupby("__bucket", sort=True)["__n"].sum()
+    offsets = {int(k): int(v) for k, v in
+               zip(bs.index, np.concatenate([[0], bs.cumsum().to_numpy()[:-1]]))}
+    off_ref = ray.put(offsets)
+
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__bucket"] = batch[id_col].to_numpy() // bucket_width
+        return batch
+
+    def _scan(group: pd.DataFrame) -> pd.DataFrame:
+        off = cached_get(off_ref)
+        g = group.sort_values(id_col, kind="mergesort")
+        n = g["n_tokens"].to_numpy(dtype=np.int64)
+        start = (np.concatenate([[0], n.cumsum()[:-1]])
+                 + off[int(g["__bucket"].iloc[0])])
+        end = start + n
+        first = start // seq_len
+        last = np.where(n == 0, first, (end - 1) // seq_len)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(), "n_tokens": n,
+            "start_token": start, "end_token": end,
+            "first_seq": first, "last_seq": last,
+        })
+
+    return (toks.map_batches(_bucketize, batch_format="pandas")
+            .groupby("__bucket").map_groups(_scan, batch_format="pandas"))
+
+
+# ------------------------------------------------------------- PII redact
+
+# (pattern, replacement) applied IN ORDER on progressively-redacted text;
+# RE2 syntax — evaluated by pyarrow.compute here and mirrored verbatim in
+# the DuckDB oracle (both RE2-based).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    (r"\+\d{7,15}\b", "<PHONE>"),
+)
+
+
+def redact_pii(ds: rd.Dataset, id_col: str = "doc_id",
+               text_col: str = "text") -> rd.Dataset:
+    """→ (id_col, text_redacted, n_pii): emails / IPv4s / SSN-shaped ids /
+    international phone numbers replaced by typed placeholders; ``n_pii``
+    counts matches (on the progressively-redacted text, so overlapping
+    pattern classes are counted once). Fully vectorized RE2 kernels."""
+
+    def _redact(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch[text_col], pa.string())
+        n = pa.nulls(len(batch), pa.int64())
+        n = np.zeros(len(batch), dtype=np.int64)
+        for pat, repl in PII_PATTERNS:
+            n += pc.count_substring_regex(t, pat).to_numpy(zero_copy_only=False)
+            t = pc.replace_substring_regex(t, pat, repl)
+        return pa.table({id_col: batch[id_col], "text_redacted": t,
+                         "n_pii": pa.array(n, pa.int64())})
+
+    return ds.map_batches(_redact, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- contamination
+
+def _word_ngrams(text: str, n: int) -> set[str]:
+    w = GRAM_WORD_RE.findall((text or "").lower())
+    return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+
+def contamination_flags(ds: rd.Dataset, benchmark_texts: list[str],
+                        n: int = 3, id_col: str = "doc_id",
+                        text_col: str = "text") -> rd.Dataset:
+    """Benchmark-contamination check: flag docs sharing any word ``n``-gram
+    with the benchmark suite. → (id_col, n_contaminated_ngrams [distinct
+    shared grams], contaminated). The benchmark gram set is small by
+    nature — built once on the driver, ``ray.put`` once, probed per batch
+    (no corpus shuffle)."""
+    bench: set[str] = set()
+    for t in benchmark_texts:
+        bench |= _word_ngrams(t, n)
+    bench_ref = ray.put(frozenset(bench))
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        bset = cached_get(bench_ref)
+        hits = [len(_word_ngrams(t, n) & bset)
+                for t in batch[text_col].to_pylist()]
+        return pa.table({
+            id_col: batch[id_col],
+            "n_contaminated_ngrams": pa.array(hits, pa.int64()),
+            "contaminated": pa.array([h > 0 for h in hits], pa.bool_()),
+        })
+
+    return ds.map_batches(_flag, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- repetition stats
+
+def repetition_stats(ds: rd.Dataset, id_col: str = "doc_id",
+                     text_col: str = "text") -> rd.Dataset:
+    """C4/Gopher-style repetition signals per document:
+
+    → (id_col, dup_line_frac, top_word_frac, dup_bigram_frac) where
+    dup_line_frac = (lines − distinct lines)/lines over non-empty lines,
+    top_word_frac = most-common-word count / word count, and
+    dup_bigram_frac = (bigrams − distinct bigrams)/bigrams over word
+    bigrams. Words are ``[a-z0-9]+`` runs of the lowercased text (the
+    oracle-mirrored tokenizer contract). Pure map_batches — no shuffle."""
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        dl, tw, db = [], [], []
+        for t in batch[text_col].to_pylist():
+            t = t or ""
+            lines = [l for l in t.split("\n") if l != ""]
+            dl.append(0.0 if not lines
+                      else (len(lines) - len(set(lines))) / len(lines))
+            words = GRAM_WORD_RE.findall(t.lower())
+            if words:
+                counts = pd.Series(words).value_counts()
+                tw.append(int(counts.iloc[0]) / len(words))
+            else:
+                tw.append(0.0)
+            bigrams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+            db.append(0.0 if not bigrams
+                      else (len(bigrams) - len(set(bigrams))) / len(bigrams))
+        return pa.table({
+            id_col: batch[id_col],
+            "dup_line_frac": pa.array(dl, pa.float64()),
+            "top_word_frac": pa.array(tw, pa.float64()),
+            "dup_bigram_frac": pa.array(db, pa.float64()),
+        })
+
+    return ds.map_batches(_stats, batch_format="pyarrow")

@@ -122,6 +122,11 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "user_value_daily_ffill",
         "user_event_transitions",
         "doc_shard_assignment",
+        "doc_chunks",
+        "seq_packing",
+        "pii_redaction",
+        "contamination_flags",
+        "repetition_stats",
     ]
     # the sandbox host is co-tenant (same-config trials vary up to ~5x as
     # CPU steal moves around): report min over up to GRAFT_BENCH_TRIALS
