@@ -1853,6 +1853,57 @@ def q_repetition_stats(sf_dir: str) -> rd.Dataset:
         ["doc_id", "text"]))
 
 
+def q_corpus_ngrams(sf_dir: str) -> rd.Dataset:
+    """Corpus-wide top-100 word bigrams (stages/corpus.ngram_counts):
+    per-batch value_counts combiner → one bucketed combine on the gram
+    key → tiny global top-k. Rows never shuffle."""
+    from belb_ray.stages.corpus import ngram_counts
+
+    docs = _t(sf_dir, "documents").select_columns(["text"])
+    return ngram_counts(docs, n=2, top_k=100)
+
+
+def q_table_profile(sf_dir: str) -> rd.Dataset:
+    """Column data-quality profile (stages/corpus.profile_columns):
+    exact per-column row / null / distinct counts via fixed-width count
+    partials and bucket-local dedup partials. O(#columns) output rows."""
+    from belb_ray.stages.corpus import profile_columns
+
+    return profile_columns(_t(sf_dir, "documents"),
+                           ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+# per-source keep rates for the mixture-sampling query — shared between
+# the Ray op and the generated oracle SQL (cut = floor(rate · 16^15),
+# matching sampling._md5_hash60's space)
+_MIXTURE_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5,
+                  "src3": 0.25, "src4": 0.1}
+# int cut constants baked into the oracle SQL so both sides share the
+# exact same floor(rate * 16^15) arithmetic
+_MIXTURE_CASE = " ".join(f"WHEN '{s}' THEN {int(r * 16 ** 15)}"
+                         for s, r in _MIXTURE_RATES.items())
+
+
+def q_mixture_sample(sf_dir: str) -> rd.Dataset:
+    """Training-mixture sampling (stages/corpus.mixture_sample):
+    deterministic per-source hash-rate filter (md5 recipe shared with
+    hash_sample); sources outside the mixture are dropped."""
+    from belb_ray.stages.corpus import mixture_sample
+
+    return mixture_sample(_t(sf_dir, "documents"), "source",
+                          _MIXTURE_RATES, key="doc_id", seed=7)
+
+
+def q_inverted_index(sf_dir: str) -> rd.Dataset:
+    """Inverted-index build (stages/corpus.inverted_index): distinct
+    (term, doc) pairs → one term-bucket shuffle → vectorized
+    postings-list assembly; min_df=2 prunes hapax terms."""
+    from belb_ray.stages.corpus import inverted_index
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return inverted_index(docs, min_df=2)
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -1963,6 +2014,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redaction": q_pii_redaction,
         "contamination_flags": q_contamination_flags,
         "repetition_stats": q_repetition_stats,
+        "corpus_ngrams": q_corpus_ngrams,
+        "table_profile": q_table_profile,
+        "mixture_sample": q_mixture_sample,
+        "inverted_index": q_inverted_index,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -3181,6 +3236,52 @@ def oracle_sql() -> dict[str, str]:
             FROM base b
             LEFT JOIN wordstats ws USING (doc_id)
             LEFT JOIN bigrams bg USING (doc_id)
+        """,
+        "corpus_ngrams": r"""
+            WITH words AS (
+                SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents),
+            grams AS (
+                SELECT w[i] || ' ' || w[i+1] AS gram
+                FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+                      FROM words))
+            SELECT gram, count(*) AS n_occurrences
+            FROM grams GROUP BY gram
+            ORDER BY n_occurrences DESC, gram LIMIT 100
+        """,
+        "table_profile": """
+            SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+                   count(*) - count(doc_id) AS n_nulls,
+                   count(DISTINCT doc_id) AS n_distinct FROM documents
+            UNION ALL
+            SELECT 'text', count(*), count(*) - count(text),
+                   count(DISTINCT text) FROM documents
+            UNION ALL
+            SELECT 'lang', count(*), count(*) - count(lang),
+                   count(DISTINCT lang) FROM documents
+            UNION ALL
+            SELECT 'source', count(*), count(*) - count(source),
+                   count(DISTINCT source) FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                   count(DISTINCT n_chars) FROM documents
+        """,
+        "mixture_sample": f"""
+            SELECT * FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'),
+                                       1, 15)) AS BIGINT)
+                  < CASE source {_MIXTURE_CASE} ELSE 0 END
+        """,
+        "inverted_index": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           regexp_extract_all(lower(text), '[a-z0-9]+')))
+                           AS term
+                FROM documents)
+            SELECT term, count(*) AS df,
+                   list_sort(array_agg(doc_id)) AS postings
+            FROM w GROUP BY term HAVING count(*) >= 2
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

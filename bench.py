@@ -127,6 +127,10 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "pii_redaction",
         "contamination_flags",
         "repetition_stats",
+        "corpus_ngrams",
+        "table_profile",
+        "mixture_sample",
+        "inverted_index",
     ]
     # the sandbox host is co-tenant (same-config trials vary up to ~5x as
     # CPU steal moves around): report min over up to GRAFT_BENCH_TRIALS

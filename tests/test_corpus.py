@@ -1,0 +1,99 @@
+"""Corpus-statistics ops (stages/corpus.py): n-gram counts, column
+profiling, mixture sampling, inverted index — each vs an independent
+local computation, with nulls / min_df / absent-source edge cases."""
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from belb_ray.stages.corpus import (
+    GRAM_WORD_RE,
+    inverted_index,
+    mixture_sample,
+    ngram_counts,
+    profile_columns,
+)
+from belb_ray.stages.sampling import MD5_SPACE, _md5_hash60
+
+
+def _docs(rows):
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows], pa.string())})
+    return rd.from_arrow(t).repartition(4)
+
+
+TEXTS = [
+    (1, "the cat sat on the mat"),
+    (2, "the cat ran"),
+    (3, "a dog sat on the mat"),
+    (4, ""),
+    (5, "cat cat cat"),
+]
+
+
+def test_ngram_counts_vs_counter():
+    out = ngram_counts(_docs(TEXTS), n=2).to_pandas()
+    c = Counter()
+    for _, t in TEXTS:
+        w = GRAM_WORD_RE.findall(t.lower())
+        c.update(" ".join(w[i:i + 2]) for i in range(len(w) - 1))
+    got = dict(zip(out.gram, out.n_occurrences))
+    assert got == dict(c)
+    # top-k with deterministic tie-break (count desc, gram asc)
+    top = ngram_counts(_docs(TEXTS), n=2, top_k=3).to_pandas()
+    exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(zip(top.gram, top.n_occurrences)) == exp
+
+
+def test_profile_columns_with_nulls():
+    t = pa.table({
+        "a": pa.array([1, 2, 2, None, 3], pa.int64()),
+        "b": pa.array(["x", None, "x", None, "y"], pa.string()),
+        "c": pa.array([1.5, 1.5, 1.5, 1.5, 1.5], pa.float64()),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    out = (profile_columns(ds, ["a", "b", "c"])
+           .to_pandas().set_index("col_name"))
+    assert (out.n_rows == 5).all()
+    assert out.loc["a", "n_nulls"] == 1 and out.loc["a", "n_distinct"] == 3
+    assert out.loc["b", "n_nulls"] == 2 and out.loc["b", "n_distinct"] == 2
+    assert out.loc["c", "n_nulls"] == 0 and out.loc["c", "n_distinct"] == 1
+
+
+def test_mixture_sample_deterministic_and_drops_unknown():
+    rows = [(i, f"src{i % 4}") for i in range(400)]
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "source": pa.array([r[1] for r in rows], pa.string())})
+    ds = rd.from_arrow(t).repartition(5)
+    weights = {"src0": 1.0, "src1": 0.5, "src2": 0.0}  # src3 absent
+    out = mixture_sample(ds, "source", weights, key="doc_id",
+                         seed=7).to_pandas()
+    # independent local recompute of the md5-rate filter
+    h = _md5_hash60(t["doc_id"], 7)
+    cut = np.array([int(weights.get(s, 0) * MD5_SPACE)
+                    for s in t["source"].to_pylist()], dtype=np.int64)
+    exp_ids = t["doc_id"].to_numpy()[h < cut]
+    assert sorted(out.doc_id) == sorted(exp_ids)
+    assert set(out.source) <= {"src0", "src1"}
+    assert (out.source == "src0").sum() == 100  # rate 1.0 keeps all
+    # partition-independence
+    out2 = mixture_sample(rd.from_arrow(t), "source", weights,
+                          key="doc_id", seed=7).to_pandas()
+    assert sorted(out2.doc_id) == sorted(out.doc_id)
+
+
+def test_inverted_index_vs_local():
+    out = inverted_index(_docs(TEXTS), min_df=1).to_pandas()
+    local: dict[str, set] = {}
+    for i, t in TEXTS:
+        for w in set(GRAM_WORD_RE.findall(t.lower())):
+            local.setdefault(w, set()).add(i)
+    got = {r.term: list(r.postings) for r in out.itertuples()}
+    assert got == {w: sorted(ids) for w, ids in local.items()}
+    assert dict(zip(out.term, out.df)) == {w: len(v) for w, v in local.items()}
+    # min_df prunes hapax terms
+    out2 = inverted_index(_docs(TEXTS), min_df=2).to_pandas()
+    assert set(out2.term) == {w for w, v in local.items() if len(v) >= 2}
