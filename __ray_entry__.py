@@ -1904,6 +1904,45 @@ def q_inverted_index(sf_dir: str) -> rd.Dataset:
     return inverted_index(docs, min_df=2)
 
 
+def q_target_encoding(sf_dir: str) -> rd.Dataset:
+    """Smoothed mean target encoding (stages/mlprep.target_encode):
+    int-cents partial sums make the distributed aggregate exact; the
+    prior is a 2-number driver reduce."""
+    from belb_ray.stages.mlprep import target_encode
+
+    orders = _t(sf_dir, "orders").select_columns(
+        ["o_orderpriority", "o_totalprice"])
+    return target_encode(orders, "o_orderpriority", "o_totalprice",
+                         smoothing=20.0)
+
+
+# train/val/test cut points for the split query — ints baked into the
+# oracle SQL so both sides share floor(cum_frac * 16^15) exactly
+_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_CUT1 = int(0.8 * 16 ** 15)
+_SPLIT_CUT2 = int((0.8 + 0.1) * 16 ** 15)
+
+
+def q_dataset_split(sf_dir: str) -> rd.Dataset:
+    """Deterministic train/val/test assignment (stages/mlprep.
+    dataset_split): md5(key,seed) against integer cut points —
+    partition-independent, stateless, SQL-mirrored."""
+    from belb_ray.stages.mlprep import dataset_split
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id"])
+    return dataset_split(docs, "doc_id", _SPLIT_FRACS, seed=3)
+
+
+def q_quota_sample(sf_dir: str) -> rd.Dataset:
+    """Per-source quota sampling (stages/mlprep.quota_sample): keep ≤5
+    docs per source in deterministic md5-hash order — one group-bucket
+    shuffle, vectorized rank-and-take."""
+    from belb_ray.stages.mlprep import quota_sample
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "source"])
+    return quota_sample(docs, "source", 5, key="doc_id", seed=3)
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2018,6 +2057,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": q_table_profile,
         "mixture_sample": q_mixture_sample,
         "inverted_index": q_inverted_index,
+        "target_encoding": q_target_encoding,
+        "dataset_split": q_dataset_split,
+        "quota_sample": q_quota_sample,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -3271,6 +3313,46 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'),
                                        1, 15)) AS BIGINT)
                   < CASE source {_MIXTURE_CASE} ELSE 0 END
+        """,
+        "target_encoding": """
+            WITH u AS (
+                SELECT o_orderpriority,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS units
+                FROM orders),
+            a AS (
+                SELECT o_orderpriority, sum(units) AS s, count(*) AS n
+                FROM u GROUP BY o_orderpriority),
+            p AS (
+                SELECT CAST(sum(units) AS DOUBLE) / count(*) AS prior
+                FROM u)
+            SELECT o_orderpriority, n,
+                   ROUND((s + 20.0 * prior) / (n + 20.0) / 100.0, 4) AS te
+            FROM a, p
+        """,
+        "dataset_split": f"""
+            SELECT doc_id,
+                   CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                   || ':3'), 1, 15))
+                             AS BIGINT) < {_SPLIT_CUT1} THEN 'train'
+                        WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                   || ':3'), 1, 15))
+                             AS BIGINT) < {_SPLIT_CUT2} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "quota_sample": """
+            WITH h AS (
+                SELECT doc_id, source,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                || ':3'), 1, 15)) AS BIGINT)
+                           AS hv
+                FROM documents)
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY hv, doc_id) AS rn
+                FROM h)
+            WHERE rn <= 5
         """,
         "inverted_index": r"""
             WITH w AS (
