@@ -1943,6 +1943,27 @@ def q_quota_sample(sf_dir: str) -> rd.Dataset:
     return quota_sample(docs, "source", 5, key="doc_id", seed=3)
 
 
+def q_triangle_counts(sf_dir: str) -> rd.Dataset:
+    """Per-vertex triangle counts (stages/graph.triangle_counts) over the
+    user co-activity graph: users adjacent in the sorted distinct user
+    list of each (event_type, hour) bucket (stages/graph.cochain_edges —
+    the sparsifier that bounds hub buckets). Degree-ordered orientation
+    bounds wedge fan-out; closure via size-guarded semi-join."""
+    from belb_ray.stages.graph import cochain_edges, triangle_counts
+
+    ev = _t(sf_dir, "events").select_columns(
+        ["event_type", "ts", "user_id"])
+
+    def _hour(batch: pd.DataFrame) -> pd.DataFrame:
+        hr = batch["ts"].to_numpy().astype("datetime64[h]").astype(np.int64)
+        return pd.DataFrame({"event_type": batch["event_type"],
+                             "__hr": hr, "user_id": batch["user_id"]})
+
+    edges = cochain_edges(ev.map_batches(_hour, batch_format="pandas"),
+                          ["event_type", "__hr"], "user_id")
+    return triangle_counts(edges, src="a", dst="b")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2060,6 +2081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "target_encoding": q_target_encoding,
         "dataset_split": q_dataset_split,
         "quota_sample": q_quota_sample,
+        "triangle_counts": q_triangle_counts,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -3353,6 +3375,30 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY hv, doc_id) AS rn
                 FROM h)
             WHERE rn <= 5
+        """,
+        "triangle_counts": """
+            WITH ev AS (
+                SELECT DISTINCT event_type, date_trunc('hour', ts) AS hr,
+                       user_id
+                FROM events),
+            chain AS (
+                SELECT user_id AS a,
+                       lead(user_id) OVER (PARTITION BY event_type, hr
+                                           ORDER BY user_id) AS b
+                FROM ev),
+            e AS (
+                SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+                FROM chain WHERE b IS NOT NULL AND a <> b),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+            v AS (
+                SELECT x AS vertex FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri)
+            SELECT vertex, count(*) AS n_triangles FROM v GROUP BY vertex
         """,
         "inverted_index": r"""
             WITH w AS (

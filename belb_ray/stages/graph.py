@@ -106,3 +106,150 @@ def pagerank(edges: rd.Dataset, src: str = "src", dst: str = "dst",
         rank = withc.map_batches(_next, batch_format="pandas").materialize()
 
     return rank
+
+
+def triangle_counts(edges: rd.Dataset, src: str = "src", dst: str = "dst",
+                    num_buckets: int = 64) -> rd.Dataset:
+    """Per-vertex triangle counts over an undirected edge list →
+    (vertex, n_triangles); vertices in no triangle are omitted. The
+    global triangle count is Σ n_triangles / 3.
+
+    Distributed shape: edges canonicalize (min, max) and dedupe with one
+    pair-bucket shuffle; each edge orients from its lower-(degree, id)
+    endpoint to the higher (the standard fan-out bound: oriented
+    out-degree is O(√m), so per-pivot wedge generation never explodes on
+    hub vertices); wedges (u; v, w) generate per pivot bucket with the
+    same vectorized repeat/offset arithmetic as cooccurrence_pairs, then
+    close against the canonical edge set via the size-guarded semi-join.
+    Each triangle closes exactly one wedge, so counts are exact."""
+    from .agg import _bucket_of_frame, preagg_groupby
+    from .analytic import _attach_small
+    from .joins import semi_join
+
+    def _canon(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[src].to_numpy()
+        b = batch[dst].to_numpy()
+        keep = a != b  # self-loops can't be in a triangle
+        a, b = a[keep], b[keep]
+        out = pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+        out = out.drop_duplicates()
+        out["__bucket"] = _bucket_of_frame(out, ["a", "b"], num_buckets)
+        return out
+
+    def _distinct(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop(columns="__bucket").drop_duplicates()
+
+    canon = (edges.map_batches(_canon, batch_format="pandas")
+             .groupby("__bucket").map_groups(_distinct,
+                                             batch_format="pandas")
+             .materialize())  # consumed 3x: degrees, orientation, closure
+
+    def _endpoints(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"vertex": np.concatenate(
+            [batch["a"].to_numpy(), batch["b"].to_numpy()])})
+
+    deg = preagg_groupby(
+        canon.map_batches(_endpoints, batch_format="pandas"),
+        ["vertex"], [("count", "", "deg")], num_buckets)
+
+    withdeg = _attach_small(
+        _attach_small(canon.map_batches(
+            lambda t: t.rename(columns={"a": "vertex"}),
+            batch_format="pandas"), deg, "vertex")
+        .map_batches(lambda t: t.rename(
+            columns={"vertex": "a", "deg": "deg_a", "b": "vertex"}),
+            batch_format="pandas"),
+        deg, "vertex")
+
+    def _orient(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["a"].to_numpy()
+        b = batch["vertex"].to_numpy()
+        da = batch["deg_a"].to_numpy()
+        db = batch["deg"].to_numpy()
+        # pivot u = lower (deg, id); tie on degree broken by vertex id
+        a_first = (da < db) | ((da == db) & (a < b))
+        out = pd.DataFrame({"u": np.where(a_first, a, b),
+                            "v": np.where(a_first, b, a)})
+        out["__bucket"] = _bucket_of_frame(out, ["u"], num_buckets)
+        return out
+
+    oriented = withdeg.map_batches(_orient, batch_format="pandas")
+
+    def _wedges(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.drop(columns="__bucket").drop_duplicates()
+             .sort_values(["u", "v"], kind="mergesort"))
+        uv = g["u"].to_numpy()
+        vv = g["v"].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({"u": uv[:0], "x": vv[:0], "y": vv[:0]})
+        new = np.ones(n, dtype=bool)
+        new[1:] = uv[1:] != uv[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.concatenate((starts, [n])))
+        idx = np.arange(n)
+        local = idx - np.repeat(starts, counts)
+        reps = np.repeat(counts, counts) - local - 1
+        first = np.repeat(idx, reps)
+        offs = np.arange(int(reps.sum())) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        second = first + 1 + offs
+        return pd.DataFrame({"u": uv[first], "x": vv[first],
+                             "y": vv[second]})
+
+    wedges = oriented.groupby("__bucket").map_groups(
+        _wedges, batch_format="pandas")
+
+    def _wedge_key(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch["x"].to_numpy()
+        y = batch["y"].to_numpy()
+        lo = np.minimum(x, y).astype(str)
+        hi = np.maximum(x, y).astype(str)
+        batch["__e"] = pd.Series(lo, index=batch.index).str.cat(hi, ":")
+        return batch
+
+    def _edge_key(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__e": batch["a"].astype(str).str.cat(
+            batch["b"].astype(str), ":")})
+
+    closed = semi_join(
+        wedges.map_batches(_wedge_key, batch_format="pandas"),
+        canon.map_batches(_edge_key, batch_format="pandas"), "__e")
+
+    def _vertices(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"vertex": np.concatenate(
+            [batch["u"].to_numpy(), batch["x"].to_numpy(),
+             batch["y"].to_numpy()])})
+
+    return preagg_groupby(
+        closed.map_batches(_vertices, batch_format="pandas"),
+        ["vertex"], [("count", "", "n_triangles")], num_buckets)
+
+
+def cochain_edges(ds: rd.Dataset, group_cols: list[str], item_col: str,
+                  num_buckets: int = 64) -> rd.Dataset:
+    """Sparse co-occurrence graph: per group, chain ADJACENT items of the
+    sorted distinct item list → (a, b) edges with a < b. ne ≤ #(group,
+    item) rows — the sparsifier that keeps hub groups from exploding into
+    O(k²) pairs the way a full pair expansion would."""
+    from .agg import _bucket_of_frame
+
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[group_cols + [item_col]].drop_duplicates()
+        batch["__bucket"] = _bucket_of_frame(batch, group_cols, num_buckets)
+        return batch
+
+    def _chain(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.drop(columns="__bucket").drop_duplicates()
+             .sort_values(group_cols + [item_col], kind="mergesort"))
+        it = g[item_col].to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame({"a": it[:0], "b": it[:0]})
+        same = np.ones(len(g) - 1, dtype=bool)
+        for c in group_cols:
+            v = g[c].to_numpy()
+            same &= v[1:] == v[:-1]
+        return pd.DataFrame({"a": it[:-1][same], "b": it[1:][same]})
+
+    return (ds.map_batches(_bucketize, batch_format="pandas")
+            .groupby("__bucket").map_groups(_chain, batch_format="pandas"))

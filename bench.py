@@ -134,6 +134,7 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "target_encoding",
         "dataset_split",
         "quota_sample",
+        "triangle_counts",
     ]
     # the sandbox host is co-tenant (same-config trials vary up to ~5x as
     # CPU steal moves around): report min over up to GRAFT_BENCH_TRIALS

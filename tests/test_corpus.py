@@ -97,3 +97,37 @@ def test_inverted_index_vs_local():
     # min_df prunes hapax terms
     out2 = inverted_index(_docs(TEXTS), min_df=2).to_pandas()
     assert set(out2.term) == {w for w, v in local.items() if len(v) >= 2}
+
+
+def test_triangle_counts_vs_bruteforce():
+    import itertools
+
+    from belb_ray.stages.graph import cochain_edges, triangle_counts
+
+    rng = np.random.default_rng(5)
+    E = {(int(a), int(b)) for a, b in rng.integers(0, 30, (260, 2))}
+    edges = pd.DataFrame(list(E), columns=["src", "dst"])
+    out = triangle_counts(rd.from_pandas(edges).repartition(5)).to_pandas()
+    und = {(min(a, b), max(a, b)) for a, b in E if a != b}
+    adj: dict[int, set] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    cnt: dict[int, int] = {}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for v in (a, b, c):
+                cnt[v] = cnt.get(v, 0) + 1
+    assert dict(zip(out.vertex, out.n_triangles)) == cnt
+
+
+def test_cochain_edges_adjacent_only():
+    from belb_ray.stages.graph import cochain_edges
+
+    df = pd.DataFrame({"g": ["x"] * 4 + ["y"] * 2 + ["z"],
+                       "it": [3, 1, 7, 1, 5, 2, 9]})
+    out = (cochain_edges(rd.from_pandas(df).repartition(3), ["g"], "it")
+           .to_pandas())
+    got = set(zip(out.a, out.b))
+    # x: distinct sorted [1,3,7] -> (1,3),(3,7); y: [2,5] -> (2,5); z: none
+    assert got == {(1, 3), (3, 7), (2, 5)}
