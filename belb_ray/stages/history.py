@@ -62,28 +62,24 @@ def resolve_identifiers(
     if isinstance(history, pa.Table):
         history = history.to_pandas()
     redirects = squash_history(history)
-    ref = ray.put(redirects)
+    # broadcast a hash-indexed Series (not a dict): Series.map against it
+    # is one vectorized C lookup per batch instead of a per-row Python loop
+    ref = ray.put(pd.Series(redirects, dtype=object))
 
     from ..util import cached_get
 
     def _resolve(batch: pa.Table) -> pa.Table:
-            m = cached_get(ref)  # dict: memoized per worker process
-            vals = [str(v) for v in batch[id_col].to_pylist()]
-            resolved, status = [], []
-            for v in vals:
-                w = m.get(v)
-                if w is None:
-                    resolved.append(v)
-                    status.append("kept")
-                elif w == OBSOLETE:
-                    resolved.append(OBSOLETE)
-                    status.append("obsolete")
-                else:
-                    resolved.append(w)
-                    status.append("replaced")
-            return (batch
-                    .append_column(out_col, pa.array(resolved, pa.string()))
-                    .append_column(status_col, pa.array(status, pa.string())))
+        m = cached_get(ref)  # pd.Series: memoized per worker process
+        s = batch[id_col].to_pandas().astype(str)
+        w = s.map(m)
+        hit = w.notna().to_numpy()
+        resolved = w.fillna(s).to_numpy(dtype=object)
+        status = np.where(~hit, "kept",
+                          np.where(resolved == OBSOLETE, "obsolete",
+                                   "replaced"))
+        return (batch
+                .append_column(out_col, pa.array(resolved, pa.string()))
+                .append_column(status_col, pa.array(status, pa.string())))
 
     return ds.map_batches(_resolve, batch_format="pyarrow")
 
@@ -99,15 +95,17 @@ def apply_id_mapping(
     belb/kbs/kb.py:538-570 — SURVEY §2.5 J4). Missing ids map to -1."""
     if isinstance(mapping, pa.Table):
         mapping = mapping.to_pandas()
-    m = dict(zip(mapping["original_identifier"].astype(str),
-                 mapping["internal_identifier"].astype(np.int64)))
+    m = pd.Series(mapping["internal_identifier"].astype(np.int64).to_numpy(),
+                  index=mapping["original_identifier"].astype(str))
     ref = ray.put(m)
 
     from ..util import cached_get
 
     def _map(batch: pa.Table) -> pa.Table:
-        m = cached_get(ref)  # dict: memoized per worker process
-        vals = [m.get(str(v), missing) for v in batch[id_col].to_pylist()]
-        return batch.append_column(out_col, pa.array(vals, pa.int64()))
+        m = cached_get(ref)  # pd.Series: vectorized hash lookup per batch
+        vals = (batch[id_col].to_pandas().astype(str)
+                .map(m).fillna(missing).astype(np.int64))
+        return batch.append_column(out_col,
+                                   pa.array(vals.to_numpy(), pa.int64()))
 
     return ds.map_batches(_map, batch_format="pyarrow")
