@@ -1964,6 +1964,35 @@ def q_triangle_counts(sf_dir: str) -> rd.Dataset:
     return triangle_counts(edges, src="a", dst="b")
 
 
+def q_name_edit_pairs(sf_dir: str) -> rd.Dataset:
+    """Exact edit-distance self-join (stages/linkage.
+    edit_distance_self_join): FastSS deletion-neighborhood blocking
+    (guaranteed recall at k=1) + Levenshtein verify on candidates only —
+    never all pairs. The short-string ER op the MinHash flagship doesn't
+    cover."""
+    from belb_ray.stages.linkage import edit_distance_self_join
+
+    cust = _t(sf_dir, "customer").select_columns(["c_custkey", "c_name"])
+    return edit_distance_self_join(cust, "c_custkey", "c_name", k=1)
+
+
+def q_customer_golden_record(sf_dir: str) -> rd.Dataset:
+    """Golden-record survivorship per customer (stages/linkage.
+    survivorship): combiner min/max/count attributes + most-recent-wins
+    status via grouped_topk(k=1)."""
+    from belb_ray.stages.linkage import survivorship
+
+    orders = _t(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+         "o_orderstatus"])
+    return survivorship(
+        orders, "o_custkey",
+        [("max", "o_totalprice", "max_price"),
+         ("min", "o_orderdate", "first_order"),
+         ("count", "", "n_orders")],
+        ["o_orderstatus"], "o_orderdate", "o_orderkey")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2082,6 +2111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": q_dataset_split,
         "quota_sample": q_quota_sample,
         "triangle_counts": q_triangle_counts,
+        "name_edit_pairs": q_name_edit_pairs,
+        "customer_golden_record": q_customer_golden_record,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -3375,6 +3406,29 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY hv, doc_id) AS rn
                 FROM h)
             WHERE rn <= 5
+        """,
+        "name_edit_pairs": """
+            SELECT c1.c_custkey AS id_a, c2.c_custkey AS id_b,
+                   levenshtein(c1.c_name, c2.c_name) AS dist
+            FROM customer c1 JOIN customer c2
+              ON c1.c_custkey < c2.c_custkey
+            WHERE levenshtein(c1.c_name, c2.c_name) <= 1
+        """,
+        "customer_golden_record": """
+            WITH r AS (
+                SELECT o_custkey, o_orderstatus,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate DESC,
+                                                   o_orderkey DESC) AS rn
+                FROM orders),
+            a AS (
+                SELECT o_custkey, max(o_totalprice) AS max_price,
+                       min(o_orderdate) AS first_order,
+                       count(*) AS n_orders
+                FROM orders GROUP BY o_custkey)
+            SELECT a.o_custkey, max_price, first_order, n_orders,
+                   r.o_orderstatus AS latest_o_orderstatus
+            FROM a JOIN r ON a.o_custkey = r.o_custkey AND r.rn = 1
         """,
         "triangle_counts": """
             WITH ev AS (

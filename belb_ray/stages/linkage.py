@@ -1,0 +1,198 @@
+"""Record-linkage operators beyond the MinHash flagship: exact
+edit-distance self-join (FastSS deletion-neighborhood blocking) and
+golden-record survivorship.
+
+Reference analog: the reference's cross-source identifier matching and
+per-cluster canonical-record selection (belb/kbs/kb.py synonym/preferred-
+name resolution — SURVEY §2.4/§2.5) generalized to the two classic ER
+post-processing ops: find near-identical short strings exactly, and merge
+each cluster's rows into one survivor record.
+
+Scale shapes (100 TB):
+- ``edit_distance_self_join``: each row emits its ≤k-deletion variants
+  (O(len^k) keys — k is 1 or 2 by contract); ed(a,b) ≤ k guarantees the
+  neighborhoods intersect (FastSS pigeonhole), so blocking is lossless.
+  ONE key-bucket shuffle generates candidates, one pair-bucket shuffle
+  dedupes them, and the exact Levenshtein verify runs only on candidates
+  — never all pairs.
+- ``survivorship``: min/max attributes ride the fixed-width combiner
+  (preagg_groupby); "latest" attributes ride grouped_topk(k=1) (≤1 row
+  per key per block shuffles); the two tiny per-cluster tables join
+  size-guarded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.similarity import levenshtein
+from .agg import _bucket_of_frame, grouped_topk, preagg_groupby
+
+
+def _deletion_keys(s: str, k: int) -> set[str]:
+    """All strings reachable from ``s`` by deleting ≤ k characters."""
+    out = {s}
+    frontier = {s}
+    for _ in range(k):
+        nxt = set()
+        for t in frontier:
+            for i in range(len(t)):
+                nxt.add(t[:i] + t[i + 1:])
+        nxt -= out
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def edit_distance_self_join(ds: rd.Dataset, id_col: str, str_col: str,
+                            k: int = 1,
+                            num_buckets: int = 64) -> rd.Dataset:
+    """All pairs (id_a < id_b) whose strings are within Levenshtein
+    distance ``k`` → (id_a, id_b, dist). Exact: deletion-neighborhood
+    blocking is a guaranteed-recall candidate generator (FastSS), and
+    every candidate is verified with the integer DP distance."""
+    if k < 1 or k > 2:
+        raise ValueError("k must be 1 or 2 (deletion fan-out is O(len^k))")
+
+    def _expand(batch: pa.Table) -> pd.DataFrame:
+        ids = batch[id_col].to_pylist()
+        strs = batch[str_col].to_pylist()
+        key_o, id_o, s_o = [], [], []
+        for i, s in zip(ids, strs):
+            s = s or ""
+            for d in _deletion_keys(s, k):
+                key_o.append(d)
+                id_o.append(i)
+                s_o.append(s)
+        out = pd.DataFrame({"__key": key_o, "__id": id_o, "__s": s_o})
+        out["__bucket"] = _bucket_of_frame(out, ["__key"], num_buckets)
+        return out
+
+    def _candidates(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.drop(columns="__bucket").drop_duplicates()
+             .sort_values(["__key", "__id"], kind="mergesort"))
+        kv = g["__key"].to_numpy()
+        iv = g["__id"].to_numpy()
+        sv = g["__s"].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({"id_a": iv[:0], "id_b": iv[:0],
+                                 "s_a": sv[:0], "s_b": sv[:0]})
+        new = np.ones(n, dtype=bool)
+        new[1:] = kv[1:] != kv[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.concatenate((starts, [n])))
+        idx = np.arange(n)
+        local = idx - np.repeat(starts, counts)
+        reps = np.repeat(counts, counts) - local - 1
+        first = np.repeat(idx, reps)
+        offs = np.arange(int(reps.sum())) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        second = first + 1 + offs
+        keep = iv[first] != iv[second]  # same row met via two variants
+        return pd.DataFrame({"id_a": iv[first][keep],
+                             "id_b": iv[second][keep],
+                             "s_a": sv[first][keep],
+                             "s_b": sv[second][keep]})
+
+    cands = (ds.map_batches(_expand, batch_format="pyarrow")
+             .groupby("__bucket").map_groups(_candidates,
+                                             batch_format="pandas"))
+
+    def _bucket_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__bucket"] = _bucket_of_frame(batch, ["id_a", "id_b"],
+                                             num_buckets)
+        return batch
+
+    def _dist_k1(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
+        """Exact Levenshtein capped at k=1, vectorized. Equal lengths:
+        lev ≤ 1 ⇔ hamming ≤ 1 (a 1-edit script on equal lengths must be
+        one substitution). Off-by-one lengths: lev = 1 ⇔ the shorter is
+        the longer minus one char (single-gap two-pointer). Returns 2
+        for 'more than 1'."""
+        la = np.fromiter((len(s) for s in sa), np.int64, len(sa))
+        lb = np.fromiter((len(s) for s in sb), np.int64, len(sb))
+        dist = np.full(len(sa), 2, dtype=np.int64)
+        eq = la == lb
+        for length in np.unique(la[eq]):
+            m = eq & (la == length)
+            if length == 0:
+                dist[m] = 0
+                continue
+            ga = np.frombuffer("".join(sa[m]).encode("utf-8", "surrogatepass"),
+                               dtype=np.uint8)
+            gb = np.frombuffer("".join(sb[m]).encode("utf-8", "surrogatepass"),
+                               dtype=np.uint8)
+            if len(ga) == int(m.sum()) * length == len(gb):
+                ham = (ga.reshape(-1, length)
+                       != gb.reshape(-1, length)).sum(axis=1)
+                dist[m] = np.where(ham <= 1, ham, 2)
+            else:  # non-1-byte chars broke fixed width: scalar fallback
+                idx = np.flatnonzero(m)
+                dist[idx] = [min(levenshtein(sa[i], sb[i]), 2) for i in idx]
+        for i in np.flatnonzero(np.abs(la - lb) == 1):
+            lo, hi = ((sa[i], sb[i]) if la[i] < lb[i] else (sb[i], sa[i]))
+            j = 0
+            while j < len(lo) and lo[j] == hi[j]:
+                j += 1
+            dist[i] = 1 if lo[j:] == hi[j + 1:] else 2
+        return dist
+
+    def _verify(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns="__bucket").drop_duplicates(["id_a", "id_b"])
+        # cheap vectorized prefilter: |len(a) - len(b)| ≤ k
+        la = g["s_a"].str.len().to_numpy()
+        lb = g["s_b"].str.len().to_numpy()
+        g = g[np.abs(la - lb) <= k]
+        sa = g["s_a"].to_numpy()
+        sb = g["s_b"].to_numpy()
+        if k == 1:
+            dist = _dist_k1(sa, sb)
+        else:
+            dist = np.fromiter((levenshtein(a, b) for a, b in zip(sa, sb)),
+                               np.int64, len(g))
+        keep = dist <= k
+        return pd.DataFrame({"id_a": g["id_a"].to_numpy()[keep],
+                             "id_b": g["id_b"].to_numpy()[keep],
+                             "dist": dist[keep]})
+
+    return (cands.map_batches(_bucket_pairs, batch_format="pandas")
+            .groupby("__bucket").map_groups(_verify,
+                                            batch_format="pandas"))
+
+
+def survivorship(ds: rd.Dataset, key: str,
+                 agg_rules: list[tuple[str, str, str]],
+                 latest_cols: list[str], order_col: str,
+                 tiebreak: str,
+                 num_buckets: int = 64) -> rd.Dataset:
+    """Golden-record merge per cluster → one row per ``key`` carrying
+    (a) ``agg_rules`` = (how ∈ {min,max,sum,count}, col, out) combiner
+    aggregates and (b) each ``latest_cols`` value taken from the
+    cluster's newest row by (order_col desc, tiebreak desc) — the
+    standard most-recent-wins survivorship rule."""
+    base = preagg_groupby(
+        ds.select_columns([key] + sorted({c for _, c, _ in agg_rules if c})),
+        [key], agg_rules, num_buckets)
+
+    # grouped_topk tie-breaks ascending; most-recent-wins needs DESC on
+    # the tiebreak too, so feed it the negated column
+    def _neg(batch: pd.DataFrame) -> pd.DataFrame:
+        batch[f"__neg_{tiebreak}"] = -batch[tiebreak].to_numpy()
+        return batch
+
+    top = grouped_topk(
+        ds.select_columns([key, order_col, tiebreak] + latest_cols)
+        .map_batches(_neg, batch_format="pandas"),
+        [key], order_col, 1, descending=True, tiebreak=f"__neg_{tiebreak}")
+
+    def _trim(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[key] + latest_cols].copy()
+        return out.rename(columns={c: f"latest_{c}" for c in latest_cols})
+
+    from .analytic import _attach_small
+    return _attach_small(base, top.map_batches(_trim,
+                                               batch_format="pandas"), key)

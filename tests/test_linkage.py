@@ -1,0 +1,76 @@
+"""Record-linkage ops (stages/linkage.py): exact edit-distance self-join
+and golden-record survivorship — vs brute-force / pandas computations,
+including the non-ASCII fallback path and k=2."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from belb_ray.functions.similarity import levenshtein
+from belb_ray.stages.linkage import edit_distance_self_join, survivorship
+
+
+def _pairs_bruteforce(strs: dict[int, str], k: int) -> set:
+    out = set()
+    for (ia, sa), (ib, sb) in itertools.combinations(sorted(strs.items()), 2):
+        d = levenshtein(sa, sb)
+        if d <= k:
+            out.add((ia, ib, d))
+    return out
+
+
+def _ds(strs: dict[int, str]) -> rd.Dataset:
+    t = pa.table({"id": pa.array(list(strs), pa.int64()),
+                  "s": pa.array(list(strs.values()), pa.string())})
+    return rd.from_arrow(t).repartition(4)
+
+
+def test_edit_distance_self_join_k1_vs_bruteforce():
+    rng = np.random.default_rng(9)
+    strs = {i: "".join(rng.choice(list("abcd"), rng.integers(3, 9)))
+            for i in range(120)}
+    strs[900] = ""           # empty string
+    strs[901] = "a"          # ed(“”, “a”) = 1
+    strs[902] = "cafè"       # non-ASCII hits the scalar fallback
+    strs[903] = "cafè"       # hmm same — make a 1-sub variant
+    strs[904] = "cafa"
+    out = edit_distance_self_join(_ds(strs), "id", "s", k=1).to_pandas()
+    got = set(zip(out.id_a, out.id_b, out.dist))
+    assert got == _pairs_bruteforce(strs, 1)
+
+
+def test_edit_distance_self_join_k2_vs_bruteforce():
+    rng = np.random.default_rng(11)
+    strs = {i: "".join(rng.choice(list("xy"), rng.integers(2, 7)))
+            for i in range(60)}
+    out = edit_distance_self_join(_ds(strs), "id", "s", k=2).to_pandas()
+    got = set(zip(out.id_a, out.id_b, out.dist))
+    assert got == _pairs_bruteforce(strs, 2)
+
+
+def test_survivorship_vs_pandas():
+    rng = np.random.default_rng(4)
+    n = 400
+    df = pd.DataFrame({
+        "cid": rng.integers(0, 25, n),
+        "oid": np.arange(n),
+        "dt": rng.integers(0, 50, n),
+        "price": rng.normal(100, 10, n).round(2),
+        "status": rng.choice(list("OFP"), n),
+    })
+    out = (survivorship(rd.from_pandas(df).repartition(6), "cid",
+                        [("max", "price", "max_price"),
+                         ("min", "dt", "first_dt"),
+                         ("count", "", "n")],
+                        ["status"], "dt", "oid")
+           .to_pandas().sort_values("cid").reset_index(drop=True))
+    g = df.groupby("cid")
+    exp_latest = (df.sort_values(["dt", "oid"], ascending=False)
+                  .groupby("cid").first()["status"])
+    assert np.allclose(out.max_price, g.price.max().to_numpy())
+    assert list(out.first_dt) == list(g.dt.min())
+    assert list(out.n) == list(g.size())
+    assert list(out.latest_status) == list(exp_latest)
