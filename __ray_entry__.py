@@ -1993,6 +1993,27 @@ def q_customer_golden_record(sf_dir: str) -> rd.Dataset:
         ["o_orderstatus"], "o_orderdate", "o_orderkey")
 
 
+def q_event_value_imputed(sf_dir: str) -> rd.Dataset:
+    """Per-group mean null imputation (stages/analytic.impute_by_group):
+    exact integer-unit partial sums → tiny mean table broadcasts back;
+    rows never shuffle. Nulls are injected deterministically
+    (event_id % 7 = 0) so the repair path is actually exercised."""
+    from belb_ray.stages.analytic import impute_by_group
+
+    ev = _t(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "value"])
+
+    def _null_out(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["value"].to_numpy(dtype=np.float64).copy()
+        v[batch["event_id"].to_numpy() % 7 == 0] = np.nan
+        batch["value"] = v
+        return batch
+
+    out = impute_by_group(ev.map_batches(_null_out, batch_format="pandas"),
+                          "user_id", "value", out_col="value_imputed")
+    return out.select_columns(["event_id", "user_id", "value_imputed"])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2113,6 +2134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": q_triangle_counts,
         "name_edit_pairs": q_name_edit_pairs,
         "customer_golden_record": q_customer_golden_record,
+        "event_value_imputed": q_event_value_imputed,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -3406,6 +3428,21 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY hv, doc_id) AS rn
                 FROM h)
             WHERE rn <= 5
+        """,
+        "event_value_imputed": """
+            WITH b AS (
+                SELECT event_id, user_id,
+                       CASE WHEN event_id % 7 = 0 THEN NULL
+                            ELSE value END AS v
+                FROM events),
+            m AS (
+                SELECT user_id,
+                       CAST(sum(CAST(ROUND(v * 100) AS BIGINT)) AS DOUBLE)
+                           / count(v) / 100.0 AS mean_v
+                FROM b WHERE v IS NOT NULL GROUP BY user_id)
+            SELECT event_id, b.user_id,
+                   COALESCE(v, mean_v) AS value_imputed
+            FROM b LEFT JOIN m ON b.user_id = m.user_id
         """,
         "name_edit_pairs": """
             SELECT c1.c_custkey AS id_a, c2.c_custkey AS id_b,

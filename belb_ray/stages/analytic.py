@@ -552,3 +552,74 @@ def transition_counts(events: rd.Dataset, key: str,
     return out.map_batches(
         lambda b: b.assign(n=b["n"].astype(np.int64)),
         batch_format="pandas")
+
+
+def impute_by_group(ds: rd.Dataset, key: str, value_col: str,
+                    out_col: str | None = None, scale: float = 100.0,
+                    num_buckets: int = 64,
+                    broadcast_threshold: int = 2_000_000) -> rd.Dataset:
+    """Null repair: fill ``value_col`` nulls with the per-key mean of the
+    non-null values (groups that are all-null stay null) — the
+    compute-stats-then-apply shape of ``normalize_by_group``. Values snap
+    to integer units (``round(v·scale)``) for the partial sums so the
+    distributed mean is exact and combine-order-independent; imputed
+    values are unit-mean / scale.
+
+    Scale shape: fixed-width (Σunits, n_nonnull) partials per key×block →
+    one bucketed combine → the tiny per-key mean table broadcasts back
+    (hash-join fallback past the threshold); data rows never shuffle."""
+    from .agg import bucketed_combine
+
+    out_col = out_col or f"{value_col}_imputed"
+
+    # a block whose value slice is ALL null gets Arrow type `null` from
+    # the pandas→arrow conversion, which the join kernel rejects — pin
+    # the column to float64 up front
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _pin_f64(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index(value_col)
+        col = batch[value_col]
+        if pa.types.is_null(col.type):
+            return batch.set_column(i, value_col,
+                                    pa.nulls(len(batch), pa.float64()))
+        if col.type != pa.float64():
+            return batch.set_column(i, value_col,
+                                    pc.cast(col, pa.float64()))
+        return batch
+
+    ds = ds.map_batches(_pin_f64, batch_format="pyarrow")
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v)
+        units = np.zeros(len(v), dtype=np.int64)
+        units[ok] = np.round(v[ok] * scale).astype(np.int64)
+        g = pd.DataFrame({key: batch[key], "__s": units,
+                          "__c": ok.astype(np.int64)})
+        agg = g.groupby(key, sort=False).sum()
+        return agg.reset_index()
+
+    means = bucketed_combine(
+        ds.map_batches(_partial, batch_format="pandas", batch_size=1 << 17),
+        [key], {"__s": "sum", "__c": "sum"}, num_buckets)
+
+    def _finish(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["__s"].to_numpy(dtype=np.float64)
+        c = batch["__c"].to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = s / c / scale  # NaN where the whole group is null
+        return pd.DataFrame({key: batch[key], "__mean": mean})
+
+    withmean = _attach_small(ds, means.map_batches(
+        _finish, batch_format="pandas"), key,
+        broadcast_threshold=broadcast_threshold, join_type="left outer")
+
+    def _apply(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        m = batch["__mean"].to_numpy(dtype=np.float64)
+        batch[out_col] = np.where(np.isnan(v), m, v)
+        return batch.drop(columns=["__mean"])
+
+    return withmean.map_batches(_apply, batch_format="pandas")

@@ -137,6 +137,7 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "triangle_counts",
         "name_edit_pairs",
         "customer_golden_record",
+        "event_value_imputed",
     ]
     # the sandbox host is co-tenant (same-config trials vary up to ~5x as
     # CPU steal moves around): report min over up to GRAFT_BENCH_TRIALS

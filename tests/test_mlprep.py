@@ -79,3 +79,23 @@ def test_quota_sample_caps_and_determinism():
     keep = (df.sort_values(["grp", "h", "id"])
             .groupby("grp").head(10).id)
     assert sorted(out.id) == sorted(keep)
+
+
+def test_impute_by_group_mean_and_allnull_group():
+    from belb_ray.stages.analytic import impute_by_group
+
+    df = pd.DataFrame({
+        "k": ["a"] * 4 + ["b"] * 3 + ["c"] * 2,
+        "v": [1.0, np.nan, 3.0, np.nan, 10.0, 20.0, np.nan,
+              np.nan, np.nan],  # group c is all-null
+    })
+    for thresh in (2_000_000, 0):  # broadcast path and hash-join fallback
+        out = (impute_by_group(rd.from_pandas(df).repartition(4), "k", "v",
+                               broadcast_threshold=thresh)
+               .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+        a = out[out.k == "a"]["v_imputed"]
+        assert sorted(a) == [1.0, 2.0, 2.0, 3.0]
+        b = out[out.k == "b"]["v_imputed"]
+        assert sorted(b) == [10.0, 15.0, 20.0]
+        c = out[out.k == "c"]["v_imputed"]
+        assert c.isna().all()
