@@ -2014,6 +2014,28 @@ def q_event_value_imputed(sf_dir: str) -> rd.Dataset:
     return out.select_columns(["event_id", "user_id", "value_imputed"])
 
 
+def q_dict_mentions(sf_dir: str) -> rd.Dataset:
+    """Dictionary mention tagging (stages/tagging.tag_mentions): the
+    dictionary = the corpus's own top-25 bigrams (entity_id = rank,
+    count desc / gram asc), ray.put once; documents stream through one
+    vectorized token-n-gram membership probe — every space-bounded
+    occurrence with exact char offsets, zero shuffle. Oracle = SQL
+    position scan (substring equality + space-boundary predicates)."""
+    from belb_ray.stages.corpus import ngram_counts
+    from belb_ray.stages.joins import collect_arrow
+    from belb_ray.stages.tagging import tag_mentions
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    top = collect_arrow(ngram_counts(docs, n=2, top_k=25)).to_pandas()
+    top = top.sort_values(["n_occurrences", "gram"],
+                          ascending=[False, True], kind="mergesort")
+    dict_tbl = pa.table({
+        "mention": pa.array(top["gram"].to_numpy(), pa.string()),
+        "entity_id": pa.array(np.arange(len(top), dtype=np.int64))})
+    out = tag_mentions(docs, dict_tbl)
+    return out.sort(["doc_id", "start", "mention"])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2135,6 +2157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_edit_pairs": q_name_edit_pairs,
         "customer_golden_record": q_customer_golden_record,
         "event_value_imputed": q_event_value_imputed,
+        "dict_mentions": q_dict_mentions,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -3443,6 +3466,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, b.user_id,
                    COALESCE(v, mean_v) AS value_imputed
             FROM b LEFT JOIN m ON b.user_id = m.user_id
+        """,
+        "dict_mentions": r"""
+            WITH words AS (
+                SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents),
+            grams AS (
+                SELECT w[i] || ' ' || w[i+1] AS gram
+                FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+                      FROM words)),
+            dict AS (
+                SELECT gram AS mention,
+                       row_number() OVER (ORDER BY count(*) DESC, gram) - 1
+                           AS entity_id
+                FROM grams GROUP BY gram
+                ORDER BY count(*) DESC, gram LIMIT 25)
+            SELECT d.doc_id, s.i - 1 AS start,
+                   s.i - 1 + length(n.mention) AS "end",
+                   n.mention, n.entity_id
+            -- generate_series only takes constants in this DuckDB build:
+            -- 8192 safely exceeds every synthetic document length
+            FROM documents d, dict n, generate_series(1, 8192) AS s(i)
+            WHERE s.i <= length(d.text)
+              AND substring(d.text, s.i, length(n.mention)) = n.mention
+              AND (s.i = 1 OR substring(d.text, s.i - 1, 1) = ' ')
+              AND (s.i - 1 + length(n.mention) = length(d.text)
+                   OR substring(d.text, s.i + length(n.mention), 1) = ' ')
+            ORDER BY d.doc_id, start, n.mention
         """,
         "name_edit_pairs": """
             SELECT c1.c_custkey AS id_a, c2.c_custkey AS id_b,

@@ -1,0 +1,75 @@
+"""Dictionary mention tagging (stages/tagging.tag_mentions)."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from belb_ray.stages.tagging import tag_mentions
+
+
+def _brute(docs: list[tuple[int, str]], names: dict[str, int]):
+    """All space-bounded occurrences, by position scan (the SQL oracle's
+    definition)."""
+    out = []
+    for doc_id, text in docs:
+        for name, eid in names.items():
+            ln = len(name)
+            for s in range(len(text) - ln + 1):
+                if text[s:s + ln] != name:
+                    continue
+                if s > 0 and text[s - 1] != " ":
+                    continue
+                e = s + ln
+                if e < len(text) and text[e] != " ":
+                    continue
+                out.append((doc_id, s, e, name, eid))
+    return sorted(out)
+
+
+def _run(docs, names, **kw):
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [d for d, _ in docs], "text": [t for _, t in docs]}))
+    dict_tbl = pa.table({"mention": list(names), "entity_id": list(names.values())})
+    out = tag_mentions(ds, dict_tbl, **kw).take_all()
+    return sorted((r["doc_id"], r["start"], r["end"], r["mention"],
+                   r["entity_id"]) for r in out)
+
+
+def test_tag_mentions_matches_position_scan():
+    docs = [
+        (0, "alpha beta gamma alpha beta"),
+        (1, "beta alphabet alpha alpha"),       # substring 'alpha' inside
+                                                # 'alphabet' must NOT match
+        (2, "gamma"),                           # whole-text match
+        (3, ""),                                # empty text
+        (4, "x alpha beta gamma y alpha"),
+    ]
+    names = {"alpha": 1, "beta": 2, "alpha beta": 3, "gamma": 4,
+             "beta gamma": 5, "missing term": 9}
+    assert _run(docs, names) == _brute(docs, names)
+
+
+def test_tag_mentions_overlaps_and_offsets():
+    docs = [(7, "a b a b a")]
+    names = {"a b": 1, "b a": 2, "a": 3}
+    got = _run(docs, names)
+    assert got == _brute(docs, names)
+    # overlapping bigrams are ALL reported: 'a b' at 0,4 and 'b a' at 2,6
+    assert (7, 0, 3, "a b", 1) in got and (7, 2, 5, "b a", 2) in got
+    assert (7, 4, 7, "a b", 1) in got and (7, 6, 9, "b a", 2) in got
+    # end is exclusive char offset
+    assert all(e - s == len(m) for _, s, e, m, _ in got)
+
+
+def test_tag_mentions_trigrams_and_block_invariance():
+    docs = [(i, f"u v w q{i} u v w") for i in range(20)]
+    names = {"u v w": 1, "v w": 2}
+    expect = _brute(docs, names)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [d for d, _ in docs],
+        "text": [t for _, t in docs]})).repartition(7)
+    dict_tbl = pa.table({"mention": list(names),
+                         "entity_id": list(names.values())})
+    got = sorted((r["doc_id"], r["start"], r["end"], r["mention"],
+                  r["entity_id"])
+                 for r in tag_mentions(ds, dict_tbl).take_all())
+    assert got == expect
