@@ -2036,6 +2036,38 @@ def q_dict_mentions(sf_dir: str) -> rd.Dataset:
     return out.sort(["doc_id", "start", "mention"])
 
 
+def q_part_bfs_hops(sf_dir: str) -> rd.Dataset:
+    """Multi-source BFS hop distance ≤3 over the part co-purchase graph
+    (stages/graph.bfs_hops): per level the node-sized frontier gates the
+    edge list via the size-guarded semi-join, reached nodes dedup with
+    one bucketed shuffle, visited nodes drop via the anti form. Seeds =
+    parts with p_partkey % 200 = 0. Oracle = bounded-depth recursive CTE
+    with UNION-distinct + MIN(d) GROUP BY."""
+    from belb_ray.stages.agg import preagg_groupby
+    from belb_ray.stages.cooccur import cooccurrence_pairs
+    from belb_ray.stages.graph import bfs_hops
+
+    li = _t(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+    und = preagg_groupby(pairs, ["a", "b"],
+                         [("count", "", "__n")]).drop_columns(["__n"])
+
+    def _mirror(batch: pa.Table) -> pa.Table:
+        fwd = pa.table({"src": batch["a"], "dst": batch["b"]})
+        rev = pa.table({"src": batch["b"], "dst": batch["a"]})
+        return pa.concat_tables([fwd, rev])
+
+    edges = und.map_batches(_mirror, batch_format="pyarrow")
+    def _seed(t: pa.Table) -> pa.Table:
+        k = t["p_partkey"].combine_chunks()
+        mask = pa.array(k.to_numpy(zero_copy_only=False) % 200 == 0)
+        return pa.table({"node": k.filter(mask)})
+
+    seeds = (_t(sf_dir, "part").select_columns(["p_partkey"])
+             .map_batches(_seed, batch_format="pyarrow"))
+    return bfs_hops(edges, seeds, max_hops=3).sort("node")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2158,6 +2190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_golden_record": q_customer_golden_record,
         "event_value_imputed": q_event_value_imputed,
         "dict_mentions": q_dict_mentions,
+        "part_bfs_hops": q_part_bfs_hops,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -3493,6 +3526,23 @@ def oracle_sql() -> dict[str, str]:
               AND (s.i - 1 + length(n.mention) = length(d.text)
                    OR substring(d.text, s.i + length(n.mention), 1) = ' ')
             ORDER BY d.doc_id, start, n.mention
+        """,
+        "part_bfs_hops": """
+            WITH RECURSIVE
+            items AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS it
+                      FROM lineitem),
+            edges AS (SELECT DISTINCT x.it AS src, y.it AS dst
+                      FROM items x JOIN items y
+                        ON x.g = y.g AND x.it <> y.it),
+            seeds AS (SELECT p_partkey AS node FROM part
+                      WHERE p_partkey % 200 = 0),
+            r(node, d) AS (
+                SELECT node, 0 FROM seeds
+                UNION
+                SELECT e.dst, r.d + 1
+                FROM r JOIN edges e ON e.src = r.node
+                WHERE r.d < 3)
+            SELECT node, MIN(d) AS hops FROM r GROUP BY node ORDER BY node
         """,
         "name_edit_pairs": """
             SELECT c1.c_custkey AS id_a, c2.c_custkey AS id_b,

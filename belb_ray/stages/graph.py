@@ -253,3 +253,91 @@ def cochain_edges(ds: rd.Dataset, group_cols: list[str], item_col: str,
 
     return (ds.map_batches(_bucketize, batch_format="pandas")
             .groupby("__bucket").map_groups(_chain, batch_format="pandas"))
+
+
+def _distinct_nodes(ds: rd.Dataset, col: str,
+                    num_buckets: int = 64) -> rd.Dataset:
+    """Distributed distinct of one node column: batch-local dedup first
+    (the frontier's dst lists are massively duplicated), then one
+    co-location shuffle on hash(node) with a per-bucket dedup. Never
+    collects values to the driver."""
+
+    def _local(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[col]].drop_duplicates()
+        from .agg import _bucket_of_frame
+
+        batch["__bucket"] = _bucket_of_frame(batch, [col], num_buckets)
+        return batch
+
+    def _dedup(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop(columns="__bucket").drop_duplicates()
+
+    return (ds.map_batches(_local, batch_format="pandas")
+            .groupby("__bucket").map_groups(_dedup, batch_format="pandas"))
+
+
+def bfs_hops(edges: rd.Dataset, seeds: rd.Dataset, src: str = "src",
+             dst: str = "dst", node_col: str = "node", max_hops: int = 3,
+             broadcast_threshold: int = 5_000_000,
+             num_buckets: int = 64) -> rd.Dataset:
+    """Multi-source BFS: minimum hop distance (≤ ``max_hops``) from any
+    seed node → (node, hops) rows, hops ∈ [0, max_hops].
+
+    Distributed shape per level: the current frontier (a node table,
+    orders of magnitude smaller than the edge list) gates the edges via
+    the size-guarded semi-join (broadcast membership set under
+    ``broadcast_threshold`` distinct nodes, shuffle semi-join above),
+    reached dst nodes dedup with batch-local uniques plus ONE bucketed
+    shuffle, and already-visited nodes drop via the same size-guarded
+    anti-join. The edge list is scanned once per level and never
+    shuffled in the broadcast regime; frontier/visited tables are
+    node-sized and materialize per level (each is consumed twice:
+    as the next join's key side and in the visited union).
+
+    Equivalent SQL: a bounded-depth recursive CTE with UNION-distinct
+    and a final MIN(d) GROUP BY — the oracle mirrors it exactly.
+    """
+    from .joins import semi_join
+
+    # one pass computes the edge blocks; every BFS level re-reads them —
+    # without this the edges' entire upstream lineage (often an expensive
+    # pair-generation) re-executes max_hops times
+    edges = edges.select_columns([src, dst]).materialize()
+
+    def _with_hops(ds_nodes: rd.Dataset, h: int) -> rd.Dataset:
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                node_col: batch[node_col].to_numpy(),
+                "hops": np.full(len(batch), h, dtype=np.int64)})
+
+        return ds_nodes.map_batches(fn, batch_format="pandas")
+
+    frontier = _distinct_nodes(
+        seeds.select_columns([node_col]), node_col, num_buckets) \
+        .materialize()
+    visited = frontier
+    levels = [_with_hops(frontier, 0)]
+    for h in range(1, max_hops + 1):
+        reached = semi_join(
+            edges.select_columns([src, dst]),
+            frontier.map_batches(
+                lambda b: b.rename(columns={node_col: src}),
+                batch_format="pandas"),
+            src, broadcast_threshold=broadcast_threshold,
+            num_buckets=num_buckets)
+        nxt = _distinct_nodes(
+            reached.select_columns([dst]).map_batches(
+                lambda b: b.rename(columns={dst: node_col}),
+                batch_format="pandas"),
+            node_col, num_buckets)
+        frontier = semi_join(nxt, visited, node_col, anti=True,
+                             broadcast_threshold=broadcast_threshold,
+                             num_buckets=num_buckets).materialize()
+        if frontier.count() == 0:
+            break
+        visited = visited.union(frontier).materialize()
+        levels.append(_with_hops(frontier, h))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out

@@ -1708,3 +1708,64 @@ def test_shard_assign_positions_dense_and_partition_independent():
     assert (got.x == got.id * 1.5).all()
     # deterministic across partitioning
     pd.testing.assert_frame_equal(got, run(11), check_dtype=False)
+
+
+def test_bfs_hops_vs_bruteforce():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from belb_ray.stages.graph import bfs_hops
+
+    rng = np.random.default_rng(11)
+    n = 60
+    srcs, dsts = [], []
+    for _ in range(150):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            srcs += [int(a), int(b)]
+            dsts += [int(b), int(a)]
+    # isolate nodes 50..59 in their own chain so some are unreachable
+    for v in range(50, 59):
+        srcs += [v, v + 1]
+        dsts += [v + 1, v]
+    edges = rd.from_arrow(pa.table({"src": srcs, "dst": dsts})) \
+        .repartition(5)
+    seed_nodes = [0, 3, 50, 999]  # 999 is not in the graph at all
+    seeds = rd.from_arrow(pa.table({"node": seed_nodes}))
+
+    # brute-force BFS
+    from collections import deque
+    adj = {}
+    for a, b in zip(srcs, dsts):
+        adj.setdefault(a, set()).add(b)
+    dist = {s: 0 for s in seed_nodes}
+    q = deque(seed_nodes)
+    while q:
+        u = q.popleft()
+        if dist[u] >= 3:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    expect = sorted(dist.items())
+
+    got = sorted((r["node"], r["hops"])
+                 for r in bfs_hops(edges, seeds, max_hops=3).take_all())
+    assert got == expect
+    # the un-seeded chain tail beyond 3 hops must be absent
+    assert all(h <= 3 for _, h in got)
+
+
+def test_bfs_hops_empty_frontier_stops_early():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from belb_ray.stages.graph import bfs_hops
+
+    edges = rd.from_arrow(pa.table({"src": [1], "dst": [2]}))
+    seeds = rd.from_arrow(pa.table({"node": [7]}))  # no outgoing edges
+    got = sorted((r["node"], r["hops"])
+                 for r in bfs_hops(edges, seeds, max_hops=5).take_all())
+    assert got == [(7, 0)]
