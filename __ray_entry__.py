@@ -2068,6 +2068,19 @@ def q_part_bfs_hops(sf_dir: str) -> rd.Dataset:
     return bfs_hops(edges, seeds, max_hops=3).sort("node")
 
 
+def q_bpe_merges(sf_dir: str) -> rd.Dataset:
+    """BPE vocabulary learning (stages/bpe.learn_bpe): the corpus reduces
+    ONCE to a (word, count) vocabulary via a distributed word-count; 12
+    merge rounds then run over the vocabulary Dataset only (vectorized
+    adjacent-pair counts → bucketed combine → 1-row argmax collect →
+    streamed regex rewrite). Oracle = pinned golden from the independent
+    single-process Counter/tuple-scan implementation."""
+    from belb_ray.stages.bpe import learn_bpe
+
+    docs = _t(sf_dir, "documents").select_columns(["text"])
+    return learn_bpe(docs, n_merges=12).sort("step")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2191,6 +2204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_imputed": q_event_value_imputed,
         "dict_mentions": q_dict_mentions,
         "part_bfs_hops": q_part_bfs_hops,
+        "bpe_merges": q_bpe_merges,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -3611,5 +3625,6 @@ def oracle_sql() -> dict[str, str]:
                         "er_clusters", "minhash_dedup_docs",
                         "simhash_dedup_docs", "doc_fingerprints",
                         "lsh_neardup", "lsh_ann_topk", "ivf_ann_topk",
-                        "multimodal_features", "semantic_dedup")},
+                        "multimodal_features", "semantic_dedup",
+                        "bpe_merges")},
     }

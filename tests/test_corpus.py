@@ -131,3 +131,45 @@ def test_cochain_edges_adjacent_only():
     got = set(zip(out.a, out.b))
     # x: distinct sorted [1,3,7] -> (1,3),(3,7); y: [2,5] -> (2,5); z: none
     assert got == {(1, 3), (3, 7), (2, 5)}
+
+
+def test_learn_bpe_matches_bruteforce():
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from belb_ray.stages.bpe import learn_bpe
+
+    texts = ["low low low lower lowest", "new newer newest low",
+             "aaa banana bandana", ""] * 3
+    ds = rd.from_arrow(pa.table({"text": texts})).repartition(4)
+    got = [(r["step"], r["left"], r["right"], r["n_occurrences"])
+           for r in learn_bpe(ds, n_merges=8).sort("step").take_all()]
+
+    # independent brute force (tuple-scan merges, Counter stats)
+    wc = Counter(w for t in texts for w in t.split() if w)
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in wc.items()}
+
+    def merge_word(s, a, b):
+        out, i = [], 0
+        while i < len(s):
+            if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                out.append(a + b); i += 2
+            else:
+                out.append(s[i]); i += 1
+        return tuple(out)
+
+    expect = []
+    for step in range(1, 9):
+        stats = Counter()
+        for s, c in vocab.items():
+            for i in range(len(s) - 1):
+                stats[(s[i], s[i + 1])] += c
+        (a, b), cnt = sorted(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expect.append((step, a, b, cnt))
+        vocab = {merge_word(s, a, b): c for s, c in vocab.items()}
+
+    assert got == expect
+    # 'aaa' exercises overlapping-pair counting: ('a','a') counts twice
+    # per occurrence, and the merge is left-to-right non-overlapping

@@ -459,6 +459,52 @@ def golden_pca_variance(sf_dir: str) -> pa.Table:
     })
 
 
+def golden_bpe_merges(sf_dir: str, n_merges: int = 12) -> pa.Table:
+    """Independent single-process BPE: Counter word counts, dict vocab of
+    symbol TUPLES, per-round Counter pair stats with (count desc, pair
+    asc) tie-break, and an explicit left-to-right non-overlapping tuple
+    scan for the merge (the distributed op uses a regex rewrite — a
+    different mechanism for the same semantics)."""
+    import re as _re
+    from collections import Counter
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["text"])
+    wc: Counter = Counter()
+    for txt in t["text"].to_pylist():
+        wc.update(_re.findall(r"[a-z0-9]+", (txt or "").lower()))
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in wc.items()}
+
+    def _merge_word(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    rows = []
+    for step in range(1, n_merges + 1):
+        stats: Counter = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += c
+        if not stats:
+            break
+        (a, b), cnt = sorted(stats.items(),
+                             key=lambda kv: (-kv[1], kv[0]))[0]
+        rows.append((step, a, b, cnt))
+        vocab = {_merge_word(s, a, b): c for s, c in vocab.items()}
+    return pa.table({
+        "step": pa.array([r[0] for r in rows], pa.int64()),
+        "left": pa.array([r[1] for r in rows], pa.string()),
+        "right": pa.array([r[2] for r in rows], pa.string()),
+        "n_occurrences": pa.array([r[3] for r in rows], pa.int64())})
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -480,6 +526,7 @@ def main() -> None:
         "pca_projection": golden_pca_projection(args.sf_dir),
         "incremental_neardup": golden_incremental_neardup(args.sf_dir),
         "pca_variance": golden_pca_variance(args.sf_dir),
+        "bpe_merges": golden_bpe_merges(args.sf_dir),
     }
     for name, tbl in tables.items():
         path = os.path.join(GOLDEN_DIR, f"{name}.{sf_tag}.parquet")
