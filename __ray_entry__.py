@@ -2081,6 +2081,19 @@ def q_bpe_merges(sf_dir: str) -> rd.Dataset:
     return learn_bpe(docs, n_merges=12).sort("step")
 
 
+def q_bpe_tokens(sf_dir: str) -> rd.Dataset:
+    """BPE tokenizer application (stages/bpe.bpe_encode): the 12 learned
+    merge rules ship in the task closure; documents stream through one
+    map_batches with a per-task word-level memo (Zipf — few distinct
+    words per block). Oracle = pinned golden from the independent
+    single-process priority encoder."""
+    from belb_ray.stages.bpe import bpe_encode, learn_bpe
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    merges = learn_bpe(docs, n_merges=12)
+    return bpe_encode(docs, merges).sort("doc_id")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2205,6 +2218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_mentions": q_dict_mentions,
         "part_bfs_hops": q_part_bfs_hops,
         "bpe_merges": q_bpe_merges,
+        "bpe_tokens": q_bpe_tokens,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -3626,5 +3640,5 @@ def oracle_sql() -> dict[str, str]:
                         "simhash_dedup_docs", "doc_fingerprints",
                         "lsh_neardup", "lsh_ann_topk", "ivf_ann_topk",
                         "multimodal_features", "semantic_dedup",
-                        "bpe_merges")},
+                        "bpe_merges", "bpe_tokens")},
     }

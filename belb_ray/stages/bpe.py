@@ -138,3 +138,66 @@ def learn_bpe(ds: rd.Dataset, n_merges: int, text_col: str = "text",
         "left": pa.array([m[1] for m in merges], pa.string()),
         "right": pa.array([m[2] for m in merges], pa.string()),
         "n_occurrences": pa.array([m[3] for m in merges], pa.int64())}))
+
+
+def bpe_encode(ds: rd.Dataset, merges, doc_id_col: str = "doc_id",
+               text_col: str = "text") -> rd.Dataset:
+    """Apply learned merge rules → (doc_id, tokens list<string>,
+    n_tokens) per document.
+
+    Classic priority encoding: repeatedly merge ALL occurrences of the
+    lowest-rank (earliest-learned) pair present in the word until no
+    learnable pair remains. The merge table is tiny — shipped in the
+    task closure; per-task a WORD-level memo caches each distinct
+    word's encoding (Zipf: a block re-encodes few distinct words), so
+    the per-row cost is a dict hit, not a merge loop.
+    """
+    if isinstance(merges, rd.Dataset):
+        merges = merges.take_all()
+        ranks = {(m["left"], m["right"]): m["step"] for m in merges}
+    else:
+        ranks = {(left, right): i + 1
+                 for i, (left, right) in enumerate(merges)}
+
+    def _encode_word(word: str, memo: dict) -> list[str]:
+        got = memo.get(word)
+        if got is not None:
+            return got
+        syms = list(word) + [END_OF_WORD]
+        while len(syms) > 1:
+            best, best_rank = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = (syms[i], syms[i + 1]), r
+            if best is None:
+                break
+            a, b = best
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        memo[word] = syms
+        return syms
+
+    def _encode(batch: pa.Table) -> pa.Table:
+        memo: dict[str, list[str]] = {}
+        toks, counts = [], []
+        for t in batch[text_col].to_pylist():
+            words = GRAM_WORD_RE.findall((t or "").lower())
+            dt: list[str] = []
+            for w in words:
+                dt.extend(_encode_word(w, memo))
+            toks.append(dt)
+            counts.append(len(dt))
+        return pa.table({
+            doc_id_col: batch[doc_id_col],
+            "tokens": pa.array(toks, pa.list_(pa.string())),
+            "n_tokens": pa.array(counts, pa.int64())})
+
+    return ds.map_batches(_encode, batch_format="pyarrow")

@@ -173,3 +173,29 @@ def test_learn_bpe_matches_bruteforce():
     assert got == expect
     # 'aaa' exercises overlapping-pair counting: ('a','a') counts twice
     # per occurrence, and the merge is left-to-right non-overlapping
+
+
+def test_bpe_encode_matches_priority_bruteforce():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from belb_ray.stages.bpe import bpe_encode
+
+    # hand-picked ranks: 'lo' learned before 'ow', so "low" encodes as
+    # [lo, w, </w>] — priority order matters, not left-to-right scan
+    merges = [("l", "o"), ("o", "w"), ("lo", "w"), ("w", "</w>")]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2],
+        "text": ["low lower owl", "wow", ""]}))
+    got = {r["doc_id"]: (r["tokens"], r["n_tokens"])
+           for r in bpe_encode(docs, merges).take_all()}
+    # low: l,o,w,</w> -> rank1 (l,o) -> lo,w,</w> -> rank3 (lo,w)
+    # -> low,</w> -> (low,</w>) unranked -> ['low','</w>'];
+    # 'lower' and 'owl' follow ("lower" ends lo w er..., "owl" = ow l)
+    assert got[0][0][:2] == ["low", "</w>"]
+    # wow: w o w </w> -> rank2 'ow' merges FIRST occurrence scan:
+    # w ow </w> -> rank4 (w,</w>)? syms are w,ow,</w> — no (w,</w>)
+    # adjacency -> stuck -> ['w','ow','</w>']
+    assert got[1][0] == ["w", "ow", "</w>"]
+    assert got[2] == ([], 0)
+    assert all(got[d][1] == len(got[d][0]) for d in got)

@@ -505,6 +505,54 @@ def golden_bpe_merges(sf_dir: str, n_merges: int = 12) -> pa.Table:
         "n_occurrences": pa.array([r[3] for r in rows], pa.int64())})
 
 
+def golden_bpe_tokens(sf_dir: str, n_merges: int = 12) -> pa.Table:
+    """Independent single-process BPE encoding: the merge ranks come
+    from golden_bpe_merges; each word is encoded by repeatedly merging
+    all occurrences of the lowest-rank pair present."""
+    import re as _re
+
+    m = golden_bpe_merges(sf_dir, n_merges)
+    ranks = {(l, r): s for s, l, r in zip(
+        m["step"].to_pylist(), m["left"].to_pylist(),
+        m["right"].to_pylist())}
+
+    def _encode(word: str) -> list[str]:
+        syms = list(word) + ["</w>"]
+        while len(syms) > 1:
+            ranked = [(ranks[(a, b)], (a, b))
+                      for a, b in zip(syms, syms[1:]) if (a, b) in ranks]
+            if not ranked:
+                break
+            a, b = min(ranked)[1]
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    memo: dict = {}
+    toks, counts = [], []
+    for txt in t["text"].to_pylist():
+        dt: list[str] = []
+        for w in _re.findall(r"[a-z0-9]+", (txt or "").lower()):
+            if w not in memo:
+                memo[w] = _encode(w)
+            dt.extend(memo[w])
+        toks.append(dt)
+        counts.append(len(dt))
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "tokens": pa.array(toks, pa.list_(pa.string())),
+        "n_tokens": pa.array(counts, pa.int64())})
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -527,6 +575,7 @@ def main() -> None:
         "incremental_neardup": golden_incremental_neardup(args.sf_dir),
         "pca_variance": golden_pca_variance(args.sf_dir),
         "bpe_merges": golden_bpe_merges(args.sf_dir),
+        "bpe_tokens": golden_bpe_tokens(args.sf_dir),
     }
     for name, tbl in tables.items():
         path = os.path.join(GOLDEN_DIR, f"{name}.{sf_tag}.parquet")
