@@ -2094,6 +2094,29 @@ def q_bpe_tokens(sf_dir: str) -> rd.Dataset:
     return bpe_encode(docs, merges).sort("doc_id")
 
 
+def q_hybrid_search(sf_dir: str) -> rd.Dataset:
+    """Reciprocal-rank fusion (stages/search.rrf_fuse) of two document
+    shortlists: BM25 top-25 for the fixed query terms and the top-25
+    longest documents (n_words from doc_quality). Ranks come from the
+    ordered_window row_number; contributions combine with one bucketed
+    groupby summed in ranking order, so the SQL FULL OUTER JOIN +
+    COALESCE mirror is bit-identical."""
+    from belb_ray.stages.agg import topk
+    from belb_ray.stages.docstats import doc_quality
+    from belb_ray.stages.search import bm25_topk, rrf_fuse
+
+    docs = _t(sf_dir, "documents")
+    bm = bm25_topk(docs, list(BM25_TERMS), k=25)
+    longest = topk(doc_quality(docs).select_columns(["doc_id", "n_words"]),
+                   "n_words", 25, tiebreak="doc_id")
+    fused = rrf_fuse(
+        [bm, longest], id_col="doc_id",
+        orders=[[("score", True), ("doc_id", False)],
+                [("n_words", True), ("doc_id", False)]],
+        rrf_k=60, top_k=20)
+    return fused.sort(["rrf_score", "doc_id"], descending=[True, False])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2219,6 +2242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_bfs_hops": q_part_bfs_hops,
         "bpe_merges": q_bpe_merges,
         "bpe_tokens": q_bpe_tokens,
+        "hybrid_search": q_hybrid_search,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -3554,6 +3578,26 @@ def oracle_sql() -> dict[str, str]:
               AND (s.i - 1 + length(n.mention) = length(d.text)
                    OR substring(d.text, s.i + length(n.mention), 1) = ' ')
             ORDER BY d.doc_id, start, n.mention
+        """,
+        "hybrid_search": rf"""
+            WITH bm AS ({_bm25_sql(BM25_TERMS, k=25)}),
+            bmr AS (SELECT doc_id, row_number() OVER
+                        (ORDER BY score DESC, doc_id) AS r FROM bm),
+            q AS (SELECT doc_id,
+                         len(list_filter(
+                             regexp_split_to_array(text, '\s+'),
+                             x -> x <> '')) AS n_words
+                  FROM documents),
+            qtop AS (SELECT doc_id, n_words FROM q
+                     ORDER BY n_words DESC, doc_id LIMIT 25),
+            qr AS (SELECT doc_id, row_number() OVER
+                       (ORDER BY n_words DESC, doc_id) AS r FROM qtop),
+            f AS (SELECT COALESCE(bmr.doc_id, qr.doc_id) AS doc_id,
+                         COALESCE(1.0 / (60 + bmr.r), 0)
+                         + COALESCE(1.0 / (60 + qr.r), 0) AS s
+                  FROM bmr FULL OUTER JOIN qr ON bmr.doc_id = qr.doc_id)
+            SELECT doc_id, round(s, 6) AS rrf_score FROM f
+            ORDER BY rrf_score DESC, doc_id LIMIT 20
         """,
         "part_bfs_hops": """
             WITH RECURSIVE

@@ -113,3 +113,98 @@ def bm25_topk(
     partial = docs.select_columns([id_col, text_col]).map_batches(
         _score, batch_format="pyarrow")
     return partial.sort(["score", id_col], descending=[True, False]).limit(k)
+
+
+def rrf_fuse(
+    rankings: list[rd.Dataset],
+    id_col: str,
+    orders: list[list[tuple[str, bool]]],
+    query_col: str | None = None,
+    rrf_k: int = 60,
+    top_k: int | None = None,
+    round_to: int = 6,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Reciprocal-rank fusion of N rankings (hybrid search):
+    score(q, d) = Σ_i 1 / (rrf_k + rank_i(q, d)), items absent from a
+    ranking contribute nothing (Cormack et al. 2009's RRF).
+
+    ``orders[i]``: (column, descending) list that TOTALLY orders ranking
+    i within a query (ties must be broken — include the id column).
+    ``query_col=None`` fuses single-query shortlists.
+
+    Distributed shape: per ranking, ranks come from the existing
+    ``ordered_window`` row_number (ONE hash(query) co-location shuffle
+    of that ranking — shortlists, not the corpus); contributions union
+    and combine with one bucketed groupby on (query, id). Contributions
+    are summed in ranking order, so float addition is reproducible and
+    the SQL mirror (COALESCE(term_0) + COALESCE(term_1) + …) matches
+    bit-for-bit. Nothing corpus-sized moves; driver holds nothing.
+    """
+    from .agg import _bucket_of_frame, grouped_topk
+    from .analytic import ordered_window
+
+    qcol = query_col or "__q"
+    tagged = []
+    for i, (ds, spec) in enumerate(zip(rankings, orders)):
+        ocols = []
+
+        def _prep(batch: pd.DataFrame, i=i, spec=spec,
+                  ocols_out=ocols) -> pd.DataFrame:
+            if query_col is None:
+                batch[qcol] = np.int64(0)
+            for j, (col, desc) in enumerate(spec):
+                v = batch[col].to_numpy()
+                if desc:
+                    if not np.issubdtype(v.dtype, np.number):
+                        raise TypeError(
+                            f"rrf_fuse: descending order column {col!r} "
+                            f"must be numeric")
+                    v = -v
+                batch[f"__o{j}"] = v
+            return batch
+
+        ocols = [f"__o{j}" for j in range(len(spec))]
+        ranked = ordered_window(
+            ds.map_batches(_prep, batch_format="pandas"),
+            key=qcol, order_cols=ocols,
+            specs=[("row_number", "", "__rank")],
+            num_buckets=num_buckets)
+
+        def _contrib(batch: pd.DataFrame, i=i) -> pd.DataFrame:
+            return pd.DataFrame({
+                qcol: batch[qcol].to_numpy(),
+                id_col: batch[id_col].to_numpy(),
+                "__src": np.full(len(batch), i, dtype=np.int8),
+                "__contrib": 1.0 / (rrf_k + batch["__rank"].to_numpy()),
+            })
+
+        tagged.append(ranked.map_batches(_contrib, batch_format="pandas"))
+
+    both = tagged[0]
+    for t in tagged[1:]:
+        both = both.union(t)
+
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__bucket"] = _bucket_of_frame(batch, [qcol, id_col],
+                                             num_buckets)
+        return batch
+
+    def _combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([qcol, id_col, "__src"], kind="mergesort")
+        out = (g.groupby([qcol, id_col], sort=False, as_index=False)
+               ["__contrib"].sum())
+        out["rrf_score"] = np.round(out.pop("__contrib").to_numpy(),
+                                    round_to)
+        return out
+
+    fused = (both.map_batches(_bucketize, batch_format="pandas")
+             .groupby("__bucket").map_groups(_combine,
+                                             batch_format="pandas"))
+    if top_k is not None:
+        fused = grouped_topk(fused, [qcol], "rrf_score", top_k,
+                             descending=True, tiebreak=id_col,
+                             num_buckets=num_buckets)
+    if query_col is None:
+        fused = fused.drop_columns([qcol])
+    return fused

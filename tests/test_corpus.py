@@ -199,3 +199,64 @@ def test_bpe_encode_matches_priority_bruteforce():
     assert got[1][0] == ["w", "ow", "</w>"]
     assert got[2] == ([], 0)
     assert all(got[d][1] == len(got[d][0]) for d in got)
+
+
+def test_rrf_fuse_matches_bruteforce_multiquery():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from belb_ray.stages.search import rrf_fuse
+
+    rng = np.random.default_rng(5)
+    rows_a, rows_b = [], []
+    for q in range(4):
+        docs = rng.permutation(30)[:12]
+        for d in docs:
+            rows_a.append((q, int(d), float(rng.integers(1, 100))))
+        docs = rng.permutation(30)[:12]
+        for d in docs:
+            rows_b.append((q, int(d), float(rng.integers(1, 100))))
+    a = rd.from_arrow(pa.table({
+        "q": [r[0] for r in rows_a], "doc": [r[1] for r in rows_a],
+        "s": [r[2] for r in rows_a]})).repartition(3)
+    b = rd.from_arrow(pa.table({
+        "q": [r[0] for r in rows_b], "doc": [r[1] for r in rows_b],
+        "s": [r[2] for r in rows_b]})).repartition(2)
+
+    got = {(r["q"], r["doc"]): r["rrf_score"]
+           for r in rrf_fuse([a, b], id_col="doc",
+                             orders=[[("s", True), ("doc", False)]] * 2,
+                             query_col="q", rrf_k=60).take_all()}
+
+    expect = {}
+    for rows, _src in ((rows_a, 0), (rows_b, 1)):
+        byq = {}
+        for q, d, s in rows:
+            byq.setdefault(q, []).append((d, s))
+        for q, lst in byq.items():
+            lst.sort(key=lambda ds: (-ds[1], ds[0]))
+            for rank, (d, _) in enumerate(lst, 1):
+                expect[(q, d)] = expect.get((q, d), 0.0) + 1.0 / (60 + rank)
+    expect = {k: round(v, 6) for k, v in expect.items()}
+    assert got == expect
+
+
+def test_rrf_fuse_top_k_and_absentees():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from belb_ray.stages.search import rrf_fuse
+
+    a = rd.from_arrow(pa.table({"doc": [1, 2, 3], "s": [9.0, 5.0, 1.0]}))
+    b = rd.from_arrow(pa.table({"doc": [2, 4], "s": [7.0, 3.0]}))
+    got = sorted(((r["doc"], r["rrf_score"]) for r in
+                  rrf_fuse([a, b], id_col="doc",
+                           orders=[[("s", True), ("doc", False)]] * 2,
+                           rrf_k=60, top_k=2).take_all()),
+                 key=lambda t: -t[1])
+    # doc 2: rank 2 in a, rank 1 in b -> 1/62 + 1/61 (the winner);
+    # doc 1: rank 1 in a only -> 1/61
+    assert [d for d, _ in got] == [2, 1]
+    assert got[0][1] == round(1 / 62 + 1 / 61, 6)
+    assert got[1][1] == round(1 / 61, 6)
