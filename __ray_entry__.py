@@ -2117,6 +2117,29 @@ def q_hybrid_search(sf_dir: str) -> rd.Dataset:
     return fused.sort(["rrf_score", "doc_id"], descending=[True, False])
 
 
+def q_pq_ann_topk(sf_dir: str) -> rd.Dataset:
+    """Product-quantization ANN top-k (stages/pq.py): train per-subspace
+    codebooks on the deterministic id-keyed sample, encode the corpus to
+    fixed_size_binary(8) codes in one streaming pass, ADC-search with
+    broadcast per-query LUTs (m uint8 gathers per code row, no float
+    matmul). Oracle = pinned golden from the independent single-process
+    PQ composition."""
+    import pyarrow.parquet as pq
+
+    from belb_ray.stages.pq import pq_encode, pq_search, pq_train
+
+    emb = _t(sf_dir, "embeddings")
+    books = pq_train(emb, m=8, k=16)
+    codes = pq_encode(emb, books)
+    qt = pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    qt = qt.filter(pa.compute.less(qt["vec_id"], pa.scalar(16)))
+    queries = pa.table({"query_id": qt["vec_id"],
+                        "embedding": qt["embedding"]})
+    out = pq_search(codes, books, queries, k=5)
+    return out.sort(["query_id", "dist", "vec_id"])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2243,6 +2266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": q_bpe_merges,
         "bpe_tokens": q_bpe_tokens,
         "hybrid_search": q_hybrid_search,
+        "pq_ann_topk": q_pq_ann_topk,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -3684,5 +3708,5 @@ def oracle_sql() -> dict[str, str]:
                         "simhash_dedup_docs", "doc_fingerprints",
                         "lsh_neardup", "lsh_ann_topk", "ivf_ann_topk",
                         "multimodal_features", "semantic_dedup",
-                        "bpe_merges", "bpe_tokens")},
+                        "bpe_merges", "bpe_tokens", "pq_ann_topk")},
     }

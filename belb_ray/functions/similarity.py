@@ -234,3 +234,27 @@ def cosine_topk(queries: np.ndarray, corpus: np.ndarray, k: int) -> tuple[np.nda
     # kind='stable' over -sims keeps index order within equal sims
     order = np.argsort(-sims, axis=1, kind="stable")[:, :k]
     return order, np.take_along_axis(sims, order, axis=1)
+
+
+def kmeans_fit_l2(mat: np.ndarray, n_cells: int, iters: int = 10,
+                  seed: int = 11) -> np.ndarray:
+    """Deterministic Euclidean k-means (Lloyd, fixed iterations, seeded
+    init from data rows) → (n_cells, d) centroids. The PQ sub-quantizer
+    trainer: deterministic in (order-independent sample, n_cells, iters,
+    seed) so the distributed op and the single-process oracle derive
+    identical codebooks. Assignment is argmin squared distance with
+    first-index tie-break; empty cells keep their previous centroid."""
+    n, d = mat.shape
+    rng = np.random.default_rng(seed)
+    k_eff = min(n_cells, n)
+    cent = mat[rng.choice(n, size=k_eff, replace=False)].astype(
+        np.float64).copy()
+    x = mat.astype(np.float64)
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(k_eff):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent

@@ -260,3 +260,52 @@ def test_rrf_fuse_top_k_and_absentees():
     assert [d for d, _ in got] == [2, 1]
     assert got[0][1] == round(1 / 62 + 1 / 61, 6)
     assert got[1][1] == round(1 / 61, 6)
+
+
+def test_pq_roundtrip_and_block_invariance():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from belb_ray.stages.pq import _encode_mat, pq_encode, pq_search, pq_train
+
+    rng = np.random.default_rng(3)
+    n, d = 200, 16
+    mat = rng.normal(size=(n, d))
+    tbl = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "embedding": pa.array(mat.tolist(),
+                                          pa.list_(pa.float32()))})
+    mat32 = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    ds = rd.from_arrow(tbl).repartition(6)
+
+    books = pq_train(ds, m=4, k=8, sample_mod=2)
+    assert books.shape == (4, 8, 4)
+
+    codes = {r["vec_id"]: r["code"]
+             for r in pq_encode(ds, books).take_all()}
+    expect_codes = _encode_mat(mat32, books)
+    assert all(np.frombuffer(codes[i], np.uint8).tolist()
+               == expect_codes[i].tolist() for i in range(n))
+
+    queries = pa.table({"query_id": pa.array([0, 5], pa.int64()),
+                        "embedding": tbl["embedding"].take(
+                            pa.array([0, 5]))})
+    got = [(r["query_id"], r["vec_id"], r["dist"]) for r in
+           pq_search(pq_encode(ds, books), books, queries, k=3)
+           .sort(["query_id", "dist", "vec_id"]).take_all()]
+
+    # brute-force ADC over the same codes
+    sub = 4
+    expect = []
+    for qi in (0, 5):
+        q = mat32[qi]
+        dist = np.zeros(n)
+        for j in range(4):
+            lut = (((q[j * sub:(j + 1) * sub])[None, :]
+                    - books[j]) ** 2).sum(axis=1)
+            dist += lut[expect_codes[:, j]]
+        top = np.lexsort((np.arange(n), dist))[:3]
+        expect += [(qi, int(i), round(float(dist[i]), 6)) for i in top]
+    assert got == expect
+    # the query's own code distance is (near-)minimal: it ranks first
+    assert got[0][1] == 0 and expect[3][0] == 5

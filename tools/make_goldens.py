@@ -553,6 +553,47 @@ def golden_bpe_tokens(sf_dir: str, n_merges: int = 12) -> pa.Table:
         "n_tokens": pa.array(counts, pa.int64())})
 
 
+def golden_pq_ann_topk(sf_dir: str, m: int = 8, kcent: int = 16,
+                       k: int = 5) -> pa.Table:
+    """Independent single-process PQ: id-keyed sample → per-subspace
+    k-means (shared deterministic kernel kmeans_fit_l2) → brute-force
+    encode of ALL rows → full ADC distance per query → top-k by
+    (dist, id). Re-derives the whole composition without Ray."""
+    from belb_ray.functions.similarity import kmeans_fit_l2
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    d = mat.shape[1]
+    sub = d // m
+    sel = ids % 4 == 0
+    samp = mat[sel][np.argsort(ids[sel])]
+    books = [kmeans_fit_l2(samp[:, j * sub:(j + 1) * sub], kcent,
+                           iters=10, seed=11 + j) for j in range(m)]
+    codes = np.empty((len(mat), m), np.int64)
+    for j in range(m):
+        x = mat[:, j * sub:(j + 1) * sub]
+        d2 = ((x[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d2, axis=1)
+    qsel = ids < 16
+    rows_q, rows_i, rows_d = [], [], []
+    for qi in np.flatnonzero(qsel):
+        q = mat[qi]
+        dist = np.zeros(len(mat), np.float64)
+        for j in range(m):
+            lut = (((q[j * sub:(j + 1) * sub])[None, :]
+                    - books[j]) ** 2).sum(axis=1)
+            dist += lut[codes[:, j]]
+        top = np.lexsort((ids, dist))[:k]
+        rows_q.extend([int(ids[qi])] * k)
+        rows_i.extend(ids[top].tolist())
+        rows_d.extend(np.round(dist[top], 6).tolist())
+    return pa.table({"query_id": pa.array(rows_q, pa.int64()),
+                     "vec_id": pa.array(rows_i, pa.int64()),
+                     "dist": pa.array(rows_d, pa.float64())})
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -576,6 +617,7 @@ def main() -> None:
         "pca_variance": golden_pca_variance(args.sf_dir),
         "bpe_merges": golden_bpe_merges(args.sf_dir),
         "bpe_tokens": golden_bpe_tokens(args.sf_dir),
+        "pq_ann_topk": golden_pq_ann_topk(args.sf_dir),
     }
     for name, tbl in tables.items():
         path = os.path.join(GOLDEN_DIR, f"{name}.{sf_tag}.parquet")
