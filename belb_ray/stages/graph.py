@@ -200,17 +200,47 @@ def triangle_counts(edges: rd.Dataset, src: str = "src", dst: str = "dst",
     wedges = oriented.groupby("__bucket").map_groups(
         _wedges, batch_format="pandas")
 
+    # wedge↔edge membership key: packed int64 (lo << 32 | hi) when every
+    # id fits 32 bits — integer semi-join keys are far cheaper than the
+    # string concat fallback. Decided ONCE from the (materialized,
+    # canonical a ≤ b) edge list so every batch encodes identically.
+    import pyarrow as pa
+    from ray.data.aggregate import Max, Min
+
+    def _is_int_type(t) -> bool:
+        if isinstance(t, pa.DataType):
+            return pa.types.is_integer(t)
+        try:
+            return np.issubdtype(np.dtype(t), np.integer)
+        except TypeError:
+            return False
+
+    packed = False
+    if _is_int_type(canon.schema().types[0]) and canon.count() > 0:
+        bounds = canon.aggregate(Min("a"), Max("b"))
+        packed = bounds["min(a)"] >= 0 and bounds["max(b)"] < (1 << 31)
+
     def _wedge_key(batch: pd.DataFrame) -> pd.DataFrame:
         x = batch["x"].to_numpy()
         y = batch["y"].to_numpy()
-        lo = np.minimum(x, y).astype(str)
-        hi = np.maximum(x, y).astype(str)
-        batch["__e"] = pd.Series(lo, index=batch.index).str.cat(hi, ":")
+        lo = np.minimum(x, y)
+        hi = np.maximum(x, y)
+        if packed:
+            batch["__e"] = (lo.astype(np.int64) << 32) | hi.astype(np.int64)
+        else:
+            batch["__e"] = pd.Series(lo.astype(str), index=batch.index) \
+                .str.cat(hi.astype(str), ":")
         return batch
 
     def _edge_key(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"__e": batch["a"].astype(str).str.cat(
-            batch["b"].astype(str), ":")})
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        if packed:
+            e = (a.astype(np.int64) << 32) | b.astype(np.int64)
+        else:
+            e = pd.Series(a.astype(str)).str.cat(b.astype(str), ":") \
+                .to_numpy()
+        return pd.DataFrame({"__e": e})
 
     closed = semi_join(
         wedges.map_batches(_wedge_key, batch_format="pandas"),
