@@ -2140,6 +2140,30 @@ def q_pq_ann_topk(sf_dir: str) -> rd.Dataset:
     return out.sort(["query_id", "dist", "vec_id"])
 
 
+def q_trending_events(sf_dir: str) -> rd.Dataset:
+    """Trending items per window — pure composition: tumbling-window
+    counts (stages/windows.tumbling_window combiner pre-agg) feed the
+    per-group top-k (stages/agg.grouped_topk, ≤k rows/window/block
+    shuffle). Top-3 event types per hour by count; ties → smaller
+    type."""
+    from belb_ray.stages.agg import grouped_topk
+    from belb_ray.stages.windows import tumbling_window
+
+    counts = tumbling_window(_t(sf_dir, "events"), "ts", "1h",
+                             ["event_type"], [("count", "", "n_events")])
+
+    def _fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["window_start"] = batch["window_start"].dt.strftime(
+            "%Y-%m-%d %H:%M:%S")
+        return batch
+
+    out = grouped_topk(counts.map_batches(_fmt, batch_format="pandas"),
+                       ["window_start"], "n_events", 3,
+                       descending=True, tiebreak="event_type")
+    return out.sort(["window_start", "n_events", "event_type"],
+                    descending=[False, True, False])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2267,6 +2291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens": q_bpe_tokens,
         "hybrid_search": q_hybrid_search,
         "pq_ann_topk": q_pq_ann_topk,
+        "trending_events": q_trending_events,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -3622,6 +3647,21 @@ def oracle_sql() -> dict[str, str]:
                   FROM bmr FULL OUTER JOIN qr ON bmr.doc_id = qr.doc_id)
             SELECT doc_id, round(s, 6) AS rrf_score FROM f
             ORDER BY rrf_score DESC, doc_id LIMIT 20
+        """,
+        "trending_events": """
+            WITH c AS (
+                SELECT strftime(date_trunc('hour', ts),
+                                '%Y-%m-%d %H:%M:%S') AS window_start,
+                       event_type, count(*) AS n_events
+                FROM events GROUP BY 1, 2),
+            r AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY window_start
+                           ORDER BY n_events DESC, event_type) AS rn
+                FROM c)
+            SELECT window_start, event_type, n_events FROM r
+            WHERE rn <= 3
+            ORDER BY window_start, n_events DESC, event_type
         """,
         "part_bfs_hops": """
             WITH RECURSIVE
