@@ -2164,6 +2164,30 @@ def q_trending_events(sf_dir: str) -> rd.Dataset:
                     descending=[False, True, False])
 
 
+def q_value_drift(sf_dir: str) -> rd.Dataset:
+    """PSI distribution drift (stages/drift.psi_drift) between the
+    even- and odd-event_id halves of the event stream: each side reduces
+    to a fixed-width (bin, count) histogram with a combiner + one
+    bucketed combine (rows never shuffle); the bin-count-sized finish
+    computes clamped PSI contributions. Oracle mirrors the arithmetic
+    expression-for-expression."""
+    from belb_ray.stages.drift import psi_drift
+
+    ev = _t(sf_dir, "events").select_columns(["event_id", "value"])
+
+    def _half(parity: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["event_id"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return t.filter(pa.array(ids % 2 == parity))
+
+        return fn
+
+    ref = ev.map_batches(_half(0), batch_format="pyarrow")
+    cand = ev.map_batches(_half(1), batch_format="pyarrow")
+    return psi_drift(ref, cand, "value", bin_width=25.0).sort("bin")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2292,6 +2316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_search": q_hybrid_search,
         "pq_ann_topk": q_pq_ann_topk,
         "trending_events": q_trending_events,
+        "value_drift": q_value_drift,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -3647,6 +3672,24 @@ def oracle_sql() -> dict[str, str]:
                   FROM bmr FULL OUTER JOIN qr ON bmr.doc_id = qr.doc_id)
             SELECT doc_id, round(s, 6) AS rrf_score FROM f
             ORDER BY rrf_score DESC, doc_id LIMIT 20
+        """,
+        "value_drift": """
+            WITH a AS (SELECT floor(value / 25.0) AS bin, count(*) AS n
+                       FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+            b AS (SELECT floor(value / 25.0) AS bin, count(*) AS n
+                  FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+            m AS (SELECT COALESCE(a.bin, b.bin) AS bin,
+                         CAST(COALESCE(a.n, 0) AS DOUBLE)
+                             / (SELECT sum(n) FROM a) AS pa,
+                         CAST(COALESCE(b.n, 0) AS DOUBLE)
+                             / (SELECT sum(n) FROM b) AS pb
+                  FROM a FULL OUTER JOIN b ON a.bin = b.bin)
+            SELECT CAST(bin AS BIGINT) AS bin,
+                   round(pa, 8) AS p_ref, round(pb, 8) AS p_cand,
+                   round((greatest(pa, 1e-6) - greatest(pb, 1e-6))
+                         * ln(greatest(pa, 1e-6) / greatest(pb, 1e-6)), 8)
+                       AS psi_contrib
+            FROM m ORDER BY bin
         """,
         "trending_events": """
             WITH c AS (

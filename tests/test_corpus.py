@@ -309,3 +309,33 @@ def test_pq_roundtrip_and_block_invariance():
     assert got == expect
     # the query's own code distance is (near-)minimal: it ranks first
     assert got[0][1] == 0 and expect[3][0] == 5
+
+
+def test_psi_drift_matches_bruteforce():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from belb_ray.stages.drift import psi_drift
+
+    rng = np.random.default_rng(9)
+    a_vals = rng.normal(50, 10, 400)
+    b_vals = rng.normal(60, 15, 300)  # shifted+widened: real drift
+    a = rd.from_arrow(pa.table({"value": a_vals})).repartition(4)
+    b = rd.from_arrow(pa.table({"value": b_vals})).repartition(3)
+    got = {r["bin"]: (r["p_ref"], r["p_cand"], r["psi_contrib"])
+           for r in psi_drift(a, b, "value", bin_width=10.0).take_all()}
+
+    eps = 1e-6
+    bins_a = np.floor(a_vals / 10.0).astype(np.int64)
+    bins_b = np.floor(b_vals / 10.0).astype(np.int64)
+    expect = {}
+    for bn in sorted(set(bins_a) | set(bins_b)):
+        p_a = (bins_a == bn).sum() / len(a_vals)
+        p_b = (bins_b == bn).sum() / len(b_vals)
+        ca, cb = max(p_a, eps), max(p_b, eps)
+        expect[bn] = (round(p_a, 8), round(p_b, 8),
+                      round((ca - cb) * np.log(ca / cb), 8))
+    assert got == expect
+    total = sum(c for _, _, c in got.values())
+    assert total > 0.1  # drifted distributions score materially
