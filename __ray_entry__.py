@@ -2188,6 +2188,16 @@ def q_value_drift(sf_dir: str) -> rd.Dataset:
     return psi_drift(ref, cand, "value", bin_width=25.0).sort("bin")
 
 
+def q_lang_source_assoc(sf_dir: str) -> rd.Dataset:
+    """Chi-squared association (stages/drift.chi2_association) between
+    document language and source: one pair-count combiner pass over the
+    corpus, marginals and (o−e)²/e derived from the cell-sized table."""
+    from belb_ray.stages.drift import chi2_association
+
+    return chi2_association(_t(sf_dir, "documents"), "lang", "source") \
+        .sort(["lang", "source"])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2317,6 +2327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_ann_topk": q_pq_ann_topk,
         "trending_events": q_trending_events,
         "value_drift": q_value_drift,
+        "lang_source_assoc": q_lang_source_assoc,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -3672,6 +3683,22 @@ def oracle_sql() -> dict[str, str]:
                   FROM bmr FULL OUTER JOIN qr ON bmr.doc_id = qr.doc_id)
             SELECT doc_id, round(s, 6) AS rrf_score FROM f
             ORDER BY rrf_score DESC, doc_id LIMIT 20
+        """,
+        "lang_source_assoc": """
+            WITH c AS (SELECT lang, source, count(*) AS observed
+                       FROM documents GROUP BY 1, 2),
+            ra AS (SELECT lang, sum(observed) AS rt FROM c GROUP BY 1),
+            cb AS (SELECT source, sum(observed) AS ct FROM c GROUP BY 1),
+            t AS (SELECT CAST(sum(observed) AS DOUBLE) AS n FROM c),
+            m AS (SELECT c.lang, c.source, c.observed,
+                         CAST(ra.rt AS DOUBLE) * CAST(cb.ct AS DOUBLE)
+                             / (SELECT n FROM t) AS e
+                  FROM c JOIN ra USING (lang) JOIN cb USING (source))
+            SELECT lang, source, observed, round(e, 8) AS expected,
+                   round((CAST(observed AS DOUBLE) - e)
+                         * (CAST(observed AS DOUBLE) - e) / e, 8)
+                       AS chi2_contrib
+            FROM m ORDER BY lang, source
         """,
         "value_drift": """
             WITH a AS (SELECT floor(value / 25.0) AS bin, count(*) AS n

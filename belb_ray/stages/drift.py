@@ -95,3 +95,45 @@ def psi_drift(
     # whole-table task without a driver collect
     return both.repartition(1).map_batches(_finish, batch_size=None,
                                            batch_format="pandas")
+
+
+def chi2_association(
+    ds: rd.Dataset,
+    col_a: str,
+    col_b: str,
+    round_to: int = 8,
+    num_buckets: int = 16,
+) -> rd.Dataset:
+    """Chi-squared association between two categorical columns → one row
+    per observed contingency cell: (col_a, col_b, observed, expected,
+    chi2_contrib) with expected = row_total·col_total/n and contrib =
+    (o−e)²/e; Σ chi2_contrib is the test statistic.
+
+    Distributed shape: ONE (a, b) pair-count combiner aggregation over
+    the corpus (the only pass that touches rows); marginals derive from
+    the category-pair-sized count table, and the finish runs vectorized
+    in one tiny task. Exchange is bounded by distinct-pair count."""
+    from .agg import preagg_groupby
+
+    pairs = preagg_groupby(ds.select_columns([col_a, col_b]),
+                           [col_a, col_b], [("count", "", "observed")],
+                           num_buckets)
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([col_a, col_b], kind="mergesort")
+        n = df["observed"].sum()
+        ra = df.groupby(col_a)["observed"].transform("sum") \
+            .to_numpy(np.float64)
+        cb = df.groupby(col_b)["observed"].transform("sum") \
+            .to_numpy(np.float64)
+        o = df["observed"].to_numpy(np.float64)
+        e = ra * cb / max(n, 1)
+        return pd.DataFrame({
+            col_a: df[col_a].to_numpy(),
+            col_b: df[col_b].to_numpy(),
+            "observed": df["observed"].to_numpy(np.int64),
+            "expected": np.round(e, round_to),
+            "chi2_contrib": np.round((o - e) ** 2 / e, round_to)})
+
+    return pairs.repartition(1).map_batches(_finish, batch_size=None,
+                                            batch_format="pandas")

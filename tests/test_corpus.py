@@ -339,3 +339,30 @@ def test_psi_drift_matches_bruteforce():
     assert got == expect
     total = sum(c for _, _, c in got.values())
     assert total > 0.1  # drifted distributions score materially
+
+
+def test_chi2_association_matches_scipy_formula():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from belb_ray.stages.drift import chi2_association
+
+    rng = np.random.default_rng(2)
+    a = rng.choice(["x", "y", "z"], 500)
+    b = np.where((a == "x") & (rng.random(500) < 0.7), "p",
+                 rng.choice(["p", "q"], 500))  # dependence
+    ds = rd.from_arrow(pa.table({"a": a, "b": b})).repartition(5)
+    rows = chi2_association(ds, "a", "b").take_all()
+    got_stat = sum(r["chi2_contrib"] for r in rows)
+
+    # scipy-formula brute force over the contingency table
+    cats_a, cats_b = sorted(set(a)), sorted(set(b))
+    obs = np.array([[(a[b == cb] == ca).sum() if False else
+                     ((a == ca) & (b == cb)).sum()
+                     for cb in cats_b] for ca in cats_a], dtype=np.float64)
+    e = obs.sum(1, keepdims=True) * obs.sum(0, keepdims=True) / obs.sum()
+    mask = obs > 0  # op emits observed cells only
+    expect_stat = (((obs - e) ** 2 / e)[mask]).sum()
+    assert abs(got_stat - expect_stat) < 1e-6
+    assert len(rows) == int(mask.sum())
