@@ -2198,6 +2198,28 @@ def q_lang_source_assoc(sf_dir: str) -> rd.Dataset:
         .sort(["lang", "source"])
 
 
+def q_mention_contexts(sf_dir: str) -> rd.Dataset:
+    """Mention context windows (stages/tagging.mention_contexts): the
+    dict_mentions spans re-join their document text with one hash(doc)
+    partition join and slice a ±16-char snippet per span — the
+    disambiguation-feature step of an entity-linking pipeline."""
+    from belb_ray.stages.corpus import ngram_counts
+    from belb_ray.stages.joins import collect_arrow
+    from belb_ray.stages.tagging import mention_contexts, tag_mentions
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    top = collect_arrow(ngram_counts(docs, n=2, top_k=25)).to_pandas()
+    top = top.sort_values(["n_occurrences", "gram"],
+                          ascending=[False, True], kind="mergesort")
+    dict_tbl = pa.table({
+        "mention": pa.array(top["gram"].to_numpy(), pa.string()),
+        "entity_id": pa.array(np.arange(len(top), dtype=np.int64))})
+    spans = tag_mentions(docs, dict_tbl)
+    out = mention_contexts(spans, docs, window=16)
+    return out.sort(["doc_id", "start", "mention"]).select_columns(
+        ["doc_id", "start", "end", "mention", "entity_id", "context"])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2328,6 +2350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_events": q_trending_events,
         "value_drift": q_value_drift,
         "lang_source_assoc": q_lang_source_assoc,
+        "mention_contexts": q_mention_contexts,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -3683,6 +3706,36 @@ def oracle_sql() -> dict[str, str]:
                   FROM bmr FULL OUTER JOIN qr ON bmr.doc_id = qr.doc_id)
             SELECT doc_id, round(s, 6) AS rrf_score FROM f
             ORDER BY rrf_score DESC, doc_id LIMIT 20
+        """,
+        "mention_contexts": r"""
+            WITH words AS (
+                SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents),
+            grams AS (
+                SELECT w[i] || ' ' || w[i+1] AS gram
+                FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+                      FROM words)),
+            dict AS (
+                SELECT gram AS mention,
+                       row_number() OVER (ORDER BY count(*) DESC, gram) - 1
+                           AS entity_id
+                FROM grams GROUP BY gram
+                ORDER BY count(*) DESC, gram LIMIT 25)
+            SELECT d.doc_id, s.i - 1 AS start,
+                   s.i - 1 + length(n.mention) AS "end",
+                   n.mention, n.entity_id,
+                   substring(d.text,
+                             greatest(0, s.i - 1 - 16) + 1,
+                             least(length(d.text),
+                                   s.i - 1 + length(n.mention) + 16)
+                             - greatest(0, s.i - 1 - 16)) AS context
+            FROM documents d, dict n, generate_series(1, 8192) AS s(i)
+            WHERE s.i <= length(d.text)
+              AND substring(d.text, s.i, length(n.mention)) = n.mention
+              AND (s.i = 1 OR substring(d.text, s.i - 1, 1) = ' ')
+              AND (s.i - 1 + length(n.mention) = length(d.text)
+                   OR substring(d.text, s.i + length(n.mention), 1) = ' ')
+            ORDER BY d.doc_id, start, n.mention
         """,
         "lang_source_assoc": """
             WITH c AS (SELECT lang, source, count(*) AS observed

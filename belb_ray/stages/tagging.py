@@ -136,3 +136,41 @@ def tag_mentions(
                     + [c for c in dict_tbl.column_names if c != mention_col])
 
     return docs.map_batches(_tag, batch_format="pyarrow")
+
+
+def mention_contexts(
+    mentions: rd.Dataset,
+    docs: rd.Dataset,
+    window: int = 16,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Attach a ±``window``-char context snippet to every mention span →
+    mention columns + ``context`` (text[max(0, start−w) : min(len,
+    end+w)], char offsets). The disambiguation-feature step of an
+    entity-linking pipeline: the reference's annotators consume mention
+    context around gold spans (/root/reference/belb/preprocessing/
+    data.py Example/Annotation carry passage text per span).
+
+    Distributed shape: one hash(doc_id) partition join co-locates each
+    mention with its document text (both sides large — no broadcast);
+    slicing is per-row (no Arrow kernel takes per-row bounds) but
+    allocation-only — O(output bytes), the floor for snippet
+    extraction."""
+    from .joins import hash_partition_join
+
+    joined = hash_partition_join(
+        mentions, docs.select_columns([doc_id_col, text_col]),
+        key=doc_id_col, num_buckets=num_buckets)
+
+    def _slice(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        starts = batch["start"].to_numpy(zero_copy_only=False)
+        ends = batch["end"].to_numpy(zero_copy_only=False)
+        ctx = [t[max(0, int(s) - window):int(e) + window]
+               for t, s, e in zip(texts, starts, ends)]
+        out = batch.drop_columns([text_col])
+        return out.append_column("context", pa.array(ctx, pa.string()))
+
+    return joined.map_batches(_slice, batch_format="pyarrow")

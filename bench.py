@@ -138,6 +138,16 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "name_edit_pairs",
         "customer_golden_record",
         "event_value_imputed",
+        # session-3 additions
+        "dict_mentions",
+        "part_bfs_hops",
+        "bpe_merges",
+        "bpe_tokens",
+        "hybrid_search",
+        "pq_ann_topk",
+        "trending_events",
+        "value_drift",
+        "lang_source_assoc",
     ]
     # the sandbox host is co-tenant (same-config trials vary up to ~5x as
     # CPU steal moves around): report min over up to GRAFT_BENCH_TRIALS

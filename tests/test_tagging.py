@@ -73,3 +73,25 @@ def test_tag_mentions_trigrams_and_block_invariance():
                   r["entity_id"])
                  for r in tag_mentions(ds, dict_tbl).take_all())
     assert got == expect
+
+
+def test_mention_contexts_clamped_windows():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from belb_ray.stages.tagging import mention_contexts, tag_mentions
+
+    docs_rows = [(0, "aa bb cc dd ee"), (1, "bb")]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [d for d, _ in docs_rows],
+        "text": [t for _, t in docs_rows]}))
+    dict_tbl = pa.table({"mention": ["bb", "dd"], "entity_id": [1, 2]})
+    spans = tag_mentions(docs, dict_tbl)
+    got = {(r["doc_id"], r["start"], r["mention"]): r["context"]
+           for r in mention_contexts(spans, docs, window=4,
+                                     num_buckets=2).take_all()}
+    # exact values per the definition text[max(0,s-4):e+4]
+    text0 = "aa bb cc dd ee"
+    assert got[(0, 3, "bb")] == text0[0:9]    # left edge clamped
+    assert got[(0, 9, "dd")] == text0[5:15]   # right edge clamped by slice
+    assert got[(1, 0, "bb")] == "bb"          # both edges clamped
