@@ -2220,6 +2220,28 @@ def q_mention_contexts(sf_dir: str) -> rd.Dataset:
         ["doc_id", "start", "end", "mention", "entity_id", "context"])
 
 
+def q_quasi_id_audit(sf_dir: str) -> rd.Dataset:
+    """k-anonymity audit (privacy QA for the PII-redaction family):
+    quasi-identifier combinations (nation, market segment, account-
+    balance decile) whose group size < k=5 re-identify their members.
+    Pure composition: equi-depth decile bucketing + one pair-count
+    combiner aggregation + a size filter; rows never shuffle."""
+    from belb_ray.stages.agg import preagg_groupby
+    from belb_ray.stages.analytic import equi_depth_buckets
+
+    cust = _t(sf_dir, "customer").select_columns(
+        ["c_nationkey", "c_mktsegment", "c_acctbal"])
+    binned = equi_depth_buckets(cust, "c_acctbal", 10,
+                                out_col="bal_decile")
+    counts = preagg_groupby(
+        binned.select_columns(["c_nationkey", "c_mktsegment",
+                               "bal_decile"]),
+        ["c_nationkey", "c_mktsegment", "bal_decile"],
+        [("count", "", "group_size")])
+    small = counts.filter(expr="group_size < 5")
+    return small.sort(["c_nationkey", "c_mktsegment", "bal_decile"])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2351,6 +2373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_drift": q_value_drift,
         "lang_source_assoc": q_lang_source_assoc,
         "mention_contexts": q_mention_contexts,
+        "quasi_id_audit": q_quasi_id_audit,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -3706,6 +3729,19 @@ def oracle_sql() -> dict[str, str]:
                   FROM bmr FULL OUTER JOIN qr ON bmr.doc_id = qr.doc_id)
             SELECT doc_id, round(s, 6) AS rrf_score FROM f
             ORDER BY rrf_score DESC, doc_id LIMIT 20
+        """,
+        "quasi_id_audit": """
+            WITH b AS (SELECT quantile_disc(c_acctbal,
+                           [0.1, 0.2, 0.3, 0.4, 0.5,
+                            0.6, 0.7, 0.8, 0.9]) AS bs FROM customer),
+            g AS (SELECT c_nationkey, c_mktsegment,
+                         CAST(len(list_filter(b.bs, x -> x < c.c_acctbal))
+                              + 1 AS BIGINT) AS bal_decile
+                  FROM customer c CROSS JOIN b)
+            SELECT c_nationkey, c_mktsegment, bal_decile,
+                   count(*) AS group_size
+            FROM g GROUP BY 1, 2, 3 HAVING count(*) < 5
+            ORDER BY 1, 2, 3
         """,
         "mention_contexts": r"""
             WITH words AS (
