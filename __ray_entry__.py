@@ -2242,6 +2242,30 @@ def q_quasi_id_audit(sf_dir: str) -> rd.Dataset:
     return small.sort(["c_nationkey", "c_mktsegment", "bal_decile"])
 
 
+def q_part_k_core(sf_dir: str) -> rd.Dataset:
+    """k-core decomposition (stages/graph.k_core, k=80) of the part
+    co-purchase graph by iterative peeling: per round one degree
+    combiner + two size-guarded semi-joins; the shrinking edge list
+    materializes per round and rounds stop at the edge-count fixpoint.
+    Oracle = pinned golden from independent single-process peeling."""
+    from belb_ray.stages.agg import preagg_groupby
+    from belb_ray.stages.cooccur import cooccurrence_pairs
+    from belb_ray.stages.graph import k_core
+
+    li = _t(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+    und = preagg_groupby(pairs, ["a", "b"],
+                         [("count", "", "__n")]).drop_columns(["__n"])
+
+    def _mirror(batch: pa.Table) -> pa.Table:
+        fwd = pa.table({"src": batch["a"], "dst": batch["b"]})
+        rev = pa.table({"src": batch["b"], "dst": batch["a"]})
+        return pa.concat_tables([fwd, rev])
+
+    edges = und.map_batches(_mirror, batch_format="pyarrow")
+    return k_core(edges, k=80).sort("vertex")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2374,6 +2398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_assoc": q_lang_source_assoc,
         "mention_contexts": q_mention_contexts,
         "quasi_id_audit": q_quasi_id_audit,
+        "part_k_core": q_part_k_core,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -3907,5 +3932,6 @@ def oracle_sql() -> dict[str, str]:
                         "simhash_dedup_docs", "doc_fingerprints",
                         "lsh_neardup", "lsh_ann_topk", "ivf_ann_topk",
                         "multimodal_features", "semantic_dedup",
-                        "bpe_merges", "bpe_tokens", "pq_ann_topk")},
+                        "bpe_merges", "bpe_tokens", "pq_ann_topk",
+                        "part_k_core")},
     }

@@ -371,3 +371,52 @@ def bfs_hops(edges: rd.Dataset, seeds: rd.Dataset, src: str = "src",
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def k_core(edges: rd.Dataset, k: int, src: str = "src", dst: str = "dst",
+           max_iters: int = 50, num_buckets: int = 64,
+           broadcast_threshold: int = 5_000_000) -> rd.Dataset:
+    """k-core of an undirected graph (edge list with BOTH directions
+    present) → (vertex, core_degree): the maximal subgraph where every
+    vertex keeps degree ≥ k, by standard iterative peeling.
+
+    Distributed shape per round: one degree combiner aggregation over
+    the surviving edge list, then the edge list filters through the
+    size-guarded semi-join against the (node-sized) surviving-vertex
+    table on BOTH endpoints. The edge list is materialized per round
+    (it shrinks monotonically and is consumed twice next round);
+    convergence is detected by edge count, so rounds stop as soon as
+    peeling stabilizes — never ``max_iters`` blind rounds."""
+    from .agg import preagg_groupby
+    from .joins import semi_join
+
+    cur = edges.select_columns([src, dst]).materialize()
+    n_edges = cur.count()
+    for _ in range(max_iters):
+        if n_edges == 0:
+            break
+        deg = preagg_groupby(cur.select_columns([src]), [src],
+                             [("count", "", "deg")], num_buckets)
+        keep = deg.filter(expr=f"deg >= {int(k)}").materialize()
+        kept_src = keep.map_batches(
+            lambda b: b[[src]], batch_format="pandas")
+        nxt = semi_join(cur, kept_src, src,
+                        broadcast_threshold=broadcast_threshold,
+                        num_buckets=num_buckets)
+        nxt = semi_join(
+            nxt,
+            kept_src.map_batches(lambda b: b.rename(columns={src: dst}),
+                                 batch_format="pandas"),
+            dst, broadcast_threshold=broadcast_threshold,
+            num_buckets=num_buckets).materialize()
+        n_next = nxt.count()
+        if n_next == n_edges:
+            cur = nxt
+            break
+        cur, n_edges = nxt, n_next
+
+    out = preagg_groupby(cur.select_columns([src]), [src],
+                         [("count", "", "core_degree")], num_buckets)
+    return out.map_batches(
+        lambda b: b.rename(columns={src: "vertex"}),
+        batch_format="pandas")

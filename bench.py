@@ -148,6 +148,8 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "trending_events",
         "value_drift",
         "lang_source_assoc",
+        "mention_contexts",
+        "quasi_id_audit",
     ]
     # the sandbox host is co-tenant (same-config trials vary up to ~5x as
     # CPU steal moves around): report min over up to GRAFT_BENCH_TRIALS

@@ -1769,3 +1769,53 @@ def test_bfs_hops_empty_frontier_stops_early():
     got = sorted((r["node"], r["hops"])
                  for r in bfs_hops(edges, seeds, max_hops=5).take_all())
     assert got == [(7, 0)]
+
+
+def test_k_core_vs_bruteforce_peeling():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from belb_ray.stages.graph import k_core
+
+    rng = np.random.default_rng(21)
+    n = 40
+    und = set()
+    for _ in range(120):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            und.add((min(int(a), int(b)), max(int(a), int(b))))
+    srcs = [a for a, b in und] + [b for a, b in und]
+    dsts = [b for a, b in und] + [a for a, b in und]
+    edges = rd.from_arrow(pa.table({"src": srcs, "dst": dsts})) \
+        .repartition(4)
+
+    # brute-force peel at k=4
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(alive):
+            if len(adj[v] & alive) < 4:
+                alive.discard(v)
+                changed = True
+    expect = sorted((v, len(adj[v] & alive)) for v in alive)
+
+    got = sorted((r["vertex"], r["core_degree"])
+                 for r in k_core(edges, k=4, num_buckets=8).take_all())
+    assert got == expect
+    assert all(d >= 4 for _, d in got)
+
+
+def test_k_core_empty_result():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from belb_ray.stages.graph import k_core
+
+    edges = rd.from_arrow(pa.table({"src": [1, 2], "dst": [2, 1]}))
+    assert k_core(edges, k=5).count() == 0

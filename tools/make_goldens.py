@@ -594,6 +594,46 @@ def golden_pq_ann_topk(sf_dir: str, m: int = 8, kcent: int = 16,
                      "dist": pa.array(rows_d, pa.float64())})
 
 
+def golden_part_k_core(sf_dir: str, k: int = 80) -> pa.Table:
+    """Independent single-process k-core peeling over the part
+    co-purchase graph: adjacency sets + a removal worklist (a different
+    mechanism from the distributed round-based semi-join peeling; the
+    fixpoint is the same subgraph by the k-core's uniqueness)."""
+    import duckdb
+
+    con = duckdb.connect()
+    edges = con.sql(f"""
+        WITH items AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS it
+                       FROM '{os.path.join(sf_dir, "lineitem.parquet")}'),
+        e AS (SELECT DISTINCT x.it AS a, y.it AS b
+              FROM items x JOIN items y ON x.g = y.g AND x.it < y.it)
+        SELECT a, b FROM e
+    """).fetchall()
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    from collections import deque
+
+    alive = {v for v in adj}
+    q = deque(v for v in adj if len(adj[v]) < k)
+    while q:
+        v = q.popleft()
+        if v not in alive:
+            continue
+        alive.discard(v)
+        for u in adj[v]:
+            if u in alive:
+                adj[u].discard(v)
+                if len(adj[u]) < k:
+                    q.append(u)
+    verts = sorted(alive)
+    return pa.table({
+        "vertex": pa.array(verts, pa.int64()),
+        "core_degree": pa.array([len(adj[v] & alive) for v in verts],
+                                pa.int64())})
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -618,6 +658,7 @@ def main() -> None:
         "bpe_merges": golden_bpe_merges(args.sf_dir),
         "bpe_tokens": golden_bpe_tokens(args.sf_dir),
         "pq_ann_topk": golden_pq_ann_topk(args.sf_dir),
+        "part_k_core": golden_part_k_core(args.sf_dir),
     }
     for name, tbl in tables.items():
         path = os.path.join(GOLDEN_DIR, f"{name}.{sf_tag}.parquet")
