@@ -2266,6 +2266,21 @@ def q_part_k_core(sf_dir: str) -> rd.Dataset:
     return k_core(edges, k=80).sort("vertex")
 
 
+def q_budget_select(sf_dir: str) -> rd.Dataset:
+    """Budgeted quality selection (stages/curation.budget_select): keep
+    the most-natural-language documents (stop_ratio desc, doc_id tie)
+    until 30k chars — two-phase score-bin prefix sum, over-budget bins
+    pruned before the one row shuffle. Oracle = cumulative-sum window
+    cut."""
+    from belb_ray.stages.curation import budget_select
+    from belb_ray.stages.docstats import doc_quality
+
+    q = doc_quality(_t(sf_dir, "documents"))
+    out = budget_select(q, "stop_ratio", "n_chars", budget=30000)
+    return out.sort("doc_id").select_columns(
+        ["doc_id", "n_chars", "cum_weight"])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2399,6 +2414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mention_contexts": q_mention_contexts,
         "quasi_id_audit": q_quasi_id_audit,
         "part_k_core": q_part_k_core,
+        "budget_select": q_budget_select,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -3754,6 +3770,29 @@ def oracle_sql() -> dict[str, str]:
                   FROM bmr FULL OUTER JOIN qr ON bmr.doc_id = qr.doc_id)
             SELECT doc_id, round(s, 6) AS rrf_score FROM f
             ORDER BY rrf_score DESC, doc_id LIMIT 20
+        """,
+        "budget_select": rf"""
+            WITH w AS (
+                SELECT doc_id, length(text) AS n_chars,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS words
+                FROM documents),
+            q AS (SELECT doc_id, n_chars,
+                         CASE WHEN len(words) = 0 THEN 0.0
+                              ELSE len(list_filter(words,
+                                   x -> list_contains([{stoplist}],
+                                                      lower(x))))
+                                   / len(words)
+                         END AS stop_ratio
+                  FROM w),
+            c AS (SELECT doc_id, n_chars,
+                         sum(n_chars) OVER (ORDER BY stop_ratio DESC,
+                                            doc_id
+                                            ROWS UNBOUNDED PRECEDING)
+                             AS cum_weight
+                  FROM q)
+            SELECT doc_id, n_chars, CAST(cum_weight AS BIGINT) AS cum_weight
+            FROM c WHERE cum_weight <= 30000 ORDER BY doc_id
         """,
         "quasi_id_audit": """
             WITH b AS (SELECT quantile_disc(c_acctbal,

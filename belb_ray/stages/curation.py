@@ -249,3 +249,69 @@ def repetition_stats(ds: rd.Dataset, id_col: str = "doc_id",
         })
 
     return ds.map_batches(_stats, batch_format="pyarrow")
+
+
+def budget_select(
+    ds: rd.Dataset,
+    score_col: str,
+    weight_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    bin_width: float = 0.01,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Budgeted quality selection: keep the best-scoring rows until the
+    summed ``weight_col`` reaches ``budget`` — exactly the rows whose
+    running total in global (score desc, id asc) order stays ≤ budget
+    (SQL: ``sum(w) OVER (ORDER BY score DESC, id) <= budget``). The
+    data-selection step of a curation pipeline ("top-B tokens by
+    quality").
+
+    Distributed shape (the pack_sequences two-phase prefix, keyed by
+    score range instead of id range): phase 1 computes per-score-bin
+    weight sums as per-batch partials (no row shuffle); the driver
+    cumsums the O(#bins) sums in descending-score order; bins whose
+    base already exceeds the budget are PRUNED before the shuffle —
+    only potentially-selected rows move. Phase 2 shuffles surviving
+    rows once by bin and finishes the within-bin (score desc, id)
+    prefix vectorized. → (id_col, weight_col, cum_weight), the selected
+    rows."""
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = np.floor(batch[score_col].to_numpy(np.float64)
+                     / bin_width).astype(np.int64)
+        g = pd.DataFrame({"__bin": b,
+                          "__w": batch[weight_col].to_numpy(np.int64)})
+        return g.groupby("__bin", sort=False)["__w"].sum().reset_index()
+
+    bs = (ds.select_columns([score_col, weight_col])
+          .map_batches(_partial, batch_format="pandas").to_pandas())
+    bs = bs.groupby("__bin", sort=True)["__w"].sum().sort_index(
+        ascending=False)  # descending score order
+    bases = np.concatenate([[0], bs.cumsum().to_numpy()[:-1]])
+    base_of = {int(k): int(v) for k, v in zip(bs.index, bases)
+               if int(v) <= budget}  # prune fully-over-budget bins
+    base_ref = ray.put(base_of)
+
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        keep_map = cached_get(base_ref)
+        b = np.floor(batch[score_col].to_numpy(np.float64)
+                     / bin_width).astype(np.int64)
+        batch = batch.assign(__bin=b)
+        batch = batch[batch["__bin"].isin(keep_map)]
+        return batch
+
+    def _scan(group: pd.DataFrame) -> pd.DataFrame:
+        base = cached_get(base_ref)[int(group["__bin"].iloc[0])]
+        g = group.sort_values([score_col, id_col],
+                              ascending=[False, True], kind="mergesort")
+        w = g[weight_col].to_numpy(np.int64)
+        cum = w.cumsum() + base
+        keep = cum <= budget
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy()[keep],
+            weight_col: w[keep],
+            "cum_weight": cum[keep]})
+
+    return (ds.map_batches(_bucketize, batch_format="pandas")
+            .groupby("__bin").map_groups(_scan, batch_format="pandas"))

@@ -125,3 +125,49 @@ def test_repetition_stats_crafted():
                         "dup_bigram_frac"]] == 0).all()
     assert out.loc[4, "dup_bigram_frac"] == 0.0
     assert out.loc[4, "top_word_frac"] == 1 / 4
+
+
+def test_budget_select_matches_global_window_cut():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from belb_ray.stages.curation import budget_select
+
+    rng = np.random.default_rng(4)
+    n = 300
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "score": np.round(rng.random(n), 3),   # deliberate ties
+        "w": rng.integers(1, 50, n).astype(np.int64)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+    budget = int(df["w"].sum() * 0.3)
+
+    got = sorted((r["doc_id"], r["w"], r["cum_weight"]) for r in
+                 budget_select(ds, "score", "w", budget,
+                               id_col="doc_id").take_all())
+    o = df.sort_values(["score", "doc_id"],
+                       ascending=[False, True], kind="mergesort")
+    cum = o["w"].cumsum()
+    keep = o[cum <= budget].assign(cum_weight=cum[cum <= budget])
+    expect = sorted(zip(keep["doc_id"], keep["w"], keep["cum_weight"]))
+    assert got == expect
+    assert len(got) > 0 and max(c for _, _, c in got) <= budget
+
+
+def test_budget_select_prunes_and_zero_budget():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from belb_ray.stages.curation import budget_select
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3], "score": [0.9, 0.5, 0.1],
+        "w": [10, 10, 10]}))
+    got = [(r["doc_id"], r["cum_weight"]) for r in
+           budget_select(ds, "score", "w", budget=15,
+                         id_col="doc_id").take_all()]
+    assert got == [(1, 10)]
+    assert budget_select(ds, "score", "w", budget=0,
+                         id_col="doc_id").count() == 0
