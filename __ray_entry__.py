@@ -2281,6 +2281,34 @@ def q_budget_select(sf_dir: str) -> rd.Dataset:
         ["doc_id", "n_chars", "cum_weight"])
 
 
+def q_hll_merge_rollup(sf_dir: str) -> rd.Dataset:
+    """Sketch-algebra rollup (stages/sketch.hll_merge): per-(type, day)
+    HLL sketches MAX-merge into per-type sketches WITHOUT re-reading raw
+    rows — and because max is associative the merged registers are
+    bit-identical to a direct coarse sketch, so the oracle is the same
+    SQL re-derivation hll_distinct_users uses."""
+    from belb_ray.stages.sketch import hll_merge, hll_sketch
+
+    ev = _t(sf_dir, "events").select_columns(
+        ["event_type", "ts", "user_id"])
+
+    def _fine(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["ts"].dt.strftime("%Y-%m-%d")
+        return pd.DataFrame({"fine": b["event_type"] + "|" + day,
+                             "user_id": b["user_id"]})
+
+    sk = hll_sketch(ev.map_batches(_fine, batch_format="pandas"),
+                    "fine", "user_id", p=9, seed=0, emit_registers=True)
+
+    def _coarse(b: pd.DataFrame) -> pd.DataFrame:
+        b["event_type"] = b["fine"].str.split("|").str[0]
+        return b[["event_type", "registers"]]
+
+    merged = hll_merge(sk.map_batches(_coarse, batch_format="pandas"),
+                       "event_type", p=9)
+    return merged.sort("event_type")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2415,6 +2443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quasi_id_audit": q_quasi_id_audit,
         "part_k_core": q_part_k_core,
         "budget_select": q_budget_select,
+        "hll_merge_rollup": q_hll_merge_rollup,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -2898,6 +2927,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _bm25_sql(BM25_TERMS, k=25),
         "hll_distinct_users": _hll_sql("events", "event_type", "user_id",
                                        p=9, seed=0),
+        # the merged-sketch rollup must equal the direct coarse sketch
+        # (register max is associative) — same oracle by construction
+        "hll_merge_rollup": _hll_sql("events", "event_type", "user_id",
+                                     p=9, seed=0),
         "heavy_hitter_tokens": """
             WITH t AS (SELECT unnest(regexp_extract_all(lower(text),
                                                         '[a-z0-9]+'))

@@ -87,8 +87,24 @@ def _rho_of(hv: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
     return idx, rho
 
 
+def _finish_registers(regs: np.ndarray, m: int, am2: float):
+    """(n_nonzero, md5 digest, rounded estimate) from one register
+    vector — shared by the sketch finisher and the sketch MERGER (max is
+    associative, so merged registers estimate identically to a direct
+    sketch at the coarser granularity)."""
+    z = sum(1 << (_W_BITS + 2 - int(r)) for r in regs)
+    est = am2 * float(_SCALE) / float(z)
+    zeros = int((regs == 0).sum())
+    if zeros > 0 and est <= 2.5 * m:
+        est = float(m) * math.log(float(m) / float(zeros))
+    dig = hashlib.md5(
+        ",".join(str(int(r)) for r in regs).encode()).hexdigest()
+    return m - zeros, dig, round(est, 2)
+
+
 def hll_sketch(ds: rd.Dataset, group_key: str, value_key: str, p: int = 6,
-               seed: int = 0, num_buckets: int = 32) -> rd.Dataset:
+               seed: int = 0, num_buckets: int = 32,
+               emit_registers: bool = False) -> rd.Dataset:
     """Approximate count-distinct of ``value_key`` per ``group_key``.
 
     → (group_key, n_nonzero:int64, reg_digest:str, approx_distinct:float)
@@ -116,24 +132,24 @@ def hll_sketch(ds: rd.Dataset, group_key: str, value_key: str, p: int = 6,
     def _finalize(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop(columns="__bucket")
         maxes = g.groupby(["__g", "__idx"], sort=False)["__rho"].max()
-        out_g, out_nz, out_dig, out_est = [], [], [], []
+        out_g, out_nz, out_dig, out_est, out_regs = [], [], [], [], []
         for gval, sub in maxes.groupby(level=0, sort=False):
             regs = np.zeros(m, dtype=np.int64)
             regs[sub.index.get_level_values(1).to_numpy()] = sub.to_numpy()
-            z = sum(1 << (_W_BITS + 2 - int(r)) for r in regs)
-            est = am2 * float(_SCALE) / float(z)
-            zeros = int((regs == 0).sum())
-            if zeros > 0 and est <= 2.5 * m:
-                est = float(m) * math.log(float(m) / float(zeros))
+            nz, dig, est = _finish_registers(regs, m, am2)
             out_g.append(gval)
-            out_nz.append(m - zeros)
-            out_dig.append(hashlib.md5(
-                ",".join(str(int(r)) for r in regs).encode()).hexdigest())
-            out_est.append(round(est, 2))
-        return pd.DataFrame({group_key: out_g,
-                             "n_nonzero": np.array(out_nz, dtype=np.int64),
-                             "reg_digest": out_dig,
-                             "approx_distinct": out_est})
+            out_nz.append(nz)
+            out_dig.append(dig)
+            out_est.append(est)
+            if emit_registers:
+                out_regs.append(regs.astype(np.uint8).tobytes())
+        out = pd.DataFrame({group_key: out_g,
+                            "n_nonzero": np.array(out_nz, dtype=np.int64),
+                            "reg_digest": out_dig,
+                            "approx_distinct": out_est})
+        if emit_registers:
+            out["registers"] = out_regs
+        return out
 
     partial = ds.select_columns([group_key, value_key]).map_batches(
         _partial, batch_format="pyarrow")
@@ -265,3 +281,48 @@ def heavy_hitters(ds: rd.Dataset, key: str, phi: float,
     bucketed = partial.map_batches(_bucketize, batch_format="pandas")
     return bucketed.groupby("__bucket").map_groups(_combine,
                                                    batch_format="pandas")
+
+
+def hll_merge(sketches: rd.Dataset, group_key: str, p: int,
+              num_buckets: int = 32) -> rd.Dataset:
+    """Merge HLL sketches to a coarser key WITHOUT re-reading raw rows —
+    the sketch-algebra step a pre-aggregated metrics store relies on:
+    registers are element-wise MAX-merged per ``group_key``, then
+    re-estimated. Because max is associative, the merged sketch is
+    bit-identical to a direct ``hll_sketch`` at the coarse granularity
+    (the oracle exploits exactly that).
+
+    Input: (group_key, registers binary(m)) rows from
+    ``hll_sketch(..., emit_registers=True)`` at any finer partitioning;
+    the exchange is one bucketed combine of m-byte register rows —
+    sketch-count-sized, never row-count-sized."""
+    m = 1 << p
+    am2 = _alpha(m) * m * m
+
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[group_key, "registers"]]
+        batch["__bucket"] = _bucket_of_frame(batch, [group_key],
+                                             num_buckets)
+        return batch
+
+    def _combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns="__bucket")
+        out_g, out_nz, out_dig, out_est = [], [], [], []
+        for gval, sub in g.groupby(group_key, sort=False):
+            mat = np.frombuffer(
+                b"".join(sub["registers"].tolist()),
+                np.uint8).reshape(len(sub), m)
+            regs = mat.max(axis=0).astype(np.int64)
+            nz, dig, est = _finish_registers(regs, m, am2)
+            out_g.append(gval)
+            out_nz.append(nz)
+            out_dig.append(dig)
+            out_est.append(est)
+        return pd.DataFrame({group_key: out_g,
+                             "n_nonzero": np.array(out_nz, np.int64),
+                             "reg_digest": out_dig,
+                             "approx_distinct": out_est})
+
+    return (sketches.map_batches(_bucketize, batch_format="pandas")
+            .groupby("__bucket").map_groups(_combine,
+                                            batch_format="pandas"))

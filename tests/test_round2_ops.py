@@ -1819,3 +1819,39 @@ def test_k_core_empty_result():
 
     edges = rd.from_arrow(pa.table({"src": [1, 2], "dst": [2, 1]}))
     assert k_core(edges, k=5).count() == 0
+
+
+def test_hll_merge_equals_direct_coarse_sketch():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from belb_ray.stages.sketch import hll_merge, hll_sketch
+
+    rng = np.random.default_rng(6)
+    n = 3000
+    df = pd.DataFrame({
+        "coarse": rng.choice(["a", "b", "c"], n),
+        "part": rng.integers(0, 7, n).astype(str),
+        "v": rng.integers(0, 400, n)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+
+    direct = {r["coarse"]: (r["reg_digest"], r["approx_distinct"])
+              for r in hll_sketch(ds, "coarse", "v", p=6,
+                                  seed=0).take_all()}
+
+    fine_in = ds.map_batches(
+        lambda b: pd.DataFrame({"fine": b["coarse"] + "|" + b["part"],
+                                "v": b["v"]}), batch_format="pandas")
+    sk = hll_sketch(fine_in, "fine", "v", p=6, seed=0,
+                    emit_registers=True)
+    merged = hll_merge(
+        sk.map_batches(
+            lambda b: pd.DataFrame({
+                "coarse": b["fine"].str.split("|").str[0],
+                "registers": b["registers"]}), batch_format="pandas"),
+        "coarse", p=6)
+    got = {r["coarse"]: (r["reg_digest"], r["approx_distinct"])
+           for r in merged.take_all()}
+    assert got == direct  # register max is associative
