@@ -2309,6 +2309,32 @@ def q_hll_merge_rollup(sf_dir: str) -> rd.Dataset:
     return merged.sort("event_type")
 
 
+def q_fuzzy_name_lookup(sf_dir: str) -> rd.Dataset:
+    """Cross-table approximate dictionary lookup
+    (stages/linkage.edit_distance_lookup): customer names corrupted
+    deterministically (custkey%3=0 → last char dropped, %3=1 → last
+    char → 'X') resolve back against the canonical name table at
+    Levenshtein ≤ 1 via lossless FastSS deletion blocking — only
+    cross-side candidates verify, never all pairs."""
+    from belb_ray.stages.linkage import edit_distance_lookup
+
+    cust = _t(sf_dir, "customer").select_columns(["c_custkey", "c_name"])
+
+    def _corrupt(b: pd.DataFrame) -> pd.DataFrame:
+        key = b["c_custkey"].to_numpy()
+        nm = b["c_name"]
+        drop = nm.str.slice(0, -1)
+        subx = nm.str.slice(0, -1) + "X"
+        probe = np.where(key % 3 == 0, drop,
+                         np.where(key % 3 == 1, subx, nm))
+        return pd.DataFrame({"probe_id": key, "probe_name": probe})
+
+    probe = cust.map_batches(_corrupt, batch_format="pandas")
+    out = edit_distance_lookup(probe, cust, "probe_id", "probe_name",
+                               "c_custkey", "c_name", k=1)
+    return out.sort(["probe_id", "c_custkey"])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2444,6 +2470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_k_core": q_part_k_core,
         "budget_select": q_budget_select,
         "hll_merge_rollup": q_hll_merge_rollup,
+        "fuzzy_name_lookup": q_fuzzy_name_lookup,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -3803,6 +3830,22 @@ def oracle_sql() -> dict[str, str]:
                   FROM bmr FULL OUTER JOIN qr ON bmr.doc_id = qr.doc_id)
             SELECT doc_id, round(s, 6) AS rrf_score FROM f
             ORDER BY rrf_score DESC, doc_id LIMIT 20
+        """,
+        "fuzzy_name_lookup": """
+            WITH p AS (SELECT c_custkey AS probe_id,
+                              CASE WHEN c_custkey % 3 = 0
+                                   THEN substr(c_name, 1,
+                                               length(c_name) - 1)
+                                   WHEN c_custkey % 3 = 1
+                                   THEN substr(c_name, 1,
+                                               length(c_name) - 1) || 'X'
+                                   ELSE c_name END AS probe_name
+                       FROM customer)
+            SELECT p.probe_id, c.c_custkey,
+                   levenshtein(p.probe_name, c.c_name) AS dist
+            FROM p, customer c
+            WHERE levenshtein(p.probe_name, c.c_name) <= 1
+            ORDER BY p.probe_id, c.c_custkey
         """,
         "budget_select": rf"""
             WITH w AS (

@@ -47,6 +47,41 @@ def _deletion_keys(s: str, k: int) -> set[str]:
     return out
 
 
+def _dist_k1(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
+    """Exact Levenshtein capped at k=1, vectorized. Equal lengths:
+    lev ≤ 1 ⇔ hamming ≤ 1 (a 1-edit script on equal lengths must be
+    one substitution). Off-by-one lengths: lev = 1 ⇔ the shorter is
+    the longer minus one char (single-gap two-pointer). Returns 2
+    for 'more than 1'."""
+    la = np.fromiter((len(s) for s in sa), np.int64, len(sa))
+    lb = np.fromiter((len(s) for s in sb), np.int64, len(sb))
+    dist = np.full(len(sa), 2, dtype=np.int64)
+    eq = la == lb
+    for length in np.unique(la[eq]):
+        m = eq & (la == length)
+        if length == 0:
+            dist[m] = 0
+            continue
+        ga = np.frombuffer("".join(sa[m]).encode("utf-8", "surrogatepass"),
+                           dtype=np.uint8)
+        gb = np.frombuffer("".join(sb[m]).encode("utf-8", "surrogatepass"),
+                           dtype=np.uint8)
+        if len(ga) == int(m.sum()) * length == len(gb):
+            ham = (ga.reshape(-1, length)
+                   != gb.reshape(-1, length)).sum(axis=1)
+            dist[m] = np.where(ham <= 1, ham, 2)
+        else:  # non-1-byte chars broke fixed width: scalar fallback
+            idx = np.flatnonzero(m)
+            dist[idx] = [min(levenshtein(sa[i], sb[i]), 2) for i in idx]
+    for i in np.flatnonzero(np.abs(la - lb) == 1):
+        lo, hi = ((sa[i], sb[i]) if la[i] < lb[i] else (sb[i], sa[i]))
+        j = 0
+        while j < len(lo) and lo[j] == hi[j]:
+            j += 1
+        dist[i] = 1 if lo[j:] == hi[j + 1:] else 2
+    return dist
+
+
 def edit_distance_self_join(ds: rd.Dataset, id_col: str, str_col: str,
                             k: int = 1,
                             num_buckets: int = 64) -> rd.Dataset:
@@ -107,40 +142,6 @@ def edit_distance_self_join(ds: rd.Dataset, id_col: str, str_col: str,
                                              num_buckets)
         return batch
 
-    def _dist_k1(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
-        """Exact Levenshtein capped at k=1, vectorized. Equal lengths:
-        lev ≤ 1 ⇔ hamming ≤ 1 (a 1-edit script on equal lengths must be
-        one substitution). Off-by-one lengths: lev = 1 ⇔ the shorter is
-        the longer minus one char (single-gap two-pointer). Returns 2
-        for 'more than 1'."""
-        la = np.fromiter((len(s) for s in sa), np.int64, len(sa))
-        lb = np.fromiter((len(s) for s in sb), np.int64, len(sb))
-        dist = np.full(len(sa), 2, dtype=np.int64)
-        eq = la == lb
-        for length in np.unique(la[eq]):
-            m = eq & (la == length)
-            if length == 0:
-                dist[m] = 0
-                continue
-            ga = np.frombuffer("".join(sa[m]).encode("utf-8", "surrogatepass"),
-                               dtype=np.uint8)
-            gb = np.frombuffer("".join(sb[m]).encode("utf-8", "surrogatepass"),
-                               dtype=np.uint8)
-            if len(ga) == int(m.sum()) * length == len(gb):
-                ham = (ga.reshape(-1, length)
-                       != gb.reshape(-1, length)).sum(axis=1)
-                dist[m] = np.where(ham <= 1, ham, 2)
-            else:  # non-1-byte chars broke fixed width: scalar fallback
-                idx = np.flatnonzero(m)
-                dist[idx] = [min(levenshtein(sa[i], sb[i]), 2) for i in idx]
-        for i in np.flatnonzero(np.abs(la - lb) == 1):
-            lo, hi = ((sa[i], sb[i]) if la[i] < lb[i] else (sb[i], sa[i]))
-            j = 0
-            while j < len(lo) and lo[j] == hi[j]:
-                j += 1
-            dist[i] = 1 if lo[j:] == hi[j + 1:] else 2
-        return dist
-
     def _verify(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop(columns="__bucket").drop_duplicates(["id_a", "id_b"])
         # cheap vectorized prefilter: |len(a) - len(b)| ≤ k
@@ -196,3 +197,117 @@ def survivorship(ds: rd.Dataset, key: str,
     from .analytic import _attach_small
     return _attach_small(base, top.map_batches(_trim,
                                                batch_format="pandas"), key)
+
+
+def edit_distance_lookup(probe: rd.Dataset, canon: rd.Dataset,
+                         probe_id: str, probe_str: str,
+                         canon_id: str, canon_str: str, k: int = 1,
+                         num_buckets: int = 64) -> rd.Dataset:
+    """Approximate dictionary lookup: every (probe row, canon row) pair
+    within Levenshtein distance ``k`` → (probe_id, canon_id, dist).
+    The cross-source fuzzy-match step of record linkage (the reference
+    resolves free-text names against KB name tables — SURVEY §2.5):
+    misspelled/truncated names find their canonical entries exactly,
+    never via all-pairs.
+
+    Same FastSS shape as ``edit_distance_self_join`` with side tags:
+    both sides emit ≤k-deletion variants (lossless blocking by
+    pigeonhole), ONE key-bucket shuffle generates only CROSS-side
+    candidates per variant group, one pair-bucket shuffle dedupes, and
+    the capped vectorized Levenshtein verifies candidates only."""
+    if k < 1 or k > 2:
+        raise ValueError("k must be 1 or 2 (deletion fan-out is O(len^k))")
+
+    def _expand(side: int, id_col: str, str_col: str):
+        def fn(batch: pa.Table) -> pd.DataFrame:
+            ids = batch[id_col].to_pylist()
+            strs = batch[str_col].to_pylist()
+            key_o, id_o, s_o = [], [], []
+            for i, st in zip(ids, strs):
+                st = st or ""
+                for d in _deletion_keys(st, k):
+                    key_o.append(d)
+                    id_o.append(i)
+                    s_o.append(st)
+            out = pd.DataFrame({"__key": key_o, "__id": id_o, "__s": s_o})
+            out["__side"] = np.int8(side)
+            out["__bucket"] = _bucket_of_frame(out, ["__key"], num_buckets)
+            return out
+
+        return fn
+
+    def _candidates(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.drop(columns="__bucket").drop_duplicates()
+             .sort_values(["__key", "__side", "__id"], kind="mergesort"))
+        empty = pd.DataFrame({"id_p": g["__id"].to_numpy()[:0],
+                              "id_c": g["__id"].to_numpy()[:0],
+                              "s_p": g["__s"].to_numpy()[:0],
+                              "s_c": g["__s"].to_numpy()[:0]})
+        if len(g) == 0:
+            return empty
+        kv = g["__key"].to_numpy()
+        sd = g["__side"].to_numpy()
+        iv = g["__id"].to_numpy()
+        sv = g["__s"].to_numpy()
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        new[1:] = kv[1:] != kv[:-1]
+        grp = np.cumsum(new) - 1
+        # per variant group: probes (side 0) × canons (side 1)
+        out_p, out_c = [], []
+        n_groups = grp[-1] + 1
+        # counts per (group, side)
+        p_cnt = np.bincount(grp[sd == 0], minlength=n_groups)
+        c_cnt = np.bincount(grp[sd == 1], minlength=n_groups)
+        active = (p_cnt > 0) & (c_cnt > 0)
+        if not active.any():
+            return empty
+        p_idx = np.flatnonzero(sd == 0)
+        c_idx = np.flatnonzero(sd == 1)
+        # group-start offsets into p_idx / c_idx (grouped because sorted)
+        p_start = np.concatenate([[0], np.cumsum(p_cnt)[:-1]])
+        c_start = np.concatenate([[0], np.cumsum(c_cnt)[:-1]])
+        for gi in np.flatnonzero(active):
+            pi = p_idx[p_start[gi]:p_start[gi] + p_cnt[gi]]
+            ci = c_idx[c_start[gi]:c_start[gi] + c_cnt[gi]]
+            out_p.append(np.repeat(pi, len(ci)))
+            out_c.append(np.tile(ci, len(pi)))
+        pi = np.concatenate(out_p)
+        ci = np.concatenate(out_c)
+        return pd.DataFrame({"id_p": iv[pi], "id_c": iv[ci],
+                             "s_p": sv[pi], "s_c": sv[ci]})
+
+    cands = (probe.select_columns([probe_id, probe_str])
+             .map_batches(_expand(0, probe_id, probe_str),
+                          batch_format="pyarrow")
+             .union(canon.select_columns([canon_id, canon_str])
+                    .map_batches(_expand(1, canon_id, canon_str),
+                                 batch_format="pyarrow"))
+             .groupby("__bucket").map_groups(_candidates,
+                                             batch_format="pandas"))
+
+    def _bucket_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__bucket"] = _bucket_of_frame(batch, ["id_p", "id_c"],
+                                             num_buckets)
+        return batch
+
+    def _verify(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns="__bucket").drop_duplicates(["id_p", "id_c"])
+        la = g["s_p"].str.len().to_numpy()
+        lb = g["s_c"].str.len().to_numpy()
+        g = g[np.abs(la - lb) <= k]
+        sa = g["s_p"].to_numpy()
+        sb = g["s_c"].to_numpy()
+        if k == 1:
+            dist = _dist_k1(sa, sb)
+        else:
+            dist = np.fromiter((levenshtein(a, b) for a, b in zip(sa, sb)),
+                               np.int64, len(g))
+        keep = dist <= k
+        return pd.DataFrame({probe_id: g["id_p"].to_numpy()[keep],
+                             canon_id: g["id_c"].to_numpy()[keep],
+                             "dist": dist[keep]})
+
+    return (cands.map_batches(_bucket_pairs, batch_format="pandas")
+            .groupby("__bucket").map_groups(_verify,
+                                            batch_format="pandas"))

@@ -74,3 +74,34 @@ def test_survivorship_vs_pandas():
     assert list(out.first_dt) == list(g.dt.min())
     assert list(out.n) == list(g.size())
     assert list(out.latest_status) == list(exp_latest)
+
+
+def test_edit_distance_lookup_vs_bruteforce():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from belb_ray.functions.similarity import levenshtein
+    from belb_ray.stages.linkage import edit_distance_lookup
+
+    canon_names = ["alpha", "alpht", "beta", "bets", "gamma", "delta",
+                   "epsilon", ""]
+    canon = rd.from_arrow(pa.table({
+        "cid": list(range(len(canon_names))), "cname": canon_names}))
+    probe_names = ["alpha", "alph", "betax", "gamm", "zeta", "", "x"]
+    probe = rd.from_arrow(pa.table({
+        "pid": [100 + i for i in range(len(probe_names))],
+        "pname": probe_names})).repartition(3)
+
+    got = sorted((r["pid"], r["cid"], r["dist"]) for r in
+                 edit_distance_lookup(probe, canon, "pid", "pname",
+                                      "cid", "cname", k=1,
+                                      num_buckets=4).take_all())
+    expect = sorted(
+        (100 + i, j, levenshtein(p, c))
+        for i, p in enumerate(probe_names)
+        for j, c in enumerate(canon_names)
+        if levenshtein(p, c) <= 1)
+    assert got == expect
+    # same-string cross match has dist 0; '' matches '' (0) and 'x'-like
+    assert (100, 0, 0) in got and (105, 7, 0) in got
