@@ -2335,6 +2335,19 @@ def q_fuzzy_name_lookup(sf_dir: str) -> rd.Dataset:
     return out.sort(["probe_id", "c_custkey"])
 
 
+def q_label_centroids(sf_dir: str) -> rd.Dataset:
+    """Per-label embedding centroids (stages/vector.grouped_vector_mean):
+    one fixed-width (key, n, Σdims) partial per key per block via
+    np.add.reduceat over a zero-copy matrix view; exchange is
+    O(#labels × 64 floats). Oracle = avg(embedding[i]) over a constant
+    generate_series of dims, 6dp."""
+    from belb_ray.stages.vector import grouped_vector_mean
+
+    emb = _t(sf_dir, "embeddings").select_columns(["label", "embedding"])
+    out = grouped_vector_mean(emb, "label", "embedding", dim=64)
+    return out.sort(["label", "dim_idx"])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2471,6 +2484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_select": q_budget_select,
         "hll_merge_rollup": q_hll_merge_rollup,
         "fuzzy_name_lookup": q_fuzzy_name_lookup,
+        "label_centroids": q_label_centroids,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -3830,6 +3844,14 @@ def oracle_sql() -> dict[str, str]:
                   FROM bmr FULL OUTER JOIN qr ON bmr.doc_id = qr.doc_id)
             SELECT doc_id, round(s, 6) AS rrf_score FROM f
             ORDER BY rrf_score DESC, doc_id LIMIT 20
+        """,
+        "label_centroids": """
+            SELECT label, s.i AS dim_idx,
+                   round(avg(CAST(embedding[s.i] AS DOUBLE)), 6)
+                       AS mean_val
+            FROM embeddings, generate_series(1, 64) AS s(i)
+            GROUP BY label, s.i
+            ORDER BY label, dim_idx
         """,
         "fuzzy_name_lookup": """
             WITH p AS (SELECT c_custkey AS probe_id,

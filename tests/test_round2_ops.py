@@ -1855,3 +1855,38 @@ def test_hll_merge_equals_direct_coarse_sketch():
     got = {r["coarse"]: (r["reg_digest"], r["approx_distinct"])
            for r in merged.take_all()}
     assert got == direct  # register max is associative
+
+
+def test_grouped_vector_mean_matches_numpy_and_block_invariant():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from belb_ray.stages.vector import grouped_vector_mean
+
+    rng = np.random.default_rng(13)
+    n, d = 250, 8
+    labels = rng.integers(0, 4, n).astype(np.int32)
+    mat = rng.normal(size=(n, d))
+    tbl = pa.table({"label": labels,
+                    "embedding": pa.array(mat.tolist(),
+                                          pa.list_(pa.float32()))})
+    mat64 = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+
+    for parts in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        got = {(r["label"], r["dim_idx"]): r["mean_val"] for r in
+               grouped_vector_mean(ds, "label", "embedding",
+                                   dim=d).take_all()}
+        expect = {}
+        for lb in np.unique(labels):
+            m = mat64[labels == lb].mean(axis=0)
+            for j in range(d):
+                expect[(lb, j + 1)] = round(float(m[j]), 6)
+        assert got == expect  # block-count independent
+
+    # wide form carries counts and the vector
+    wide = grouped_vector_mean(rd.from_arrow(tbl), "label", "embedding",
+                               dim=d, long_form=False).take_all()
+    assert sum(r["n"] for r in wide) == n
+    assert all(len(r["mean"]) == d for r in wide)
