@@ -2348,6 +2348,19 @@ def q_label_centroids(sf_dir: str) -> rd.Dataset:
     return out.sort(["label", "dim_idx"])
 
 
+def q_centroid_confusion(sf_dir: str) -> rd.Dataset:
+    """Nearest-centroid classification self-eval
+    (stages/vector.nearest_centroid_confusion): label centroids
+    broadcast once, per-batch vectorized distance argmin (6dp-rounded
+    distances, smaller-label ties), confusion cells via the pair-count
+    combiner. Oracle = per-vector row_number over candidate distances."""
+    from belb_ray.stages.vector import nearest_centroid_confusion
+
+    emb = _t(sf_dir, "embeddings").select_columns(["label", "embedding"])
+    out = nearest_centroid_confusion(emb, "label", "embedding", dim=64)
+    return out.sort(["label", "pred_label"])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2485,6 +2498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_merge_rollup": q_hll_merge_rollup,
         "fuzzy_name_lookup": q_fuzzy_name_lookup,
         "label_centroids": q_label_centroids,
+        "centroid_confusion": q_centroid_confusion,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -3844,6 +3858,27 @@ def oracle_sql() -> dict[str, str]:
                   FROM bmr FULL OUTER JOIN qr ON bmr.doc_id = qr.doc_id)
             SELECT doc_id, round(s, 6) AS rrf_score FROM f
             ORDER BY rrf_score DESC, doc_id LIMIT 20
+        """,
+        "centroid_confusion": """
+            WITH m AS (
+                SELECT label AS cand, s.i AS i,
+                       avg(CAST(embedding[s.i] AS DOUBLE)) AS mu
+                FROM embeddings, generate_series(1, 64) AS s(i)
+                GROUP BY label, s.i),
+            d AS (
+                SELECT e.vec_id, e.label, m.cand,
+                       round(sum((CAST(e.embedding[m.i] AS DOUBLE) - m.mu)
+                                 * (CAST(e.embedding[m.i] AS DOUBLE)
+                                    - m.mu)), 6) AS dist
+                FROM embeddings e, m
+                GROUP BY e.vec_id, e.label, m.cand),
+            r AS (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY dist, cand) AS rn
+                FROM d)
+            SELECT label, cand AS pred_label, count(*) AS n
+            FROM r WHERE rn = 1
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "label_centroids": """
             SELECT label, s.i AS dim_idx,

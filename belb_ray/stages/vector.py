@@ -28,13 +28,15 @@ def grouped_vector_mean(
     key: str,
     vec_col: str,
     dim: int,
-    round_to: int = 6,
+    round_to: int | None = 6,
     num_buckets: int = 16,
     long_form: bool = True,
 ) -> rd.Dataset:
     """Per-group mean vector → long form (key, dim_idx [1-based],
     mean_val) when ``long_form`` (SQL-mirrorable via
-    ``avg(embedding[i])``), else wide (key, n, mean list<double>)."""
+    ``avg(embedding[i])``), else wide (key, n, mean list<double>).
+    ``round_to=None`` keeps means unrounded (for downstream math that
+    rounds at its own boundary)."""
     sum_cols = [f"__s{j}" for j in range(dim)]
 
     def _partial(batch: pa.Table) -> pa.Table:
@@ -70,8 +72,9 @@ def grouped_vector_mean(
         def _finish(df: pd.DataFrame) -> pd.DataFrame:
             n = df["__n"].to_numpy(np.float64)
             k = len(df)
-            means = np.round(
-                df[sum_cols].to_numpy(np.float64) / n[:, None], round_to)
+            means = df[sum_cols].to_numpy(np.float64) / n[:, None]
+            if round_to is not None:
+                means = np.round(means, round_to)
             return pd.DataFrame({
                 key: np.repeat(df[key].to_numpy(), dim),
                 "dim_idx": np.tile(np.arange(1, dim + 1, dtype=np.int64),
@@ -80,11 +83,62 @@ def grouped_vector_mean(
     else:
         def _finish(df: pd.DataFrame) -> pd.DataFrame:
             n = df["__n"].to_numpy(np.float64)
-            means = np.round(
-                df[sum_cols].to_numpy(np.float64) / n[:, None], round_to)
+            means = df[sum_cols].to_numpy(np.float64) / n[:, None]
+            if round_to is not None:
+                means = np.round(means, round_to)
             return pd.DataFrame({
                 key: df[key].to_numpy(),
                 "n": df["__n"].to_numpy(np.int64),
                 "mean": list(means)})
 
     return combined.map_batches(_finish, batch_format="pandas")
+
+
+def nearest_centroid_confusion(
+    ds: rd.Dataset,
+    label_col: str,
+    vec_col: str,
+    dim: int,
+    round_to: int = 6,
+    num_buckets: int = 16,
+) -> rd.Dataset:
+    """Nearest-centroid (prototype) classification self-evaluation →
+    confusion counts (label, pred_label, n): each vector assigns to the
+    label whose UNROUNDED centroid minimizes squared L2 distance
+    (rounded to ``round_to`` before ranking so the comparison order is
+    reproducible across engines; ties → smaller label).
+
+    Distributed shape: centroids come from ``grouped_vector_mean``'s
+    fixed-width combiner (label-count-sized), broadcast ONCE; each batch
+    computes its (rows × labels) distance matrix with one numpy
+    broadcast and takes a vectorized argmin; confusion cells reduce with
+    the standard pair-count combiner. Rows never shuffle."""
+    import ray
+
+    from ..util import cached_get
+    from .agg import preagg_groupby
+    from .joins import collect_arrow
+
+    wide = grouped_vector_mean(ds, label_col, vec_col, dim,
+                               round_to=None, num_buckets=num_buckets,
+                               long_form=False)
+    cent = collect_arrow(wide).to_pandas().sort_values(label_col)
+    labels = cent[label_col].to_numpy()
+    mu = np.stack(cent["mean"].to_numpy())
+    ref = ray.put((labels.copy(), np.ascontiguousarray(mu)))
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        labels, mu = cached_get(ref)
+        x = list_column_matrix(batch[vec_col])
+        d2 = ((x[:, None, :] - mu[None, :, :]) ** 2).sum(axis=2)
+        d2 = np.round(d2, round_to)
+        pred = labels[np.argmin(d2, axis=1)]  # first min = smaller label
+        return pa.table({
+            "label": batch[label_col],
+            "pred_label": pa.array(pred)})
+
+    assigned = ds.select_columns([label_col, vec_col]).map_batches(
+        _assign, batch_format="pyarrow")
+    out = preagg_groupby(assigned, ["label", "pred_label"],
+                         [("count", "", "n")], num_buckets)
+    return out

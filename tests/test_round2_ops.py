@@ -1890,3 +1890,36 @@ def test_grouped_vector_mean_matches_numpy_and_block_invariant():
                                dim=d, long_form=False).take_all()
     assert sum(r["n"] for r in wide) == n
     assert all(len(r["mean"]) == d for r in wide)
+
+
+def test_nearest_centroid_confusion_matches_bruteforce():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from belb_ray.stages.vector import nearest_centroid_confusion
+
+    rng = np.random.default_rng(17)
+    n, d, k = 300, 6, 4
+    centers = rng.normal(scale=3.0, size=(k, d))
+    labels = rng.integers(0, k, n).astype(np.int32)
+    mat = centers[labels] + rng.normal(size=(n, d))
+    tbl = pa.table({"label": labels,
+                    "embedding": pa.array(mat.tolist(),
+                                          pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl).repartition(5)
+    got = {(r["label"], r["pred_label"]): r["n"] for r in
+           nearest_centroid_confusion(ds, "label", "embedding",
+                                      dim=d).take_all()}
+
+    m64 = np.array(tbl["embedding"].to_pylist(), np.float64)
+    mu = np.stack([m64[labels == c].mean(axis=0) for c in range(k)])
+    d2 = np.round(((m64[:, None, :] - mu[None]) ** 2).sum(axis=2), 6)
+    pred = np.argmin(d2, axis=1)
+    expect = {}
+    for lb, p in zip(labels, pred):
+        expect[(int(lb), int(p))] = expect.get((int(lb), int(p)), 0) + 1
+    assert got == expect
+    # well-separated clusters → diagonal dominates
+    diag = sum(v for (a, b), v in got.items() if a == b)
+    assert diag / n > 0.9
