@@ -2361,6 +2361,71 @@ def q_centroid_confusion(sf_dir: str) -> rd.Dataset:
     return out.sort(["label", "pred_label"])
 
 
+def q_event_debounce(sf_dir: str) -> rd.Dataset:
+    """Debounce/throttle cleaning (composition): keep an event only if
+    the previous event of the same (user, type) is ≥ 600 s older (or
+    absent) — ordered_window lag + a streaming filter. The
+    duplicate-burst suppression step of event-stream ingestion."""
+    from belb_ray.stages.analytic import ordered_window
+
+    ev = _t(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "event_type", "ts"])
+
+    def _key(b: pd.DataFrame) -> pd.DataFrame:
+        b["__k"] = b["user_id"].astype(str) + "|" + b["event_type"]
+        return b
+
+    w = ordered_window(ev.map_batches(_key, batch_format="pandas"),
+                       key="__k", order_cols=["ts", "event_id"],
+                       specs=[("lag", "ts", "prev_ts")])
+
+    def _keep(b: pd.DataFrame) -> pd.DataFrame:
+        # integer-microsecond compare (exactly mirrors epoch_us in SQL)
+        cur = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        prev = b["prev_ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        keep = b["prev_ts"].isna().to_numpy() | \
+            (cur - prev >= 600 * 1_000_000)
+        return b.loc[keep, ["event_id", "user_id", "event_type"]]
+
+    return w.map_batches(_keep, batch_format="pandas").sort("event_id")
+
+
+def q_token_pmi(sf_dir: str) -> rd.Dataset:
+    """Collocation extraction (composition): PMI of adjacent word pairs
+    = ln(c12 · N1 / (c1 · c2)) over the corpus bigram/unigram count
+    tables (stages/corpus.ngram_counts combiners); counts-only join —
+    the corpus is read twice, shuffled never. Top-50 bigrams with
+    c12 ≥ 5 by (pmi desc, gram)."""
+    import ray
+
+    from belb_ray.stages.corpus import ngram_counts
+    from belb_ray.stages.joins import collect_arrow
+
+    docs = _t(sf_dir, "documents").select_columns(["text"])
+    big = ngram_counts(docs, n=2)
+    uni = ngram_counts(docs, n=1)
+    u = collect_arrow(uni).to_pandas()
+    n1 = float(u["n_occurrences"].sum())
+    cmap = dict(zip(u["gram"], u["n_occurrences"].astype(float)))
+    ref = ray.put((cmap, n1))
+
+    def _pmi(b: pd.DataFrame) -> pd.DataFrame:
+        from belb_ray.util import cached_get
+
+        cmap, n1 = cached_get(ref)
+        b = b[b["n_occurrences"] >= 5].copy()
+        parts = b["gram"].str.split(" ")
+        c1 = parts.str[0].map(cmap).to_numpy(np.float64)
+        c2 = parts.str[1].map(cmap).to_numpy(np.float64)
+        c12 = b["n_occurrences"].to_numpy(np.float64)
+        b["pmi"] = np.round(np.log(c12 * n1 / (c1 * c2)), 6)
+        return b
+
+    out = big.map_batches(_pmi, batch_format="pandas")
+    return out.sort(["pmi", "gram"], descending=[True, False]).limit(50)
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2499,6 +2564,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_lookup": q_fuzzy_name_lookup,
         "label_centroids": q_label_centroids,
         "centroid_confusion": q_centroid_confusion,
+        "event_debounce": q_event_debounce,
+        "token_pmi": q_token_pmi,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -3858,6 +3925,40 @@ def oracle_sql() -> dict[str, str]:
                   FROM bmr FULL OUTER JOIN qr ON bmr.doc_id = qr.doc_id)
             SELECT doc_id, round(s, 6) AS rrf_score FROM f
             ORDER BY rrf_score DESC, doc_id LIMIT 20
+        """,
+        "event_debounce": """
+            WITH w AS (
+                SELECT event_id, user_id, event_type, ts,
+                       lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events)
+            SELECT event_id, user_id, event_type FROM w
+            WHERE prev_ts IS NULL
+               OR epoch_us(ts) - epoch_us(prev_ts) >= 600000000
+            ORDER BY event_id
+        """,
+        "token_pmi": r"""
+            WITH words AS (
+                SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents),
+            uni AS (SELECT unnest(w) AS gram FROM words),
+            u AS (SELECT gram, count(*) AS c FROM uni GROUP BY gram),
+            n1 AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM u),
+            grams AS (
+                SELECT w[i] AS g1, w[i+1] AS g2,
+                       w[i] || ' ' || w[i+1] AS gram
+                FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+                      FROM words)),
+            b AS (SELECT gram, min(g1) AS g1, min(g2) AS g2,
+                         count(*) AS c12
+                  FROM grams GROUP BY gram HAVING count(*) >= 5)
+            SELECT b.gram, CAST(b.c12 AS BIGINT) AS n_occurrences,
+                   round(ln(CAST(b.c12 AS DOUBLE) * (SELECT n FROM n1)
+                            / (CAST(u1.c AS DOUBLE)
+                               * CAST(u2.c AS DOUBLE))), 6) AS pmi
+            FROM b JOIN u u1 ON u1.gram = b.g1
+                   JOIN u u2 ON u2.gram = b.g2
+            ORDER BY pmi DESC, b.gram LIMIT 50
         """,
         "centroid_confusion": """
             WITH m AS (
