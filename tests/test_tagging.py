@@ -95,3 +95,28 @@ def test_mention_contexts_clamped_windows():
     assert got[(0, 3, "bb")] == text0[0:9]    # left edge clamped
     assert got[(0, 9, "dd")] == text0[5:15]   # right edge clamped by slice
     assert got[(1, 0, "bb")] == "bb"          # both edges clamped
+
+
+def test_tag_mentions_property_random_docs():
+    """Property test: the vectorized token-n-gram tagger equals the
+    position-scan definition on randomized corpora (including repeated
+    tokens, empty docs, unmatched names)."""
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    vocab = ["aa", "b", "ccc", "dd", "e"]
+    for trial in range(5):
+        docs = []
+        for d in range(12):
+            n = int(rng.integers(0, 9))
+            docs.append((d, " ".join(rng.choice(vocab, n))))
+        names = {}
+        eid = 0
+        for n_words in (1, 2):
+            for _ in range(3):
+                name = " ".join(rng.choice(vocab, n_words))
+                if name not in names:
+                    names[name] = eid
+                    eid += 1
+        names["zz never"] = 99
+        assert _run(docs, names) == _brute(docs, names), f"trial {trial}"
