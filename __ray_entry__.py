@@ -2426,6 +2426,21 @@ def q_token_pmi(sf_dir: str) -> rd.Dataset:
     return out.sort(["pmi", "gram"], descending=[True, False]).limit(50)
 
 
+def q_customer_global_rank(sf_dir: str) -> rd.Dataset:
+    """Global row numbering without a partition key
+    (stages/analytic.global_rank): rank customers by (balance desc,
+    custkey) via the two-phase value-bin prefix — per-bin count partials,
+    O(#bins) driver cumsum, ONE bin shuffle for the within-bin finish.
+    Oracle = row_number / percent_rank OVER a global ORDER BY."""
+    from belb_ray.stages.analytic import global_rank
+
+    cust = _t(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_acctbal"])
+    out = global_rank(cust, "c_acctbal", "c_custkey", descending=True,
+                      bin_width=100.0, pct=True)
+    return out.sort("rank")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2566,6 +2581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_confusion": q_centroid_confusion,
         "event_debounce": q_event_debounce,
         "token_pmi": q_token_pmi,
+        "customer_global_rank": q_customer_global_rank,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -3925,6 +3941,15 @@ def oracle_sql() -> dict[str, str]:
                   FROM bmr FULL OUTER JOIN qr ON bmr.doc_id = qr.doc_id)
             SELECT doc_id, round(s, 6) AS rrf_score FROM f
             ORDER BY rrf_score DESC, doc_id LIMIT 20
+        """,
+        "customer_global_rank": """
+            SELECT c_custkey, c_acctbal,
+                   row_number() OVER (ORDER BY c_acctbal DESC, c_custkey)
+                       AS rank,
+                   round(CAST(row_number() OVER (ORDER BY c_acctbal DESC,
+                                                 c_custkey) - 1 AS DOUBLE)
+                         / (count(*) OVER () - 1), 8) AS pct
+            FROM customer ORDER BY rank
         """,
         "event_debounce": """
             WITH w AS (

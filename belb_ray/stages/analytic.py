@@ -623,3 +623,73 @@ def impute_by_group(ds: rd.Dataset, key: str, value_col: str,
         return batch.drop(columns=["__mean"])
 
     return withmean.map_batches(_apply, batch_format="pandas")
+
+
+def global_rank(ds: rd.Dataset, order_col: str, id_col: str,
+                descending: bool = False, bin_width: float = 1.0,
+                pct: bool = False, round_to: int = 8,
+                num_buckets: int = 64) -> rd.Dataset:
+    """Global dense row numbering WITHOUT a partition key →
+    (id_col, order_col, rank [1-based in (order_col, id_col) order],
+    and ``pct`` = percent_rank (rank−1)/(n−1) when requested).
+
+    The one window shape ``ordered_window`` can't express (it requires a
+    partition key). Distributed two-phase prefix (the budget_select
+    device): phase 1 counts rows per ``order_col`` value bin (per-batch
+    partials, no row shuffle); the driver cumsums the O(#bins) counts in
+    rank order; phase 2 shuffles rows ONCE by bin and finishes the
+    within-bin (order_col, id_col) sort + position vectorized. Ties are
+    broken by ``id_col``, so the rank is a total order (= row_number in
+    the SQL mirror)."""
+    import ray
+
+    from ..util import cached_get
+    from .agg import _bucket_of_frame
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = np.floor(batch[order_col].to_numpy(np.float64)
+                     / bin_width).astype(np.int64)
+        return (pd.DataFrame({"__bin": b})
+                .groupby("__bin", sort=False).size()
+                .rename("__n").reset_index())
+
+    bs = (ds.select_columns([order_col])
+          .map_batches(_partial, batch_format="pandas").to_pandas())
+    bs = bs.groupby("__bin", sort=True)["__n"].sum().sort_index(
+        ascending=not descending)
+    total = int(bs.sum())
+    bases = np.concatenate([[0], bs.cumsum().to_numpy()[:-1]])
+    base_of = {int(k): int(v) for k, v in zip(bs.index, bases)}
+    ref = ray.put(base_of)
+
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[id_col, order_col]].copy()
+        batch["__bin"] = np.floor(
+            batch[order_col].to_numpy(np.float64) / bin_width
+        ).astype(np.int64)
+        batch["__bucket"] = _bucket_of_frame(batch, ["__bin"],
+                                             num_buckets)
+        return batch
+
+    def _scan(group: pd.DataFrame) -> pd.DataFrame:
+        base_of = cached_get(ref)
+        outs = []
+        for bn, g in group.groupby("__bin", sort=False):
+            g = g.sort_values([order_col, id_col],
+                              ascending=[not descending, True],
+                              kind="mergesort")
+            rank = np.arange(1, len(g) + 1, dtype=np.int64) \
+                + base_of[int(bn)]
+            out = pd.DataFrame({id_col: g[id_col].to_numpy(),
+                                order_col: g[order_col].to_numpy(),
+                                "rank": rank})
+            if pct:
+                out["pct"] = np.round(
+                    (rank - 1) / max(total - 1, 1), round_to)
+            outs.append(out)
+        return pd.concat(outs) if outs else pd.DataFrame(
+            {id_col: [], order_col: [], "rank": []})
+
+    return (ds.map_batches(_bucketize, batch_format="pandas")
+            .groupby("__bucket").map_groups(_scan,
+                                            batch_format="pandas"))

@@ -1923,3 +1923,38 @@ def test_nearest_centroid_confusion_matches_bruteforce():
     # well-separated clusters → diagonal dominates
     diag = sum(v for (a, b), v in got.items() if a == b)
     assert diag / n > 0.9
+
+
+def test_global_rank_matches_pandas_and_block_invariant():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from belb_ray.stages.analytic import global_rank
+
+    rng = np.random.default_rng(8)
+    n = 400
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "v": np.round(rng.normal(50, 30, n), 2)})  # negatives + ties
+    df.loc[:20, "v"] = 7.0  # heavy tie block spanning bins? same bin
+    o = df.sort_values(["v", "id"], ascending=[False, True],
+                       kind="mergesort")
+    expect_rank = {i: r + 1 for r, i in enumerate(o["id"])}
+    for parts in (1, 9):
+        ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(parts)
+        rows = global_rank(ds, "v", "id", descending=True,
+                           bin_width=10.0, pct=True).take_all()
+        got = {r["id"]: r["rank"] for r in rows}
+        assert got == expect_rank
+        pcts = {r["id"]: r["pct"] for r in rows}
+        assert pcts[o["id"].iloc[0]] == 0.0
+        assert pcts[o["id"].iloc[-1]] == 1.0
+    # ascending variant
+    rows = global_rank(rd.from_arrow(pa.Table.from_pandas(df)),
+                       "v", "id", descending=False,
+                       bin_width=10.0).take_all()
+    oa = df.sort_values(["v", "id"], kind="mergesort")
+    assert {r["id"]: r["rank"] for r in rows} == \
+        {i: r + 1 for r, i in enumerate(oa["id"])}
