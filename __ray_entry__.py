@@ -23,6 +23,7 @@ from typing import Any
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 # ---------------------------------------------------------------- helpers
@@ -2441,6 +2442,50 @@ def q_customer_global_rank(sf_dir: str) -> rd.Dataset:
     return out.sort("rank")
 
 
+def q_dedup_savings(sf_dir: str) -> rd.Dataset:
+    """Dedup-impact report (composition): exact-dup groups (bucketed
+    md5 combine) broadcast-join back to per-doc rows; non-representative
+    docs count as removed; per-source (n_docs, n_removed, chars_removed)
+    via the fixed-width combiner — the what-did-dedup-buy-us accounting
+    a curation run reports."""
+    import hashlib
+
+    from belb_ray.pipelines.docdedup import exact_dup_groups
+    from belb_ray.stages.agg import preagg_groupby
+    from belb_ray.stages.joins import broadcast_join
+
+    docs = _t(sf_dir, "documents").select_columns(
+        ["doc_id", "text", "source", "n_chars"])
+    groups = exact_dup_groups(_t(sf_dir, "documents"))
+
+    def _md5(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["content_md5"] = [hashlib.md5(t.encode()).hexdigest()
+                                for t in batch["text"]]
+        return batch.drop(columns=["text"])
+
+    tagged = broadcast_join(
+        docs.map_batches(_md5, batch_format="pandas"),
+        groups.map_batches(lambda b: b[["content_md5", "rep_id"]],
+                           batch_format="pandas"),
+        keys="content_md5")
+
+    def _removed(batch: pa.Table) -> pa.Table:
+        removed = pc.not_equal(batch["doc_id"], batch["rep_id"])
+        rem = pc.cast(removed, pa.int64())
+        chars_rem = pc.multiply(rem, batch["n_chars"])
+        return pa.table({"source": batch["source"],
+                         "__one": pa.array(
+                             np.ones(batch.num_rows, np.int64)),
+                         "removed": rem, "chars_removed": chars_rem})
+
+    out = preagg_groupby(
+        tagged.map_batches(_removed, batch_format="pyarrow"),
+        ["source"], [("sum", "__one", "n_docs"),
+                     ("sum", "removed", "n_removed"),
+                     ("sum", "chars_removed", "chars_removed")])
+    return out.sort("source")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2582,6 +2627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_debounce": q_event_debounce,
         "token_pmi": q_token_pmi,
         "customer_global_rank": q_customer_global_rank,
+        "dedup_savings": q_dedup_savings,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -3941,6 +3987,18 @@ def oracle_sql() -> dict[str, str]:
                   FROM bmr FULL OUTER JOIN qr ON bmr.doc_id = qr.doc_id)
             SELECT doc_id, round(s, 6) AS rrf_score FROM f
             ORDER BY rrf_score DESC, doc_id LIMIT 20
+        """,
+        "dedup_savings": """
+            WITH g AS (SELECT md5(text) AS h, min(doc_id) AS rep_id
+                       FROM documents GROUP BY 1)
+            SELECT d.source, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN d.doc_id <> g.rep_id
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                   CAST(sum(CASE WHEN d.doc_id <> g.rep_id
+                            THEN d.n_chars ELSE 0 END) AS BIGINT)
+                       AS chars_removed
+            FROM documents d JOIN g ON md5(d.text) = g.h
+            GROUP BY d.source ORDER BY d.source
         """,
         "customer_global_rank": """
             SELECT c_custkey, c_acctbal,
