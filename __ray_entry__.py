@@ -2486,6 +2486,65 @@ def q_dedup_savings(sf_dir: str) -> rd.Dataset:
     return out.sort("source")
 
 
+def q_daily_user_growth(sf_dir: str) -> rd.Dataset:
+    """Daily new-vs-returning users (composition): per-user first-seen
+    day via the min combiner, per-(day,user) batch-local dedup before
+    the distinct-count combine, day-sized finish computes returning =
+    active − new and the running cum_users prefix in one tiny task."""
+    from belb_ray.stages.agg import preagg_groupby
+
+    ev = _t(sf_dir, "events").select_columns(["user_id", "ts"])
+
+    def _day(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": b["user_id"],
+                             "day": b["ts"].dt.strftime("%Y-%m-%d")})
+
+    du = ev.map_batches(_day, batch_format="pandas")
+    first = preagg_groupby(du, ["user_id"], [("min", "day", "first_day")])
+    new_per_day = preagg_groupby(
+        first.map_batches(lambda b: pd.DataFrame(
+            {"day": b["first_day"], "__one": np.int64(1)}),
+            batch_format="pandas"),
+        ["day"], [("sum", "__one", "n_new")])
+
+    def _dedup_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["day", "user_id"]].drop_duplicates().assign(
+            __one=np.int64(1))
+
+    active = preagg_groupby(
+        du.map_batches(_dedup_pairs, batch_format="pandas"),
+        ["day", "user_id"], [("sum", "__one", "__n")])
+    active = preagg_groupby(
+        active.map_batches(lambda b: pd.DataFrame(
+            {"day": b["day"], "__one": np.int64(1)}),
+            batch_format="pandas"),
+        ["day"], [("sum", "__one", "n_active")])
+
+    def _tag(name: str, col: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"day": b["day"], name: b[col]})
+
+        return fn
+
+    both = (active.map_batches(_tag("n_active", "n_active"),
+                               batch_format="pandas")
+            .union(new_per_day.map_batches(_tag("n_new", "n_new"),
+                                           batch_format="pandas")))
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("day", sort=True).sum(min_count=1).reset_index()
+        n_new = g["n_new"].fillna(0).astype(np.int64)
+        n_active = g["n_active"].fillna(0).astype(np.int64)
+        return pd.DataFrame({
+            "day": g["day"], "n_active": n_active, "n_new": n_new,
+            "n_returning": n_active - n_new,
+            "cum_users": n_new.cumsum()})
+
+    return (both.repartition(1)
+            .map_batches(_finish, batch_size=None,
+                         batch_format="pandas").sort("day"))
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2628,6 +2687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_pmi": q_token_pmi,
         "customer_global_rank": q_customer_global_rank,
         "dedup_savings": q_dedup_savings,
+        "daily_user_growth": q_daily_user_growth,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -3987,6 +4047,26 @@ def oracle_sql() -> dict[str, str]:
                   FROM bmr FULL OUTER JOIN qr ON bmr.doc_id = qr.doc_id)
             SELECT doc_id, round(s, 6) AS rrf_score FROM f
             ORDER BY rrf_score DESC, doc_id LIMIT 20
+        """,
+        "daily_user_growth": """
+            WITH d AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+                                       user_id
+                       FROM events),
+            f AS (SELECT user_id, min(day) AS first_day FROM d
+                  GROUP BY user_id),
+            nw AS (SELECT first_day AS day, count(*) AS n_new FROM f
+                   GROUP BY 1),
+            ac AS (SELECT day, count(*) AS n_active FROM d GROUP BY 1)
+            SELECT ac.day, ac.n_active,
+                   CAST(COALESCE(nw.n_new, 0) AS BIGINT) AS n_new,
+                   CAST(ac.n_active - COALESCE(nw.n_new, 0) AS BIGINT)
+                       AS n_returning,
+                   CAST(sum(COALESCE(nw.n_new, 0))
+                        OVER (ORDER BY ac.day
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_users
+            FROM ac LEFT JOIN nw ON ac.day = nw.day
+            ORDER BY ac.day
         """,
         "dedup_savings": """
             WITH g AS (SELECT md5(text) AS h, min(doc_id) AS rep_id
