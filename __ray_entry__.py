@@ -2545,6 +2545,28 @@ def q_daily_user_growth(sf_dir: str) -> rd.Dataset:
                          batch_format="pandas").sort("day"))
 
 
+def q_user_coverage_spans(sf_dir: str) -> rd.Dataset:
+    """Interval union per user (stages/intervals.merge_intervals): each
+    event covers [ts, ts + value seconds] (exact integer microseconds
+    via cents arithmetic); overlapping/touching spans coalesce into
+    maximal islands with one hash(user) co-location shuffle. Oracle =
+    gaps-and-islands window form."""
+    from belb_ray.stages.intervals import merge_intervals
+
+    ev = _t(sf_dir, "events").select_columns(["user_id", "ts", "value"])
+
+    def _iv(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        dur = (np.round(b["value"].to_numpy(np.float64) * 100)
+               .astype(np.int64) * 10_000)
+        return pd.DataFrame({"user_id": b["user_id"],
+                             "start_us": s, "end_us": s + dur})
+
+    out = merge_intervals(ev.map_batches(_iv, batch_format="pandas"),
+                          "user_id", "start_us", "end_us")
+    return out.sort(["user_id", "start_us"])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2688,6 +2710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_global_rank": q_customer_global_rank,
         "dedup_savings": q_dedup_savings,
         "daily_user_growth": q_daily_user_growth,
+        "user_coverage_spans": q_user_coverage_spans,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -4047,6 +4070,30 @@ def oracle_sql() -> dict[str, str]:
                   FROM bmr FULL OUTER JOIN qr ON bmr.doc_id = qr.doc_id)
             SELECT doc_id, round(s, 6) AS rrf_score FROM f
             ORDER BY rrf_score DESC, doc_id LIMIT 20
+        """,
+        "user_coverage_spans": """
+            WITH iv AS (
+                SELECT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts)
+                       + CAST(ROUND(value * 100) AS BIGINT) * 10000 AS e
+                FROM events),
+            w AS (SELECT user_id, s, e,
+                         max(e) OVER (PARTITION BY user_id
+                                      ORDER BY s, e
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS pmax
+                  FROM iv),
+            fl AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax
+                                  THEN 1 ELSE 0 END AS newisl
+                   FROM w),
+            isl AS (SELECT *, sum(newisl) OVER (PARTITION BY user_id
+                                                ORDER BY s, e
+                                                ROWS UNBOUNDED PRECEDING)
+                               AS isl_id
+                    FROM fl)
+            SELECT user_id, min(s) AS start_us, max(e) AS end_us
+            FROM isl GROUP BY user_id, isl_id
+            ORDER BY user_id, start_us
         """,
         "daily_user_growth": """
             WITH d AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,

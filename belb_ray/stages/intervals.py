@@ -12,6 +12,7 @@ because the predicate never crosses documents.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
@@ -95,3 +96,60 @@ def assign_spans_to_segments(
     return (bucketed.groupby("__bucket")
             .map_groups(lambda g: _assign_bucket(g.drop_columns(["__bucket"])),
                         batch_format="pyarrow"))
+
+
+def merge_intervals(ds: rd.Dataset, key: str, start_col: str,
+                    end_col: str, num_buckets: int = 64) -> rd.Dataset:
+    """Union of overlapping/touching intervals per key → one row per
+    maximal merged island: (key, start_col = min start, end_col = max
+    end). The gaps-and-islands primitive (coverage spans, downtime
+    windows, span coalescing).
+
+    Island rule (mirrored by the SQL window form): intervals sort by
+    (start, end) within a key; an interval opens a NEW island iff its
+    start exceeds the running max end of all earlier intervals.
+    Touching intervals (start == previous max end) merge.
+
+    Distributed shape: ONE hash(key) co-location shuffle; per bucket a
+    whole-bucket vectorized pass (lexsort, per-key shifted cumulative
+    max, island ids by cumsum, min/max per island via reduceat)."""
+    from .agg import _bucket_of_frame
+
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[key, start_col, end_col]]
+        batch = batch.assign(
+            __bucket=_bucket_of_frame(batch, [key], num_buckets))
+        return batch
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns="__bucket").sort_values(
+            [key, start_col, end_col], kind="mergesort")
+        kv = g[key].to_numpy()
+        s = g[start_col].to_numpy()
+        e = g[end_col].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({key: kv, start_col: s, end_col: e})
+        newkey = np.ones(n, dtype=bool)
+        newkey[1:] = kv[1:] != kv[:-1]
+        # per-key SHIFTED cumulative max of end: pandas grouped cummax
+        # then a global shift(1) — the shift leaks the previous key's
+        # max into each key's FIRST row only, which first_of_key masks
+        # below by always opening an island there
+        pmax = pd.Series(e).groupby(
+            pd.Series(np.cumsum(newkey))).cummax().shift(1).to_numpy()
+        first_of_key = newkey
+        new_island = first_of_key | (s > np.where(
+            np.isnan(pmax), -np.inf, pmax))
+        # pmax's shift(1) leaks the previous KEY's max into each key's
+        # first row — masked by first_of_key always opening an island
+        isl = np.cumsum(new_island) - 1
+        starts = np.flatnonzero(new_island)
+        out_s = s[starts]
+        out_e = np.maximum.reduceat(e, starts)
+        return pd.DataFrame({key: kv[starts], start_col: out_s,
+                             end_col: out_e})
+
+    return (ds.map_batches(_bucketize, batch_format="pandas")
+            .groupby("__bucket").map_groups(_merge,
+                                            batch_format="pandas"))

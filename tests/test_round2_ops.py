@@ -1958,3 +1958,38 @@ def test_global_rank_matches_pandas_and_block_invariant():
     oa = df.sort_values(["v", "id"], kind="mergesort")
     assert {r["id"]: r["rank"] for r in rows} == \
         {i: r + 1 for r, i in enumerate(oa["id"])}
+
+
+def test_merge_intervals_matches_bruteforce():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from belb_ray.stages.intervals import merge_intervals
+
+    rng = np.random.default_rng(30)
+    n = 300
+    key = rng.integers(0, 10, n).astype(np.int64)
+    s = rng.integers(0, 1000, n).astype(np.int64)
+    e = s + rng.integers(0, 60, n)  # zero-length intervals included
+    ds = rd.from_arrow(pa.table({"k": key, "s": s, "e": e})) \
+        .repartition(6)
+    got = sorted((r["k"], r["s"], r["e"]) for r in
+                 merge_intervals(ds, "k", "s", "e",
+                                 num_buckets=4).take_all())
+
+    expect = []
+    for kk in np.unique(key):
+        ivs = sorted(zip(s[key == kk], e[key == kk]))
+        cur_s, cur_e = ivs[0]
+        for a, b in ivs[1:]:
+            if a > cur_e:
+                expect.append((kk, cur_s, cur_e))
+                cur_s, cur_e = a, b
+            else:
+                cur_e = max(cur_e, b)
+        expect.append((kk, cur_s, cur_e))
+    assert got == sorted(expect)
+    # touching intervals (start == running max end) merged, gaps split
+    assert all(a2 > e1 for (k1, s1, e1), (k2, a2, _) in
+               zip(got, got[1:]) if k1 == k2)
