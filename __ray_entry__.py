@@ -2567,6 +2567,37 @@ def q_user_coverage_spans(sf_dir: str) -> rd.Dataset:
     return out.sort(["user_id", "start_us"])
 
 
+def q_part_pagerank_weighted(sf_dir: str) -> rd.Dataset:
+    """Weighted PageRank (stages/graph.pagerank with weight_col): edge
+    weight = number of orders sharing the part pair; contributions split
+    proportionally to weight (share = rank·w / Σ_out w). Same
+    broadcast-attach + combiner iteration shape as the unweighted op."""
+    from belb_ray.stages.agg import preagg_groupby
+    from belb_ray.stages.cooccur import cooccurrence_pairs
+    from belb_ray.stages.graph import pagerank
+
+    li = _t(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+    und = preagg_groupby(pairs, ["a", "b"], [("count", "", "w")])
+
+    def _mirror(batch: pa.Table) -> pa.Table:
+        fwd = pa.table({"src": batch["a"], "dst": batch["b"],
+                        "w": batch["w"]})
+        rev = pa.table({"src": batch["b"], "dst": batch["a"],
+                        "w": batch["w"]})
+        return pa.concat_tables([fwd, rev])
+
+    edges = und.map_batches(_mirror, batch_format="pyarrow")
+    pr = pagerank(edges, iters=3, weight_col="w")
+
+    def _round(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["rank"] = batch["rank"].round(9)
+        return batch
+
+    return (pr.map_batches(_round, batch_format="pandas")
+            .sort(["rank", "node"], descending=[True, False]).limit(30))
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2711,6 +2742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_savings": q_dedup_savings,
         "daily_user_growth": q_daily_user_growth,
         "user_coverage_spans": q_user_coverage_spans,
+        "part_pagerank_weighted": q_part_pagerank_weighted,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -4070,6 +4102,53 @@ def oracle_sql() -> dict[str, str]:
                   FROM bmr FULL OUTER JOIN qr ON bmr.doc_id = qr.doc_id)
             SELECT doc_id, round(s, 6) AS rrf_score FROM f
             ORDER BY rrf_score DESC, doc_id LIMIT 20
+        """,
+        "part_pagerank_weighted": """
+            WITH items AS (SELECT DISTINCT l_orderkey AS g,
+                                  l_partkey AS it FROM lineitem),
+                 edges AS (SELECT x.it AS src, y.it AS dst,
+                                  CAST(count(*) AS DOUBLE) AS w
+                           FROM items x JOIN items y
+                             ON x.g = y.g AND x.it <> y.it
+                           GROUP BY 1, 2),
+                 nodes AS (SELECT DISTINCT src AS node FROM edges),
+                 nn AS (SELECT count(*) AS n FROM nodes),
+                 deg AS (SELECT src AS node, sum(w) AS d
+                         FROM edges GROUP BY src),
+                 r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank
+                        FROM nodes),
+                 r1 AS (SELECT nodes.node,
+                               0.15 / (SELECT n FROM nn)
+                               + 0.85 * COALESCE(c.c, 0) AS rank
+                        FROM nodes LEFT JOIN (
+                            SELECT e.dst AS node,
+                                   sum((r0.rank / deg.d) * e.w) AS c
+                            FROM edges e
+                            JOIN r0 ON e.src = r0.node
+                            JOIN deg ON e.src = deg.node
+                            GROUP BY e.dst) c USING (node)),
+                 r2 AS (SELECT nodes.node,
+                               0.15 / (SELECT n FROM nn)
+                               + 0.85 * COALESCE(c.c, 0) AS rank
+                        FROM nodes LEFT JOIN (
+                            SELECT e.dst AS node,
+                                   sum((r1.rank / deg.d) * e.w) AS c
+                            FROM edges e
+                            JOIN r1 ON e.src = r1.node
+                            JOIN deg ON e.src = deg.node
+                            GROUP BY e.dst) c USING (node)),
+                 r3 AS (SELECT nodes.node,
+                               0.15 / (SELECT n FROM nn)
+                               + 0.85 * COALESCE(c.c, 0) AS rank
+                        FROM nodes LEFT JOIN (
+                            SELECT e.dst AS node,
+                                   sum((r2.rank / deg.d) * e.w) AS c
+                            FROM edges e
+                            JOIN r2 ON e.src = r2.node
+                            JOIN deg ON e.src = deg.node
+                            GROUP BY e.dst) c USING (node))
+            SELECT node, round(rank, 9) AS rank FROM r3
+            ORDER BY rank DESC, node LIMIT 30
         """,
         "user_coverage_spans": """
             WITH iv AS (

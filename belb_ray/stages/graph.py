@@ -26,9 +26,12 @@ import ray.data as rd
 def pagerank(edges: rd.Dataset, src: str = "src", dst: str = "dst",
              damping: float = 0.85, iters: int = 3,
              num_buckets: int = 64,
-             broadcast_threshold: int = 2_000_000) -> rd.Dataset:
+             broadcast_threshold: int = 2_000_000,
+             weight_col: str | None = None) -> rd.Dataset:
     """(node, rank) after ``iters`` power iterations from the uniform
-    start 1/N. Nodes = every distinct src or dst endpoint."""
+    start 1/N. Nodes = every distinct src or dst endpoint.
+    With ``weight_col``, contributions split proportionally to edge
+    weight (share = rank·w / Σ_out w) instead of uniformly."""
     from .agg import preagg_groupby
     from .analytic import _attach_small
     from .joins import distinct_values
@@ -58,10 +61,18 @@ def pagerank(edges: rd.Dataset, src: str = "src", dst: str = "dst",
         return nodes.map_batches(
             lambda b: b.assign(rank=np.float64(0)), batch_format="pandas")
 
-    deg = preagg_groupby(
-        edges.select_columns([src]).map_batches(
-            lambda b: b.rename_columns(["node"]), batch_format="pyarrow"),
-        ["node"], [("count", "", "deg")], num_buckets).materialize()
+    if weight_col is None:
+        deg = preagg_groupby(
+            edges.select_columns([src]).map_batches(
+                lambda b: b.rename_columns(["node"]),
+                batch_format="pyarrow"),
+            ["node"], [("count", "", "deg")], num_buckets).materialize()
+    else:
+        deg = preagg_groupby(
+            edges.select_columns([src, weight_col]).map_batches(
+                lambda b: b.rename_columns(["node", "__w"]),
+                batch_format="pyarrow"),
+            ["node"], [("sum", "__w", "deg")], num_buckets).materialize()
 
     base = (1.0 - damping) / n_nodes
     # rank ⋈ deg once: per-node share denominator (small table)
@@ -80,13 +91,16 @@ def pagerank(edges: rd.Dataset, src: str = "src", dst: str = "dst",
             })
 
         shares = shares.map_batches(_share, batch_format="pandas")
+        edge_cols = [src, dst] + ([weight_col] if weight_col else [])
         contrib_src = _attach_small(
-            edges.select_columns([src, dst]), shares, src,
+            edges.select_columns(edge_cols), shares, src,
             broadcast_threshold)
 
         def _contrib(batch: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"node": batch[dst],
-                                 "c": batch["share"]})
+            c = batch["share"].to_numpy()
+            if weight_col is not None:
+                c = c * batch[weight_col].to_numpy(dtype=np.float64)
+            return pd.DataFrame({"node": batch[dst], "c": c})
 
         contrib = preagg_groupby(
             contrib_src.map_batches(_contrib, batch_format="pandas"),

@@ -1993,3 +1993,36 @@ def test_merge_intervals_matches_bruteforce():
     # touching intervals (start == running max end) merged, gaps split
     assert all(a2 > e1 for (k1, s1, e1), (k2, a2, _) in
                zip(got, got[1:]) if k1 == k2)
+
+
+def test_weighted_pagerank_matches_power_iteration():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from belb_ray.stages.graph import pagerank
+
+    srcs = [1, 1, 2, 3, 3, 4]
+    dsts = [2, 3, 3, 1, 4, 1]
+    ws = [3.0, 1.0, 2.0, 5.0, 5.0, 1.0]
+    edges = rd.from_arrow(pa.table({"src": srcs, "dst": dsts, "w": ws}))
+    got = {r["node"]: r["rank"] for r in
+           pagerank(edges, iters=3, weight_col="w").take_all()}
+
+    nodes = sorted(set(srcs) | set(dsts))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    wsum = {}
+    for s, w in zip(srcs, ws):
+        wsum[s] = wsum.get(s, 0.0) + w
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        c = np.zeros(n)
+        for s, d, w in zip(srcs, dsts, ws):
+            c[idx[d]] += r[idx[s]] / wsum[s] * w
+        r = 0.15 / n + 0.85 * c
+    assert all(abs(got[v] - r[idx[v]]) < 1e-12 for v in nodes)
+    # weights genuinely change the answer vs the uniform split
+    got_unw = {x["node"]: x["rank"] for x in
+               pagerank(edges.drop_columns(["w"]), iters=3).take_all()}
+    assert any(abs(got[v] - got_unw[v]) > 1e-6 for v in nodes)
