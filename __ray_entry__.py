@@ -2598,6 +2598,18 @@ def q_part_pagerank_weighted(sf_dir: str) -> rd.Dataset:
             .sort(["rank", "node"], descending=[True, False]).limit(30))
 
 
+def q_lineitem_corr_matrix(sf_dir: str) -> rd.Dataset:
+    """Full correlation matrix in ONE data pass
+    (stages/agg.corr_matrix): each block ships n, Σx and the XᵀX upper
+    triangle (fixed width regardless of rows); all 6 pairwise
+    correlations finish closed-form from the same partials."""
+    from belb_ray.stages.agg import corr_matrix
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    out = corr_matrix(_t(sf_dir, "lineitem").select_columns(cols), cols)
+    return out.sort(["col_a", "col_b"])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2743,6 +2755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_user_growth": q_daily_user_growth,
         "user_coverage_spans": q_user_coverage_spans,
         "part_pagerank_weighted": q_part_pagerank_weighted,
+        "lineitem_corr_matrix": q_lineitem_corr_matrix,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -4102,6 +4115,28 @@ def oracle_sql() -> dict[str, str]:
                   FROM bmr FULL OUTER JOIN qr ON bmr.doc_id = qr.doc_id)
             SELECT doc_id, round(s, 6) AS rrf_score FROM f
             ORDER BY rrf_score DESC, doc_id LIMIT 20
+        """,
+        "lineitem_corr_matrix": """
+            SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b,
+                   round(corr(l_discount, l_extendedprice), 6) AS corr
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', 'l_tax',
+                   round(corr(l_discount, l_tax), 6) FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_tax',
+                   round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', 'l_quantity',
+                   round(corr(l_quantity, l_discount), 6) FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_quantity',
+                   round(corr(l_quantity, l_extendedprice), 6)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', 'l_tax',
+                   round(corr(l_quantity, l_tax), 6) FROM lineitem
+            ORDER BY col_a, col_b
         """,
         "part_pagerank_weighted": """
             WITH items AS (SELECT DISTINCT l_orderkey AS g,

@@ -612,3 +612,52 @@ def higher_moment_stats(ds: rd.Dataset, keys: list[str], value_col: str,
         return batch.drop(columns=cols)
 
     return combined.map_batches(_finish, batch_format="pandas")
+
+
+def corr_matrix(ds: rd.Dataset, cols: list[str], round_to: int = 6,
+                out_a: str = "col_a", out_b: str = "col_b") -> rd.Dataset:
+    """Full Pearson correlation matrix over ``cols`` in ONE pass →
+    long-form rows (col_a, col_b, corr) for every pair a < b.
+
+    Scale shape: each block emits ONE fixed-width partial row — n, Σx_i
+    and the upper triangle of XᵀX (k + k(k+1)/2 doubles, independent of
+    row count) via a single matmul; the tiny partials concatenate in one
+    task and finish closed-form. The k²-vs-k amortization is the point:
+    computing k(k−1)/2 pairwise correlations costs the same single data
+    pass as one."""
+    k = len(cols)
+    iu = np.triu_indices(k)
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch[cols].to_numpy(np.float64)
+        xtx = (x.T @ x)[iu]
+        row = {"__n": np.float64(len(x))}
+        row.update({f"__s{i}": x[:, i].sum() for i in range(k)})
+        row.update({f"__m{i}_{j}": v
+                    for (i, j), v in zip(zip(*iu), xtx)})
+        return pd.DataFrame([row])
+
+    partials = ds.select_columns(cols).map_batches(
+        _partial, batch_format="pandas", batch_size=1 << 17)
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["__n"].sum()
+        s = np.array([df[f"__s{i}"].sum() for i in range(k)])
+        m = np.zeros((k, k))
+        for i, j in zip(*iu):
+            m[i, j] = m[j, i] = df[f"__m{i}_{j}"].sum()
+        cov = m - np.outer(s, s) / n
+        d = np.sqrt(np.diag(cov))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            c = cov / np.outer(d, d)
+        a_idx, b_idx = np.triu_indices(k, 1)
+        # canonical (name-sorted) pair orientation — corr is symmetric
+        names = [tuple(sorted((cols[i], cols[j])))
+                 for i, j in zip(a_idx, b_idx)]
+        return pd.DataFrame({
+            out_a: [a for a, _ in names],
+            out_b: [b for _, b in names],
+            "corr": np.round(c[a_idx, b_idx], round_to)})
+
+    return partials.repartition(1).map_batches(
+        _finish, batch_size=None, batch_format="pandas")

@@ -2026,3 +2026,30 @@ def test_weighted_pagerank_matches_power_iteration():
     got_unw = {x["node"]: x["rank"] for x in
                pagerank(edges.drop_columns(["w"]), iters=3).take_all()}
     assert any(abs(got[v] - got_unw[v]) > 1e-6 for v in nodes)
+
+
+def test_corr_matrix_matches_numpy_and_block_invariant():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from belb_ray.stages.agg import corr_matrix
+
+    rng = np.random.default_rng(19)
+    n = 500
+    a = rng.normal(size=n)
+    df = pd.DataFrame({"a": a, "b": 2 * a + rng.normal(size=n),
+                       "c": rng.normal(size=n)})
+    expect = {}
+    cc = np.corrcoef(df.to_numpy().T)
+    for i, x in enumerate(["a", "b", "c"]):
+        for j, y in enumerate(["a", "b", "c"]):
+            if i < j:
+                expect[(x, y)] = round(float(cc[i, j]), 6)
+    for parts in (1, 6):
+        ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(parts)
+        got = {(r["col_a"], r["col_b"]): r["corr"] for r in
+               corr_matrix(ds, ["a", "b", "c"]).take_all()}
+        assert got == expect
+    assert expect[("a", "b")] > 0.8  # the planted correlation shows
