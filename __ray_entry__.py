@@ -2610,6 +2610,47 @@ def q_lineitem_corr_matrix(sf_dir: str) -> rd.Dataset:
     return out.sort(["col_a", "col_b"])
 
 
+def q_priority_geo_mean(sf_dir: str) -> rd.Dataset:
+    """Geometric mean per group (composition): ln-transform in the map,
+    mean combiner, exp at the finish — the multiplicative-average shape
+    (price indices, growth rates) the arithmetic combiner can't give."""
+    from belb_ray.stages.agg import preagg_groupby
+
+    orders = _t(sf_dir, "orders").select_columns(
+        ["o_orderpriority", "o_totalprice"])
+
+    def _ln(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": b["o_orderpriority"],
+            "lnp": np.log(b["o_totalprice"].to_numpy(np.float64))})
+
+    m = preagg_groupby(orders.map_batches(_ln, batch_format="pandas"),
+                       ["o_orderpriority"], [("mean", "lnp", "mean_ln")])
+
+    def _fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["geo_mean_price"] = np.round(np.exp(b["mean_ln"]), 4)
+        return b.drop(columns=["mean_ln"])
+
+    return m.map_batches(_fin, batch_format="pandas") \
+        .sort("o_orderpriority")
+
+
+def q_dup_size_histogram(sf_dir: str) -> rd.Dataset:
+    """Dup-cluster-size histogram (composition): exact-dup groups →
+    count of clusters per size — the shape-of-duplication report a
+    dedup run publishes."""
+    from belb_ray.pipelines.docdedup import exact_dup_groups
+    from belb_ray.stages.agg import preagg_groupby
+
+    groups = exact_dup_groups(_t(sf_dir, "documents"))
+    out = preagg_groupby(
+        groups.map_batches(lambda b: pd.DataFrame(
+            {"cluster_size": b["n_dups"], "__one": np.int64(1)}),
+            batch_format="pandas"),
+        ["cluster_size"], [("sum", "__one", "n_clusters")])
+    return out.sort("cluster_size")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2756,6 +2797,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_coverage_spans": q_user_coverage_spans,
         "part_pagerank_weighted": q_part_pagerank_weighted,
         "lineitem_corr_matrix": q_lineitem_corr_matrix,
+        "priority_geo_mean": q_priority_geo_mean,
+        "dup_size_histogram": q_dup_size_histogram,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -4115,6 +4158,18 @@ def oracle_sql() -> dict[str, str]:
                   FROM bmr FULL OUTER JOIN qr ON bmr.doc_id = qr.doc_id)
             SELECT doc_id, round(s, 6) AS rrf_score FROM f
             ORDER BY rrf_score DESC, doc_id LIMIT 20
+        """,
+        "priority_geo_mean": """
+            SELECT o_orderpriority,
+                   round(exp(avg(ln(o_totalprice))), 4)
+                       AS geo_mean_price
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "dup_size_histogram": """
+            WITH g AS (SELECT md5(text) AS h, count(*) AS cluster_size
+                       FROM documents GROUP BY 1)
+            SELECT cluster_size, count(*) AS n_clusters
+            FROM g GROUP BY 1 ORDER BY 1
         """,
         "lineitem_corr_matrix": """
             SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b,
