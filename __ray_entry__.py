@@ -2651,6 +2651,79 @@ def q_dup_size_histogram(sf_dir: str) -> rd.Dataset:
     return out.sort("cluster_size")
 
 
+def q_nation_revenue_share(sf_dir: str) -> rd.Dataset:
+    """Percent-of-total (composition): per-nation revenue via the
+    broadcast dim join + cents combiner; the share divides by the global
+    total derived from the SAME tiny aggregate (no second corpus
+    pass)."""
+    from belb_ray.stages.agg import preagg_groupby
+    from belb_ray.stages.joins import broadcast_join
+
+    cust = _t(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_nationkey"])
+    orders = _t(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_totalprice"])
+
+    def _cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": b["o_custkey"],
+            "cents": np.round(b["o_totalprice"].to_numpy(np.float64)
+                              * 100).astype(np.int64)})
+
+    joined = broadcast_join(orders.map_batches(_cents,
+                                               batch_format="pandas"),
+                            cust, keys="c_custkey")
+    per_nation = preagg_groupby(joined, ["c_nationkey"],
+                                [("sum", "cents", "cents")])
+
+    def _share(df: pd.DataFrame) -> pd.DataFrame:
+        total = df["cents"].sum()
+        df["revenue"] = df["cents"].to_numpy(np.float64) / 100.0
+        df["share"] = np.round(df["cents"].to_numpy(np.float64)
+                               / np.float64(total), 8)
+        return df.drop(columns=["cents"])
+
+    return (per_nation.repartition(1)
+            .map_batches(_share, batch_size=None, batch_format="pandas")
+            .sort("c_nationkey"))
+
+
+def q_weekly_revenue_growth(sf_dir: str) -> rd.Dataset:
+    """Period-over-period growth (composition): weekly revenue cents
+    combiner → week-sized finish computes prev_revenue and growth_pct
+    ((cur − prev)/prev, 6dp) in one tiny ordered pass."""
+    from belb_ray.stages.agg import preagg_groupby
+
+    orders = _t(sf_dir, "orders").select_columns(
+        ["o_orderdate", "o_totalprice"])
+
+    def _week(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.to_datetime(b["o_orderdate"])
+        monday = d - pd.to_timedelta(d.dt.weekday, unit="D")
+        return pd.DataFrame({
+            "week": monday.dt.strftime("%Y-%m-%d"),
+            "cents": np.round(b["o_totalprice"].to_numpy(np.float64)
+                              * 100).astype(np.int64)})
+
+    weekly = preagg_groupby(orders.map_batches(_week,
+                                               batch_format="pandas"),
+                            ["week"], [("sum", "cents", "cents")])
+
+    def _growth(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("week")
+        rev = df["cents"].to_numpy(np.float64) / 100.0
+        prev = np.concatenate([[np.nan], rev[:-1]])
+        with np.errstate(invalid="ignore"):
+            growth = np.round((rev - prev) / prev, 6)
+        return pd.DataFrame({"week": df["week"], "revenue": rev,
+                             "prev_revenue": prev,
+                             "growth_pct": growth})
+
+    return (weekly.repartition(1)
+            .map_batches(_growth, batch_size=None,
+                         batch_format="pandas").sort("week"))
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2799,6 +2872,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr_matrix": q_lineitem_corr_matrix,
         "priority_geo_mean": q_priority_geo_mean,
         "dup_size_histogram": q_dup_size_histogram,
+        "nation_revenue_share": q_nation_revenue_share,
+        "weekly_revenue_growth": q_weekly_revenue_growth,
         # rows-only (non-SQL-expressible)
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
@@ -4158,6 +4233,38 @@ def oracle_sql() -> dict[str, str]:
                   FROM bmr FULL OUTER JOIN qr ON bmr.doc_id = qr.doc_id)
             SELECT doc_id, round(s, 6) AS rrf_score FROM f
             ORDER BY rrf_score DESC, doc_id LIMIT 20
+        """,
+        "nation_revenue_share": """
+            WITH j AS (SELECT c.c_nationkey,
+                              CAST(round(o.o_totalprice * 100) AS BIGINT)
+                                  AS cents
+                       FROM orders o JOIN customer c
+                         ON o.o_custkey = c.c_custkey),
+            n AS (SELECT c_nationkey, CAST(sum(cents) AS BIGINT) AS cents
+                  FROM j GROUP BY 1)
+            SELECT c_nationkey, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+                   round(CAST(cents AS DOUBLE)
+                         / CAST((SELECT sum(cents) FROM n) AS DOUBLE), 8)
+                       AS share
+            FROM n ORDER BY c_nationkey
+        """,
+        "weekly_revenue_growth": """
+            WITH w AS (SELECT strftime(date_trunc('week', o_orderdate),
+                                       '%Y-%m-%d') AS week,
+                              CAST(round(o_totalprice * 100) AS BIGINT)
+                                  AS cents
+                       FROM orders),
+            a AS (SELECT week, CAST(sum(cents) AS BIGINT) AS cents
+                  FROM w GROUP BY 1)
+            SELECT week, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+                   lag(CAST(cents AS DOUBLE) / 100.0)
+                       OVER (ORDER BY week) AS prev_revenue,
+                   round((CAST(cents AS DOUBLE) / 100.0
+                          - lag(CAST(cents AS DOUBLE) / 100.0)
+                                OVER (ORDER BY week))
+                         / lag(CAST(cents AS DOUBLE) / 100.0)
+                               OVER (ORDER BY week), 6) AS growth_pct
+            FROM a ORDER BY week
         """,
         "priority_geo_mean": """
             SELECT o_orderpriority,
