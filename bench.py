@@ -153,6 +153,20 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "budget_select",
         "hll_merge_rollup",
         "fuzzy_name_lookup",
+        "customer_global_rank",
+        "user_coverage_spans",
+        "daily_user_growth",
+        "event_debounce",
+        "token_pmi",
+        "dedup_savings",
+        "label_centroids",
+        "centroid_confusion",
+        "lineitem_corr_matrix",
+        "part_pagerank_weighted",
+        "priority_geo_mean",
+        "dup_size_histogram",
+        "nation_revenue_share",
+        "weekly_revenue_growth",
         # part_k_core is oracle-checked but excluded here: ~30 s of
         # fixpoint rounds at sf0.1 would dominate the min-of-2 budget
     ]
