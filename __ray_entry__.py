@@ -2724,6 +2724,42 @@ def q_weekly_revenue_growth(sf_dir: str) -> rd.Dataset:
                          batch_format="pandas").sort("week"))
 
 
+def q_snm_pairs(sf_dir: str) -> rd.Dataset:
+    """Sorted-neighborhood blocking pairs (stages/linkage.
+    sorted_neighborhood_pairs): window pairs over the global
+    (p_name, p_partkey) order via the two-phase prefix-bin rank — no
+    global sort materialization, bounded 2x chunk replication."""
+    from belb_ray.stages.linkage import sorted_neighborhood_pairs
+
+    part = _t(sf_dir, "part").select_columns(["p_partkey", "p_name"])
+    return sorted_neighborhood_pairs(part, "p_partkey", "p_name", window=4)
+
+
+def q_name_jw_pairs(sf_dir: str) -> rd.Dataset:
+    """Jaro-Winkler-scored sorted-neighborhood candidates: SNM window
+    pairs over part names (carry_sort=True so the scorer needs no join)
+    scored by the vectorized JW kernel (functions/similarity.
+    jaro_winkler_batch) — cross-engine check of the flagship's scoring
+    kernel against DuckDB's jaro_winkler_similarity, bit-identical."""
+    from belb_ray.functions.similarity import jaro_winkler_batch
+    from belb_ray.stages.linkage import sorted_neighborhood_pairs
+
+    part = _t(sf_dir, "part").select_columns(["p_partkey", "p_name"])
+    pairs = sorted_neighborhood_pairs(part, "p_partkey", "p_name",
+                                      window=8, carry_sort=True)
+
+    def _score(batch: pd.DataFrame) -> pd.DataFrame:
+        jw = jaro_winkler_batch(batch["sort_a"].tolist(),
+                                batch["sort_b"].tolist())
+        keep = jw >= 0.85
+        return pd.DataFrame({
+            "id_a": batch["id_a"].to_numpy()[keep],
+            "id_b": batch["id_b"].to_numpy()[keep],
+            "jw": np.round(jw[keep], 6)})
+
+    return pairs.map_batches(_score, batch_format="pandas")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2889,6 +2925,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "multimodal_features": q_multimodal_features,
+        "snm_pairs": q_snm_pairs,
+        "name_jw_pairs": q_name_jw_pairs,
     }
 
 
@@ -4680,6 +4718,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, count(*) AS df,
                    list_sort(array_agg(doc_id)) AS postings
             FROM w GROUP BY term HAVING count(*) >= 2
+        """,
+        "snm_pairs": """
+            WITH r AS (SELECT p_partkey AS id, p_name AS nm,
+                              row_number() OVER (ORDER BY p_name,
+                                                 p_partkey) AS rn
+                       FROM part)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(b.rn - a.rn AS BIGINT) AS gap
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 4
+        """,
+        "name_jw_pairs": """
+            WITH r AS (SELECT p_partkey AS id, p_name AS nm,
+                              row_number() OVER (ORDER BY p_name,
+                                                 p_partkey) AS rn
+                       FROM part),
+            p AS (SELECT a.id AS id_a, b.id AS id_b,
+                         a.nm AS na, b.nm AS nb
+                  FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 8)
+            SELECT id_a, id_b,
+                   round(jaro_winkler_similarity(na, nb), 6) AS jw
+            FROM p WHERE jaro_winkler_similarity(na, nb) >= 0.85
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

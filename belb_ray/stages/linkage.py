@@ -311,3 +311,124 @@ def edit_distance_lookup(probe: rd.Dataset, canon: rd.Dataset,
     return (cands.map_batches(_bucket_pairs, batch_format="pandas")
             .groupby("__bucket").map_groups(_verify,
                                             batch_format="pandas"))
+
+
+def _prefix_bins(vals: np.ndarray) -> np.ndarray:
+    """First-2-codepoint prefix of each string packed into one int64.
+
+    UTF-32 codepoint order == lexicographic string order, so sorting the
+    packed bins ascending visits prefixes in the same order a global
+    string sort would — the property the two-phase rank prefix needs.
+    Shorter strings zero-pad (codepoint 0 < everything), matching
+    ''.__lt__ semantics."""
+    if len(vals) == 0:
+        return np.zeros(0, np.int64)
+    u = np.array(vals, dtype="U2")  # truncates to 2 codepoints, 0-padded
+    cp = u.view(np.uint32).reshape(len(u), 2).astype(np.int64)
+    return cp[:, 0] * 1114112 + cp[:, 1]
+
+
+def sorted_neighborhood_pairs(ds: rd.Dataset, id_col: str, sort_col: str,
+                              window: int, carry_sort: bool = False,
+                              num_buckets: int = 64) -> rd.Dataset:
+    """Sorted-neighborhood (SNM) blocking: every pair of rows whose
+    positions in the global (sort_col, id_col) order differ by less than
+    ``window`` → (id_a, id_b, gap), id_a the lower-ranked row;
+    ``carry_sort`` adds sort_a/sort_b for downstream scorers.
+
+    The classic windowed blocking from the record-linkage literature —
+    the reference blocks candidate identifier matches by shared
+    name/prefix keys (belb/kbs/kb.py synonym grouping, SURVEY §2.5 J3);
+    SNM is its order-based dual and the second blocking family named in
+    this graft's north star (path-token sorted-neighborhood keys).
+
+    Distributed shape (no global sort materialization):
+    1. per-batch combiner counts rows per first-2-codepoint prefix bin —
+       O(#bins) rows to the driver, cumsum in bin order gives each bin's
+       global base rank (the global_rank / budget_select device, string
+       key edition);
+    2. ONE hash(bin) co-location shuffle finishes each bin's exact rank
+       with a within-bin (sort_col, id_col) sort, then emits each row to
+       its rank chunk ``rank // window`` plus a replica to the previous
+       chunk (a qualifying pair spans at most two adjacent chunks —
+       bounded 2x replication, no all-pairs);
+    3. ONE hash(chunk) shuffle generates window pairs per chunk with the
+       vectorized repeat/offset kernel (cooccur.py's), anchored on the
+       left member's chunk so each pair is emitted exactly once.
+
+    Ranks are dense and unique (ties broken by id_col), so the result
+    equals the SQL mirror ``JOIN ON b.rn > a.rn AND b.rn - a.rn <
+    window`` over ``row_number() OVER (ORDER BY sort_col, id_col)``.
+    """
+    import ray
+
+    from ..util import cached_get
+
+    W = int(window)
+    if W < 2:
+        raise ValueError("window must be >= 2 (window=1 has no pairs)")
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _prefix_bins(batch[sort_col].to_numpy(object))
+        return (pd.DataFrame({"__bin": b}).groupby("__bin", sort=False)
+                .size().rename("__n").reset_index())
+
+    bs = (ds.select_columns([sort_col])
+          .map_batches(_partial, batch_format="pandas").to_pandas())
+    bs = bs.groupby("__bin", sort=True)["__n"].sum()
+    bases = np.concatenate([[0], bs.cumsum().to_numpy()[:-1]])
+    base_of = {int(k): int(v) for k, v in zip(bs.index, bases)}
+    ref = ray.put(base_of)
+
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[id_col, sort_col]].copy()
+        batch["__bin"] = _prefix_bins(batch[sort_col].to_numpy(object))
+        batch["__bucket"] = _bucket_of_frame(batch, ["__bin"], num_buckets)
+        return batch
+
+    def _rank_chunks(group: pd.DataFrame) -> pd.DataFrame:
+        base = cached_get(ref)
+        outs = []
+        for bn, g in group.groupby("__bin", sort=False):
+            g = g.sort_values([sort_col, id_col], kind="mergesort")
+            r = np.arange(len(g), dtype=np.int64) + base[int(bn)]
+            out = pd.DataFrame({"__chunk": r // W, "__r": r,
+                                id_col: g[id_col].to_numpy()})
+            if carry_sort:
+                out[sort_col] = g[sort_col].to_numpy()
+            outs.append(out)
+            prev = out[out["__chunk"] > 0].copy()
+            prev["__chunk"] = prev["__chunk"] - 1
+            outs.append(prev)
+        res = pd.concat(outs, ignore_index=True)
+        h = pd.util.hash_array(res["__chunk"].to_numpy(), categorize=False)
+        res["__bucket2"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return res
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in group.groupby("__chunk", sort=False):
+            g = g.sort_values("__r", kind="mergesort")
+            n = len(g)
+            idx = np.arange(n)
+            reps = np.clip(np.minimum(idx + W, n) - idx - 1, 0, None)
+            reps[idx >= W] = 0  # pairs anchor on this chunk's own rows
+            first = np.repeat(idx, reps)
+            offs = np.arange(int(reps.sum())) - np.repeat(
+                np.cumsum(reps) - reps, reps)
+            second = first + 1 + offs
+            ids = g[id_col].to_numpy()
+            out = pd.DataFrame({"id_a": ids[first], "id_b": ids[second],
+                                "gap": (second - first).astype(np.int64)})
+            if carry_sort:
+                sv = g[sort_col].to_numpy()
+                out["sort_a"] = sv[first]
+                out["sort_b"] = sv[second]
+            outs.append(out)
+        return pd.concat(outs, ignore_index=True)
+
+    return (ds.map_batches(_bucketize, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(_rank_chunks, batch_format="pandas")
+            .groupby("__bucket2")
+            .map_groups(_pairs, batch_format="pandas"))

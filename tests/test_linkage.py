@@ -105,3 +105,55 @@ def test_edit_distance_lookup_vs_bruteforce():
     assert got == expect
     # same-string cross match has dist 0; '' matches '' (0) and 'x'-like
     assert (100, 0, 0) in got and (105, 7, 0) in got
+
+
+def test_sorted_neighborhood_pairs_vs_bruteforce():
+    import random
+    import string
+
+    import numpy as np
+    import pandas as pd
+
+    from belb_ray.stages.linkage import sorted_neighborhood_pairs
+
+    rng = random.Random(11)
+    n = 600
+    names = ["".join(rng.choices(string.ascii_lowercase + "é",
+                                 k=rng.randint(0, 6))) for _ in range(n)]
+    for i in range(0, n, 5):  # force heavy sort-key ties
+        names[i] = names[(i * 7) % n]
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64), "nm": names})
+    W = 4
+    got = sorted_neighborhood_pairs(
+        rd.from_pandas(df).repartition(7), "id", "nm", W,
+        carry_sort=True, num_buckets=8).to_pandas()
+    bf = df.sort_values(["nm", "id"], kind="mergesort").reset_index(drop=True)
+    rows = [(bf.id[i], bf.id[j], j - i, bf.nm[i], bf.nm[j])
+            for i in range(len(bf))
+            for j in range(i + 1, min(i + W, len(bf)))]
+    exp = pd.DataFrame(rows, columns=["id_a", "id_b", "gap",
+                                      "sort_a", "sort_b"])
+    key = ["id_a", "id_b"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert got.astype(str).equals(exp.astype(str))
+
+
+def test_sorted_neighborhood_pairs_block_invariant():
+    import numpy as np
+    import pandas as pd
+
+    from belb_ray.stages.linkage import sorted_neighborhood_pairs
+
+    df = pd.DataFrame({"id": np.arange(200, dtype=np.int64),
+                       "nm": [f"k{i % 37:02d}" for i in range(200)]})
+
+    def run(blocks: int, buckets: int) -> pd.DataFrame:
+        out = sorted_neighborhood_pairs(
+            rd.from_pandas(df).repartition(blocks), "id", "nm", 5,
+            num_buckets=buckets).to_pandas()
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    a, b = run(2, 4), run(11, 16)
+    assert a.equals(b)
+    assert (a["gap"] >= 1).all() and (a["gap"] < 5).all()
