@@ -2760,6 +2760,27 @@ def q_name_jw_pairs(sf_dir: str) -> rd.Dataset:
     return pairs.map_batches(_score, batch_format="pandas")
 
 
+def q_user_freq_cms(sf_dir: str) -> rd.Dataset:
+    """Count-min-sketch point-frequency estimates (stages/sketch.
+    cms_sketch + cms_estimate): linear sketch, cell-wise-summing
+    partials bound the exchange at depth x width per block; probes
+    stream against the broadcast matrix. width=64 < 150 users, so real
+    collisions exercise the min-across-rows bound."""
+    from belb_ray.stages.agg import preagg_groupby
+    from belb_ray.stages.sketch import cms_estimate, cms_sketch
+
+    ev = _t(sf_dir, "events").select_columns(["user_id"])
+    cms = cms_sketch(ev, "user_id", depth=4, width=64)
+    distinct = preagg_groupby(ev, ["user_id"], [("count", "", "_n")])
+
+    def _sel(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["user_id"].to_numpy(np.int64)
+        return pd.DataFrame({"user_id": u[u % 20 == 0]})
+
+    probes = distinct.map_batches(_sel, batch_format="pandas")
+    return cms_estimate(cms, probes, "user_id", depth=4, width=64)
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2927,6 +2948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": q_multimodal_features,
         "snm_pairs": q_snm_pairs,
         "name_jw_pairs": q_name_jw_pairs,
+        "user_freq_cms": q_user_freq_cms,
     }
 
 
@@ -4739,6 +4761,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b,
                    round(jaro_winkler_similarity(na, nb), 6) AS jw
             FROM p WHERE jaro_winkler_similarity(na, nb) >= 0.85
+        """,
+        "user_freq_cms": """
+            WITH ds AS (SELECT unnest(range(4)) AS d),
+            h AS (SELECT e.user_id, ds.d,
+                         CAST(('0x' || substr(md5(CAST(e.user_id AS VARCHAR)
+                                                  || ':' || ds.d), 1, 15))
+                              AS BIGINT) % 64 AS idx
+                  FROM events e CROSS JOIN ds),
+            cells AS (SELECT d, idx, count(*) AS cnt FROM h GROUP BY d, idx),
+            probes AS (SELECT DISTINCT user_id FROM events
+                       WHERE user_id % 20 = 0),
+            ph AS (SELECT p.user_id, ds.d,
+                          CAST(('0x' || substr(md5(CAST(p.user_id AS VARCHAR)
+                                                   || ':' || ds.d), 1, 15))
+                               AS BIGINT) % 64 AS idx
+                   FROM probes p CROSS JOIN ds)
+            SELECT ph.user_id, CAST(min(c.cnt) AS BIGINT) AS est_count
+            FROM ph JOIN cells c ON c.d = ph.d AND c.idx = ph.idx
+            GROUP BY ph.user_id
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

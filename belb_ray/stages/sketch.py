@@ -326,3 +326,73 @@ def hll_merge(sketches: rd.Dataset, group_key: str, p: int,
     return (sketches.map_batches(_bucketize, batch_format="pandas")
             .groupby("__bucket").map_groups(_combine,
                                             batch_format="pandas"))
+
+
+def _cms_hash(vals: list, d: int, width: int) -> np.ndarray:
+    """Row-d CMS bucket: md5-derived 60-bit hash mod width — mirrors SQL
+    ``CAST('0x' || substr(md5(CAST(v AS VARCHAR) || ':' || d), 1, 15)
+    AS BIGINT) % width`` (same convention as ``_md5_hash60``)."""
+    import hashlib
+
+    md5 = hashlib.md5
+    hv = np.fromiter(
+        (int(md5(f"{v}:{d}".encode()).hexdigest()[:15], 16) for v in vals),
+        np.int64, len(vals))
+    return hv % width
+
+
+def cms_sketch(ds: rd.Dataset, key_col: str, depth: int = 4,
+               width: int = 64, num_buckets: int = 16) -> rd.Dataset:
+    """Count-min sketch of ``key_col`` frequencies → nonzero cells
+    (d, idx, cnt). CMS is a LINEAR sketch: per-block partial matrices
+    sum cell-wise, so the exchange is bounded by depth x width rows per
+    block at ANY key cardinality — the frequency-query dual of
+    ``hll_sketch`` (Cormode & Muthukrishnan 2005). Point estimates
+    overcount only (min over depth rows of colliding-bucket sums)."""
+    from .agg import preagg_groupby
+
+    def _partial(batch: pa.Table) -> pd.DataFrame:
+        vals = batch[key_col].to_pylist()
+        out_d, out_i, out_c = [], [], []
+        for d in range(depth):
+            cnt = np.bincount(_cms_hash(vals, d, width), minlength=width)
+            nz = np.flatnonzero(cnt)
+            out_d.append(np.full(len(nz), d, np.int64))
+            out_i.append(nz.astype(np.int64))
+            out_c.append(cnt[nz].astype(np.int64))
+        return pd.DataFrame({"d": np.concatenate(out_d),
+                             "idx": np.concatenate(out_i),
+                             "cnt": np.concatenate(out_c)})
+
+    partials = ds.select_columns([key_col]).map_batches(
+        _partial, batch_format="pyarrow")
+    return preagg_groupby(partials, ["d", "idx"],
+                          [("sum", "cnt", "cnt")], num_buckets)
+
+
+def cms_estimate(cms: rd.Dataset, probes: rd.Dataset, key_col: str,
+                 depth: int = 4, width: int = 64) -> rd.Dataset:
+    """Point-frequency estimates for each probe row's ``key_col``:
+    (key_col, est_count). The sketch table is at most depth x width rows
+    by construction — the one small collect — broadcast once; probes
+    stream."""
+    import ray
+
+    from ..util import cached_get
+
+    cells = cms.to_pandas()
+    mat = np.zeros((depth, width), np.int64)
+    mat[cells["d"].to_numpy(), cells["idx"].to_numpy()] = \
+        cells["cnt"].to_numpy()
+    ref = ray.put(mat)
+
+    def _est(batch: pa.Table) -> pd.DataFrame:
+        m = cached_get(ref)
+        vals = batch[key_col].to_pylist()
+        est = np.full(len(vals), np.iinfo(np.int64).max, np.int64)
+        for d in range(depth):
+            est = np.minimum(est, m[d, _cms_hash(vals, d, width)])
+        return pd.DataFrame({key_col: vals,
+                             "est_count": est})
+
+    return probes.map_batches(_est, batch_format="pyarrow")

@@ -2053,3 +2053,30 @@ def test_corr_matrix_matches_numpy_and_block_invariant():
                corr_matrix(ds, ["a", "b", "c"]).take_all()}
         assert got == expect
     assert expect[("a", "b")] > 0.8  # the planted correlation shows
+
+
+def test_cms_overcounts_only_and_block_invariant():
+    import numpy as np
+    import pandas as pd
+
+    from belb_ray.stages.sketch import cms_estimate, cms_sketch
+
+    rng = np.random.default_rng(5)
+    keys = rng.zipf(1.5, 4000) % 97  # skewed, collisions at width 32
+    df = pd.DataFrame({"k": keys.astype(np.int64)})
+    exact = df["k"].value_counts()
+    probes = rd.from_pandas(pd.DataFrame({"k": exact.index.to_numpy()}))
+
+    outs = []
+    for blocks in (2, 13):
+        cms = cms_sketch(rd.from_pandas(df).repartition(blocks), "k",
+                         depth=4, width=32)
+        est = cms_estimate(cms, probes, "k", depth=4, width=32).to_pandas()
+        outs.append(est.sort_values("k").reset_index(drop=True))
+    a, b = outs
+    assert a.equals(b)  # linear sketch: partial sums are block-invariant
+    merged = a.set_index("k")["est_count"]
+    ex = exact.reindex(merged.index)
+    assert (merged >= ex).all()  # CMS never undercounts
+    # min over 4 rows keeps error well under the single-row worst case
+    assert (merged - ex).max() <= len(df) // 8
