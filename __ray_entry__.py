@@ -2781,6 +2781,25 @@ def q_user_freq_cms(sf_dir: str) -> rd.Dataset:
     return cms_estimate(cms, probes, "user_id", depth=4, width=64)
 
 
+def q_doc_readability(sf_dir: str) -> rd.Dataset:
+    """Flesch-style readability per document (stages/docstats.
+    readability_scores): streaming C-regex kernels, no shuffle; proxies
+    (word runs / sentence-punct runs / vowel groups) chosen for exact
+    SQL-mirror parity."""
+    from belb_ray.stages.docstats import readability_scores
+
+    return readability_scores(_t(sf_dir, "documents"))
+
+
+def q_supplier_key_skew(sf_dir: str) -> pd.DataFrame:
+    """Partition-key skew diagnostic (stages/corpus.key_skew_profile)
+    over lineitem.l_suppkey: per-key counts → fixed-width moment
+    partials → one summary row (top_share, cv)."""
+    from belb_ray.stages.corpus import key_skew_profile
+
+    return key_skew_profile(_t(sf_dir, "lineitem"), "l_suppkey")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2949,6 +2968,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_pairs": q_snm_pairs,
         "name_jw_pairs": q_name_jw_pairs,
         "user_freq_cms": q_user_freq_cms,
+        "doc_readability": q_doc_readability,
+        "supplier_key_skew": q_supplier_key_skew,
     }
 
 
@@ -4780,6 +4801,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT ph.user_id, CAST(min(c.cnt) AS BIGINT) AS est_count
             FROM ph JOIN cells c ON c.d = ph.d AND c.idx = ph.idx
             GROUP BY ph.user_id
+        """,
+        "doc_readability": """
+            WITH m AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                           AS words,
+                       greatest(1, len(regexp_extract_all(lower(text),
+                                                          '[.!?]+')))
+                           AS sentences,
+                       len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                           AS syllables
+                FROM documents)
+            SELECT doc_id, CAST(words AS BIGINT) AS words,
+                   CAST(sentences AS BIGINT) AS sentences,
+                   CAST(syllables AS BIGINT) AS syllables,
+                   round(206.835
+                         - 1.015 * (CAST(words AS DOUBLE)
+                                    / CAST(sentences AS DOUBLE))
+                         - 84.6 * (CAST(syllables AS DOUBLE)
+                                   / CAST(words AS DOUBLE)), 4) AS flesch
+            FROM m WHERE words > 0
+        """,
+        "supplier_key_skew": """
+            WITH c AS (SELECT l_suppkey, CAST(count(*) AS DOUBLE) AS c
+                       FROM lineitem GROUP BY l_suppkey),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                         sum(c) AS total, sum(c * c) AS sum2,
+                         max(c) AS mx
+                  FROM c)
+            SELECT CAST(total AS BIGINT) AS n_rows, n_keys,
+                   CAST(mx AS BIGINT) AS max_cnt,
+                   round(mx / total, 8) AS top_share,
+                   round(sqrt(sum2 / n_keys
+                              - (total / n_keys) * (total / n_keys))
+                         / (total / n_keys), 8) AS cv
+            FROM a
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

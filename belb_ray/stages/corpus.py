@@ -179,3 +179,45 @@ def inverted_index(ds: rd.Dataset, id_col: str = "doc_id",
     return (pairs.map_batches(_bucketize, batch_format="pandas")
             .groupby("__bucket").map_groups(_assemble,
                                             batch_format="pandas"))
+
+
+def key_skew_profile(ds: rd.Dataset, key: str,
+                     num_buckets: int = 64) -> pd.DataFrame:
+    """One-row skew diagnostic for a prospective partition/shuffle key →
+    (n_rows, n_keys, max_cnt, top_share, cv). The pre-flight check every
+    wide operation in this engine assumes (salted pair caps, bucketed
+    combines): a key with top_share ≫ 1/n_keys or cv ≫ 1 needs salting
+    before a groupby lands on it.
+
+    Shape: per-key counts ride the usual bucketed combiner; the counts
+    table then reduces to fixed-width moment partials (n, Σc, Σc², max)
+    per block, so the driver sees O(#blocks) rows regardless of key
+    cardinality. Counts are integer-valued and below 2^53, so float64
+    sums are exact and block-order-independent — the SQL oracle mirrors
+    the finish arithmetic expression-for-expression."""
+    from .agg import preagg_groupby
+
+    counts = preagg_groupby(ds.select_columns([key]), [key],
+                            [("count", "", "__c")], num_buckets)
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["__c"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "nk": [np.int64(len(c))],
+            "total": [c.sum() if len(c) else 0.0],
+            "sum2": [(c * c).sum() if len(c) else 0.0],
+            "mx": [c.max() if len(c) else 0.0]})
+
+    p = counts.map_batches(_partial, batch_format="pandas").to_pandas()
+    nk = int(p["nk"].sum())
+    total = float(p["total"].sum())
+    sum2 = float(p["sum2"].sum())
+    mx = float(p["mx"].max()) if len(p) else 0.0
+    mean = total / nk
+    cv = np.sqrt(sum2 / nk - mean * mean) / mean
+    return pd.DataFrame({
+        "n_rows": np.array([total], np.int64),
+        "n_keys": np.array([nk], np.int64),
+        "max_cnt": np.array([mx], np.int64),
+        "top_share": [np.round(mx / total, 8)],
+        "cv": [np.round(cv, 8)]})

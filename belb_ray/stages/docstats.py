@@ -139,3 +139,39 @@ def grouped_entropy(ds: rd.Dataset, key: str, value_col: str,
         return batch.drop(columns=["__n", "__clnc"])
 
     return sums.map_batches(_finish, batch_format="pandas")
+
+
+def readability_scores(ds: rd.Dataset, id_col: str = "doc_id",
+                       text_col: str = "text") -> rd.Dataset:
+    """Flesch-reading-ease-style score per document → (id_col, words,
+    sentences, syllables, flesch). Pure streaming map_batches — no
+    shuffle, pandas C-regex kernels.
+
+    Proxies chosen for exact cross-engine parity (mirrored
+    expression-for-expression in the SQL oracle): words = maximal
+    [a-z0-9]+ runs of the lowercased text; sentences = max(1, count of
+    [.!?]+ runs); syllables = count of [aeiouy]+ vowel groups. Documents
+    with zero words are dropped (the score is undefined).
+    flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    rounded to 4dp. The quality-scoring companion to doc_quality
+    (Gopher/C4-style filters use reading-ease bands)."""
+
+    def _f(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[text_col].astype(str).str.lower()
+        words = t.str.count(r"[a-z0-9]+").to_numpy(np.int64)
+        sents = np.maximum(
+            1, t.str.count(r"[.!?]+").to_numpy(np.int64))
+        syll = t.str.count(r"[aeiouy]+").to_numpy(np.int64)
+        keep = words > 0
+        w = words[keep].astype(np.float64)
+        s = sents[keep].astype(np.float64)
+        v = syll[keep].astype(np.float64)
+        flesch = np.round(206.835 - 1.015 * (w / s) - 84.6 * (v / w), 4)
+        return pd.DataFrame({id_col: batch[id_col].to_numpy()[keep],
+                             "words": words[keep],
+                             "sentences": sents[keep],
+                             "syllables": syll[keep],
+                             "flesch": flesch})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _f, batch_format="pandas")

@@ -170,6 +170,8 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "snm_pairs",
         "name_jw_pairs",
         "user_freq_cms",
+        "doc_readability",
+        "supplier_key_skew",
         # part_k_core is oracle-checked but excluded here: ~30 s of
         # fixpoint rounds at sf0.1 would dominate the min-of-2 budget
     ]

@@ -2080,3 +2080,43 @@ def test_cms_overcounts_only_and_block_invariant():
     assert (merged >= ex).all()  # CMS never undercounts
     # min over 4 rows keeps error well under the single-row worst case
     assert (merged - ex).max() <= len(df) // 8
+
+
+def test_readability_scores_crafted():
+    import numpy as np
+    import pandas as pd
+
+    from belb_ray.stages.docstats import readability_scores
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["The cat sat. The dog ran!", "???", "aeiou xyz"]})
+    got = (readability_scores(rd.from_pandas(docs))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # doc 2 has zero words -> dropped
+    assert got["doc_id"].tolist() == [1, 3]
+    r1 = got.iloc[0]
+    assert (r1["words"], r1["sentences"], r1["syllables"]) == (6, 2, 6)
+    assert abs(r1["flesch"] - round(206.835 - 1.015 * 3.0
+                                    - 84.6 * 1.0, 4)) < 1e-9
+    r3 = got.iloc[1]  # 'aeiou xyz': 2 words, 1 sentence (floor), 2 groups
+    assert (r3["words"], r3["sentences"], r3["syllables"]) == (2, 1, 2)
+
+
+def test_key_skew_profile_block_invariant():
+    import numpy as np
+    import pandas as pd
+
+    from belb_ray.stages.corpus import key_skew_profile
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"k": rng.zipf(1.3, 5000) % 211})
+    outs = [key_skew_profile(rd.from_pandas(df).repartition(b), "k",
+                             num_buckets=8)
+            for b in (3, 17)]
+    assert outs[0].equals(outs[1])
+    row = outs[0].iloc[0]
+    vc = df["k"].value_counts()
+    assert row["n_rows"] == len(df) and row["n_keys"] == len(vc)
+    assert row["max_cnt"] == vc.max()
+    assert abs(row["top_share"] - round(vc.max() / len(df), 8)) < 1e-12
