@@ -179,7 +179,7 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
     # CPU steal moves around): report min over up to GRAFT_BENCH_TRIALS
     # passes, but never start another pass past the soft time budget
     trials = int(os.environ.get("GRAFT_BENCH_TRIALS", "2"))
-    budget_s = float(os.environ.get("GRAFT_BENCH_BUDGET_S", "300"))
+    budget_s = float(os.environ.get("GRAFT_BENCH_BUDGET_S", "900"))
     timings: dict[str, float] = {}
     started = time.time()
     for trial in range(max(1, trials)):
