@@ -2800,6 +2800,24 @@ def q_supplier_key_skew(sf_dir: str) -> pd.DataFrame:
     return key_skew_profile(_t(sf_dir, "lineitem"), "l_suppkey")
 
 
+def q_doc_jaccard_join(sf_dir: str) -> rd.Dataset:
+    """Exact set-similarity self-join with prefix filtering
+    (stages/setsim.jaccard_similarity_join, PPJoin-style): provably
+    complete candidates from rarest-first prefixes — the exact
+    complement to the MinHash LSH paths (no recall loss). Oracle is the
+    brute-force all-pairs word-Jaccard in SQL, which certifies both the
+    scores AND the prefix filter's completeness."""
+    from belb_ray.stages.setsim import jaccard_similarity_join
+
+    out = jaccard_similarity_join(_t(sf_dir, "documents"), 0.95)
+
+    def _round(b: pd.DataFrame) -> pd.DataFrame:
+        b["jaccard"] = np.round(b["jaccard"].to_numpy(np.float64), 6)
+        return b
+
+    return out.map_batches(_round, batch_format="pandas")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2970,6 +2988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_freq_cms": q_user_freq_cms,
         "doc_readability": q_doc_readability,
         "supplier_key_skew": q_supplier_key_skew,
+        "doc_jaccard_join": q_doc_jaccard_join,
     }
 
 
@@ -4837,6 +4856,26 @@ def oracle_sql() -> dict[str, str]:
                               - (total / n_keys) * (total / n_keys))
                          / (total / n_keys), 8) AS cv
             FROM a
+        """,
+        "doc_jaccard_join": """
+            WITH w AS (SELECT DISTINCT doc_id,
+                              unnest(list_filter(string_split_regex(
+                                  lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS tok
+                       FROM documents),
+            s AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+            i AS (SELECT w1.doc_id AS id_a, w2.doc_id AS id_b,
+                         count(*) AS inter
+                  FROM w w1 JOIN w w2
+                    ON w1.tok = w2.tok AND w1.doc_id < w2.doc_id
+                  GROUP BY w1.doc_id, w2.doc_id),
+            j AS (SELECT id_a, id_b,
+                         CAST(inter AS DOUBLE)
+                             / CAST(sa.n + sb.n - inter AS DOUBLE) AS jac
+                  FROM i JOIN s sa ON sa.doc_id = id_a
+                         JOIN s sb ON sb.doc_id = id_b)
+            SELECT id_a, id_b, round(jac, 6) AS jaccard
+            FROM j WHERE jac >= 0.95
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

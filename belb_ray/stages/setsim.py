@@ -1,0 +1,244 @@
+"""Exact set-similarity join with prefix filtering (PPJoin-style).
+
+The EXACT complement to the MinHash/SimHash LSH paths (pipelines/
+docdedup.py): every pair of documents whose distinct-word-token Jaccard
+is >= threshold, with NO recall loss — the prefix-filter principle
+(Chaudhuri/Ganti/Kaushik ICDE'06, Xiao et al. WWW'08 "PPJoin") makes the
+candidate set provably complete: order every set by one global total
+order, take each set's first ``n - ceil(t*n) + 1`` tokens; two sets with
+Jaccard >= t MUST share a token inside both prefixes (the globally
+smallest common token is in each prefix by counting). The reference's
+synonym-overlap matching (belb/kbs/kb.py identifier homonym merge —
+SURVEY A2) is this op's thresholded form.
+
+Distributed shape (100 TB):
+- one streaming pass computes per-doc features (sorted distinct token
+  hashes as a binary payload + the prefix token list) — tokenize once;
+- the global order is token document-frequency ascending (rarest first,
+  the candidate-minimizing order) when the vocabulary fits the broadcast
+  budget; past the budget it falls back to plain hash order — STILL
+  exact (any global total order preserves the guarantee), just more
+  candidates — so nothing ever materializes an unbounded vocabulary on
+  the driver;
+- candidates: explode prefixes, ONE hash(token) co-location shuffle,
+  vectorized within-token pair generation with the length filter
+  (min_n >= t*max_n) applied before emission; prefix tokens are the
+  RAREST tokens of each doc, so token groups stay small by construction
+  (no hot-key caps needed — the filter is what bounds fan-out);
+- pair dedup by (a, b) bucket, then the exact verify attaches the two
+  sorted hash sets (broadcast under ``broadcast_threshold`` docs, else
+  two hash-partition joins) and intersects them vectorized.
+
+Float-boundary safety: prefix length uses floor(t*n) (a slightly LONGER
+prefix is always safe) and the length filter adds +1e-9 slack — filters
+may only over-admit; the verify is exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.hashing import token_hashes
+from ..functions.text import tokenize
+from .agg import _bucket_of_frame, preagg_groupby
+
+
+def _doc_sets(docs: rd.Dataset, id_col: str, text_col: str):
+    """(id, n, set_bytes) rows: sorted distinct token hashes per doc."""
+
+    def _f(batch: pa.Table) -> pd.DataFrame:
+        cache: dict = {}
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        ns = np.empty(len(ids), np.int64)
+        payload = []
+        for i, s in enumerate(texts):
+            th = np.unique(token_hashes(tokenize(s or ""), cache))
+            ns[i] = th.size
+            payload.append(th.tobytes())
+        return pd.DataFrame({"id": ids, "n": ns, "set": payload})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        _f, batch_format="pyarrow")
+
+
+def jaccard_similarity_join(docs: rd.Dataset, threshold: float,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            num_buckets: int = 64,
+                            vocab_broadcast: int = 2_000_000,
+                            broadcast_threshold: int = 2_000_000
+                            ) -> rd.Dataset:
+    """All pairs with distinct-word-token Jaccard >= threshold →
+    (id_a, id_b, jaccard), id_a < id_b, jaccard unrounded float64."""
+    import ray
+
+    from ..util import cached_get
+    from .joins import collect_arrow, hash_partition_join
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    t = float(threshold)
+
+    feats = _doc_sets(docs, id_col, text_col).materialize()
+
+    # global token order: df-ascending when the vocabulary fits the
+    # broadcast budget, hash order (exact, more candidates) otherwise
+    def _df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = np.concatenate([np.frombuffer(b, np.uint64)
+                               for b in batch["set"]]) \
+            if len(batch) else np.zeros(0, np.uint64)
+        u, c = np.unique(toks, return_counts=True)
+        return pd.DataFrame({"tok": u.astype(np.int64),
+                             "df": c.astype(np.int64)})
+
+    dfs = preagg_groupby(
+        feats.select_columns(["set"]).map_batches(_df_partial,
+                                                  batch_format="pandas"),
+        ["tok"], [("sum", "df", "df")], num_buckets)
+    vocab_n = dfs.count()
+    if vocab_n <= vocab_broadcast:
+        # tok is the uint64 hash wrapped to int64 bit-pattern (Arrow has
+        # no uint64 groupby key here); sort + probe in the SAME int64
+        # domain — re-casting to uint64 would reorder the array
+        dft = dfs.sort("tok").to_pandas()
+        ref_df = ray.put((dft["tok"].to_numpy(np.int64),
+                          dft["df"].to_numpy(np.int64)))
+    else:
+        ref_df = None  # hash order: np.unique output is already sorted
+
+    def _prefix_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = cached_get(ref_df) if ref_df is not None else None
+        out_t, out_id, out_n = [], [], []
+        for did, n, sb in zip(batch["id"], batch["n"], batch["set"]):
+            if n == 0:
+                continue
+            th = np.frombuffer(sb, np.uint64)
+            if lookup is not None:
+                toks_sorted, dfv = lookup
+                d = dfv[np.searchsorted(toks_sorted, th.view(np.int64))]
+                th = th[np.lexsort((th, d))]
+            p = int(n) - int(t * int(n)) + 1  # floor → safe long prefix
+            pre = th[:p]
+            out_t.append(pre.astype(np.int64))
+            out_id.append(np.full(pre.size, did, np.int64))
+            out_n.append(np.full(pre.size, n, np.int64))
+        if not out_t:
+            z = np.zeros(0, np.int64)
+            return pd.DataFrame({"tok": z, "id": z, "n": z})
+        return pd.DataFrame({"tok": np.concatenate(out_t),
+                             "id": np.concatenate(out_id),
+                             "n": np.concatenate(out_n)})
+
+    def _tok_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__bucket"] = _bucket_of_frame(batch, ["tok"], num_buckets)
+        return batch
+
+    def _cand_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.drop(columns="__bucket")
+             .sort_values(["tok", "id"], kind="mergesort"))
+        tv = g["tok"].to_numpy()
+        iv = g["id"].to_numpy()
+        nv = g["n"].to_numpy()
+        m = len(g)
+        if m == 0:
+            z = np.zeros(0, np.int64)
+            return pd.DataFrame({"a": z, "b": z})
+        new = np.ones(m, dtype=bool)
+        new[1:] = tv[1:] != tv[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.concatenate((starts, [m])))
+        idx = np.arange(m)
+        local = idx - np.repeat(starts, counts)
+        reps = np.repeat(counts, counts) - local - 1
+        first = np.repeat(idx, reps)
+        offs = np.arange(int(reps.sum())) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        second = first + 1 + offs
+        a, b = iv[first], iv[second]
+        na, nb = nv[first], nv[second]
+        lo = np.minimum(na, nb).astype(np.float64)
+        hi = np.maximum(na, nb).astype(np.float64)
+        keep = lo + 1e-9 >= t * hi  # length filter, over-admitting slack
+        a, b = a[keep], b[keep]
+        swap = a > b
+        return pd.DataFrame({"a": np.where(swap, b, a),
+                             "b": np.where(swap, a, b)})
+
+    def _pair_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__bucket"] = _bucket_of_frame(batch, ["a", "b"],
+                                             num_buckets)
+        return batch
+
+    def _dedup(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop(columns="__bucket").drop_duplicates(["a", "b"])
+
+    pairs = (feats.map_batches(_prefix_rows, batch_format="pandas")
+             .map_batches(_tok_bucket, batch_format="pandas")
+             .groupby("__bucket")
+             .map_groups(_cand_pairs, batch_format="pandas")
+             .map_batches(_pair_bucket, batch_format="pandas")
+             .groupby("__bucket")
+             .map_groups(_dedup, batch_format="pandas"))
+
+    def _jacc(ids_a, ids_b, sets_a, sets_b) -> pd.DataFrame:
+        jac = np.empty(len(ids_a), np.float64)
+        for i, (sa, sb) in enumerate(zip(sets_a, sets_b)):
+            ha = np.frombuffer(sa, np.uint64)
+            hb = np.frombuffer(sb, np.uint64)
+            inter = np.intersect1d(ha, hb, assume_unique=True).size
+            union = ha.size + hb.size - inter
+            jac[i] = float(inter) / float(union) if union else 1.0
+        keep = jac >= t
+        return pd.DataFrame({"id_a": np.asarray(ids_a)[keep],
+                             "id_b": np.asarray(ids_b)[keep],
+                             "jaccard": jac[keep]})
+
+    n_docs = feats.count()
+    if n_docs <= broadcast_threshold:
+        tbl = collect_arrow(feats.select_columns(["id", "set"]))
+        ids = tbl["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids_sorted = ids[order]
+        sets = tbl["set"].combine_chunks().take(pa.array(order))
+        ref = ray.put((ids_sorted, sets))
+
+        def _verify_bc(batch: pd.DataFrame) -> pd.DataFrame:
+            if len(batch) == 0:
+                z = np.zeros(0, np.int64)
+                return pd.DataFrame({"id_a": z, "id_b": z,
+                                     "jaccard": np.zeros(0, np.float64)})
+            ids_s, st = cached_get(ref)
+            ia = np.searchsorted(ids_s, batch["a"].to_numpy())
+            ib = np.searchsorted(ids_s, batch["b"].to_numpy())
+            if not (np.all(ids_s[np.minimum(ia, len(ids_s) - 1)]
+                           == batch["a"].to_numpy())
+                    and np.all(ids_s[np.minimum(ib, len(ids_s) - 1)]
+                               == batch["b"].to_numpy())):
+                raise KeyError("jaccard_similarity_join: pair id missing "
+                               "from the feature table")
+            return _jacc(batch["a"].to_numpy(), batch["b"].to_numpy(),
+                         st.take(pa.array(ia)).to_pylist(),
+                         st.take(pa.array(ib)).to_pylist())
+
+        return pairs.map_batches(_verify_bc, batch_format="pandas",
+                                 batch_size=4096)
+
+    fa = feats.select_columns(["id", "set"]).map_batches(
+        lambda tb: tb.rename_columns(["a", "set_a"]),
+        batch_format="pyarrow")
+    fb = feats.select_columns(["id", "set"]).map_batches(
+        lambda tb: tb.rename_columns(["b", "set_b"]),
+        batch_format="pyarrow")
+    j1 = hash_partition_join(pairs, fa, key="a", num_buckets=num_buckets)
+    j2 = hash_partition_join(j1, fb, key="b", num_buckets=num_buckets)
+
+    def _verify_join(batch: pd.DataFrame) -> pd.DataFrame:
+        return _jacc(batch["a"].to_numpy(), batch["b"].to_numpy(),
+                     list(batch["set_a"]), list(batch["set_b"]))
+
+    return j2.map_batches(_verify_join, batch_format="pandas",
+                          batch_size=4096)

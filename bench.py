@@ -172,6 +172,7 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "user_freq_cms",
         "doc_readability",
         "supplier_key_skew",
+        "doc_jaccard_join",
         # part_k_core is oracle-checked but excluded here: ~30 s of
         # fixpoint rounds at sf0.1 would dominate the min-of-2 budget
     ]

@@ -2120,3 +2120,45 @@ def test_key_skew_profile_block_invariant():
     assert row["n_rows"] == len(df) and row["n_keys"] == len(vc)
     assert row["max_cnt"] == vc.max()
     assert abs(row["top_share"] - round(vc.max() / len(df), 8)) < 1e-12
+
+
+def test_jaccard_similarity_join_exact_all_paths():
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from belb_ray.functions.text import tokenize
+    from belb_ray.stages.setsim import jaccard_similarity_join
+
+    rng = random.Random(4)
+    vocab = [f"w{i}" for i in range(50)]
+    texts, ids = [], []
+    for i in range(150):
+        base = rng.sample(vocab, rng.randint(3, 10))
+        texts.append(" ".join(base))
+        ids.append(i)
+        if rng.random() < 0.5:  # near-dup sibling
+            sib = base if rng.random() < 0.3 else \
+                base[:-1] + [rng.choice(vocab)]
+            texts.append(" ".join(sib))
+            ids.append(1000 + i)
+    df = pd.DataFrame({"doc_id": np.array(ids, np.int64), "text": texts})
+    T = 0.7
+    sets = {r.doc_id: set(tokenize(r.text)) for r in df.itertuples()}
+    ks = sorted(sets)
+    exp = sorted(
+        (a, b, round(len(sets[a] & sets[b])
+                     / len(sets[a] | sets[b]), 9))
+        for x, a in enumerate(ks) for b in ks[x + 1:]
+        if len(sets[a] | sets[b])
+        and len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= T)
+    # df-order broadcast, hash-order fallback, join-verify fallback:
+    # all three are EXACT (prefix filter is complete under any global
+    # total order; the verify recomputes true Jaccard)
+    for kw in ({}, {"vocab_broadcast": 0}, {"broadcast_threshold": 0}):
+        got = jaccard_similarity_join(
+            rd.from_pandas(df).repartition(7), T, **kw).to_pandas()
+        gl = sorted((int(a), int(b), round(float(j), 9))
+                    for a, b, j in got.itertuples(index=False))
+        assert gl == exp, kw
