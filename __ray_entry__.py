@@ -2818,6 +2818,44 @@ def q_doc_jaccard_join(sf_dir: str) -> rd.Dataset:
     return out.map_batches(_round, batch_format="pandas")
 
 
+def q_part_components(sf_dir: str) -> rd.Dataset:
+    """Standalone connected components (stages/cluster.
+    connected_components — the ER flagship's transitive-closure engine
+    exposed on a generic edge list): block-local union-find contraction,
+    driver solve under local_threshold, label-propagation loop above.
+    Oracle = pinned golden from an independent dict union-find."""
+    from belb_ray.stages.cluster import connected_components
+    from belb_ray.stages.cooccur import cooccurrence_pairs
+
+    li = _t(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["id_a", "id_b"])
+
+    return connected_components(pairs.map_batches(
+        _rename, batch_format="pyarrow"))
+
+
+def q_jl_projection(sf_dir: str) -> rd.Dataset:
+    """Johnson-Lindenstrauss random projection (stages/pca.jl_project):
+    seed-derived Gaussian matrix broadcast once, one float64 GEMM per
+    batch, zero shuffles — the streaming distance-preserving reduction
+    for embedding dedup/ANN preprocessing."""
+    from belb_ray.stages.pca import jl_project
+
+    out = jl_project(_t(sf_dir, "embeddings"), "embedding", 6,
+                     seed=0, id_cols=["vec_id"])
+
+    def _round(b: pd.DataFrame) -> pd.DataFrame:
+        for c in b.columns:
+            if c.startswith("jl"):
+                b[c] = np.round(b[c].to_numpy(np.float64), 6)
+        return b
+
+    return out.map_batches(_round, batch_format="pandas")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -2989,6 +3027,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_readability": q_doc_readability,
         "supplier_key_skew": q_supplier_key_skew,
         "doc_jaccard_join": q_doc_jaccard_join,
+        "part_components": q_part_components,
+        "jl_projection": q_jl_projection,
     }
 
 
@@ -4888,5 +4928,6 @@ def oracle_sql() -> dict[str, str]:
                         "lsh_neardup", "lsh_ann_topk", "ivf_ann_topk",
                         "multimodal_features", "semantic_dedup",
                         "bpe_merges", "bpe_tokens", "pq_ann_topk",
-                        "part_k_core")},
+                        "part_k_core", "part_components",
+                        "jl_projection")},
     }

@@ -100,3 +100,46 @@ def explained_variance(ds: rd.Dataset, vec_col: str) -> pd.DataFrame:
         "explained_ratio": ratio,
         "cum_explained_ratio": np.cumsum(ratio),
     })
+
+
+def jl_matrix(d: int, k: int, seed: int = 0) -> np.ndarray:
+    """Deterministic Gaussian Johnson-Lindenstrauss projection P ∈ ℝ^{d×k},
+    scaled 1/√k (unit expected norm preservation). A pure shared kernel
+    (like MinHasher): the golden oracle re-derives only the composition."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((d, k)) / np.sqrt(k)
+
+
+def jl_project(ds: rd.Dataset, vec_col: str, n_components: int,
+               seed: int = 0, id_cols: list[str] | None = None,
+               out_prefix: str = "jl") -> rd.Dataset:
+    """Random-projection dimensionality reduction (Johnson-Lindenstrauss):
+    project every row's vector through a seed-derived Gaussian matrix —
+    the cheap streaming alternative to PCA when only pairwise distances
+    must survive (embedding dedup/ANN preprocessing). Zero shuffles, no
+    moment pass: the matrix depends on (d, k, seed) alone, broadcast
+    once; every batch is one float64 GEMM."""
+    import ray
+
+    from ..util import cached_get
+
+    first = ds.take(1)
+    if not first:
+        raise ValueError("jl_project needs at least one row")
+    d = len(first[0][vec_col])
+    if not 1 <= n_components <= d:
+        raise ValueError("n_components out of range")
+    ref = ray.put(jl_matrix(d, n_components, seed))
+    id_cols = id_cols or []
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        p = cached_get(ref)
+        x = list_column_matrix(batch[vec_col]).astype(np.float64)
+        y = x @ p
+        cols = {c: batch[c] for c in id_cols}
+        for j in range(n_components):
+            cols[f"{out_prefix}{j + 1}"] = pa.array(y[:, j], pa.float64())
+        return pa.table(cols)
+
+    return ds.select_columns(id_cols + [vec_col]).map_batches(
+        _proj, batch_format="pyarrow", batch_size=1 << 14)

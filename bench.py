@@ -173,6 +173,7 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "doc_readability",
         "supplier_key_skew",
         "doc_jaccard_join",
+        "jl_projection",
         # part_k_core is oracle-checked but excluded here: ~30 s of
         # fixpoint rounds at sf0.1 would dominate the min-of-2 budget
     ]

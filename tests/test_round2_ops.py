@@ -2162,3 +2162,30 @@ def test_jaccard_similarity_join_exact_all_paths():
         gl = sorted((int(a), int(b), round(float(j), 9))
                     for a, b, j in got.itertuples(index=False))
         assert gl == exp, kw
+
+
+def test_jl_project_block_invariant_and_distance_preserving():
+    import numpy as np
+    import pandas as pd
+
+    from belb_ray.stages.pca import jl_matrix, jl_project
+
+    rng = np.random.default_rng(3)
+    n, d, k = 400, 32, 12
+    x = rng.standard_normal((n, d))
+    df = pd.DataFrame({"vid": np.arange(n, dtype=np.int64),
+                       "v": [row.astype(np.float32).tolist() for row in x]})
+
+    def run(blocks: int) -> pd.DataFrame:
+        out = jl_project(rd.from_pandas(df).repartition(blocks), "v", k,
+                         seed=5, id_cols=["vid"]).to_pandas()
+        return out.sort_values("vid").reset_index(drop=True)
+
+    a, b = run(2), run(9)
+    pd.testing.assert_frame_equal(a, b)
+    y = a[[f"jl{j + 1}" for j in range(k)]].to_numpy()
+    expect = x.astype(np.float32).astype(np.float64) @ jl_matrix(d, k, 5)
+    assert np.allclose(y, expect, atol=1e-9)
+    # JL property: squared norms preserved in expectation (loose band)
+    r = (y ** 2).sum(1) / (x.astype(np.float32) ** 2).sum(1)
+    assert 0.5 < np.median(r) < 1.5

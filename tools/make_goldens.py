@@ -634,6 +634,45 @@ def golden_part_k_core(sf_dir: str, k: int = 80) -> pa.Table:
                                 pa.int64())})
 
 
+def golden_part_components(sf_dir: str) -> pa.Table:
+    """Independent connected components (plain dict union-find, a
+    different mechanism from the distributed contract-then-solve in
+    stages/cluster.py) over the part co-purchase graph."""
+    import duckdb
+
+    con = duckdb.connect()
+    edges = con.sql(f"""
+        WITH items AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS it
+                       FROM '{os.path.join(sf_dir, "lineitem.parquet")}'),
+        e AS (SELECT DISTINCT x.it AS a, y.it AS b
+              FROM items x JOIN items y ON x.g = y.g AND x.it < y.it)
+        SELECT a, b FROM e
+    """).fetchall()
+    uf = UnionFind()
+    for a, b in edges:
+        uf.union(int(a), int(b))
+    nodes = sorted({int(v) for e in edges for v in e})
+    return pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "label": pa.array([uf.label(v) for v in nodes], pa.int64())})
+
+
+def golden_jl_projection(sf_dir: str, k: int = 6, seed: int = 0) -> pa.Table:
+    """Single-process JL projection: one full-matrix float64 GEMM through
+    the shared deterministic projection kernel (the golden re-derives the
+    composition — load, cast, project, round)."""
+    from belb_ray.stages.pca import jl_matrix
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    x = np.stack(emb["embedding"].to_pylist()).astype(np.float64)
+    y = np.round(x @ jl_matrix(x.shape[1], k, seed), 6)
+    cols = {"vec_id": pa.array(ids, pa.int64())}
+    for j in range(k):
+        cols[f"jl{j + 1}"] = pa.array(y[:, j], pa.float64())
+    return pa.table(cols)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -659,6 +698,8 @@ def main() -> None:
         "bpe_tokens": golden_bpe_tokens(args.sf_dir),
         "pq_ann_topk": golden_pq_ann_topk(args.sf_dir),
         "part_k_core": golden_part_k_core(args.sf_dir),
+        "part_components": golden_part_components(args.sf_dir),
+        "jl_projection": golden_jl_projection(args.sf_dir),
     }
     for name, tbl in tables.items():
         path = os.path.join(GOLDEN_DIR, f"{name}.{sf_tag}.parquet")
