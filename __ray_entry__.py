@@ -2856,6 +2856,52 @@ def q_jl_projection(sf_dir: str) -> rd.Dataset:
     return out.map_batches(_round, batch_format="pandas")
 
 
+def q_fs_linkage_weights(sf_dir: str) -> pd.DataFrame:
+    """Fellegi-Sunter probabilistic linkage weights (stages/fellegi.
+    fs_em_weights): EM over SNM candidate pairs' binary agreement
+    features (JW-name ≥ 0.9, brand, type) — one fixed-width partial
+    row per block per iteration, no shuffles; 2^-30 posterior
+    quantization makes the fit bit-deterministic. Oracle = pinned golden
+    from an independent single-process EM over SQL-derived pairs."""
+    from belb_ray.functions.similarity import jaro_winkler_batch
+    from belb_ray.stages.fellegi import fs_em_weights
+    from belb_ray.stages.joins import hash_partition_join
+    from belb_ray.stages.linkage import sorted_neighborhood_pairs
+
+    part = _t(sf_dir, "part")
+    pairs = sorted_neighborhood_pairs(
+        part.select_columns(["p_partkey", "p_name"]),
+        "p_partkey", "p_name", window=8, carry_sort=True)
+
+    def _attrs(id_name: str, suffix: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [id_name, f"brand_{suffix}", f"cont_{suffix}"])
+        return fn
+
+    attrs = part.select_columns(["p_partkey", "p_brand", "p_type"])
+    j = hash_partition_join(
+        pairs, attrs.map_batches(_attrs("id_a", "a"),
+                                 batch_format="pyarrow"), key="id_a")
+    j = hash_partition_join(
+        j, attrs.map_batches(_attrs("id_b", "b"),
+                             batch_format="pyarrow"), key="id_b")
+
+    def _feat(b: pd.DataFrame) -> pd.DataFrame:
+        jw = jaro_winkler_batch(b["sort_a"].tolist(), b["sort_b"].tolist())
+        return pd.DataFrame({
+            "agree_name": (jw >= 0.9).astype(np.int8),
+            "agree_brand": (b["brand_a"].to_numpy()
+                            == b["brand_b"].to_numpy()).astype(np.int8),
+            "agree_type": (b["cont_a"].to_numpy()
+                                == b["cont_b"].to_numpy()).astype(np.int8),
+        })
+
+    feats = j.map_batches(_feat, batch_format="pandas")
+    return fs_em_weights(
+        feats, ["agree_name", "agree_brand", "agree_type"], iters=15)
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -3029,6 +3075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_jaccard_join": q_doc_jaccard_join,
         "part_components": q_part_components,
         "jl_projection": q_jl_projection,
+        "fs_linkage_weights": q_fs_linkage_weights,
     }
 
 
@@ -4929,5 +4976,5 @@ def oracle_sql() -> dict[str, str]:
                         "multimodal_features", "semantic_dedup",
                         "bpe_merges", "bpe_tokens", "pq_ann_topk",
                         "part_k_core", "part_components",
-                        "jl_projection")},
+                        "jl_projection", "fs_linkage_weights")},
     }

@@ -174,8 +174,9 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "supplier_key_skew",
         "doc_jaccard_join",
         "jl_projection",
-        # part_k_core is oracle-checked but excluded here: ~30 s of
-        # fixpoint rounds at sf0.1 would dominate the min-of-2 budget
+        # part_k_core and fs_linkage_weights are oracle-checked but
+        # excluded here: their fixpoint/EM rounds are iteration-count-
+        # dominated at sf0.1 and would eat the min-of-2 budget
     ]
     # the sandbox host is co-tenant (same-config trials vary up to ~5x as
     # CPU steal moves around): report min over up to GRAFT_BENCH_TRIALS

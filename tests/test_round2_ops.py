@@ -2189,3 +2189,37 @@ def test_jl_project_block_invariant_and_distance_preserving():
     # JL property: squared norms preserved in expectation (loose band)
     r = (y ** 2).sum(1) / (x.astype(np.float32) ** 2).sum(1)
     assert 0.5 < np.median(r) < 1.5
+
+
+def test_fs_em_weights_planted_structure_and_block_invariant():
+    import numpy as np
+    import pandas as pd
+
+    from belb_ray.stages.fellegi import fs_em_weights
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    is_match = rng.random(n) < 0.2
+    # informative feature: agrees 90% on matches, 10% on unmatches;
+    # noise feature: 50/50 everywhere
+    # three features: two-class Bernoulli mixtures need >= 3 binary
+    # features to be identifiable (Fellegi-Sunter's own 3-field setup)
+    f1 = np.where(is_match, rng.random(n) < 0.9, rng.random(n) < 0.1)
+    f2 = np.where(is_match, rng.random(n) < 0.8, rng.random(n) < 0.15)
+    f3 = rng.random(n) < 0.5
+    df = pd.DataFrame({"agree_a": f1.astype(np.int8),
+                       "agree_b": f3.astype(np.int8),
+                       "agree_c": f2.astype(np.int8)})
+
+    def run(blocks: int) -> pd.DataFrame:
+        return fs_em_weights(rd.from_pandas(df).repartition(blocks),
+                             ["agree_a", "agree_b", "agree_c"], iters=12)
+
+    a, b = run(3), run(11)
+    pd.testing.assert_frame_equal(a, b)  # quantized sums: block-invariant
+    byf = a.set_index("feature")
+    assert 0.1 < byf.loc["__match_prior", "m"] < 0.35
+    assert byf.loc["agree_a", "m"] > 0.7 > 0.3 > byf.loc["agree_a", "u"]
+    assert byf.loc["agree_a", "weight_agree"] > 1.0
+    # the noise feature carries ~no weight
+    assert abs(byf.loc["agree_b", "weight_agree"]) < 0.5

@@ -673,6 +673,56 @@ def golden_jl_projection(sf_dir: str, k: int = 6, seed: int = 0) -> pa.Table:
     return pa.table(cols)
 
 
+def golden_fs_linkage_weights(sf_dir: str, iters: int = 15) -> pa.Table:
+    """Independent single-process Fellegi-Sunter EM: candidate pairs and
+    agreement features derived in SQL (DuckDB's jaro_winkler_similarity,
+    verified bit-identical to the engine kernel), then a plain-numpy EM
+    loop with the same 2^-30 posterior quantization."""
+    import duckdb
+
+    con = duckdb.connect()
+    x = con.sql(f"""
+        WITH part AS (SELECT * FROM '{os.path.join(sf_dir, "part.parquet")}'),
+        r AS (SELECT p_partkey AS id, p_name AS nm, p_brand AS br,
+                     p_type AS ct,
+                     row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+              FROM part)
+        SELECT CASE WHEN jaro_winkler_similarity(a.nm, b.nm) >= 0.9
+                    THEN 1 ELSE 0 END AS agree_name,
+               CASE WHEN a.br = b.br THEN 1 ELSE 0 END AS agree_brand,
+               CASE WHEN a.ct = b.ct THEN 1 ELSE 0 END AS agree_type
+        FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 8
+    """).df().to_numpy(np.float64)
+    k = x.shape[1]
+    p, m, u = 0.1, np.full(k, 0.9), np.full(k, 0.1)
+    eps = 1e-6
+    quant = float(1 << 30)
+    for _ in range(iters):
+        lm = x @ np.log(m) + (1.0 - x) @ np.log1p(-m)
+        lu = x @ np.log(u) + (1.0 - x) @ np.log1p(-u)
+        r_ = 1.0 / (1.0 + np.exp((np.log1p(-p) + lu) - (np.log(p) + lm)))
+        r_ = np.round(r_ * quant) / quant
+        n, sr = float(len(r_)), r_.sum()
+        su = n - sr
+        p = min(max(sr / n, eps), 1.0 - eps)
+        for i in range(k):
+            m[i] = min(max((r_ * x[:, i]).sum() / max(sr, eps), eps),
+                       1.0 - eps)
+            u[i] = min(max((x[:, i] - r_ * x[:, i]).sum() / max(su, eps),
+                           eps), 1.0 - eps)
+    names = ["agree_name", "agree_brand", "agree_type"]
+    rows = [("__match_prior", p, 0.0, 0.0, 0.0)]
+    for i, c in enumerate(names):
+        rows.append((c, m[i], u[i], float(np.log2(m[i] / u[i])),
+                     float(np.log2((1.0 - m[i]) / (1.0 - u[i])))))
+    import pandas as pd
+    df = pd.DataFrame(rows, columns=["feature", "m", "u", "weight_agree",
+                                     "weight_disagree"])
+    for c in ("m", "u", "weight_agree", "weight_disagree"):
+        df[c] = np.round(df[c].to_numpy(np.float64), 8)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -700,6 +750,7 @@ def main() -> None:
         "part_k_core": golden_part_k_core(args.sf_dir),
         "part_components": golden_part_components(args.sf_dir),
         "jl_projection": golden_jl_projection(args.sf_dir),
+        "fs_linkage_weights": golden_fs_linkage_weights(args.sf_dir),
     }
     for name, tbl in tables.items():
         path = os.path.join(GOLDEN_DIR, f"{name}.{sf_tag}.parquet")
