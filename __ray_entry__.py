@@ -2902,6 +2902,42 @@ def q_fs_linkage_weights(sf_dir: str) -> pd.DataFrame:
         feats, ["agree_name", "agree_brand", "agree_type"], iters=15)
 
 
+def q_snm_blocking_quality(sf_dir: str) -> pd.DataFrame:
+    """Blocking-scheme evaluation (the record-linkage methodology
+    metrics): pairs completeness + reduction ratio of sorted-neighborhood
+    blocking against the exact lev≤1 truth from FastSS — composition of
+    sorted_neighborhood_pairs, edit_distance_self_join and the
+    distributed INTERSECT; only counts reach the driver."""
+    from belb_ray.stages.linkage import (edit_distance_self_join,
+                                         sorted_neighborhood_pairs)
+    from belb_ray.stages.setops import set_intersect
+
+    cust = _t(sf_dir, "customer").select_columns(["c_custkey", "c_name"])
+
+    def _canon(b: pd.DataFrame) -> pd.DataFrame:
+        a_ = b["id_a"].to_numpy()
+        b_ = b["id_b"].to_numpy()
+        return pd.DataFrame({"ia": np.minimum(a_, b_),
+                             "ib": np.maximum(a_, b_)})
+
+    cand = (sorted_neighborhood_pairs(cust, "c_custkey", "c_name",
+                                      window=6)
+            .map_batches(_canon, batch_format="pandas").materialize())
+    truth = (edit_distance_self_join(cust, "c_custkey", "c_name", k=1)
+             .map_batches(_canon, batch_format="pandas").materialize())
+    ni = set_intersect(cand, truth, ["ia", "ib"]).count()
+    n = cust.count()
+    nc = cand.count()
+    nt = truth.count()
+    return pd.DataFrame({
+        "n_candidates": np.array([nc], np.int64),
+        "n_true": np.array([nt], np.int64),
+        "n_matched": np.array([ni], np.int64),
+        "pairs_completeness": [np.round(ni / nt, 6)],
+        "reduction_ratio": [np.round(
+            1.0 - nc / (float(n) * (float(n) - 1.0) / 2.0), 6)]})
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -3076,6 +3112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_components": q_part_components,
         "jl_projection": q_jl_projection,
         "fs_linkage_weights": q_fs_linkage_weights,
+        "snm_blocking_quality": q_snm_blocking_quality,
     }
 
 
@@ -4963,6 +5000,35 @@ def oracle_sql() -> dict[str, str]:
                          JOIN s sb ON sb.doc_id = id_b)
             SELECT id_a, id_b, round(jac, 6) AS jaccard
             FROM j WHERE jac >= 0.95
+        """,
+        "snm_blocking_quality": """
+            WITH r AS (SELECT c_custkey AS id, c_name AS nm,
+                              row_number() OVER (ORDER BY c_name,
+                                                 c_custkey) AS rn
+                       FROM customer),
+            cand AS (SELECT least(a.id, b.id) AS ia,
+                            greatest(a.id, b.id) AS ib
+                     FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 6),
+            t AS (SELECT c1.c_custkey AS ia, c2.c_custkey AS ib
+                  FROM customer c1 JOIN customer c2
+                    ON c1.c_custkey < c2.c_custkey
+                  WHERE levenshtein(c1.c_name, c2.c_name) <= 1),
+            s AS (SELECT (SELECT count(*) FROM customer) AS n,
+                         (SELECT count(*) FROM cand) AS nc,
+                         (SELECT count(*) FROM t) AS nt,
+                         (SELECT count(*) FROM
+                            (SELECT * FROM cand
+                             INTERSECT SELECT * FROM t)) AS ni)
+            SELECT CAST(nc AS BIGINT) AS n_candidates,
+                   CAST(nt AS BIGINT) AS n_true,
+                   CAST(ni AS BIGINT) AS n_matched,
+                   round(CAST(ni AS DOUBLE) / CAST(nt AS DOUBLE), 6)
+                       AS pairs_completeness,
+                   round(1 - CAST(nc AS DOUBLE)
+                             / (CAST(n AS DOUBLE)
+                                * (CAST(n AS DOUBLE) - 1) / 2), 6)
+                       AS reduction_ratio
+            FROM s
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

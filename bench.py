@@ -174,6 +174,7 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "supplier_key_skew",
         "doc_jaccard_join",
         "jl_projection",
+        "snm_blocking_quality",
         # part_k_core and fs_linkage_weights are oracle-checked but
         # excluded here: their fixpoint/EM rounds are iteration-count-
         # dominated at sf0.1 and would eat the min-of-2 budget
