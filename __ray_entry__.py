@@ -2760,6 +2760,19 @@ def q_name_jw_pairs(sf_dir: str) -> rd.Dataset:
     return pairs.map_batches(_score, batch_format="pandas")
 
 
+def q_name_soundex(sf_dir: str) -> rd.Dataset:
+    """American Soundex phonetic codes per part name (stages/linkage.
+    soundex_codes): the phonetic-key blocking family — names that sound
+    alike share a key — complementing order-based (SNM) and
+    deletion-based (FastSS) blocking. Pure streaming map_batches with
+    pandas C-string kernels; the oracle re-derives the code in DuckDB
+    from translate + run-collapse regexes, bit-identical."""
+    from belb_ray.stages.linkage import soundex_codes
+
+    part = _t(sf_dir, "part").select_columns(["p_partkey", "p_name"])
+    return soundex_codes(part, "p_partkey", "p_name")
+
+
 def q_user_freq_cms(sf_dir: str) -> rd.Dataset:
     """Count-min-sketch point-frequency estimates (stages/sketch.
     cms_sketch + cms_estimate): linear sketch, cell-wise-summing
@@ -2865,39 +2878,27 @@ def q_fs_linkage_weights(sf_dir: str) -> pd.DataFrame:
     from an independent single-process EM over SQL-derived pairs."""
     from belb_ray.functions.similarity import jaro_winkler_batch
     from belb_ray.stages.fellegi import fs_em_weights
-    from belb_ray.stages.joins import hash_partition_join
     from belb_ray.stages.linkage import sorted_neighborhood_pairs
 
-    part = _t(sf_dir, "part")
+    part = _t(sf_dir, "part").select_columns(
+        ["p_partkey", "p_name", "p_brand", "p_type"])
+    # attributes ride the SNM shuffles (carry_cols): the pair generator
+    # already co-locates both rows, so feature attach needs NO join
     pairs = sorted_neighborhood_pairs(
-        part.select_columns(["p_partkey", "p_name"]),
-        "p_partkey", "p_name", window=8, carry_sort=True)
-
-    def _attrs(id_name: str, suffix: str):
-        def fn(t: pa.Table) -> pa.Table:
-            return t.rename_columns(
-                [id_name, f"brand_{suffix}", f"cont_{suffix}"])
-        return fn
-
-    attrs = part.select_columns(["p_partkey", "p_brand", "p_type"])
-    j = hash_partition_join(
-        pairs, attrs.map_batches(_attrs("id_a", "a"),
-                                 batch_format="pyarrow"), key="id_a")
-    j = hash_partition_join(
-        j, attrs.map_batches(_attrs("id_b", "b"),
-                             batch_format="pyarrow"), key="id_b")
+        part, "p_partkey", "p_name", window=8, carry_sort=True,
+        carry_cols=["p_brand", "p_type"])
 
     def _feat(b: pd.DataFrame) -> pd.DataFrame:
         jw = jaro_winkler_batch(b["sort_a"].tolist(), b["sort_b"].tolist())
         return pd.DataFrame({
             "agree_name": (jw >= 0.9).astype(np.int8),
-            "agree_brand": (b["brand_a"].to_numpy()
-                            == b["brand_b"].to_numpy()).astype(np.int8),
-            "agree_type": (b["cont_a"].to_numpy()
-                                == b["cont_b"].to_numpy()).astype(np.int8),
+            "agree_brand": (b["p_brand_a"].to_numpy()
+                            == b["p_brand_b"].to_numpy()).astype(np.int8),
+            "agree_type": (b["p_type_a"].to_numpy()
+                           == b["p_type_b"].to_numpy()).astype(np.int8),
         })
 
-    feats = j.map_batches(_feat, batch_format="pandas")
+    feats = pairs.map_batches(_feat, batch_format="pandas")
     return fs_em_weights(
         feats, ["agree_name", "agree_brand", "agree_type"], iters=15)
 
@@ -3105,6 +3106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": q_multimodal_features,
         "snm_pairs": q_snm_pairs,
         "name_jw_pairs": q_name_jw_pairs,
+        "name_soundex": q_name_soundex,
         "user_freq_cms": q_user_freq_cms,
         "doc_readability": q_doc_readability,
         "supplier_key_skew": q_supplier_key_skew,
@@ -4925,6 +4927,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b,
                    round(jaro_winkler_similarity(na, nb), 6) AS jw
             FROM p WHERE jaro_winkler_similarity(na, nb) >= 0.85
+        """,
+        "name_soundex": """
+            WITH b AS (
+                SELECT p_partkey,
+                       regexp_replace(upper(p_name), '[^A-Z]', '', 'g') AS s
+                FROM part),
+            t AS (
+                SELECT p_partkey, substr(s, 1, 1) AS f,
+                       translate(s, 'AEIOUYBFPVCGJKQSXZDTLMNRHW',
+                                 '000000111122222222334556') AS tr
+                FROM b),
+            c AS (
+                SELECT p_partkey, f,
+                       regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(tr,
+                           '00+', '0', 'g'), '11+', '1', 'g'),
+                           '22+', '2', 'g'), '33+', '3', 'g'),
+                           '44+', '4', 'g'), '55+', '5', 'g'),
+                           '66+', '6', 'g') AS col,
+                       translate(f, 'AEIOUYBFPVCGJKQSXZDTLMNRHW',
+                                 '000000111122222222334556') AS fd
+                FROM t),
+            d AS (
+                SELECT p_partkey, f,
+                       replace(CASE WHEN fd IN ('1','2','3','4','5','6')
+                                    THEN substr(col, 2) ELSE col END,
+                               '0', '') AS digits
+                FROM c)
+            SELECT p_partkey,
+                   CASE WHEN f = '' THEN ''
+                        ELSE rpad(substr(f || digits, 1, 4), 4, '0')
+                   END AS soundex
+            FROM d
         """,
         "user_freq_cms": """
             WITH ds AS (SELECT unnest(range(4)) AS d),

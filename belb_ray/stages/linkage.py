@@ -330,11 +330,15 @@ def _prefix_bins(vals: np.ndarray) -> np.ndarray:
 
 def sorted_neighborhood_pairs(ds: rd.Dataset, id_col: str, sort_col: str,
                               window: int, carry_sort: bool = False,
+                              carry_cols: list[str] | None = None,
                               num_buckets: int = 64) -> rd.Dataset:
     """Sorted-neighborhood (SNM) blocking: every pair of rows whose
     positions in the global (sort_col, id_col) order differ by less than
     ``window`` → (id_a, id_b, gap), id_a the lower-ranked row;
-    ``carry_sort`` adds sort_a/sort_b for downstream scorers.
+    ``carry_sort`` adds sort_a/sort_b for downstream scorers;
+    ``carry_cols`` rides further attribute columns through the two
+    shuffles as <col>_a/<col>_b — feature attach WITHOUT a downstream
+    join (the pair generator already co-locates both rows).
 
     The classic windowed blocking from the record-linkage literature —
     the reference blocks candidate identifier matches by shared
@@ -380,8 +384,10 @@ def sorted_neighborhood_pairs(ds: rd.Dataset, id_col: str, sort_col: str,
     base_of = {int(k): int(v) for k, v in zip(bs.index, bases)}
     ref = ray.put(base_of)
 
+    carry_cols = list(carry_cols or [])
+
     def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch[[id_col, sort_col]].copy()
+        batch = batch[[id_col, sort_col] + carry_cols].copy()
         batch["__bin"] = _prefix_bins(batch[sort_col].to_numpy(object))
         batch["__bucket"] = _bucket_of_frame(batch, ["__bin"], num_buckets)
         return batch
@@ -396,6 +402,8 @@ def sorted_neighborhood_pairs(ds: rd.Dataset, id_col: str, sort_col: str,
                                 id_col: g[id_col].to_numpy()})
             if carry_sort:
                 out[sort_col] = g[sort_col].to_numpy()
+            for cc in carry_cols:
+                out[cc] = g[cc].to_numpy()
             outs.append(out)
             prev = out[out["__chunk"] > 0].copy()
             prev["__chunk"] = prev["__chunk"] - 1
@@ -424,6 +432,10 @@ def sorted_neighborhood_pairs(ds: rd.Dataset, id_col: str, sort_col: str,
                 sv = g[sort_col].to_numpy()
                 out["sort_a"] = sv[first]
                 out["sort_b"] = sv[second]
+            for cc in carry_cols:
+                cv = g[cc].to_numpy()
+                out[f"{cc}_a"] = cv[first]
+                out[f"{cc}_b"] = cv[second]
             outs.append(out)
         return pd.concat(outs, ignore_index=True)
 
@@ -432,3 +444,48 @@ def sorted_neighborhood_pairs(ds: rd.Dataset, id_col: str, sort_col: str,
             .map_groups(_rank_chunks, batch_format="pandas")
             .groupby("__bucket2")
             .map_groups(_pairs, batch_format="pandas"))
+
+
+_SOUNDEX_TRANS = str.maketrans(
+    {**{c: "0" for c in "AEIOUY"}, **{c: "1" for c in "BFPV"},
+     **{c: "2" for c in "CGJKQSXZ"}, **{c: "3" for c in "DT"},
+     "L": "4", "M": "5", "N": "5", "R": "6",
+     "H": None, "W": None})  # h/w DELETED → transparent for collapsing
+
+
+def soundex_codes(ds: rd.Dataset, id_col: str, name_col: str,
+                  out_col: str = "soundex") -> rd.Dataset:
+    """American Soundex code per row → (id_col, out_col) — the phonetic
+    blocking family (names that SOUND alike share a key), complementing
+    the order-based (SNM) and deletion-based (FastSS) blockers.
+
+    Spec implemented (and independently re-implemented per-character by
+    the golden oracle): letters map b f p v→1, c g j k q s x z→2,
+    d t→3, l→4, m n→5, r→6, vowels+y→0, h w deleted (transparent for
+    run collapsing); adjacent equal digits collapse AFTER the h/w
+    deletion and BEFORE zero removal (so vowels break runs); the first
+    letter is kept verbatim and its own digit dropped when it has one;
+    pad/truncate to 4. Non-ASCII-alpha chars are stripped first; a name
+    with no letters codes as ''.
+
+    Pure streaming map_batches — pandas C-string kernels (translate +
+    regex collapse), no shuffle, no per-row Python loop."""
+
+    def _f(batch: pd.DataFrame) -> pd.DataFrame:
+        s = (batch[name_col].astype(str).str.upper()
+             .str.replace(r"[^A-Z]", "", regex=True))
+        first = s.str.slice(0, 1)
+        t = s.str.translate(_SOUNDEX_TRANS)           # h/w already gone
+        t = t.str.replace(r"(\d)\1+", r"\1", regex=True)  # collapse runs
+        fd = first.str.translate(_SOUNDEX_TRANS)
+        drop = fd.str.match(r"[1-6]").fillna(False)
+        tail = t.where(~drop, t.str.slice(1))
+        digits = tail.str.replace("0", "", regex=False)
+        code = (first + digits).str.slice(0, 4).str.pad(
+            4, side="right", fillchar="0")
+        code = code.where(first != "", "")
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                             out_col: code.to_numpy()})
+
+    return ds.select_columns([id_col, name_col]).map_batches(
+        _f, batch_format="pandas")

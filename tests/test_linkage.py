@@ -157,3 +157,26 @@ def test_sorted_neighborhood_pairs_block_invariant():
     a, b = run(2, 4), run(11, 16)
     assert a.equals(b)
     assert (a["gap"] >= 1).all() and (a["gap"] < 5).all()
+
+
+def test_soundex_codes_canonical_examples():
+    """NARA American Soundex reference examples, incl. the h/w-transparent
+    collapse (Ashcraft→A261, Tymczak→T522, Pfister→P236) and the
+    first-letter-digit-drop rule (Jackson→J250); empty / non-letter
+    names code as ''."""
+    from belb_ray.stages.linkage import soundex_codes
+
+    cases = {
+        "Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+        "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+        "Honeyman": "H555", "Jackson": "J250", "Washington": "W252",
+        "Lee": "L000", "Gutierrez": "G362", "Jackson-Smith": "J252",
+        "van Dyke": "V532", "O'Hara": "O600", "123": "", "": "",
+        "Wu": "W000", "Czarkowska": "C622",
+    }
+    names = list(cases)
+    df = pd.DataFrame({"id": np.arange(len(names), dtype=np.int64),
+                       "nm": names})
+    got = (soundex_codes(rd.from_pandas(df).repartition(3), "id", "nm")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert got["soundex"].tolist() == [cases[n] for n in names]
