@@ -2939,6 +2939,54 @@ def q_snm_blocking_quality(sf_dir: str) -> pd.DataFrame:
             1.0 - nc / (float(n) * (float(n) - 1.0) / 2.0), 6)]})
 
 
+def q_blocking_bcubed(sf_dir: str) -> pd.DataFrame:
+    """B-cubed precision/recall/F1 (stages/linkage.bcubed) of first-token
+    blocking against exact-name entities over parts — the standard
+    extrinsic ER evaluation; everything reduces to the (cluster, gold)
+    contingency table via one combiner groupby, so only label-pair counts
+    ever shuffle. Oracle = the same Σ n_cg²/n_c identity in SQL."""
+    from belb_ray.stages.linkage import bcubed
+
+    part = _t(sf_dir, "part").select_columns(["p_name"])
+
+    def _labels(batch: pd.DataFrame) -> pd.DataFrame:
+        nm = batch["p_name"].astype(str)
+        return pd.DataFrame({"cluster": nm.str.split(" ").str[0],
+                             "gold": nm})
+
+    return bcubed(part.map_batches(_labels, batch_format="pandas"),
+                  "cluster", "gold")
+
+
+def q_name_one2one_match(sf_dir: str) -> rd.Dataset:
+    """Unique-mapping record linkage (stages/linkage.one_to_one_match):
+    JW-scored SNM candidates over customer names, then greedy max-weight
+    one-to-one matching via locally-dominant rounds (Preis 1999) — each
+    round one node-bucket argmin combine + a pair-bucket mutuality check,
+    provably equal to the sequential greedy matching. Golden oracle:
+    independent single-process greedy over brute-forced SNM candidates."""
+    from belb_ray.functions.similarity import jaro_winkler_batch
+    from belb_ray.stages.linkage import (one_to_one_match,
+                                         sorted_neighborhood_pairs)
+
+    cust = _t(sf_dir, "customer").select_columns(["c_custkey", "c_name"])
+    pairs = sorted_neighborhood_pairs(cust, "c_custkey", "c_name",
+                                      window=8, carry_sort=True)
+
+    def _score(batch: pd.DataFrame) -> pd.DataFrame:
+        jw = jaro_winkler_batch(batch["sort_a"].tolist(),
+                                batch["sort_b"].tolist())
+        keep = jw >= 0.9
+        return pd.DataFrame({
+            "id_a": batch["id_a"].to_numpy()[keep],
+            "id_b": batch["id_b"].to_numpy()[keep],
+            "score": np.round(jw[keep], 6)})
+
+    out = one_to_one_match(pairs.map_batches(_score,
+                                             batch_format="pandas"))
+    return out.sort(["id_a", "id_b"])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -3115,6 +3163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jl_projection": q_jl_projection,
         "fs_linkage_weights": q_fs_linkage_weights,
         "snm_blocking_quality": q_snm_blocking_quality,
+        "blocking_bcubed": q_blocking_bcubed,
+        "name_one2one_match": q_name_one2one_match,
     }
 
 
@@ -5066,6 +5116,26 @@ def oracle_sql() -> dict[str, str]:
                        AS reduction_ratio
             FROM s
         """,
+        "blocking_bcubed": """
+            WITH r AS (SELECT split_part(p_name, ' ', 1) AS cluster,
+                              p_name AS gold
+                       FROM part),
+            cont AS (SELECT cluster, gold, count(*) AS n_cg
+                     FROM r GROUP BY cluster, gold),
+            nc AS (SELECT cluster, sum(n_cg) AS n_c
+                   FROM cont GROUP BY cluster),
+            ng AS (SELECT gold, sum(n_cg) AS n_g FROM cont GROUP BY gold),
+            s AS (SELECT sum(n_cg * n_cg / CAST(n_c AS DOUBLE)) AS sp,
+                         sum(n_cg * n_cg / CAST(n_g AS DOUBLE)) AS sr,
+                         sum(n_cg) AS n
+                  FROM cont JOIN nc USING (cluster) JOIN ng USING (gold))
+            SELECT CAST(n AS BIGINT) AS n_records,
+                   round(sp / n, 6) AS b3_precision,
+                   round(sr / n, 6) AS b3_recall,
+                   round(2 * (sp / n) * (sr / n)
+                         / ((sp / n) + (sr / n)), 6) AS b3_f1
+            FROM s
+        """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py
         # over the driver's fixed sf0.01 inputs / seeded fixture
@@ -5078,5 +5148,6 @@ def oracle_sql() -> dict[str, str]:
                         "multimodal_features", "semantic_dedup",
                         "bpe_merges", "bpe_tokens", "pq_ann_topk",
                         "part_k_core", "part_components",
-                        "jl_projection", "fs_linkage_weights")},
+                        "jl_projection", "fs_linkage_weights",
+                        "name_one2one_match")},
     }

@@ -489,3 +489,203 @@ def soundex_codes(ds: rd.Dataset, id_col: str, name_col: str,
 
     return ds.select_columns([id_col, name_col]).map_batches(
         _f, batch_format="pandas")
+
+
+def bcubed(ds: rd.Dataset, cluster_col: str, gold_col: str,
+           round_to: int = 6, num_buckets: int = 64) -> pd.DataFrame:
+    """B-cubed extrinsic clustering quality (Bagga & Baldwin 1998): per
+    record, precision = |pred cluster ∩ gold class| / |pred cluster| and
+    recall the dual; report corpus averages + F1. The standard ER /
+    coreference evaluation — the reference evaluates its entity clusters
+    the same extrinsic way (annotated-corpus conformance, SURVEY §5.3).
+
+    Identity: B³P = Σ_{c,g} n_cg² / n_c / N (recall dual with n_g), so
+    everything derives from the (cluster, gold) contingency table — one
+    combiner groupby over the corpus; only contingency rows (≤ #distinct
+    intersecting label pairs, corpus-independent) shuffle after that.
+    Returns a 1-row DataFrame (n_records, b3_precision, b3_recall,
+    b3_f1)."""
+    from .joins import broadcast_join, collect_arrow
+
+    def _ones(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({cluster_col: batch[cluster_col].to_numpy(),
+                             gold_col: batch[gold_col].to_numpy(),
+                             "__one": np.ones(len(batch), np.int64)})
+
+    cont = preagg_groupby(
+        ds.select_columns([cluster_col, gold_col]).map_batches(
+            _ones, batch_format="pandas"),
+        [cluster_col, gold_col], [("sum", "__one", "n_cg")],
+        num_buckets=num_buckets).materialize()  # reused 3x below
+    n_c = preagg_groupby(cont, [cluster_col], [("sum", "n_cg", "n_c")],
+                         num_buckets=num_buckets)
+    n_g = preagg_groupby(cont, [gold_col], [("sum", "n_cg", "n_g")],
+                         num_buckets=num_buckets)
+    j = broadcast_join(broadcast_join(cont, n_c, keys=cluster_col),
+                       n_g, keys=gold_col)
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ncg = batch["n_cg"].to_numpy(np.float64)
+        sq = ncg * ncg
+        return pd.DataFrame({
+            "__k": np.zeros(1, np.int64),
+            "sp": [(sq / batch["n_c"].to_numpy(np.float64)).sum()],
+            "sr": [(sq / batch["n_g"].to_numpy(np.float64)).sum()],
+            "n": [batch["n_cg"].to_numpy(np.int64).sum()]})
+
+    tot = collect_arrow(preagg_groupby(
+        j.map_batches(_partial, batch_format="pandas"), ["__k"],
+        [("sum", "sp", "sp"), ("sum", "sr", "sr"),
+         ("sum", "n", "n")])).to_pandas()
+    n = float(tot["n"][0])
+    p = float(tot["sp"][0]) / n
+    r = float(tot["sr"][0]) / n
+    return pd.DataFrame({
+        "n_records": np.array([int(n)], np.int64),
+        "b3_precision": [np.round(p, round_to)],
+        "b3_recall": [np.round(r, round_to)],
+        "b3_f1": [np.round(2.0 * p * r / (p + r), round_to)]})
+
+
+def one_to_one_match(pairs: rd.Dataset, score_col: str = "score",
+                     id_a: str = "id_a", id_b: str = "id_b",
+                     num_buckets: int = 32,
+                     max_rounds: int = 64,
+                     local_threshold: int = 2_000_000) -> rd.Dataset:
+    """Greedy maximum-weight one-to-one matching over scored candidate
+    pairs — the record-linkage *unique-mapping constraint* (each record
+    participates in at most one accepted link), the classic post-scoring
+    step after Fellegi-Sunter / JW scoring.
+
+    Algorithm: locally-dominant matching (Preis 1999 / Manne-Bisseling):
+    a pair is accepted iff it is the best-ranked incident pair of BOTH
+    its endpoints under the strict total order (score desc, id_a, id_b);
+    accepted endpoints retire and the round repeats on surviving pairs.
+    This provably yields EXACTLY the sequential greedy matching, with no
+    sequential scan: each round is one node-bucket combine (per-endpoint
+    argmin of the rank triple) + two hash-partitioned equality probes.
+    Rounds needed = length of the longest descending-score path (tiny in
+    blocked linkage); ``max_rounds`` guards pathological chains.
+
+    Pairs are treated as undirected and deduped on (id_a, id_b); ids must
+    share one integer id space. Returns (id_a, id_b, score) accepted rows.
+
+    Size guard (the cluster.py ``local_threshold`` pattern): once the
+    surviving active set fits the driver (≤ ``local_threshold`` pair
+    rows), the remaining rounds collapse into one exact local greedy
+    scan — identical output, none of the per-round scheduling overhead.
+    Distributed rounds only run while the pair set is genuinely too big
+    to collect, which is when they pay for themselves."""
+
+    def _canon(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[id_a].to_numpy()
+        b = batch[id_b].to_numpy()
+        return pd.DataFrame({
+            "ia": np.minimum(a, b), "ib": np.maximum(a, b),
+            "s": batch[score_col].to_numpy(np.float64)})
+
+    active = pairs.map_batches(_canon, batch_format="pandas")
+    # dedupe (ia, ib): keep max score per pair
+    active = preagg_groupby(active, ["ia", "ib"], [("max", "s", "s")],
+                            num_buckets=num_buckets)
+    accepted: list[rd.Dataset] = []
+
+    def _endpoints(batch: pd.DataFrame) -> pd.DataFrame:
+        two = pd.concat([
+            batch.rename(columns={"ia": "node", "ib": "other"}),
+            batch.rename(columns={"ib": "node", "ia": "other"})],
+            ignore_index=True)[["node", "other", "s"]]
+        # batch-local pre-reduce: best pair per node under the rank order
+        two = two.sort_values(["node", "s", "other"],
+                              ascending=[True, False, True], kind="stable")
+        return two.drop_duplicates("node", keep="first")
+
+    def _best_combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns="__bucket").sort_values(
+            ["node", "s", "other"], ascending=[True, False, True],
+            kind="stable")
+        return g.drop_duplicates("node", keep="first")
+
+    for _ in range(max_rounds):
+        active = active.materialize()
+        n_active = active.count()
+        if n_active == 0:
+            break
+        if n_active <= local_threshold:
+            from .joins import collect_arrow
+
+            df = collect_arrow(active).to_pandas().sort_values(
+                ["s", "ia", "ib"], ascending=[False, True, True],
+                kind="stable")
+            used: set[int] = set()
+            keep = np.zeros(len(df), bool)
+            for i, (a, b) in enumerate(zip(df["ia"].to_numpy(),
+                                           df["ib"].to_numpy())):
+                if a not in used and b not in used:
+                    used.add(a)
+                    used.add(b)
+                    keep[i] = True
+            accepted.append(rd.from_pandas(df[keep].reset_index(drop=True)))
+            break
+        partial = active.map_batches(_endpoints, batch_format="pandas")
+
+        def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+            batch["__bucket"] = _bucket_of_frame(batch, ["node"],
+                                                 num_buckets)
+            return batch
+
+        best = (partial.map_batches(_bucketize, batch_format="pandas")
+                .groupby("__bucket")
+                .map_groups(_best_combine, batch_format="pandas"))
+        # dominant pair = best of both endpoints: a pair (ia, ib) wins
+        # iff best[ia] = (ib, s) and best[ib] = (ia, s); rank-strictness
+        # makes per-node bests unique, so matching (node, other) rows of
+        # BOTH orientations appearing twice in `best` ⇔ dominance.
+        def _mutual(group: pd.DataFrame) -> pd.DataFrame:
+            g = group.drop(columns="__bucket")
+            lo = np.minimum(g["node"], g["other"])
+            hi = np.maximum(g["node"], g["other"])
+            key = pd.DataFrame({"ia": lo, "ib": hi, "s": g["s"]})
+            dup = key.duplicated(keep="first") | key.duplicated(keep="last")
+            return key[dup].drop_duplicates()
+
+        def _pair_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+            lo = np.minimum(batch["node"], batch["other"])
+            tmp = pd.DataFrame({"__pk": lo})
+            batch["__bucket"] = _bucket_of_frame(tmp, ["__pk"], num_buckets)
+            return batch
+
+        matched = (best.map_batches(_pair_bucket, batch_format="pandas")
+                   .groupby("__bucket")
+                   .map_groups(_mutual, batch_format="pandas")).materialize()
+        if matched.count() == 0:
+            break
+        accepted.append(matched)
+        # retire matched endpoints: bloom-free exact anti-join via the
+        # matched node set (driver-small per round — matched ≤ nodes/2,
+        # shrinks geometrically; size-guarded broadcast)
+        from .joins import broadcast_semi_join, distinct_values
+
+        mnodes = matched.map_batches(
+            lambda b: pd.DataFrame({"node": np.concatenate(
+                [b["ia"].to_numpy(), b["ib"].to_numpy()])}),
+            batch_format="pandas")
+        nodes = distinct_values(mnodes, "node")
+        active = broadcast_semi_join(active, nodes, "ia", anti=True)
+        active = broadcast_semi_join(active, nodes, "ib", anti=True)
+
+    if not accepted:
+        import pyarrow as _pa
+
+        return rd.from_arrow(pa.table({
+            "id_a": _pa.array([], pa.int64()),
+            "id_b": _pa.array([], pa.int64()),
+            "score": _pa.array([], pa.float64())}))
+    out = accepted[0]
+    for m in accepted[1:]:
+        out = out.union(m)
+    return out.map_batches(
+        lambda b: pd.DataFrame({"id_a": b["ia"].to_numpy(),
+                                "id_b": b["ib"].to_numpy(),
+                                "score": b["s"].to_numpy()}),
+        batch_format="pandas")

@@ -180,3 +180,90 @@ def test_soundex_codes_canonical_examples():
     got = (soundex_codes(rd.from_pandas(df).repartition(3), "id", "nm")
            .to_pandas().sort_values("id").reset_index(drop=True))
     assert got["soundex"].tolist() == [cases[n] for n in names]
+
+
+def _greedy_bruteforce(df: pd.DataFrame) -> list[tuple[int, int]]:
+    df = df.sort_values(["score", "id_a", "id_b"],
+                        ascending=[False, True, True], kind="stable")
+    used: set[int] = set()
+    out = []
+    for a, b in zip(df["id_a"], df["id_b"]):
+        if a not in used and b not in used:
+            used.add(a)
+            used.add(b)
+            out.append((int(a), int(b)))
+    return sorted(out)
+
+
+def test_one_to_one_match_equals_sequential_greedy():
+    """Distributed locally-dominant rounds == the literal sequential
+    greedy matching, on a seeded random pair graph with score ties —
+    exercised with local_threshold=0 so EVERY round runs distributed."""
+    from belb_ray.stages.linkage import one_to_one_match
+
+    rng = np.random.default_rng(11)
+    n = 60
+    rows = set()
+    while len(rows) < 300:
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            rows.add((min(a, b), max(a, b)))
+    pairs = pd.DataFrame(sorted(rows), columns=["id_a", "id_b"])
+    # quantized scores force ties broken by (id_a, id_b)
+    pairs["score"] = np.round(
+        rng.uniform(0, 1, len(pairs)) * 8) / 8
+    got = (one_to_one_match(rd.from_pandas(pairs).repartition(5),
+                            local_threshold=0, num_buckets=8)
+           .to_pandas())
+    got_pairs = sorted(zip(got["id_a"].astype(int),
+                           got["id_b"].astype(int)))
+    assert got_pairs == _greedy_bruteforce(pairs)
+    # one-to-one: every node appears at most once
+    nodes = got["id_a"].tolist() + got["id_b"].tolist()
+    assert len(nodes) == len(set(nodes))
+
+
+def test_one_to_one_match_local_finish_identical():
+    """The size-guarded local finish returns the same matching as the
+    all-distributed path."""
+    from belb_ray.stages.linkage import one_to_one_match
+
+    rng = np.random.default_rng(3)
+    pairs = pd.DataFrame({
+        "id_a": rng.integers(0, 40, 150),
+        "id_b": rng.integers(40, 80, 150),
+        "score": np.round(rng.uniform(0, 1, 150), 3)})
+    a = (one_to_one_match(rd.from_pandas(pairs).repartition(3),
+                          local_threshold=0, num_buckets=4).to_pandas())
+    b = (one_to_one_match(rd.from_pandas(pairs).repartition(3),
+                          local_threshold=10**6).to_pandas())
+    key = lambda d: sorted(zip(d["id_a"].astype(int),
+                               d["id_b"].astype(int),
+                               np.round(d["score"], 9)))
+    assert key(a) == key(b)
+
+
+def test_bcubed_matches_per_record_definition():
+    """bcubed's contingency-table identity == the literal per-record
+    average of |cluster ∩ gold| / |cluster| (and the recall dual)."""
+    from belb_ray.stages.linkage import bcubed
+
+    rng = np.random.default_rng(7)
+    n = 500
+    df = pd.DataFrame({
+        "cluster": rng.integers(0, 12, n).astype(str),
+        "gold": rng.integers(0, 9, n).astype(str)})
+    got = bcubed(rd.from_pandas(df).repartition(4), "cluster", "gold")
+
+    # brute force per record
+    sizes_c = df.groupby("cluster")["gold"].size()
+    sizes_g = df.groupby("gold")["cluster"].size()
+    n_cg = df.groupby(["cluster", "gold"]).size()
+    joint = df.apply(lambda r: n_cg[(r["cluster"], r["gold"])], axis=1)
+    p = float((joint / df["cluster"].map(sizes_c)).mean())
+    r = float((joint / df["gold"].map(sizes_g)).mean())
+    assert abs(got["b3_precision"][0] - round(p, 6)) <= 1e-6
+    assert abs(got["b3_recall"][0] - round(r, 6)) <= 1e-6
+    f1 = 2 * p * r / (p + r)
+    assert abs(got["b3_f1"][0] - round(f1, 6)) <= 1e-6
+    assert int(got["n_records"][0]) == n

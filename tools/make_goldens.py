@@ -723,6 +723,48 @@ def golden_fs_linkage_weights(sf_dir: str, iters: int = 15) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def golden_one2one_match(sf_dir: str) -> pa.Table:
+    """Independent single-process greedy one-to-one matching: SNM window
+    candidates + JW scores derived in SQL (DuckDB jaro_winkler_similarity,
+    bit-identical to the engine kernel), then the literal sequential
+    greedy scan in (score desc, id_a, id_b) order — the definition the
+    distributed locally-dominant rounds must reproduce exactly."""
+    import duckdb
+
+    con = duckdb.connect()
+    df = con.sql(f"""
+        WITH customer AS (
+            SELECT * FROM '{os.path.join(sf_dir, "customer.parquet")}'),
+        r AS (SELECT c_custkey AS id, c_name AS nm,
+                     row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+              FROM customer)
+        SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+               round(jaro_winkler_similarity(a.nm, b.nm), 6) AS score
+        FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 8
+        WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.9
+    """).df()
+    # dedupe (id_a, id_b) keeping max score, then sequential greedy
+    df = (df.sort_values(["id_a", "id_b", "score"],
+                         ascending=[True, True, False])
+          .drop_duplicates(["id_a", "id_b"], keep="first"))
+    df = df.sort_values(["score", "id_a", "id_b"],
+                        ascending=[False, True, True], kind="stable")
+    used: set[int] = set()
+    keep = []
+    for ia, ib, s in zip(df["id_a"], df["id_b"], df["score"]):
+        if ia in used or ib in used:
+            continue
+        used.add(int(ia))
+        used.add(int(ib))
+        keep.append((int(ia), int(ib), float(s)))
+    keep.sort()
+    import pandas as pd
+    out = pd.DataFrame(keep, columns=["id_a", "id_b", "score"])
+    return pa.table({"id_a": pa.array(out["id_a"], pa.int64()),
+                     "id_b": pa.array(out["id_b"], pa.int64()),
+                     "score": pa.array(out["score"], pa.float64())})
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -751,6 +793,7 @@ def main() -> None:
         "part_components": golden_part_components(args.sf_dir),
         "jl_projection": golden_jl_projection(args.sf_dir),
         "fs_linkage_weights": golden_fs_linkage_weights(args.sf_dir),
+        "name_one2one_match": golden_one2one_match(args.sf_dir),
     }
     for name, tbl in tables.items():
         path = os.path.join(GOLDEN_DIR, f"{name}.{sf_tag}.parquet")
