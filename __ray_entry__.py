@@ -2987,6 +2987,48 @@ def q_name_one2one_match(sf_dir: str) -> rd.Dataset:
     return out.sort(["id_a", "id_b"])
 
 
+def q_purchase_attribution(sf_dir: str) -> rd.Dataset:
+    """Last-touch conversion attribution (stages/funnel.
+    last_touch_attribution): every purchase attributed to the user's
+    most recent prior click within 24 h — type-pruned BEFORE the single
+    hash(user) shuffle, segmented forward-carry of the last touch index
+    inside each bucket (no window self-join). Oracle = last_value
+    IGNORE NULLS OVER (... ROWS 1 PRECEDING)."""
+    from belb_ray.stages.funnel import last_touch_attribution
+
+    ev = _t(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "event_type", "ts"])
+    out = last_touch_attribution(ev, "user_id", "event_type", "ts",
+                                 "event_id", conversion_type="purchase",
+                                 touch_type="click")
+    return out.sort("conversion_id")
+
+
+def q_user_value_twa(sf_dir: str) -> rd.Dataset:
+    """Step-hold time-weighted average of event value per user
+    (stages/analytic.time_weighted_mean): the right mean for
+    irregularly-sampled series — one hash(user) co-location shuffle,
+    exact integer-µs interval arithmetic, v·Δus float64 weights.
+    Oracle = lead() OVER + sum(v·Δ)/(max−min) in SQL."""
+    from belb_ray.stages.analytic import time_weighted_mean
+
+    ev = _t(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "ts", "value"])
+    out = time_weighted_mean(ev, "user_id", "ts", "value", "event_id")
+    return out.sort("user_id")
+
+
+def q_user_streaks(sf_dir: str) -> rd.Dataset:
+    """Longest consecutive-active-day streak per user (stages/analytic.
+    active_streaks): batch-local (user, day) dedup → one co-location
+    shuffle → vectorized gaps-and-islands (day − rank constant within a
+    run). Oracle = the classic row_number island trick in SQL."""
+    from belb_ray.stages.analytic import active_streaks
+
+    ev = _t(sf_dir, "events").select_columns(["user_id", "ts"])
+    return active_streaks(ev, "user_id", "ts").sort("user_id")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -3165,6 +3207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_blocking_quality": q_snm_blocking_quality,
         "blocking_bcubed": q_blocking_bcubed,
         "name_one2one_match": q_name_one2one_match,
+        "purchase_attribution": q_purchase_attribution,
+        "user_value_twa": q_user_value_twa,
+        "user_streaks": q_user_streaks,
     }
 
 
@@ -5135,6 +5180,62 @@ def oracle_sql() -> dict[str, str]:
                    round(2 * (sp / n) * (sr / n)
                          / ((sp / n) + (sr / n)), 6) AS b3_f1
             FROM s
+        """,
+        "purchase_attribution": """
+            WITH e AS (SELECT event_id, user_id, ts, event_type
+                       FROM events
+                       WHERE event_type IN ('click', 'purchase')),
+            w AS (SELECT e.*,
+                         last_value(CASE WHEN event_type = 'click'
+                                         THEN event_id END IGNORE NULLS)
+                             OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) AS tid,
+                         last_value(CASE WHEN event_type = 'click'
+                                         THEN epoch_us(ts) END
+                                    IGNORE NULLS)
+                             OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) AS tus
+                  FROM e)
+            SELECT event_id AS conversion_id, user_id,
+                   CAST(CASE WHEN epoch_us(ts) - tus <= 86400000000
+                             THEN tid END AS DOUBLE) AS touch_id,
+                   CAST(CASE WHEN epoch_us(ts) - tus <= 86400000000
+                             THEN epoch_us(ts) - tus END AS DOUBLE)
+                       AS gap_us
+            FROM w WHERE event_type = 'purchase'
+            ORDER BY conversion_id
+        """,
+        "user_value_twa": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us, value,
+                              event_id
+                       FROM events),
+            w AS (SELECT user_id, us, value,
+                         lead(us) OVER (PARTITION BY user_id
+                                        ORDER BY us, event_id) AS nus
+                  FROM e)
+            SELECT user_id, count(*) AS n_obs,
+                   CAST(max(us) - min(us) AS BIGINT) AS span_us,
+                   round(sum(value * CAST(nus - us AS DOUBLE))
+                         / CAST(max(us) - min(us) AS DOUBLE), 6) AS twa
+            FROM w GROUP BY user_id HAVING count(*) >= 2
+            ORDER BY user_id
+        """,
+        "user_streaks": """
+            WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                       FROM events),
+            r AS (SELECT user_id, day,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY day) AS rn
+                  FROM d),
+            i AS (SELECT user_id, count(*) AS len
+                  FROM r GROUP BY user_id, day - CAST(rn AS INTEGER))
+            SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+                   CAST(max(len) AS BIGINT) AS longest_streak
+            FROM i GROUP BY user_id ORDER BY user_id
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

@@ -693,3 +693,109 @@ def global_rank(ds: rd.Dataset, order_col: str, id_col: str,
     return (ds.map_batches(_bucketize, batch_format="pandas")
             .groupby("__bucket").map_groups(_scan,
                                             batch_format="pandas"))
+
+
+def time_weighted_mean(events: rd.Dataset, key: str, ts_col: str,
+                       value_col: str, id_col: str,
+                       num_buckets: int = 64,
+                       round_to: int = 6) -> rd.Dataset:
+    """Step-hold time-weighted average of ``value_col`` per key: each
+    observation holds until the next one, TWA = Σ vᵢ·(tᵢ₊₁−tᵢ) /
+    (t_last − t_first); keys with < 2 events are dropped (no interval).
+    The right mean for irregularly-sampled series (sensor / account
+    balances), where the plain mean over-weights bursts.
+
+    ONE hash(key) co-location shuffle; inside each bucket one lexsort +
+    shifted-diff in exact integer microseconds; weights are v·Δus in
+    float64 (Δus < 2⁵³ exact). → (key, n_obs, span_us, twa)."""
+
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[key, ts_col, value_col, id_col]]
+        h = pd.util.hash_array(batch[key].to_numpy(), categorize=False)
+        return batch.assign(
+            __bucket=(h % np.uint64(num_buckets)).astype(np.int32))
+
+    def _twa(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.drop(columns="__bucket")
+             .sort_values([key, ts_col, id_col], kind="stable")
+             .reset_index(drop=True))
+        if not len(g):
+            return pd.DataFrame({key: [], "n_obs": [], "span_us": [],
+                                 "twa": []})
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ks = g[key].to_numpy()
+        new_key = np.r_[True, ks[1:] != ks[:-1]]
+        last = np.r_[new_key[1:], True]
+        delta = np.empty(len(g), np.int64)
+        delta[:-1] = us[1:] - us[:-1]
+        delta[-1] = 0
+        delta[last] = 0  # no interval after a key's final observation
+        w = g[value_col].to_numpy(np.float64) * delta.astype(np.float64)
+        heads = np.flatnonzero(new_key)
+        sums = np.add.reduceat(w, heads)
+        span = us[last] - us[new_key]
+        n_obs = np.diff(np.r_[heads, len(g)])
+        keep = n_obs >= 2
+        return pd.DataFrame({
+            key: ks[new_key][keep],
+            "n_obs": n_obs[keep].astype(np.int64),
+            "span_us": span[keep].astype(np.int64),
+            "twa": np.round(sums[keep] / span[keep].astype(np.float64),
+                            round_to)})
+
+    bucketed = events.map_batches(_bucketize, batch_format="pandas",
+                                  batch_size=1 << 17)
+    return bucketed.groupby("__bucket").map_groups(
+        _twa, batch_format="pandas")
+
+
+def active_streaks(events: rd.Dataset, key: str, ts_col: str,
+                   num_buckets: int = 64) -> rd.Dataset:
+    """Longest run of consecutive active DAYS per key (gaps-and-islands
+    on the day grid): batch-local (key, day) dedup → one hash(key)
+    co-location shuffle → per-bucket global dedup + vectorized island
+    lengths (day − rank is constant within a run). → (key,
+    n_active_days, longest_streak)."""
+
+    def _days(batch: pd.DataFrame) -> pd.DataFrame:
+        d = (batch[ts_col].to_numpy().astype("datetime64[D]")
+             .astype(np.int64))
+        return pd.DataFrame({key: batch[key].to_numpy(),
+                             "__day": d}).drop_duplicates()
+
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(batch[key].to_numpy(), categorize=False)
+        return batch.assign(
+            __bucket=(h % np.uint64(num_buckets)).astype(np.int32))
+
+    def _streaks(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.drop(columns="__bucket").drop_duplicates()
+             .sort_values([key, "__day"], kind="stable")
+             .reset_index(drop=True))
+        if not len(g):
+            return pd.DataFrame({key: [], "n_active_days": [],
+                                 "longest_streak": []})
+        ks = g[key].to_numpy()
+        d = g["__day"].to_numpy()
+        new_key = np.r_[True, ks[1:] != ks[:-1]]
+        # island id: new island at key head or a day gap > 1
+        new_isl = new_key | np.r_[True, (d[1:] - d[:-1]) != 1]
+        isl_heads = np.flatnonzero(new_isl)
+        isl_len = np.diff(np.r_[isl_heads, len(g)])
+        # longest island per key: islands are contiguous per key
+        isl_key_head = new_key[isl_heads]  # first island of its key
+        key_isl_heads = np.flatnonzero(isl_key_head)
+        longest = np.maximum.reduceat(isl_len, key_isl_heads)
+        heads = np.flatnonzero(new_key)
+        n_days = np.diff(np.r_[heads, len(g)])
+        return pd.DataFrame({
+            key: ks[new_key],
+            "n_active_days": n_days.astype(np.int64),
+            "longest_streak": longest.astype(np.int64)})
+
+    dd = events.map_batches(_days, batch_format="pandas",
+                            batch_size=1 << 17)
+    bucketed = dd.map_batches(_bucketize, batch_format="pandas",
+                              batch_size=1 << 17)
+    return bucketed.groupby("__bucket").map_groups(
+        _streaks, batch_format="pandas")

@@ -70,3 +70,72 @@ def funnel(ds: rd.Dataset, user_col: str, type_col: str, ts_col: str,
     return (ds.map_batches(_bucketize, batch_format="pandas")
             .groupby("__bucket")
             .map_groups(_funnel, batch_format="pandas"))
+
+
+def last_touch_attribution(ds: rd.Dataset, user_col: str, type_col: str,
+                           ts_col: str, id_col: str,
+                           conversion_type: str, touch_type: str,
+                           window_us: int = 86_400_000_000,
+                           num_buckets: int = 64) -> rd.Dataset:
+    """Last-touch conversion attribution: for every ``conversion_type``
+    event, the user's most recent PRIOR ``touch_type`` event within
+    ``window_us`` microseconds (strictly earlier by (ts, id) order).
+    → (conversion_id, user_id, touch_id, gap_us); touch_id/gap_us are
+    float64 with NaN when no touch qualifies (matches SQL NULL BIGINT
+    → pandas float64).
+
+    Shape: rows not of the two types are dropped BEFORE the single
+    hash(user) co-location shuffle (read-side prune — the touch+conv
+    subset is usually a small fraction of the stream); inside each
+    bucket one lexsort + a forward-carry of the last touch index per
+    user — no per-row Python, no window self-join."""
+
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[user_col, type_col, ts_col, id_col]]
+        batch = batch[batch[type_col].isin(
+            [conversion_type, touch_type])]
+        h = pd.util.hash_array(batch[user_col].to_numpy(),
+                               categorize=False)
+        return batch.assign(
+            __bucket=(h % np.uint64(num_buckets)).astype(np.int32))
+
+    def _attribute(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.drop(columns="__bucket")
+             .sort_values([user_col, ts_col, id_col], kind="stable")
+             .reset_index(drop=True))
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        users = g[user_col].to_numpy()
+        new_user = np.r_[True, users[1:] != users[:-1]]
+        is_touch = (g[type_col] == touch_type).to_numpy()
+        idx = np.arange(len(g), dtype=np.int64)
+        # forward-carry of the most recent touch row index per user:
+        # reset the carry at user heads by restarting the accumulate
+        # from a sentinel (-1) planted at each head
+        carry = np.where(is_touch, idx, -1)
+        carry = np.where(new_user & ~is_touch, -1, carry)
+        # segmented maximum-accumulate: subtract per-user offsets trick
+        # (plain np.maximum.accumulate would leak across users, so bump
+        # each user's sentinel domain by a monotone per-user base)
+        uid = np.cumsum(new_user) - 1
+        base = (uid + 1) * (len(g) + 2)
+        lifted = np.where(carry >= 0, base + carry, 0)
+        lifted = np.maximum.accumulate(lifted)
+        last_touch = np.where(lifted >= base, lifted - base, -1)
+        conv = ~is_touch
+        # strictly-prior: a conversion row's own index is never a touch
+        lt = last_touch[conv]
+        cus = us[conv]
+        valid = lt >= 0
+        gap = np.where(valid, cus - us[np.maximum(lt, 0)], -1)
+        ok = valid & (gap <= window_us)
+        tid = g[id_col].to_numpy()[np.maximum(lt, 0)].astype(np.float64)
+        return pd.DataFrame({
+            "conversion_id": g[id_col].to_numpy()[conv],
+            "user_id": users[conv],
+            "touch_id": np.where(ok, tid, np.nan),
+            "gap_us": np.where(ok, gap.astype(np.float64), np.nan)})
+
+    bucketed = ds.map_batches(_bucketize, batch_format="pandas",
+                              batch_size=1 << 17)
+    return bucketed.groupby("__bucket").map_groups(
+        _attribute, batch_format="pandas")

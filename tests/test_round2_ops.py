@@ -2223,3 +2223,94 @@ def test_fs_em_weights_planted_structure_and_block_invariant():
     assert byf.loc["agree_a", "weight_agree"] > 1.0
     # the noise feature carries ~no weight
     assert abs(byf.loc["agree_b", "weight_agree"]) < 0.5
+
+
+def _rand_events(seed: int, n: int = 400, users: int = 12) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    ts = (np.datetime64("2024-01-01", "us")
+          + rng.integers(0, 30 * 86400 * 10**6, n).astype("timedelta64[us]"))
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, users, n).astype(np.int64),
+        "event_type": rng.choice(["click", "purchase", "view"], n),
+        "ts": ts,
+        "value": np.round(rng.uniform(0, 100, n), 2)})
+
+
+def test_last_touch_attribution_matches_bruteforce():
+    from belb_ray.stages.funnel import last_touch_attribution
+
+    df = _rand_events(5)
+    win = 3 * 86400 * 10**6  # 3 days
+    got = (last_touch_attribution(
+        rd.from_pandas(df).repartition(5), "user_id", "event_type", "ts",
+        "event_id", "purchase", "click", window_us=win, num_buckets=8)
+        .to_pandas().sort_values("conversion_id").reset_index(drop=True))
+
+    rows = []
+    s = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    for uid, g in s.groupby("user_id"):
+        last = None  # (us, event_id)
+        for _, r in g.iterrows():
+            us = r["ts"].value // 1000 if hasattr(r["ts"], "value") else 0
+            us = np.datetime64(r["ts"], "us").astype(np.int64)
+            if r["event_type"] == "purchase":
+                if last is not None and us - last[0] <= win:
+                    rows.append((r["event_id"], uid, float(last[1]),
+                                 float(us - last[0])))
+                else:
+                    rows.append((r["event_id"], uid, np.nan, np.nan))
+            if r["event_type"] == "click":
+                last = (us, r["event_id"])
+    exp = (pd.DataFrame(rows, columns=["conversion_id", "user_id",
+                                       "touch_id", "gap_us"])
+           .sort_values("conversion_id").reset_index(drop=True))
+    assert len(got) == len(exp)
+    assert got["conversion_id"].tolist() == exp["conversion_id"].tolist()
+    pd.testing.assert_series_equal(got["touch_id"], exp["touch_id"],
+                                   check_names=False)
+    pd.testing.assert_series_equal(got["gap_us"], exp["gap_us"],
+                                   check_names=False)
+
+
+def test_time_weighted_mean_matches_bruteforce():
+    from belb_ray.stages.analytic import time_weighted_mean
+
+    df = _rand_events(9, n=300, users=10)
+    got = (time_weighted_mean(
+        rd.from_pandas(df).repartition(4), "user_id", "ts", "value",
+        "event_id", num_buckets=8)
+        .to_pandas().sort_values("user_id").reset_index(drop=True))
+    for _, r in got.iterrows():
+        g = (df[df["user_id"] == r["user_id"]]
+             .sort_values(["ts", "event_id"], kind="stable"))
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = g["value"].to_numpy(np.float64)
+        num = float((v[:-1] * (us[1:] - us[:-1])).sum())
+        span = int(us[-1] - us[0])
+        assert int(r["n_obs"]) == len(g)
+        assert int(r["span_us"]) == span
+        assert abs(r["twa"] - round(num / span, 6)) <= 1e-9
+    # every user with >= 2 events is present
+    counts = df.groupby("user_id").size()
+    assert set(got["user_id"]) == set(counts[counts >= 2].index)
+
+
+def test_active_streaks_matches_bruteforce():
+    from belb_ray.stages.analytic import active_streaks
+
+    df = _rand_events(13, n=250, users=8)
+    got = (active_streaks(rd.from_pandas(df).repartition(6), "user_id",
+                          "ts", num_buckets=4)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    for _, r in got.iterrows():
+        days = sorted(set(
+            df[df["user_id"] == r["user_id"]]["ts"]
+            .to_numpy().astype("datetime64[D]").astype(np.int64)))
+        best = cur = 1
+        for a, b in zip(days, days[1:]):
+            cur = cur + 1 if b - a == 1 else 1
+            best = max(best, cur)
+        assert int(r["n_active_days"]) == len(days)
+        assert int(r["longest_streak"]) == best
+    assert set(got["user_id"]) == set(df["user_id"])
