@@ -3029,6 +3029,31 @@ def q_user_streaks(sf_dir: str) -> rd.Dataset:
     return active_streaks(ev, "user_id", "ts").sort("user_id")
 
 
+def q_boilerplate_stats(sf_dir: str) -> rd.Dataset:
+    """Cross-doc boilerplate phrases (stages/curation.boilerplate_stats):
+    word 3-grams in ≥ 5 distinct docs are boilerplate; per-doc instance
+    counts + boilerplate ratio. One exploded-gram materialization reused
+    for document frequencies AND the hash(gram) mark-back join — the
+    CCNet-style template-removal signal."""
+    from belb_ray.stages.curation import boilerplate_stats
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return boilerplate_stats(docs, n=3, min_df=5).sort("doc_id")
+
+
+def q_doc_containment(sf_dir: str) -> rd.Dataset:
+    """Containment search (stages/setsim.containment_topk): top-3 corpus
+    docs per probe doc by shingle containment |S(q)∩S(d)|/|S(q)| — the
+    LSH-Ensemble problem in exact small-probe form; probe shingle sets
+    broadcast once, corpus streamed, per-query top-k via the grouped-topk
+    combiner."""
+    from belb_ray.stages.setsim import containment_topk
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = containment_topk(docs, query_ids=[0, 1, 2, 3, 4], k=3, n=3)
+    return out.sort(["qid", "doc_id"])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -3210,6 +3235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_attribution": q_purchase_attribution,
         "user_value_twa": q_user_value_twa,
         "user_streaks": q_user_streaks,
+        "boilerplate_stats": q_boilerplate_stats,
+        "doc_containment": q_doc_containment,
     }
 
 
@@ -5236,6 +5263,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
                    CAST(max(len) AS BIGINT) AS longest_streak
             FROM i GROUP BY user_id ORDER BY user_id
+        """,
+        "boilerplate_stats": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents),
+            inst AS (
+                SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                           AS gram
+                FROM (SELECT doc_id, w,
+                             unnest(generate_series(1, len(w) - 2)) AS i
+                      FROM words)),
+            dft AS (SELECT gram, count(DISTINCT doc_id) AS df
+                    FROM inst GROUP BY gram),
+            tot AS (SELECT doc_id, count(*) AS n_grams
+                    FROM inst GROUP BY doc_id),
+            boil AS (SELECT i.doc_id, count(*) AS n_boiler
+                     FROM inst i JOIN dft USING (gram)
+                     WHERE df >= 5 GROUP BY i.doc_id)
+            SELECT t.doc_id, t.n_grams,
+                   coalesce(b.n_boiler, 0) AS n_boiler,
+                   round(coalesce(b.n_boiler, 0)
+                         / CAST(t.n_grams AS DOUBLE), 6) AS boiler_ratio
+            FROM tot t LEFT JOIN boil b USING (doc_id)
+            ORDER BY t.doc_id
+        """,
+        "doc_containment": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+                FROM (SELECT doc_id, w,
+                             unnest(generate_series(1, len(w) - 2)) AS i
+                      FROM words)),
+            q AS (SELECT doc_id AS qid, gram FROM g WHERE doc_id < 5),
+            qs AS (SELECT qid, count(*) AS qsize FROM q GROUP BY qid),
+            inter AS (SELECT q.qid, g.doc_id, count(*) AS inter
+                      FROM q JOIN g USING (gram)
+                      WHERE g.doc_id <> q.qid
+                      GROUP BY q.qid, g.doc_id),
+            sc AS (SELECT qid, doc_id, inter,
+                          round(inter / CAST(qsize AS DOUBLE), 6)
+                              AS containment,
+                          row_number() OVER (PARTITION BY qid
+                                             ORDER BY inter DESC, doc_id)
+                              AS rn
+                   FROM inter JOIN qs USING (qid))
+            SELECT qid, doc_id, inter, containment
+            FROM sc WHERE rn <= 3 ORDER BY qid, doc_id
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

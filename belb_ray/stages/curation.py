@@ -315,3 +315,66 @@ def budget_select(
 
     return (ds.map_batches(_bucketize, batch_format="pandas")
             .groupby("__bin").map_groups(_scan, batch_format="pandas"))
+
+
+def boilerplate_stats(ds: rd.Dataset, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      min_df: int = 5,
+                      num_buckets: int = 64) -> rd.Dataset:
+    """Cross-document boilerplate detection (the CCNet / RefinedWeb
+    template-removal signal, at phrase granularity): a word ``n``-gram is
+    boilerplate when it appears in ≥ ``min_df`` DISTINCT documents; per
+    doc report how much of it is made of such phrases.
+    → (doc_id, n_grams, n_boiler, boiler_ratio); docs shorter than n
+    words emit no grams and are excluded (no denominator).
+
+    Shape: one streaming pass explodes per-doc gram instance counts
+    (distinct-per-doc by construction — a doc is one row); gram document
+    frequencies ride the bucketed combiner (counts only, never text);
+    the boilerplate mark-back is a hash(gram) partitioned join of the
+    SAME exploded table (materialized once, reused twice) — no driver
+    set, no rescan of the corpus."""
+    from .agg import preagg_groupby
+    from .joins import hash_partition_join
+
+    def _gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        grams: list[str] = []
+        cnts: list[int] = []
+        for did, t in zip(batch[id_col], batch[text_col]):
+            w = GRAM_WORD_RE.findall((t or "").lower())
+            vc = pd.Series(
+                [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)],
+                dtype=object).value_counts()
+            ids.extend([did] * len(vc))
+            grams.extend(vc.index)
+            cnts.extend(vc.to_numpy())
+        return pd.DataFrame({id_col: ids, "gram": grams,
+                             "cnt": np.asarray(cnts, np.int64),
+                             "__one": np.ones(len(ids), np.int64)})
+
+    inst = ds.select_columns([id_col, text_col]).map_batches(
+        _gram_rows, batch_format="pandas").materialize()  # reused 3x
+    dft = preagg_groupby(inst, ["gram"], [("sum", "__one", "df")],
+                         num_buckets=num_buckets)
+    boiler = dft.filter(expr=f"df >= {min_df}")
+    tot = preagg_groupby(inst, [id_col], [("sum", "cnt", "n_grams")],
+                         num_buckets=num_buckets)
+    marked = hash_partition_join(
+        inst.map_batches(lambda b: b[[id_col, "gram", "cnt"]],
+                         batch_format="pandas"),
+        boiler, key="gram", num_buckets=num_buckets)
+    bcnt = preagg_groupby(marked, [id_col], [("sum", "cnt", "n_boiler")],
+                          num_buckets=num_buckets)
+    out = hash_partition_join(tot, bcnt, key=id_col, join_type="left outer",
+                              num_buckets=num_buckets)
+
+    def _ratio(batch: pd.DataFrame) -> pd.DataFrame:
+        nb = batch["n_boiler"].fillna(0).to_numpy(np.int64)
+        ng = batch["n_grams"].to_numpy(np.int64)
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "n_grams": ng, "n_boiler": nb,
+            "boiler_ratio": np.round(nb / ng.astype(np.float64), 6)})
+
+    return out.map_batches(_ratio, batch_format="pandas")

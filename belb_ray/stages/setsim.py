@@ -39,6 +39,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from ..functions.hashing import token_hashes
@@ -242,3 +243,76 @@ def jaccard_similarity_join(docs: rd.Dataset, threshold: float,
 
     return j2.map_batches(_verify_join, batch_format="pandas",
                           batch_size=4096)
+
+
+def containment_topk(ds: rd.Dataset, query_ids: list, k: int = 3,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n: int = 3, num_buckets: int = 64) -> rd.Dataset:
+    """Containment search (the LSH-Ensemble problem, exact small-probe
+    form): for each query doc, the top-``k`` corpus docs by containment
+    |S(q) ∩ S(d)| / |S(q)| of distinct word ``n``-gram shingle sets —
+    the right asymmetric score when the query may be a fragment of a
+    larger doc (Jaccard punishes size mismatch). Self-matches excluded;
+    only docs sharing ≥ 1 shingle are candidates (SQL join parity).
+    → (qid, doc_id, inter, containment), k rows per query, tie-broken by
+    (inter desc, doc_id).
+
+    Shape: the probe side is by definition driver-small — its shingle
+    sets are hashed (64-bit, fixed-key) and broadcast once via ray.put;
+    the corpus streams in one map_batches pass (per-doc distinct shingle
+    hashes probed with np.isin against the flattened query matrix,
+    intersection counts via reduceat — no pairwise text compare, no
+    shuffle of the corpus); the global top-k finish is the per-key
+    combiner (grouped_topk), so at most k rows per query per block move."""
+    from .agg import grouped_topk
+    from .curation import GRAM_WORD_RE
+
+    qset = set(query_ids)
+    probe = ds.filter(
+        lambda r: r[id_col] in qset).select_columns(
+        [id_col, text_col]).to_pandas()
+
+    def _shingles(t: str) -> np.ndarray:
+        w = GRAM_WORD_RE.findall((t or "").lower())
+        gs = pd.unique(pd.Series(
+            [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)],
+            dtype=object))
+        return pd.util.hash_array(np.asarray(gs, object),
+                                  hash_key="belb_ray_contain",
+                                  categorize=False)
+
+    qids = probe[id_col].to_numpy()
+    qhashes = [_shingles(t) for t in probe[text_col]]
+    qsizes = np.array([len(h) for h in qhashes], np.float64)
+    ref = ray.put((qids, qhashes, qsizes))
+
+    def _probe(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..util import cached_get
+
+        qids, qhashes, qsizes = cached_get(ref)
+        out_q, out_d, out_i, out_c = [], [], [], []
+        for did, t in zip(batch[id_col], batch[text_col]):
+            h = _shingles(t)
+            if not len(h):
+                continue
+            for qi in range(len(qids)):
+                if qids[qi] == did:
+                    continue
+                inter = int(np.isin(qhashes[qi], h,
+                                    assume_unique=True).sum())
+                if inter > 0:
+                    out_q.append(qids[qi])
+                    out_d.append(did)
+                    out_i.append(inter)
+                    out_c.append(round(inter / qsizes[qi], 6))
+        id_dt = batch[id_col].dtype if len(batch) else np.int64
+        return pd.DataFrame({
+            "qid": np.asarray(out_q, id_dt),
+            "doc_id": np.asarray(out_d, id_dt),
+            "inter": np.asarray(out_i, np.int64),
+            "containment": np.asarray(out_c, np.float64)})
+
+    scored = ds.select_columns([id_col, text_col]).map_batches(
+        _probe, batch_format="pandas")
+    return grouped_topk(scored, ["qid"], "inter", k, descending=True,
+                        tiebreak="doc_id", num_buckets=num_buckets)

@@ -2314,3 +2314,79 @@ def test_active_streaks_matches_bruteforce():
         assert int(r["n_active_days"]) == len(days)
         assert int(r["longest_streak"]) == best
     assert set(got["user_id"]) == set(df["user_id"])
+
+
+def _gram_corpus(seed: int, n_docs: int = 60):
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(30)]
+    boiler = "click here to subscribe now"
+    texts = []
+    for i in range(n_docs):
+        words = [rng.choice(vocab) for _ in range(rng.randint(1, 25))]
+        if rng.random() < 0.4:
+            pos = rng.randint(0, len(words))
+            words[pos:pos] = boiler.split()
+        texts.append(" ".join(words))
+    return pd.DataFrame({"doc_id": np.arange(n_docs, dtype=np.int64),
+                         "text": texts})
+
+
+def _grams(t: str, n: int = 3) -> list:
+    w = t.lower().split()
+    return [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+
+
+def test_boilerplate_stats_matches_bruteforce():
+    from collections import Counter
+
+    from belb_ray.stages.curation import boilerplate_stats
+
+    df = _gram_corpus(7)
+    got = (boilerplate_stats(rd.from_pandas(df).repartition(5), n=3,
+                             min_df=5, num_buckets=8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    df_counts = Counter()
+    per_doc = {}
+    for r in df.itertuples():
+        gs = _grams(r.text)
+        per_doc[r.doc_id] = Counter(gs)
+        df_counts.update(set(gs))
+    boiler = {g for g, c in df_counts.items() if c >= 5}
+    assert boiler, "fixture must produce boilerplate grams"
+    exp = {d: (sum(c.values()), sum(v for g, v in c.items() if g in boiler))
+           for d, c in per_doc.items() if c}
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        ng, nb = exp[r.doc_id]
+        assert (int(r.n_grams), int(r.n_boiler)) == (ng, nb)
+        assert abs(float(r.boiler_ratio) - round(nb / ng, 6)) < 1e-12
+
+
+def test_containment_topk_matches_bruteforce():
+    from belb_ray.stages.setsim import containment_topk
+
+    df = _gram_corpus(11)
+    # query docs must share >=1 gram with someone, else the result is
+    # legitimately empty — pick three boilerplate-carrying docs
+    qids = [int(d) for d, t in zip(df["doc_id"], df["text"])
+            if "click here to" in t][:3]
+    assert len(qids) == 3
+    got = (containment_topk(rd.from_pandas(df).repartition(5),
+                            query_ids=qids, k=3, n=3, num_buckets=8)
+           .to_pandas())
+    sets = {r.doc_id: set(_grams(r.text)) for r in df.itertuples()}
+    for q in qids:
+        if not sets[q]:
+            continue
+        cands = sorted(
+            ((-len(sets[q] & sets[d]), d) for d in sets
+             if d != q and sets[q] & sets[d]))[:3]
+        sub = got[got["qid"] == q].sort_values(["inter", "doc_id"],
+                                               ascending=[False, True])
+        assert [(int(-i), int(d)) for i, d in cands] == \
+            [(int(r.inter), int(r.doc_id)) for r in sub.itertuples()]
+        for r in sub.itertuples():
+            assert abs(float(r.containment)
+                       - round(float(r.inter) / len(sets[q]), 6)) < 1e-12
