@@ -3054,6 +3054,64 @@ def q_doc_containment(sf_dir: str) -> rd.Dataset:
     return out.sort(["qid", "doc_id"])
 
 
+def q_part_communities(sf_dir: str) -> rd.Dataset:
+    """Synchronous label-propagation communities over the part
+    co-purchase graph (stages/graph.label_propagation): 3 deterministic
+    rounds, node-sized label table broadcast onto the edge list per
+    round, neighbor-label counts combine in ONE bucketed shuffle, argmax
+    rides the grouped-topk combiner. Oracle = 3 unrolled CTE rounds."""
+    from belb_ray.stages.agg import preagg_groupby
+    from belb_ray.stages.cooccur import cooccurrence_pairs
+    from belb_ray.stages.graph import label_propagation
+
+    li = _t(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+    und = preagg_groupby(pairs, ["a", "b"],
+                         [("count", "", "__n")]).drop_columns(["__n"])
+
+    def _mirror(batch: pa.Table) -> pa.Table:
+        fwd = pa.table({"src": batch["a"], "dst": batch["b"]})
+        rev = pa.table({"src": batch["b"], "dst": batch["a"]})
+        return pa.concat_tables([fwd, rev])
+
+    edges = und.map_batches(_mirror, batch_format="pyarrow")
+    return label_propagation(edges, iters=3).sort("node")
+
+
+def q_part_shortest_paths(sf_dir: str) -> rd.Dataset:
+    """Multi-source weighted shortest paths ≤3 hops over the part
+    co-purchase graph (stages/graph.shortest_paths, Bellman–Ford with a
+    fixed round count): edge weight = co-purchase multiplicity, integer
+    distances exact end-to-end; per round the reached-node distance
+    table broadcasts onto the edges and relaxed candidates ride a MIN
+    combiner. Oracle = bounded-depth recursive CTE accumulating d+w."""
+    from belb_ray.stages.agg import preagg_groupby
+    from belb_ray.stages.cooccur import cooccurrence_pairs
+    from belb_ray.stages.graph import shortest_paths
+
+    li = _t(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+    und = preagg_groupby(pairs, ["a", "b"], [("count", "", "w")])
+
+    def _mirror(batch: pa.Table) -> pa.Table:
+        fwd = pa.table({"src": batch["a"], "dst": batch["b"],
+                        "w": batch["w"]})
+        rev = pa.table({"src": batch["b"], "dst": batch["a"],
+                        "w": batch["w"]})
+        return pa.concat_tables([fwd, rev])
+
+    edges = und.map_batches(_mirror, batch_format="pyarrow")
+
+    def _seed(t: pa.Table) -> pa.Table:
+        k = t["p_partkey"].combine_chunks()
+        mask = pa.array(k.to_numpy(zero_copy_only=False) % 200 == 0)
+        return pa.table({"node": k.filter(mask)})
+
+    seeds = (_t(sf_dir, "part").select_columns(["p_partkey"])
+             .map_batches(_seed, batch_format="pyarrow"))
+    return shortest_paths(edges, seeds, max_hops=3).sort("node")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -3237,6 +3295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_streaks": q_user_streaks,
         "boilerplate_stats": q_boilerplate_stats,
         "doc_containment": q_doc_containment,
+        "part_communities": q_part_communities,
+        "part_shortest_paths": q_part_shortest_paths,
     }
 
 
@@ -5315,6 +5375,61 @@ def oracle_sql() -> dict[str, str]:
                    FROM inter JOIN qs USING (qid))
             SELECT qid, doc_id, inter, containment
             FROM sc WHERE rn <= 3 ORDER BY qid, doc_id
+        """,
+        "part_communities": """
+            WITH items AS (SELECT DISTINCT l_orderkey AS g,
+                                  l_partkey AS it FROM lineitem),
+            edges AS (SELECT DISTINCT x.it AS src, y.it AS dst
+                      FROM items x JOIN items y
+                        ON x.g = y.g AND x.it <> y.it),
+            l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
+            c1 AS (SELECT e.dst AS node, l.lab, count(*) AS c
+                   FROM edges e JOIN l0 l ON l.node = e.src
+                   GROUP BY e.dst, l.lab),
+            b1 AS (SELECT node, lab FROM (
+                       SELECT node, lab, row_number() OVER (
+                           PARTITION BY node ORDER BY c DESC, lab) AS rn
+                       FROM c1) WHERE rn = 1),
+            l1 AS (SELECT p.node, coalesce(b.lab, p.lab) AS lab
+                   FROM l0 p LEFT JOIN b1 b USING (node)),
+            c2 AS (SELECT e.dst AS node, l.lab, count(*) AS c
+                   FROM edges e JOIN l1 l ON l.node = e.src
+                   GROUP BY e.dst, l.lab),
+            b2 AS (SELECT node, lab FROM (
+                       SELECT node, lab, row_number() OVER (
+                           PARTITION BY node ORDER BY c DESC, lab) AS rn
+                       FROM c2) WHERE rn = 1),
+            l2 AS (SELECT p.node, coalesce(b.lab, p.lab) AS lab
+                   FROM l1 p LEFT JOIN b2 b USING (node)),
+            c3 AS (SELECT e.dst AS node, l.lab, count(*) AS c
+                   FROM edges e JOIN l2 l ON l.node = e.src
+                   GROUP BY e.dst, l.lab),
+            b3 AS (SELECT node, lab FROM (
+                       SELECT node, lab, row_number() OVER (
+                           PARTITION BY node ORDER BY c DESC, lab) AS rn
+                       FROM c3) WHERE rn = 1),
+            l3 AS (SELECT p.node, coalesce(b.lab, p.lab) AS lab
+                   FROM l2 p LEFT JOIN b3 b USING (node))
+            SELECT node, lab AS label FROM l3 ORDER BY node
+        """,
+        "part_shortest_paths": """
+            WITH RECURSIVE
+            items AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS it
+                      FROM lineitem),
+            edges AS (SELECT x.it AS src, y.it AS dst,
+                             count(*) AS w
+                      FROM items x JOIN items y
+                        ON x.g = y.g AND x.it <> y.it
+                      GROUP BY x.it, y.it),
+            seeds AS (SELECT p_partkey AS node FROM part
+                      WHERE p_partkey % 200 = 0),
+            r(node, d, hops) AS (
+                SELECT node, CAST(0 AS BIGINT), 0 FROM seeds
+                UNION
+                SELECT e.dst, r.d + e.w, r.hops + 1
+                FROM r JOIN edges e ON e.src = r.node
+                WHERE r.hops < 3)
+            SELECT node, MIN(d) AS dist FROM r GROUP BY node ORDER BY node
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

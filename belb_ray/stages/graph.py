@@ -434,3 +434,123 @@ def k_core(edges: rd.Dataset, k: int, src: str = "src", dst: str = "dst",
     return out.map_batches(
         lambda b: b.rename(columns={src: "vertex"}),
         batch_format="pandas")
+
+
+def label_propagation(edges: rd.Dataset, src: str = "src",
+                      dst: str = "dst", iters: int = 3,
+                      num_buckets: int = 64,
+                      broadcast_threshold: int = 2_000_000) -> rd.Dataset:
+    """Synchronous label-propagation community detection over an
+    undirected edge list (both directions present) → (node, label)
+    after ``iters`` rounds. Every node starts labeled with itself; each
+    round it adopts the most frequent label among its neighbors
+    (smallest label on ties, previous label kept when it has none) —
+    all nodes update simultaneously, so the result is deterministic and
+    partition-independent (asynchronous LPA is run-order dependent;
+    mirrors the deterministic variant of Raghavan et al. 2007).
+
+    Distributed shape per round (same as ``pagerank``): the label table
+    (node-sized) attaches to the edges via the size-guarded
+    broadcast/hash join, neighbor-label counts pre-aggregate in
+    map_batches before ONE bucketed combine, the per-node argmax rides
+    the grouped-topk combiner (≤1 row per node per block shuffles), and
+    the next label table materializes (consumed by the next round's
+    join). The edge list is scanned once per round and never shuffled
+    in the broadcast regime."""
+    from .agg import grouped_topk, preagg_groupby
+    from .analytic import _attach_small
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    edges = edges.select_columns([src, dst]).materialize()
+
+    ends = edges.select_columns([src]).map_batches(
+        lambda b: b.rename_columns(["node"]), batch_format="pyarrow").union(
+        edges.select_columns([dst]).map_batches(
+            lambda b: b.rename_columns(["node"]), batch_format="pyarrow"))
+    labels = preagg_groupby(
+        ends.map_batches(lambda b: b.assign(__one=np.int8(1)),
+                         batch_format="pandas"),
+        ["node"], [("count", "", "__n")], num_buckets).map_batches(
+        lambda b: pd.DataFrame({"node": b["node"],
+                                "label": b["node"]}),
+        batch_format="pandas").materialize()
+
+    for _ in range(iters):
+        on_edges = _attach_small(
+            edges,
+            labels.map_batches(lambda b: b.rename(columns={"node": src}),
+                               batch_format="pandas"),
+            src, broadcast_threshold)
+        counts = preagg_groupby(
+            on_edges.map_batches(
+                lambda b: pd.DataFrame({"node": b[dst], "label": b["label"]}),
+                batch_format="pandas"),
+            ["node", "label"], [("count", "", "c")], num_buckets)
+        best = grouped_topk(counts, ["node"], "c", 1, descending=True,
+                            tiebreak="label", num_buckets=num_buckets) \
+            .map_batches(lambda b: b.rename(columns={"label": "__new"})
+                         [["node", "__new"]], batch_format="pandas")
+        merged = _attach_small(labels, best, "node", broadcast_threshold,
+                               join_type="left outer")
+
+        def _pick(batch: pd.DataFrame) -> pd.DataFrame:
+            new = batch["__new"] if "__new" in batch else batch["label"]
+            lab = new.fillna(batch["label"])
+            # int keys survive the nullable left join as float — restore
+            if batch["node"].dtype.kind in "iu":
+                lab = lab.astype(batch["node"].dtype)
+            return pd.DataFrame({"node": batch["node"], "label": lab})
+
+        labels = merged.map_batches(_pick,
+                                    batch_format="pandas").materialize()
+    return labels
+
+
+def shortest_paths(edges: rd.Dataset, seeds: rd.Dataset,
+                   src: str = "src", dst: str = "dst",
+                   weight_col: str = "w", node_col: str = "node",
+                   max_hops: int = 3, num_buckets: int = 64,
+                   broadcast_threshold: int = 2_000_000) -> rd.Dataset:
+    """Multi-source weighted shortest paths, bounded at ``max_hops``
+    edges (Bellman–Ford with a fixed round count) → (node, dist):
+    minimum total edge weight over any walk of ≤ max_hops edges from
+    any seed. Integer weights stay exact end-to-end; equivalent SQL is
+    the bounded-depth recursive CTE accumulating d + w with a final
+    MIN(d) GROUP BY, which the oracle mirrors.
+
+    Distributed shape per round: the distance table (node-sized, only
+    reached nodes) attaches to the edges via the size-guarded
+    broadcast/hash join, relaxed candidates (dst, d+w) pre-aggregate
+    with a MIN combiner before ONE bucketed combine, and the new table
+    unions the old with a second node-sized MIN combine. Edges are
+    scanned once per round, never shuffled in the broadcast regime."""
+    from .agg import preagg_groupby
+    from .analytic import _attach_small
+
+    edges = edges.select_columns([src, dst, weight_col]).materialize()
+
+    dist = _distinct_nodes(seeds.select_columns([node_col]), node_col,
+                           num_buckets).map_batches(
+        lambda b: pd.DataFrame({"node": b[node_col].to_numpy(),
+                                "dist": np.zeros(len(b), np.int64)}),
+        batch_format="pandas").materialize()
+
+    for _ in range(max_hops):
+        reach = _attach_small(
+            edges,
+            dist.map_batches(lambda b: b.rename(columns={"node": src}),
+                             batch_format="pandas"),
+            src, broadcast_threshold)
+
+        def _relax(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": batch[dst],
+                "dist": batch["dist"].to_numpy()
+                + batch[weight_col].to_numpy()})
+
+        cand = reach.map_batches(_relax, batch_format="pandas")
+        dist = preagg_groupby(dist.union(cand), ["node"],
+                              [("min", "dist", "dist")],
+                              num_buckets).materialize()
+    return dist

@@ -2390,3 +2390,78 @@ def test_containment_topk_matches_bruteforce():
         for r in sub.itertuples():
             assert abs(float(r.containment)
                        - round(float(r.inter) / len(sets[q]), 6)) < 1e-12
+
+
+def _copurchase_edges(seed: int = 3, n_groups: int = 25, n_items: int = 40):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for g in range(n_groups):
+        items = rng.sample(range(n_items), rng.randint(2, 5))
+        for a in items:
+            for b in items:
+                if a != b:
+                    rows.append((a, b))
+    df = (pd.DataFrame(rows, columns=["src", "dst"])
+          .groupby(["src", "dst"]).size().rename("w").reset_index())
+    df["src"] = df["src"].astype(np.int64)
+    df["dst"] = df["dst"].astype(np.int64)
+    df["w"] = df["w"].astype(np.int64)
+    return df
+
+
+def test_label_propagation_matches_bruteforce():
+    from belb_ray.stages.graph import label_propagation
+
+    df = _copurchase_edges()
+    got = (label_propagation(rd.from_pandas(df).repartition(4), iters=3,
+                             num_buckets=8)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    # synchronous reference: label = mode of neighbor labels, min tie
+    nbrs = {}
+    for r in df.itertuples():
+        nbrs.setdefault(r.src, []).append(r.dst)
+    nodes = sorted(set(df["src"]) | set(df["dst"]))
+    lab = {v: v for v in nodes}
+    for _ in range(3):
+        new = {}
+        for v in nodes:
+            ns = nbrs.get(v, [])
+            if not ns:
+                new[v] = lab[v]
+                continue
+            from collections import Counter
+
+            cnt = Counter(lab[u] for u in ns)
+            best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            new[v] = best[0]
+        lab = new
+    assert dict(zip(got["node"], got["label"])) == lab
+    # communities formed: strictly fewer labels than nodes
+    assert got["label"].nunique() < len(nodes)
+
+
+def test_shortest_paths_matches_bruteforce():
+    from belb_ray.stages.graph import shortest_paths
+
+    df = _copurchase_edges(seed=5)
+    seeds = sorted(set(df["src"]))[:3]
+    got = (shortest_paths(
+        rd.from_pandas(df).repartition(4),
+        rd.from_pandas(pd.DataFrame({"node": np.asarray(seeds, np.int64)})),
+        max_hops=3, num_buckets=8)
+        .to_pandas().sort_values("node").reset_index(drop=True))
+    # brute force: min weight over walks with <= 3 edges
+    adj = {}
+    for r in df.itertuples():
+        adj.setdefault(r.src, []).append((r.dst, r.w))
+    dist = {s: 0 for s in seeds}
+    for _ in range(3):
+        new = dict(dist)
+        for u, d in dist.items():
+            for v, w in adj.get(u, []):
+                if d + w < new.get(v, 1 << 60):
+                    new[v] = d + w
+        dist = new
+    assert dict(zip(got["node"], got["dist"])) == dist
