@@ -3112,6 +3112,55 @@ def q_part_shortest_paths(sf_dir: str) -> rd.Dataset:
     return shortest_paths(edges, seeds, max_hops=3).sort("node")
 
 
+def q_user_value_ewma(sf_dir: str) -> rd.Dataset:
+    """Trailing-window exponential smoothing of each user's event
+    values (stages/analytic.trailing_ewma): α = 0.5 over the last 8
+    events — dyadic weights × integer cents make every partial sum an
+    exact dyadic rational, so the distributed result is bit-identical
+    to the SQL rank-difference self-join mirror. ONE hash(user)
+    co-location shuffle; 8 vectorized shifted multiply-adds per
+    bucket."""
+    from belb_ray.stages.analytic import trailing_ewma
+
+    ev = _t(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "ts", "value"])
+
+    def _cents(b: pd.DataFrame) -> pd.DataFrame:
+        b["cents"] = np.round(
+            b["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        return b.drop(columns=["value"])
+
+    sm = trailing_ewma(ev.map_batches(_cents, batch_format="pandas"),
+                       "user_id", ["ts", "event_id"], "cents",
+                       alpha=0.5, window=8)
+    return (sm.select_columns(["user_id", "event_id", "ewma"])
+            .sort(["user_id", "event_id"]))
+
+
+def q_value_ks_drift(sf_dir: str) -> rd.Dataset:
+    """Two-sample KS drift (stages/drift.ks_drift) between the even-
+    and odd-event_id halves of the event stream: each side reduces to a
+    fixed-width (bin, count) histogram via a combiner (rows never
+    shuffle); the bin-sized finish computes exact-integer cumulative
+    CDFs. max(ks_contrib) is the KS statistic. Oracle mirrors the
+    window-cumsum arithmetic."""
+    from belb_ray.stages.drift import ks_drift
+
+    ev = _t(sf_dir, "events").select_columns(["event_id", "value"])
+
+    def _half(parity: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["event_id"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return t.filter(pa.array(ids % 2 == parity))
+
+        return fn
+
+    ref = ev.map_batches(_half(0), batch_format="pyarrow")
+    cand = ev.map_batches(_half(1), batch_format="pyarrow")
+    return ks_drift(ref, cand, "value", bin_width=25.0).sort("bin")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -3297,6 +3346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_containment": q_doc_containment,
         "part_communities": q_part_communities,
         "part_shortest_paths": q_part_shortest_paths,
+        "user_value_ewma": q_user_value_ewma,
+        "value_ks_drift": q_value_ks_drift,
     }
 
 
@@ -5430,6 +5481,41 @@ def oracle_sql() -> dict[str, str]:
                 FROM r JOIN edges e ON e.src = r.node
                 WHERE r.hops < 3)
             SELECT node, MIN(d) AS dist FROM r GROUP BY node ORDER BY node
+        """,
+        "user_value_ewma": """
+            WITH r AS (
+                SELECT user_id, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events)
+            SELECT a.user_id, a.event_id,
+                   round(sum(b.cents * pow(0.5, a.rn - b.rn))
+                         / sum(pow(0.5, a.rn - b.rn)), 6) AS ewma
+            FROM r a JOIN r b
+              ON a.user_id = b.user_id
+             AND b.rn BETWEEN a.rn - 7 AND a.rn
+            GROUP BY a.user_id, a.event_id
+            ORDER BY a.user_id, a.event_id
+        """,
+        "value_ks_drift": """
+            WITH a AS (SELECT floor(value / 25.0) AS bin, count(*) AS n
+                       FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+            b AS (SELECT floor(value / 25.0) AS bin, count(*) AS n
+                  FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+            m AS (SELECT COALESCE(a.bin, b.bin) AS bin,
+                         COALESCE(a.n, 0) AS na, COALESCE(b.n, 0) AS nb
+                  FROM a FULL OUTER JOIN b ON a.bin = b.bin),
+            c AS (SELECT bin,
+                         CAST(sum(na) OVER (ORDER BY bin) AS DOUBLE)
+                             / (SELECT sum(n) FROM a) AS ca,
+                         CAST(sum(nb) OVER (ORDER BY bin) AS DOUBLE)
+                             / (SELECT sum(n) FROM b) AS cb
+                  FROM m)
+            SELECT CAST(bin AS BIGINT) AS bin,
+                   round(ca, 8) AS cdf_ref, round(cb, 8) AS cdf_cand,
+                   round(abs(ca - cb), 8) AS ks_contrib
+            FROM c ORDER BY bin
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

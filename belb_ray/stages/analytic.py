@@ -799,3 +799,55 @@ def active_streaks(events: rd.Dataset, key: str, ts_col: str,
                               batch_size=1 << 17)
     return bucketed.groupby("__bucket").map_groups(
         _streaks, batch_format="pandas")
+
+
+def trailing_ewma(events: rd.Dataset, key: str, order_cols: list[str],
+                  value_col: str, alpha: float = 0.5, window: int = 8,
+                  out_col: str = "ewma", round_to: int = 6,
+                  num_buckets: int = 64) -> rd.Dataset:
+    """Trailing-window exponential smoothing per key: for each row i (in
+    ``order_cols`` order within its key) over the last ``window`` rows,
+    ewma_i = Σ_j (1−α)^j·v_{i−j} / Σ_j (1−α)^j  (j = 0..window−1,
+    clipped at the partition head) — the normalized finite-memory EWMA
+    (pandas ``ewm(adjust=True)`` restricted to a frame). The frame bound
+    keeps the weights' dynamic range fixed, so with dyadic α (0.5, 0.25,
+    …) and integer-unit values every product and partial sum is an exact
+    dyadic rational in float64: the result is bit-identical to any
+    other evaluation order, including a SQL mirror.
+
+    Distributed shape: ONE hash(key) co-location shuffle, then per
+    bucket a whole-bucket stable sort and ``window`` vectorized
+    shifted multiply-adds with partition-boundary masks — no per-key
+    dispatch, no driver work. Output: input columns + ``out_col``."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    w = (1.0 - alpha) ** np.arange(window, dtype=np.float64)
+
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(batch[key].to_numpy(), categorize=False)
+        batch["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return batch
+
+    def _smooth(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.drop(columns="__bucket")
+                  .sort_values([key] + order_cols, kind="stable")
+                  .reset_index(drop=True))
+        ks = g[key].to_numpy()
+        new_key = np.r_[True, ks[1:] != ks[:-1]]
+        idx = np.arange(len(g), dtype=np.int64)
+        pid = np.cumsum(new_key) - 1
+        part_start = idx[new_key][pid]
+        v = g[value_col].to_numpy(dtype=np.float64)
+        num = np.zeros(len(g), np.float64)
+        den = np.zeros(len(g), np.float64)
+        for j in range(window):
+            valid = idx - j >= part_start
+            vj = np.where(valid, np.r_[np.zeros(j), v[:len(v) - j]], 0.0)
+            num += w[j] * vj
+            den += w[j] * valid
+        g[out_col] = np.round(num / den, round_to)
+        return g
+
+    return (events.map_batches(_bucketize, batch_format="pandas")
+            .groupby("__bucket").map_groups(_smooth,
+                                            batch_format="pandas"))

@@ -137,3 +137,56 @@ def chi2_association(
 
     return pairs.repartition(1).map_batches(_finish, batch_size=None,
                                             batch_format="pandas")
+
+
+def ks_drift(
+    ref: rd.Dataset,
+    cand: rd.Dataset,
+    value_col: str,
+    bin_width: float,
+    round_to: int = 8,
+    num_buckets: int = 16,
+) -> rd.Dataset:
+    """Two-sample Kolmogorov–Smirnov drift statistic over fixed-width
+    value bins → one row per bin present on EITHER side, in bin order:
+    (bin, cdf_ref, cdf_cand, ks_contrib = |cdf_ref − cdf_cand|);
+    max(ks_contrib) is the KS statistic, exact over the quantized
+    values (quantization error ≤ bin_width, same device as
+    ``approx_grouped_quantiles``).
+
+    Distributed shape: each side reduces to a (bin, count) histogram
+    with a per-batch combiner and ONE bucketed combine — rows never
+    shuffle, the exchange is bin-count-bounded; the cumulative finish
+    runs in one bin-count-sized task. Cumulative counts are exact
+    integers, so cdf = cum/total is bit-identical to the SQL window
+    cumsum mirror."""
+    ha = _bin_counts(ref, value_col, bin_width, num_buckets)
+    hb = _bin_counts(cand, value_col, bin_width, num_buckets)
+
+    def _tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "bin": t["bin"], "n": t["n"],
+                "__side": pa.array(np.full(t.num_rows, side, np.int8))})
+
+        return fn
+
+    both = (ha.map_batches(_tag(0), batch_format="pyarrow")
+            .union(hb.map_batches(_tag(1), batch_format="pyarrow")))
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["__side"] == 0]
+        b = df[df["__side"] == 1]
+        na, nb = a["n"].sum(), b["n"].sum()
+        m = a.merge(b, on="bin", how="outer", suffixes=("_a", "_b")) \
+            .fillna({"n_a": 0, "n_b": 0}).sort_values("bin")
+        ca = m["n_a"].to_numpy(np.int64).cumsum() / max(na, 1)
+        cb = m["n_b"].to_numpy(np.int64).cumsum() / max(nb, 1)
+        return pd.DataFrame({
+            "bin": m["bin"].to_numpy(np.int64),
+            "cdf_ref": np.round(ca, round_to),
+            "cdf_cand": np.round(cb, round_to),
+            "ks_contrib": np.round(np.abs(ca - cb), round_to)})
+
+    return both.repartition(1).map_batches(_finish, batch_size=None,
+                                           batch_format="pandas")

@@ -2465,3 +2465,53 @@ def test_shortest_paths_matches_bruteforce():
                     new[v] = d + w
         dist = new
     assert dict(zip(got["node"], got["dist"])) == dist
+
+
+def test_trailing_ewma_matches_bruteforce():
+    from belb_ray.stages.analytic import trailing_ewma
+
+    rng = np.random.RandomState(13)
+    n = 400
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 12, n).astype(np.int64),
+        "ts": rng.randint(0, 10_000, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "cents": rng.randint(0, 100_000, n).astype(np.int64)})
+    got = (trailing_ewma(rd.from_pandas(df).repartition(6), "user_id",
+                         ["ts", "event_id"], "cents", alpha=0.5,
+                         window=8, num_buckets=8)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    exp = {}
+    w = 0.5 ** np.arange(8)
+    for _, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        v = g["cents"].to_numpy(np.float64)
+        for i, eid in enumerate(g["event_id"]):
+            lo = max(0, i - 7)
+            vv = v[lo:i + 1][::-1]
+            exp[eid] = round(float((w[:len(vv)] * vv).sum()
+                                   / w[:len(vv)].sum()), 6)
+    assert len(got) == n
+    for r in got.itertuples():
+        assert float(r.ewma) == exp[r.event_id], r.event_id
+
+
+def test_ks_drift_matches_bruteforce():
+    from belb_ray.stages.drift import ks_drift
+
+    rng = np.random.RandomState(17)
+    a = pd.DataFrame({"v": rng.normal(50, 20, 2000)})
+    b = pd.DataFrame({"v": rng.normal(60, 25, 1500)})
+    got = (ks_drift(rd.from_pandas(a).repartition(4),
+                    rd.from_pandas(b).repartition(3), "v", bin_width=10.0)
+           .to_pandas().sort_values("bin").reset_index(drop=True))
+    ba = np.floor(a["v"].to_numpy() / 10.0).astype(np.int64)
+    bb = np.floor(b["v"].to_numpy() / 10.0).astype(np.int64)
+    bins = np.unique(np.r_[ba, bb])
+    ca = np.cumsum([np.sum(ba == x) for x in bins]) / len(ba)
+    cb = np.cumsum([np.sum(bb == x) for x in bins]) / len(bb)
+    assert list(got["bin"]) == list(bins)
+    assert np.allclose(got["cdf_ref"], np.round(ca, 8))
+    assert np.allclose(got["cdf_cand"], np.round(cb, 8))
+    assert np.allclose(got["ks_contrib"], np.round(np.abs(ca - cb), 8))
+    # KS statistic sanity: shifted distributions must register drift
+    assert got["ks_contrib"].max() > 0.05
