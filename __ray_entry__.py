@@ -3161,6 +3161,28 @@ def q_value_ks_drift(sf_dir: str) -> rd.Dataset:
     return ks_drift(ref, cand, "value", bin_width=25.0).sort("bin")
 
 
+def q_user_skyline(sf_dir: str) -> rd.Dataset:
+    """Pareto-frontier users by (total event value, event count)
+    (stages/analytic.skyline2d): per-user totals via the exact-cents
+    combiner, then the lossless local-skyline → tiny-survivor-finish
+    dominance pass (SQL NOT EXISTS mirror)."""
+    from belb_ray.stages.agg import preagg_groupby
+    from belb_ray.stages.analytic import skyline2d
+
+    ev = _t(sf_dir, "events").select_columns(["user_id", "value"])
+
+    def _cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"],
+            "cents": np.round(b["value"].to_numpy(np.float64)
+                              * 100).astype(np.int64)})
+
+    per_user = preagg_groupby(
+        ev.map_batches(_cents, batch_format="pandas"), ["user_id"],
+        [("sum", "cents", "cents"), ("count", "", "n")])
+    return skyline2d(per_user, "cents", "n").sort("user_id")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -3348,6 +3370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_shortest_paths": q_part_shortest_paths,
         "user_value_ewma": q_user_value_ewma,
         "value_ks_drift": q_value_ks_drift,
+        "user_skyline": q_user_skyline,
     }
 
 
@@ -5516,6 +5539,19 @@ def oracle_sql() -> dict[str, str]:
                    round(ca, 8) AS cdf_ref, round(cb, 8) AS cdf_cand,
                    round(abs(ca - cb), 8) AS ks_contrib
             FROM c ORDER BY bin
+        """,
+        "user_skyline": """
+            WITH u AS (
+                SELECT user_id,
+                       CAST(sum(round(value * 100)) AS BIGINT) AS cents,
+                       count(*) AS n
+                FROM events GROUP BY user_id)
+            SELECT user_id, cents, n FROM u
+            WHERE NOT EXISTS (
+                SELECT 1 FROM u v
+                WHERE v.cents >= u.cents AND v.n >= u.n
+                  AND (v.cents > u.cents OR v.n > u.n))
+            ORDER BY user_id
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

@@ -851,3 +851,41 @@ def trailing_ewma(events: rd.Dataset, key: str, order_cols: list[str],
     return (events.map_batches(_bucketize, batch_format="pandas")
             .groupby("__bucket").map_groups(_smooth,
                                             batch_format="pandas"))
+
+
+def skyline2d(ds: rd.Dataset, x_col: str, y_col: str) -> rd.Dataset:
+    """2-D Pareto skyline (maximization): rows NOT dominated by any
+    other row, where v dominates u iff v ≥ u on both columns and > on
+    at least one (SQL ``NOT EXISTS`` dominance). Exact duplicates of a
+    frontier point all survive (neither strictly dominates). Minimize a
+    dimension by negating it first.
+
+    Distributed shape: every block reduces to its local skyline in one
+    vectorized pass (a globally non-dominated row is non-dominated in
+    its block, so local pruning is lossless); the survivor union — the
+    frontier is typically orders of magnitude smaller than the input —
+    finishes with the same kernel in ONE single-partition task, no
+    driver collect. Worst case (all points on the frontier) degrades to
+    a full gather; callers with adversarial inputs should pre-bucket."""
+
+    def _sky(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch
+        g = batch.sort_values([x_col, y_col], ascending=False,
+                              kind="mergesort").reset_index(drop=True)
+        x = g[x_col].to_numpy()
+        y = g[y_col].to_numpy()
+        new_x = np.r_[True, x[1:] != x[:-1]]
+        gid = np.cumsum(new_x) - 1
+        # per x-group max y = first y in the (x desc, y desc) sort
+        gmax = y[new_x][gid]
+        # running max of EARLIER groups' maxes (strictly larger x)
+        group_maxes = y[new_x]
+        run = np.maximum.accumulate(group_maxes)
+        earlier = np.r_[-np.inf, run[:-1]][gid]
+        keep = (y == gmax) & (y > earlier)
+        return g[keep]
+
+    local = ds.map_batches(_sky, batch_format="pandas")
+    return local.repartition(1).map_batches(_sky, batch_size=None,
+                                            batch_format="pandas")

@@ -2515,3 +2515,24 @@ def test_ks_drift_matches_bruteforce():
     assert np.allclose(got["ks_contrib"], np.round(np.abs(ca - cb), 8))
     # KS statistic sanity: shifted distributions must register drift
     assert got["ks_contrib"].max() > 0.05
+
+
+def test_skyline2d_matches_bruteforce():
+    from belb_ray.stages.analytic import skyline2d
+
+    rng = np.random.RandomState(23)
+    df = pd.DataFrame({
+        "id": np.arange(500, dtype=np.int64),
+        "x": rng.randint(0, 40, 500).astype(np.int64),
+        "y": rng.randint(0, 40, 500).astype(np.int64)})
+    got = (skyline2d(rd.from_pandas(df).repartition(7), "x", "y")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    pts = df[["x", "y"]].to_numpy()
+    keep = []
+    for i, (xi, yi) in enumerate(pts):
+        dom = ((pts[:, 0] >= xi) & (pts[:, 1] >= yi)
+               & ((pts[:, 0] > xi) | (pts[:, 1] > yi))).any()
+        if not dom:
+            keep.append(i)
+    assert list(got["id"]) == keep
+    assert len(keep) > 0
