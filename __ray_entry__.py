@@ -3183,6 +3183,28 @@ def q_user_skyline(sf_dir: str) -> rd.Dataset:
     return skyline2d(per_user, "cents", "n").sort("user_id")
 
 
+def q_part_cosine_sim(sf_dir: str) -> rd.Dataset:
+    """Item–item cosine similarity over customer purchase baskets
+    (stages/cooccur.item_cosine_pairs): lineitem ⋈ orders gives the
+    (customer, part) bipartite incidence; co-support rides the
+    cooccurrence pair machinery, per-part supports a distinct-count
+    combiner, cosine = c/√(sup_a·sup_b). Oracle = SQL self-join over
+    the distinct incidence with the same arithmetic."""
+    from belb_ray.stages.cooccur import item_cosine_pairs
+    from belb_ray.stages.joins import hash_partition_join
+
+    li = _t(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
+    ords = _t(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey"]).map_batches(
+        lambda b: b.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas")
+    inc = hash_partition_join(li, ords, key="l_orderkey").select_columns(
+        ["o_custkey", "l_partkey"])
+    out = item_cosine_pairs(inc, "o_custkey", "l_partkey",
+                            min_cosupport=3)
+    return out.sort(["a", "b"])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -3371,6 +3393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_ewma": q_user_value_ewma,
         "value_ks_drift": q_value_ks_drift,
         "user_skyline": q_user_skyline,
+        "part_cosine_sim": q_part_cosine_sim,
     }
 
 
@@ -5552,6 +5575,23 @@ def oracle_sql() -> dict[str, str]:
                 WHERE v.cents >= u.cents AND v.n >= u.n
                   AND (v.cents > u.cents OR v.n > u.n))
             ORDER BY user_id
+        """,
+        "part_cosine_sim": """
+            WITH cp AS (SELECT DISTINCT o.o_custkey AS cust,
+                               l.l_partkey AS item
+                        FROM lineitem l JOIN orders o
+                          ON l.l_orderkey = o.o_orderkey),
+            s AS (SELECT item, count(*) AS sup FROM cp GROUP BY item),
+            p AS (SELECT x.item AS a, y.item AS b, count(*) AS c
+                  FROM cp x JOIN cp y
+                    ON x.cust = y.cust AND x.item < y.item
+                  GROUP BY x.item, y.item)
+            SELECT a, b, c,
+                   round(c / sqrt(sa.sup * sb.sup), 6) AS cosine
+            FROM p JOIN s sa ON sa.item = p.a
+                   JOIN s sb ON sb.item = p.b
+            WHERE c >= 3
+            ORDER BY a, b
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

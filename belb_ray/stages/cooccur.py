@@ -89,3 +89,60 @@ def cooccurrence_topk(ds: rd.Dataset, group_col: str, item_col: str,
                             [("count", "", "n_groups")], num_buckets)
     return counts.sort(["n_groups", "a", "b"],
                        descending=[True, False, False]).limit(k)
+
+
+def item_cosine_pairs(ds: rd.Dataset, group_col: str, item_col: str,
+                      min_cosupport: int = 1, round_to: int = 6,
+                      num_buckets: int = 64,
+                      broadcast_threshold: int = 2_000_000,
+                      max_group_size: int | None = None) -> rd.Dataset:
+    """Item–item cosine similarity from a bipartite (group, item)
+    incidence — the collaborative-filtering bipartite projection:
+    cos(a, b) = |G(a) ∩ G(b)| / √(|G(a)|·|G(b)|) over binary group
+    vectors → (a, b, c, cosine) for unordered item pairs sharing ≥
+    ``min_cosupport`` groups (a < b).
+
+    Distributed shape: co-support counts ride the
+    ``cooccurrence_pairs`` machinery (per-group dedup, ONE group
+    co-location shuffle, vectorized pair explosion, pair-count
+    combiner); per-item supports are a distinct-count combiner
+    (item-sized); both supports attach to the pair table via the
+    size-guarded broadcast join, and the cosine finish is one
+    vectorized map. Rows never shuffle beyond the pair machinery;
+    ``max_group_size`` caps hub groups exactly as in cooccurrence."""
+    from .agg import count_distinct, preagg_groupby
+    from .analytic import _attach_small
+
+    pairs = cooccurrence_pairs(ds, group_col, item_col, num_buckets,
+                               max_group_size=max_group_size)
+    co = preagg_groupby(pairs, ["a", "b"], [("count", "", "c")],
+                        num_buckets)
+    if min_cosupport > 1:
+        co = co.filter(expr=f"c >= {int(min_cosupport)}")
+    sup = count_distinct(ds.select_columns([item_col, group_col]),
+                         [item_col], group_col, "sup", num_buckets)
+
+    def _ren(new: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return b.rename(columns={item_col: new,
+                                     "sup": f"__sup_{new}"})
+
+        return fn
+
+    withs = _attach_small(co, sup.map_batches(_ren("a"),
+                                              batch_format="pandas"),
+                          "a", broadcast_threshold)
+    withs = _attach_small(withs, sup.map_batches(_ren("b"),
+                                                 batch_format="pandas"),
+                          "b", broadcast_threshold)
+
+    def _cos(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["c"].to_numpy(np.float64)
+        sa = b["__sup_a"].to_numpy(np.float64)
+        sb = b["__sup_b"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "a": b["a"], "b": b["b"],
+            "c": b["c"].to_numpy(np.int64),
+            "cosine": np.round(c / np.sqrt(sa * sb), round_to)})
+
+    return withs.map_batches(_cos, batch_format="pandas")

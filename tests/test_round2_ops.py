@@ -2536,3 +2536,28 @@ def test_skyline2d_matches_bruteforce():
             keep.append(i)
     assert list(got["id"]) == keep
     assert len(keep) > 0
+
+
+def test_item_cosine_pairs_matches_bruteforce():
+    from belb_ray.stages.cooccur import item_cosine_pairs
+
+    rng = np.random.RandomState(29)
+    rows = pd.DataFrame({
+        "g": rng.randint(0, 30, 600).astype(np.int64),
+        "it": rng.randint(0, 20, 600).astype(np.int64)})
+    got = (item_cosine_pairs(rd.from_pandas(rows).repartition(5),
+                             "g", "it", min_cosupport=2, num_buckets=8)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    inc = rows.drop_duplicates()
+    members = {i: set(inc[inc["it"] == i]["g"]) for i in inc["it"].unique()}
+    exp = []
+    for a in sorted(members):
+        for b in sorted(members):
+            if a < b:
+                c = len(members[a] & members[b])
+                if c >= 2:
+                    exp.append((a, b, c, round(
+                        c / np.sqrt(len(members[a]) * len(members[b])), 6)))
+    assert [(int(r.a), int(r.b), int(r.c), float(r.cosine))
+            for r in got.itertuples()] == exp
+    assert len(exp) > 10
