@@ -3190,15 +3190,17 @@ def q_part_cosine_sim(sf_dir: str) -> rd.Dataset:
     cooccurrence pair machinery, per-part supports a distinct-count
     combiner, cosine = c/√(sup_a·sup_b). Oracle = SQL self-join over
     the distinct incidence with the same arithmetic."""
+    from belb_ray.stages.analytic import _attach_small
     from belb_ray.stages.cooccur import item_cosine_pairs
-    from belb_ray.stages.joins import hash_partition_join
 
     li = _t(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
     ords = _t(sf_dir, "orders").select_columns(
         ["o_orderkey", "o_custkey"]).map_batches(
         lambda b: b.rename(columns={"o_orderkey": "l_orderkey"}),
         batch_format="pandas")
-    inc = hash_partition_join(li, ords, key="l_orderkey").select_columns(
+    # orders is the per-key side table here (one custkey per orderkey)
+    # — size-guarded broadcast attach, partitioned-join fallback
+    inc = _attach_small(li, ords, "l_orderkey").select_columns(
         ["o_custkey", "l_partkey"])
     out = item_cosine_pairs(inc, "o_custkey", "l_partkey",
                             min_cosupport=3)

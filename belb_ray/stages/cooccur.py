@@ -115,8 +115,37 @@ def item_cosine_pairs(ds: rd.Dataset, group_col: str, item_col: str,
 
     pairs = cooccurrence_pairs(ds, group_col, item_col, num_buckets,
                                max_group_size=max_group_size)
-    co = preagg_groupby(pairs, ["a", "b"], [("count", "", "c")],
-                        num_buckets)
+
+    # single-int64 pair keys make the count combine a fast-path int
+    # groupby (composite-key pandas groupby measured ~4x slower on
+    # pair-scale inputs); requires non-negative item ids < 2^31, which
+    # the packer asserts per batch — non-int items take the plain path
+    in_schema = ds.schema()
+    item_type = in_schema.types[in_schema.names.index(item_col)]
+    int_items = str(item_type) in ("int64", "int32", "int16")
+
+    if int_items:
+        def _pack(b: pd.DataFrame) -> pd.DataFrame:
+            a = b["a"].to_numpy(np.int64)
+            bb = b["b"].to_numpy(np.int64)
+            if len(a) and (a.min() < 0 or max(a.max(), bb.max()) >= 1 << 31):
+                raise ValueError("item ids must be in [0, 2^31) to pack")
+            return pd.DataFrame({"__ab": (a << 31) | bb})
+
+        packed = preagg_groupby(
+            pairs.map_batches(_pack, batch_format="pandas"),
+            ["__ab"], [("count", "", "c")], num_buckets)
+
+        def _unpack(b: pd.DataFrame) -> pd.DataFrame:
+            ab = b["__ab"].to_numpy(np.int64)
+            return pd.DataFrame({"a": ab >> 31,
+                                 "b": ab & ((1 << 31) - 1),
+                                 "c": b["c"].to_numpy(np.int64)})
+
+        co = packed.map_batches(_unpack, batch_format="pandas")
+    else:
+        co = preagg_groupby(pairs, ["a", "b"], [("count", "", "c")],
+                            num_buckets)
     if min_cosupport > 1:
         co = co.filter(expr=f"c >= {int(min_cosupport)}")
     sup = count_distinct(ds.select_columns([item_col, group_col]),

@@ -329,29 +329,62 @@ def boilerplate_stats(ds: rd.Dataset, id_col: str = "doc_id",
     words emit no grams and are excluded (no denominator).
 
     Shape: one streaming pass explodes per-doc gram instance counts
-    (distinct-per-doc by construction — a doc is one row); gram document
-    frequencies ride the bucketed combiner (counts only, never text);
-    the boilerplate mark-back is a hash(gram) partitioned join of the
-    SAME exploded table (materialized once, reused twice) — no driver
-    set, no rescan of the corpus."""
+    (distinct-per-doc by construction — a doc is one row); grams leave
+    the batch only as 64-bit polynomial hashes of the word hashes
+    (strings never shuffle; collisions are ~n²/2⁶⁴-improbable and
+    would only perturb df counts); document frequencies ride the
+    bucketed combiner, and the boilerplate mark-back attaches the
+    (vocabulary-sized) boiler-gram table to the SAME exploded table
+    (materialized once, reused twice) via the size-guarded broadcast
+    join with a partitioned fallback — no rescan of the corpus. Gram
+    hashing and per-(doc, gram) counting are whole-batch vectorized
+    (regex findall per doc, then one lexsort run-length pass)."""
     from .agg import preagg_groupby
-    from .joins import hash_partition_join
+    from .analytic import _attach_small
+
+    _A = np.uint64(1099511628211)  # FNV prime: rolling gram combine
 
     def _gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        ids: list = []
-        grams: list[str] = []
-        cnts: list[int] = []
-        for did, t in zip(batch[id_col], batch[text_col]):
-            w = GRAM_WORD_RE.findall((t or "").lower())
-            vc = pd.Series(
-                [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)],
-                dtype=object).value_counts()
-            ids.extend([did] * len(vc))
-            grams.extend(vc.index)
-            cnts.extend(vc.to_numpy())
-        return pd.DataFrame({id_col: ids, "gram": grams,
-                             "cnt": np.asarray(cnts, np.int64),
-                             "__one": np.ones(len(ids), np.int64)})
+        words_per = [GRAM_WORD_RE.findall((t or "").lower())
+                     for t in batch[text_col]]
+        lens = np.fromiter((len(w) for w in words_per), np.int64,
+                           len(words_per))
+        flat = [w for ws in words_per for w in ws]
+        empty = pd.DataFrame({
+            id_col: np.empty(0, batch[id_col].dtype
+                             if len(batch) else np.int64),
+            "gram": np.empty(0, np.int64),
+            "cnt": np.empty(0, np.int64),
+            "__one": np.empty(0, np.int64)})
+        if not flat:
+            return empty
+        hw = pd.util.hash_array(np.asarray(flat, object),
+                                hash_key="belb_ray_boilerp",
+                                categorize=True)
+        n_g = np.maximum(lens - (n - 1), 0)
+        total = int(n_g.sum())
+        if total == 0:
+            return empty
+        offsets = np.cumsum(lens) - lens
+        seg = np.repeat(np.arange(len(lens), dtype=np.int64), n_g)
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(np.cumsum(n_g) - n_g, n_g))
+        starts = offsets[seg] + within
+        gh = hw[starts].copy()
+        for j in range(1, n):
+            gh = gh * _A + hw[starts + j]
+        # run-length count per (doc, gram): one lexsort, no Python loop
+        order = np.lexsort((gh, seg))
+        seg_s, gh_s = seg[order], gh[order]
+        new = np.r_[True, (seg_s[1:] != seg_s[:-1])
+                    | (gh_s[1:] != gh_s[:-1])]
+        run_starts = np.flatnonzero(new)
+        cnt = np.diff(np.r_[run_starts, total])
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy()[seg_s[run_starts]],
+            "gram": gh_s[run_starts].astype(np.int64),
+            "cnt": cnt.astype(np.int64),
+            "__one": np.ones(len(run_starts), np.int64)})
 
     inst = ds.select_columns([id_col, text_col]).map_batches(
         _gram_rows, batch_format="pandas").materialize()  # reused 3x
@@ -360,14 +393,13 @@ def boilerplate_stats(ds: rd.Dataset, id_col: str = "doc_id",
     boiler = dft.filter(expr=f"df >= {min_df}")
     tot = preagg_groupby(inst, [id_col], [("sum", "cnt", "n_grams")],
                          num_buckets=num_buckets)
-    marked = hash_partition_join(
+    marked = _attach_small(
         inst.map_batches(lambda b: b[[id_col, "gram", "cnt"]],
                          batch_format="pandas"),
-        boiler, key="gram", num_buckets=num_buckets)
+        boiler, "gram")
     bcnt = preagg_groupby(marked, [id_col], [("sum", "cnt", "n_boiler")],
                           num_buckets=num_buckets)
-    out = hash_partition_join(tot, bcnt, key=id_col, join_type="left outer",
-                              num_buckets=num_buckets)
+    out = _attach_small(tot, bcnt, id_col, join_type="left outer")
 
     def _ratio(batch: pd.DataFrame) -> pd.DataFrame:
         nb = batch["n_boiler"].fillna(0).to_numpy(np.int64)

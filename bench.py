@@ -175,6 +175,22 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "doc_jaccard_join",
         "jl_projection",
         "snm_blocking_quality",
+        # session-4 additions
+        "name_soundex",
+        "part_components",
+        "blocking_bcubed",
+        "name_one2one_match",
+        "purchase_attribution",
+        "user_value_twa",
+        "user_streaks",
+        "boilerplate_stats",
+        "doc_containment",
+        "part_communities",
+        "part_shortest_paths",
+        "user_value_ewma",
+        "value_ks_drift",
+        "user_skyline",
+        "part_cosine_sim",
         # part_k_core and fs_linkage_weights are oracle-checked but
         # excluded here: their fixpoint/EM rounds are iteration-count-
         # dominated at sf0.1 and would eat the min-of-2 budget
