@@ -544,6 +544,81 @@ def q_overlap_suppression(sf_dir: str) -> rd.Dataset:
     return suppress_overlapping(gold, foreign)
 
 
+def q_passage_assembly(sf_dir: str) -> rd.Dataset:
+    """M11 analog: ordered typed text chunks → passages with running
+    offsets, +1 whitespace accounted per chunk boundary
+    (belb/preprocessing/data.py:582-616). Chunks derive from lineitem:
+    one chunk per line, text length (l_partkey % 40) + 3; the oracle
+    re-derives the offsets with a SQL window prefix sum."""
+    from belb_ray.stages.offsets import assemble_passages
+
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+    # chunk order tiebreaks by partkey so equal-idx rows (which could
+    # otherwise swap offsets) always carry equal lengths
+    chunks = _t(sf_dir, "lineitem").map_batches(
+        lambda t: pa.table({
+            "doc_id": t["l_orderkey"],
+            "chunk_idx": pa.compute.cast(pa.compute.add(
+                pa.compute.multiply(
+                    pa.compute.cast(t["l_linenumber"], pa.int64()),
+                    pa.scalar(32768, pa.int64())),
+                pa.compute.cast(t["l_partkey"], pa.int64())), pa.int64()),
+            "passage_type": pa.compute.if_else(
+                pa.compute.equal(t["l_linenumber"], pa.scalar(1)),
+                pa.scalar("title"), pa.scalar("body")),
+            "text": pa.compute.binary_repeat(
+                pa.scalar("x"),
+                pa.compute.cast(
+                    np.mod(t["l_partkey"].to_numpy(), 40) + 3, pa.int32())),
+        }), batch_format="pyarrow")
+    return assemble_passages(chunks)
+
+
+def q_offset_remap(sf_dir: str) -> rd.Dataset:
+    """M12 analog: annotations re-anchored inside their passage by the
+    reference's sequential word-boundary regex scan
+    (belb/preprocessing/data.py:313-362): sorted by original start,
+    each search starts at the previous match end; unmatched rows drop.
+    The passage is the whole document (text is strictly single-space
+    [a-z]+ words, so the `(?<!\\w)t(?!\\w)` regex semantics are exactly
+    reproducible in SQL with space-padded strpos arithmetic); four
+    annotations per doc: word 2, word 5, word 2 again (found only if it
+    reoccurs after the second match), and a never-present token."""
+    from belb_ray.stages.offsets import remap_offsets
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def _passages(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "passage_id": pa.array(np.zeros(len(d), np.int64)),
+            "p_offset": pa.array((d % 7) * 100, pa.int64()),
+            "text": t["text"],
+        })
+
+    def _anns(t: pa.Table) -> pa.Table:
+        words = pa.compute.split_pattern(t["text"], " ")
+        w2 = pa.compute.list_element(words, 1)
+        w5 = pa.compute.list_element(words, 4)
+        n = t.num_rows
+        parts = []
+        for ann_id, w in ((1, w2), (2, w5), (3, w2),
+                          (4, pa.array(["zzq"] * n, pa.string()))):
+            parts.append(pa.table({
+                "doc_id": t["doc_id"],
+                "passage_id": pa.array(np.zeros(n, np.int64)),
+                "ann_id": pa.array(np.full(n, ann_id, np.int64)),
+                "text": w,
+                "orig_start": pa.array(np.full(n, ann_id - 1, np.int64)),
+            }))
+        return pa.concat_tables(parts)
+
+    passages = docs.map_batches(_passages, batch_format="pyarrow")
+    anns = docs.map_batches(_anns, batch_format="pyarrow")
+    return remap_offsets(passages, anns)
+
+
 def q_foreign_name_homonyms(sf_dir: str) -> rd.Dataset:
     """A4 exact: two-predicate HAVING (count(distinct id) > 1 AND
     count(distinct foreign id) > 1 — belb/kbs/query.py:196-232)."""
@@ -3256,6 +3331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_split": q_sentence_split,
         "span_merge": q_span_merge,
         "overlap_suppression": q_overlap_suppression,
+        "passage_assembly": q_passage_assembly,
+        "offset_remap": q_offset_remap,
         "foreign_name_homonyms": q_foreign_name_homonyms,
         "eval_subsets": q_eval_subsets,
         "asof_snapshot": q_asof_snapshot,
@@ -3768,6 +3845,69 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM gold g
                 WHERE g.doc_id = f.doc_id
                   AND ((f.s < g.ge AND g.gs < f.e) OR f.t = g.gt))
+        """,
+        "passage_assembly": """
+            SELECT l_orderkey AS doc_id,
+                   CAST(l_linenumber * 32768 + l_partkey AS BIGINT)
+                       AS passage_id,
+                   CASE WHEN l_linenumber = 1 THEN 'title'
+                        ELSE 'body' END AS passage_type,
+                   CAST(COALESCE(SUM((l_partkey % 40) + 4) OVER (
+                        PARTITION BY l_orderkey
+                        ORDER BY l_linenumber * 32768 + l_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS p_offset,
+                   CAST((l_partkey % 40) + 3 AS BIGINT) AS p_len
+            FROM lineitem
+        """,
+        # sequential word-boundary scan emulated step by step: document
+        # text is strictly single-space [a-z]+ words, so the reference's
+        # (?<!\\w)t(?!\\w) search from last_match equals space-padded
+        # strpos over the remaining suffix; unmatched steps don't advance
+        "offset_remap": """
+            WITH d AS (
+                SELECT doc_id, text AS t,
+                       CAST((doc_id % 7) * 100 AS BIGINT) AS poff,
+                       split_part(text, ' ', 2) AS w1,
+                       split_part(text, ' ', 5) AS w2
+                FROM documents),
+            s1 AS (
+                SELECT *, strpos(' ' || t || ' ', ' ' || w1 || ' ') - 1
+                       AS st1
+                FROM d),
+            s1e AS (SELECT *, st1 + length(w1) AS e1 FROM s1),
+            s2 AS (
+                SELECT *, strpos(' ' || substr(t, e1 + 1) || ' ',
+                                 ' ' || w2 || ' ') AS p2
+                FROM s1e),
+            s2e AS (
+                SELECT *,
+                       CASE WHEN p2 > 0 THEN e1 + p2 - 1 END AS st2,
+                       CASE WHEN p2 > 0 THEN e1 + p2 - 1 + length(w2)
+                            ELSE e1 END AS last2
+                FROM s2),
+            s3 AS (
+                SELECT *, strpos(' ' || substr(t, last2 + 1) || ' ',
+                                 ' ' || w1 || ' ') AS p3
+                FROM s2e),
+            s3e AS (
+                SELECT *, CASE WHEN p3 > 0 THEN last2 + p3 - 1 END AS st3
+                FROM s3)
+            SELECT doc_id, CAST(0 AS BIGINT) AS passage_id,
+                   CAST(1 AS BIGINT) AS ann_id, w1 AS text,
+                   CAST(st1 + poff AS BIGINT) AS start,
+                   CAST(st1 + length(w1) + poff AS BIGINT) AS "end"
+            FROM s3e
+            UNION ALL
+            SELECT doc_id, CAST(0 AS BIGINT), CAST(2 AS BIGINT), w2,
+                   CAST(st2 + poff AS BIGINT),
+                   CAST(st2 + length(w2) + poff AS BIGINT)
+            FROM s3e WHERE p2 > 0
+            UNION ALL
+            SELECT doc_id, CAST(0 AS BIGINT), CAST(3 AS BIGINT), w1,
+                   CAST(st3 + poff AS BIGINT),
+                   CAST(st3 + length(w1) + poff AS BIGINT)
+            FROM s3e WHERE p3 > 0
         """,
         "foreign_name_homonyms": """
             SELECT p_name AS name,

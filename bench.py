@@ -191,6 +191,8 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "value_ks_drift",
         "user_skyline",
         "part_cosine_sim",
+        "passage_assembly",
+        "offset_remap",
         # part_k_core and fs_linkage_weights are oracle-checked but
         # excluded here: their fixpoint/EM rounds are iteration-count-
         # dominated at sf0.1 and would eat the min-of-2 budget
