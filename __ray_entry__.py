@@ -3300,6 +3300,74 @@ def entry() -> Any:
                                num_buckets=4)
 
 
+def q_bloom_semi_join(sf_dir: str) -> rd.Dataset:
+    """Bloom-prefiltered EXACT semi-join (stages/joins.bloom_semi_join):
+    the key side compresses to a fixed-size bitmap, bloom-negative probe
+    rows never shuffle, and the positive sliver is exactly verified —
+    the membership-join shape for two sides too large to broadcast.
+    broadcast_threshold=1 forces the exact stage onto the shuffle path
+    so the oracle certifies the at-scale code path, not the small-side
+    shortcut."""
+    from belb_ray.stages.joins import bloom_semi_join
+
+    li = _t(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_linenumber", "l_partkey"])
+    keys = _t(sf_dir, "part").filter(expr="p_size > 25").map_batches(
+        lambda t: pa.table({"l_partkey": t["p_partkey"]}),
+        batch_format="pyarrow")
+    out = bloom_semi_join(li, keys, "l_partkey", broadcast_threshold=1)
+    return out.map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": pa.compute.cast(t["l_linenumber"], pa.int64()),
+            "l_partkey": t["l_partkey"],
+        }), batch_format="pyarrow")
+
+
+def q_meta_blocking(sf_dir: str) -> rd.Dataset:
+    """Meta-blocking WEP (stages/blocking.meta_block_pairs): three
+    redundant blocking keys over parts → block purge (cap 128) → CBS
+    pair weights → exact-integer global-mean edge pruning."""
+    from belb_ray.stages.blocking import meta_block_pairs
+
+    def _assign(t: pa.Table) -> pa.Table:
+        size_s = pa.compute.cast(t["p_size"], pa.string())
+        keys = [
+            pa.compute.binary_join_element_wise(
+                "n:", t["p_name"], "/", size_s, ""),
+            pa.compute.binary_join_element_wise(
+                "bt:", t["p_brand"], "/", t["p_type"], ""),
+            pa.compute.binary_join_element_wise(
+                "bs:", t["p_brand"], "/", size_s, ""),
+        ]
+        return pa.concat_tables([
+            pa.table({"record_id": t["p_partkey"], "block_key": k})
+            for k in keys])
+
+    assigns = _t(sf_dir, "part").map_batches(_assign,
+                                             batch_format="pyarrow")
+    return meta_block_pairs(assigns, max_block_size=128)
+
+
+def q_doc_rule_filters(sf_dir: str) -> rd.Dataset:
+    """C4/Gopher rule-filter chain with drop-reason precedence
+    (stages/curation.rule_filter_chain): too_short > long_words >
+    repetitive > keep, all thresholds exact-integer."""
+    from belb_ray.stages.curation import rule_filter_chain
+
+    return rule_filter_chain(_t(sf_dir, "documents"))
+
+
+def q_leakage_safe_split(sf_dir: str) -> rd.Dataset:
+    """Dedup-aware split (stages/mlprep.leakage_safe_split): exact-dup
+    groups share a split — content can't straddle the train/eval
+    boundary. Split hash runs on the min-id representative."""
+    from belb_ray.stages.mlprep import leakage_safe_split
+
+    return leakage_safe_split(_t(sf_dir, "documents"),
+                              fracs=_SPLIT_FRACS, seed=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -3333,6 +3401,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "overlap_suppression": q_overlap_suppression,
         "passage_assembly": q_passage_assembly,
         "offset_remap": q_offset_remap,
+        "bloom_semi_join": q_bloom_semi_join,
+        "meta_blocking": q_meta_blocking,
+        "doc_rule_filters": q_doc_rule_filters,
+        "leakage_safe_split": q_leakage_safe_split,
         "foreign_name_homonyms": q_foreign_name_homonyms,
         "eval_subsets": q_eval_subsets,
         "asof_snapshot": q_asof_snapshot,
@@ -3908,6 +3980,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(st3 + poff AS BIGINT),
                    CAST(st3 + length(w1) + poff AS BIGINT)
             FROM s3e WHERE p3 > 0
+        """,
+        "bloom_semi_join": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   l_partkey
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 25)
+        """,
+        "meta_blocking": """
+            WITH assign AS (
+                SELECT p_partkey AS rec,
+                       'n:' || p_name || '/' || p_size AS blk FROM part
+                UNION ALL
+                SELECT p_partkey, 'bt:' || p_brand || '/' || p_type
+                FROM part
+                UNION ALL
+                SELECT p_partkey, 'bs:' || p_brand || '/' || p_size
+                FROM part),
+            sz AS (SELECT blk, count(*) AS c FROM assign GROUP BY blk),
+            ok AS (SELECT a.blk, a.rec FROM assign a
+                   JOIN sz USING (blk) WHERE sz.c <= 128),
+            w AS (SELECT x.rec AS a, y.rec AS b, count(*) AS w
+                  FROM ok x JOIN ok y
+                    ON x.blk = y.blk AND x.rec < y.rec
+                  GROUP BY 1, 2),
+            m AS (SELECT count(*) AS n, sum(w) AS s FROM w)
+            SELECT a, b, CAST(w AS BIGINT) AS w FROM w, m
+            WHERE w * m.n >= m.s
+        """,
+        "doc_rule_filters": """
+            WITH base AS (
+                SELECT doc_id, len(string_split(text, ' ')) AS nw,
+                       length(text) AS nc
+                FROM documents),
+            wds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+            mx AS (SELECT doc_id, max(c) AS mx FROM (
+                       SELECT doc_id, word, count(*) AS c
+                       FROM wds GROUP BY 1, 2) GROUP BY 1)
+            SELECT b.doc_id, CAST(nw AS BIGINT) AS n_words,
+                   CASE WHEN nw < 30 THEN 'too_short'
+                        WHEN 10 * (nc - nw + 1) > 47 * nw THEN 'long_words'
+                        WHEN mx * 9 > nw THEN 'repetitive'
+                        ELSE 'keep' END AS reason
+            FROM base b JOIN mx USING (doc_id)
+        """,
+        "leakage_safe_split": f"""
+            WITH g AS (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY text) AS rep_id
+                FROM documents)
+            SELECT doc_id, rep_id,
+                   CASE WHEN CAST(('0x' || substr(md5(CAST(rep_id AS VARCHAR)
+                                                   || ':3'), 1, 15))
+                             AS BIGINT) < {_SPLIT_CUT1} THEN 'train'
+                        WHEN CAST(('0x' || substr(md5(CAST(rep_id AS VARCHAR)
+                                                   || ':3'), 1, 15))
+                             AS BIGINT) < {_SPLIT_CUT2} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM g
         """,
         "foreign_name_homonyms": """
             SELECT p_name AS name,

@@ -154,3 +154,54 @@ def path_neighborhood_keys(features: rd.Dataset, width: int = 2) -> rd.Dataset:
         })
 
     return features.map_batches(_keys, batch_format="pyarrow")
+
+
+def meta_block_pairs(assignments: rd.Dataset,
+                     record_col: str = "record_id",
+                     block_col: str = "block_key",
+                     max_block_size: int = 128,
+                     num_buckets: int = 64) -> rd.Dataset:
+    """Meta-blocking (Papadakis et al.): refine a redundant blocking
+    collection into a pruned candidate-pair graph. Three classic steps
+    over (record, block) assignments:
+
+      1. block purging — blocks larger than ``max_block_size`` are
+         dropped whole (the cooccurrence pair generator's skew cap);
+      2. CBS edge weighting — each unordered record pair's weight is
+         the number of blocks it co-occurs in (Common Blocks Scheme);
+      3. weight-edge pruning (WEP) — keep pairs whose weight is ≥ the
+         global mean edge weight.
+
+    The reference's homonym/synonym blocking feeds exactly this pair
+    graph shape (belb/kbs/query.py homonym candidate generation); this
+    is its scale-path refinement. Returns (a, b, w) with a < b.
+
+    Distributed shape: pair generation + weight count ride the
+    cooccurrence machinery (ONE block co-location shuffle, vectorized
+    in-bucket pair explosion, int-keyed count combiner). The mean
+    threshold is an EXACT integer comparison (w·n_pairs ≥ Σw — no
+    float divergence) computed from per-block partial sums (two tiny
+    numbers per block reach the driver, never pairs)."""
+    import pandas as pd
+
+    from .cooccur import cooccurrence_pairs
+    from .agg import preagg_groupby
+
+    pairs = cooccurrence_pairs(assignments, block_col, record_col,
+                               num_buckets,
+                               max_group_size=max_block_size)
+    w = preagg_groupby(pairs, ["a", "b"], [("count", "", "w")],
+                       num_buckets).materialize()  # reused 2x
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"s": [int(b["w"].sum())], "n": [len(b)]})
+
+    tot = w.map_batches(_partial, batch_format="pandas").to_pandas()
+    if len(tot) == 0:  # no pairs at all (e.g. every block purged)
+        return w
+    s, n = int(tot["s"].sum()), int(tot["n"].sum())
+    if n == 0:
+        return w
+    # w·n ≥ s  ⟺  integer w ≥ ceil(s/n): exact, and expressible as the
+    # single comparison Ray's filter-expression parser accepts
+    return w.filter(expr=f"w >= {(s + n - 1) // n}")

@@ -410,3 +410,72 @@ def boilerplate_stats(ds: rd.Dataset, id_col: str = "doc_id",
             "boiler_ratio": np.round(nb / ng.astype(np.float64), 6)})
 
     return out.map_batches(_ratio, batch_format="pandas")
+
+
+def rule_filter_chain(docs: rd.Dataset, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      min_words: int = 30,
+                      mean_len_num: int = 47, mean_len_den: int = 10,
+                      top_ratio_den: int = 9,
+                      stats=None) -> rd.Dataset:
+    """C4/Gopher-style rule filter chain with drop-reason precedence —
+    every document gets a verdict, never a silent drop (the reference's
+    per-stage drop-with-counter QAQC policy, corpus.py:655-661):
+
+      1. ``too_short``  — word count < ``min_words``;
+      2. ``long_words`` — mean word length > mean_len_num/mean_len_den,
+         checked as den·(n_chars − n_words + 1) > num·n_words — EXACT
+         integer arithmetic, no float threshold divergence;
+      3. ``repetitive`` — most frequent word exceeds 1/``top_ratio_den``
+         of all words (top_count · den > n_words, integer again);
+      4. ``keep`` otherwise.
+
+    Returns (id, n_words, reason) for ALL rows; pass a QaqcStats actor
+    as ``stats`` to stream per-reason drop counts into the run manifest.
+    Pure map_batches — no shuffle; the per-doc top-word count is one
+    lexsort run-length pass over hashed words (strings never leave the
+    batch)."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.cast(batch[text_col], pa.string()), " ")
+        nw = pc.list_value_length(words).to_numpy().astype(np.int64)
+        nc = pc.utf8_length(
+            pc.cast(batch[text_col], pa.string())).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(words)
+        seg = pc.list_parent_indices(words).to_numpy()
+        if len(flat):
+            hw = pd.util.hash_array(
+                np.asarray(flat.to_pylist(), dtype=object),
+                hash_key="belb_rulechain16", categorize=True)
+            order = np.lexsort((hw, seg))
+            seg_s, hw_s = seg[order], hw[order]
+            new = np.r_[True, (seg_s[1:] != seg_s[:-1])
+                        | (hw_s[1:] != hw_s[:-1])]
+            run_starts = np.flatnonzero(new)
+            cnt = np.diff(np.r_[run_starts, len(seg_s)])
+            doc_of_run = seg_s[run_starts]
+            doc_starts = np.flatnonzero(
+                np.r_[True, doc_of_run[1:] != doc_of_run[:-1]])
+            mx = np.zeros(batch.num_rows, np.int64)
+            mx[doc_of_run[doc_starts]] = np.maximum.reduceat(cnt, doc_starts)
+        else:
+            mx = np.zeros(batch.num_rows, np.int64)
+        reason = np.full(batch.num_rows, "keep", dtype=object)
+        rep = mx * top_ratio_den > nw
+        reason[rep] = "repetitive"
+        lw = mean_len_den * (nc - nw + 1) > mean_len_num * nw
+        reason[lw] = "long_words"
+        reason[nw < min_words] = "too_short"
+        if stats is not None:
+            vals, counts = np.unique(reason[reason != "keep"],
+                                     return_counts=True)
+            for v, c in zip(vals, counts):
+                stats.add.remote("rule_filter_chain", str(v), int(c))
+        return pa.table({
+            id_col: batch[id_col],
+            "n_words": pa.array(nw, pa.int64()),
+            "reason": pa.array(reason, pa.string()),
+        })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        _f, batch_format="pyarrow")

@@ -115,3 +115,44 @@ def quota_sample(ds: rd.Dataset, group_col: str, n_per_group: int,
     return (ds.map_batches(_bucketize, batch_format="pandas",
                            batch_size=1 << 17)
             .groupby("__bucket").map_groups(_take, batch_format="pandas"))
+
+
+def leakage_safe_split(docs: rd.Dataset, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       fracs: dict[str, float] | None = None,
+                       seed: int = 0,
+                       num_buckets: int = 64) -> rd.Dataset:
+    """Dedup-aware train/test split: exact-duplicate documents always
+    land in the SAME split, so no content leaks across the train/eval
+    boundary. Returns (id, rep_id, split).
+
+    Shape: the doc→group mapping comes from ``exact_dup_groups`` (one
+    bucketed md5 shuffle, min-id representative); the representative id
+    attaches back via the size-guarded broadcast join (group table ≈
+    distinct contents; partitioned fallback above the threshold); the
+    split decision is ``dataset_split`` on the REPRESENTATIVE id, so
+    every member of a dup group hashes identically."""
+    import hashlib
+
+    from ..pipelines.docdedup import exact_dup_groups
+    from .analytic import _attach_small
+
+    groups = exact_dup_groups(docs, id_col=id_col, text_col=text_col,
+                              num_buckets=num_buckets)
+
+    def _keyed(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        md5 = hashlib.md5
+        return pa.table({
+            id_col: batch[id_col],
+            "content_md5": pa.array(
+                [md5(t.encode("utf-8")).hexdigest() for t in texts],
+                pa.string()),
+        })
+
+    keyed = docs.select_columns([id_col, text_col]).map_batches(
+        _keyed, batch_format="pyarrow")
+    withrep = _attach_small(
+        keyed, groups.select_columns(["content_md5", "rep_id"]),
+        "content_md5").select_columns([id_col, "rep_id"])
+    return dataset_split(withrep, key="rep_id", fracs=fracs, seed=seed)

@@ -193,6 +193,10 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "part_cosine_sim",
         "passage_assembly",
         "offset_remap",
+        "bloom_semi_join",
+        "meta_blocking",
+        "doc_rule_filters",
+        "leakage_safe_split",
         # part_k_core and fs_linkage_weights are oracle-checked but
         # excluded here: their fixpoint/EM rounds are iteration-count-
         # dominated at sf0.1 and would eat the min-of-2 budget

@@ -1,0 +1,88 @@
+"""Meta-blocking, rule-filter chain with QAQC accounting, and
+leakage-safe splitting."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def test_meta_block_pairs_purge_weight_prune():
+    from belb_ray.stages.blocking import meta_block_pairs
+
+    # blocks: b1={1,2,3}, b2={1,2}, b3={2,3}, huge={1..9} (purged at 4)
+    rows = ([("b1", r) for r in (1, 2, 3)]
+            + [("b2", r) for r in (1, 2)]
+            + [("b3", r) for r in (2, 3)]
+            + [("huge", r) for r in range(1, 10)])
+    ds = rd.from_pandas(pd.DataFrame(
+        rows, columns=["block_key", "record_id"]))
+    out = meta_block_pairs(ds, max_block_size=4).to_pandas()
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    # CBS weights: (1,2)=2, (2,3)=2, (1,3)=1; mean = 5/3 → keep w ≥ 2
+    assert list(map(tuple, out[["a", "b", "w"]].to_numpy())) == [
+        (1, 2, 2), (2, 3, 2)]
+
+
+def test_meta_block_pairs_all_purged_is_empty():
+    from belb_ray.stages.blocking import meta_block_pairs
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"block_key": ["b"] * 5, "record_id": range(5)}))
+    assert meta_block_pairs(ds, max_block_size=2).count() == 0
+
+
+def test_rule_filter_chain_precedence_and_stats():
+    from belb_ray.pipelines.qaqc import new_stats, stats_snapshot
+    from belb_ray.stages.curation import rule_filter_chain
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "tiny doc",                              # too_short
+            " ".join(["verylongwordshere"] * 40),    # long_words
+            " ".join(["dup"] * 20 + ["x%d" % i for i in range(20)]),
+            " ".join(["w%d" % i for i in range(40)]),  # keep
+        ],
+    }))
+    stats = new_stats()
+    out = rule_filter_chain(docs, min_words=30, stats=stats).to_pandas()
+    got = dict(zip(out.doc_id, out.reason))
+    assert got == {1: "too_short", 2: "long_words",
+                   3: "repetitive", 4: "keep"}
+    snap = stats_snapshot(stats)
+    drops = {k: v for k, v in snap.items() if "rule_filter_chain" in k}
+    assert sum(drops.values()) == 3
+
+
+def test_rule_filter_chain_short_beats_long_words():
+    from belb_ray.stages.curation import rule_filter_chain
+
+    # 5 long words: both too_short and long_words fire → too_short wins
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1], "text": [" ".join(["enormousword"] * 5)]}))
+    out = rule_filter_chain(docs, min_words=30).to_pandas()
+    assert out.reason.tolist() == ["too_short"]
+
+
+def test_leakage_safe_split_dups_share_split():
+    from belb_ray.stages.mlprep import leakage_safe_split
+
+    texts = ["alpha beta", "gamma delta", "alpha beta", "epsilon",
+             "gamma delta", "alpha beta"] + [f"uniq {i}" for i in range(50)]
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts}))
+    out = leakage_safe_split(docs, seed=3).to_pandas()
+    assert len(out) == len(texts)
+    by_text = pd.DataFrame({"text": texts,
+                            "doc_id": range(len(texts))}).merge(
+        out, on="doc_id")
+    grouped = by_text.groupby("text")["split"].nunique()
+    assert (grouped == 1).all()
+    # reps are the min doc_id of each content group
+    reps = by_text.groupby("text")["rep_id"].unique()
+    assert all(len(r) == 1 for r in reps)
+    assert by_text[by_text.text == "alpha beta"].rep_id.unique() == [0]
+    # more than one split actually appears
+    assert out["split"].nunique() >= 2
