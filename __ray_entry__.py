@@ -3358,6 +3358,16 @@ def q_doc_rule_filters(sf_dir: str) -> rd.Dataset:
     return rule_filter_chain(_t(sf_dir, "documents"))
 
 
+def q_dedup_passages(sf_dir: str) -> rd.Dataset:
+    """Cross-doc passage dedup with corpus rewrite
+    (stages/curation.dedup_passages_rewrite): non-overlapping 8-word
+    passages, global first occurrence by (doc_id, idx) wins, documents
+    re-emitted from their surviving passages."""
+    from belb_ray.stages.curation import dedup_passages_rewrite
+
+    return dedup_passages_rewrite(_t(sf_dir, "documents"), k=8)
+
+
 def q_leakage_safe_split(sf_dir: str) -> rd.Dataset:
     """Dedup-aware split (stages/mlprep.leakage_safe_split): exact-dup
     groups share a split — content can't straddle the train/eval
@@ -3404,6 +3414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": q_bloom_semi_join,
         "meta_blocking": q_meta_blocking,
         "doc_rule_filters": q_doc_rule_filters,
+        "dedup_passages": q_dedup_passages,
         "leakage_safe_split": q_leakage_safe_split,
         "foreign_name_homonyms": q_foreign_name_homonyms,
         "eval_subsets": q_eval_subsets,
@@ -4024,6 +4035,46 @@ def oracle_sql() -> dict[str, str]:
                         WHEN mx * 9 > nw THEN 'repetitive'
                         ELSE 'keep' END AS reason
             FROM base b JOIN mx USING (doc_id)
+        """,
+        "dedup_passages": """
+            WITH w AS (
+                SELECT doc_id, text, string_split(text, ' ') AS ws
+                FROM documents),
+            ch0 AS (
+                SELECT doc_id, ws,
+                       unnest(range(CAST(ceil(len(ws) / 8.0) AS BIGINT)))
+                           AS i
+                FROM w),
+            ch AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS idx,
+                       array_to_string(
+                           list_slice(ws, i * 8 + 1, (i + 1) * 8), ' ')
+                           AS passage
+                FROM ch0),
+            fw AS (
+                SELECT md5(passage) AS m,
+                       min(doc_id * 1048576 + idx) AS fp
+                FROM ch GROUP BY 1),
+            kept AS (
+                SELECT c.doc_id, c.idx, c.passage FROM ch c
+                JOIN fw f ON md5(c.passage) = f.m
+                         AND c.doc_id * 1048576 + c.idx = f.fp),
+            reb AS (
+                SELECT doc_id,
+                       string_agg(passage, ' ' ORDER BY idx)
+                           AS clean_text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id),
+            tot AS (
+                SELECT doc_id,
+                       CAST(ceil(len(string_split(text, ' ')) / 8.0)
+                            AS BIGINT) AS nch
+                FROM documents)
+            SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+                   CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(t.nch - COALESCE(r.n_kept, 0) AS BIGINT)
+                       AS n_dropped
+            FROM tot t LEFT JOIN reb r USING (doc_id)
         """,
         "leakage_safe_split": f"""
             WITH g AS (

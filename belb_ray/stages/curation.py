@@ -479,3 +479,148 @@ def rule_filter_chain(docs: rd.Dataset, id_col: str = "doc_id",
 
     return docs.select_columns([id_col, text_col]).map_batches(
         _f, batch_format="pyarrow")
+
+
+def dedup_passages_rewrite(docs: rd.Dataset, k: int = 8,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           num_buckets: int = 64) -> rd.Dataset:
+    """Cross-document passage-level dedup with corpus REWRITE (the
+    C4-style span-removal policy): documents split into non-overlapping
+    ``k``-word passages; only the globally FIRST occurrence of each
+    distinct passage (by (doc_id, passage_idx) order) survives; every
+    document is re-emitted with its surviving passages re-joined →
+    (id, clean_text, n_kept, n_dropped). A document whose passages all
+    lose still emits a row with empty text — no silent row loss (the
+    reference's conservation policy, clean.py:228-232 length checks).
+
+    Distributed shape: the explode is one streaming pass (list-offset
+    arithmetic + one ListArray re-slice, no per-word Python); the
+    first-occurrence winner is a MIN combiner over md5(passage) —
+    passages shuffle as 32-byte digests + one packed int64, never as
+    text; the winner attaches back via the size-guarded broadcast join
+    (partitioned fallback past the threshold); the rebuild co-locates
+    each doc's survivors with ONE doc-hash shuffle and joins them with
+    a vectorized ListArray + binary_join — no per-doc Python in any hot
+    stage. doc_id must fit 43 bits and passage index 20 bits (packed
+    winner key)."""
+    import hashlib
+
+    from .agg import preagg_groupby
+    from .analytic import _attach_small
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch[text_col], pa.string())
+        words = pc.split_pattern(text, " ")
+        nw = pc.list_value_length(words).to_numpy().astype(np.int64)
+        n_chunks = np.maximum((nw + k - 1) // k, 0)
+        doc_ids = batch[id_col].to_numpy(zero_copy_only=False)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table({id_col: pa.array([], batch[id_col].type),
+                             "idx": pa.array([], pa.int64()),
+                             "md5": pa.array([], pa.string()),
+                             "passage": pa.array([], pa.string()),
+                             "n_chunks": pa.array([], pa.int64())})
+        word_base = np.r_[0, np.cumsum(nw)]
+        seg = np.repeat(np.arange(len(nw), dtype=np.int64), n_chunks)
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks))
+        starts = word_base[seg] + within * k
+        ends = np.minimum(word_base[seg] + np.minimum(
+            (within + 1) * k, nw[seg]), word_base[1:][seg])
+        flat = pc.list_flatten(words).combine_chunks()
+        offsets = np.empty(total + 1, np.int64)
+        offsets[:-1] = starts
+        offsets[-1] = ends[-1] if total else 0
+        # chunk boundaries are contiguous inside a doc; across docs the
+        # next start equals the previous end, so starts+last-end is a
+        # valid monotone offsets vector
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), flat)
+        passages = pc.binary_join(lists, " ")
+        md5 = hashlib.md5
+        digests = [md5(p.encode("utf-8")).hexdigest()
+                   for p in passages.to_pylist()]
+        return pa.table({
+            id_col: pa.array(doc_ids[seg], batch[id_col].type),
+            "idx": pa.array(within, pa.int64()),
+            "md5": pa.array(digests, pa.string()),
+            "passage": passages,
+            "n_chunks": pa.array(n_chunks[seg], pa.int64()),
+        })
+
+    inst = docs.select_columns([id_col, text_col]).map_batches(
+        _explode, batch_format="pyarrow").materialize()  # reused 2x
+
+    def _pack(t: pa.Table) -> pa.Table:
+        d = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "md5": t["md5"],
+            "packed": pa.array((d << 20) | t["idx"].to_numpy(), pa.int64()),
+        })
+
+    winners = preagg_groupby(
+        inst.map_batches(_pack, batch_format="pyarrow"),
+        ["md5"], [("min", "packed", "first_packed")], num_buckets)
+
+    marked = _attach_small(
+        inst.map_batches(
+            lambda t: _pack(t).append_column("idx", t["idx"])
+            .append_column(id_col, t[id_col])
+            .append_column("passage", t["passage"])
+            .append_column("n_chunks", t["n_chunks"]),
+            batch_format="pyarrow"),
+        winners, "md5")
+
+    kept = marked.filter(expr="packed == first_packed")
+
+    def _bucketize(t: pa.Table) -> pa.Table:
+        d = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (d * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)
+        return pa.table({
+            id_col: t[id_col], "idx": t["idx"], "passage": t["passage"],
+            "n_chunks": t["n_chunks"],
+            "__bucket": pa.array(b.astype(np.int32)),
+        })
+
+    def _rebuild(group: pa.Table) -> pa.Table:
+        d = group[id_col].to_numpy(zero_copy_only=False)
+        idx = group["idx"].to_numpy()
+        order = np.lexsort((idx, d))
+        d = d[order]
+        nchunk = group["n_chunks"].to_numpy()[order]
+        passages = group["passage"].take(pa.array(order, pa.int64()))
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        counts = np.diff(np.r_[starts, len(d)])
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.r_[starts, len(d)], pa.int32()),
+            passages.combine_chunks())
+        return pa.table({
+            id_col: pa.array(d[starts], group[id_col].type),
+            "clean_text": pc.binary_join(lists, " "),
+            "n_kept": pa.array(counts, pa.int64()),
+            "n_dropped": pa.array(nchunk[starts] - counts, pa.int64()),
+        })
+
+    rebuilt = (kept.map_batches(_bucketize, batch_format="pyarrow")
+               .groupby("__bucket")
+               .map_groups(_rebuild, batch_format="pyarrow"))
+
+    # docs whose every passage lost re-enter with empty text; their
+    # n_dropped (= total chunks) is re-derived from the original text
+    all_docs = docs.select_columns([id_col, text_col])
+    out = _attach_small(all_docs, rebuilt, id_col, join_type="left outer")
+
+    def _fill(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        lost = b["clean_text"].isna()
+        if lost.any():
+            nw = b.loc[lost, text_col].str.split(" ").str.len().to_numpy()
+            b.loc[lost, "n_dropped"] = (nw + k - 1) // k
+        b["clean_text"] = b["clean_text"].fillna("")
+        b["n_kept"] = b["n_kept"].fillna(0).astype(np.int64)
+        b["n_dropped"] = b["n_dropped"].astype(np.int64)
+        return b.drop(columns=[text_col])
+
+    return out.map_batches(_fill, batch_format="pandas")

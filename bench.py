@@ -196,6 +196,7 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "bloom_semi_join",
         "meta_blocking",
         "doc_rule_filters",
+        "dedup_passages",
         "leakage_safe_split",
         # part_k_core and fs_linkage_weights are oracle-checked but
         # excluded here: their fixpoint/EM rounds are iteration-count-

@@ -86,3 +86,32 @@ def test_leakage_safe_split_dups_share_split():
     assert by_text[by_text.text == "alpha beta"].rep_id.unique() == [0]
     # more than one split actually appears
     assert out["split"].nunique() >= 2
+
+
+def test_dedup_passages_rewrite_first_wins():
+    from belb_ray.stages.curation import dedup_passages_rewrite
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a b c d e f g h i j",   # chunks [a..h], [i j]
+                 "a b c d e f g h x y",   # first chunk loses to doc 0
+                 "i j"],                   # whole doc loses
+    }))
+    out = dedup_passages_rewrite(docs, k=8).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert out.clean_text.tolist() == ["a b c d e f g h i j", "x y", ""]
+    assert out.n_kept.tolist() == [2, 1, 0]
+    assert out.n_dropped.tolist() == [0, 1, 1]
+    # conservation: kept + dropped = total chunks per doc
+    assert (out.n_kept + out.n_dropped).tolist() == [2, 2, 1]
+
+
+def test_dedup_passages_within_doc_repeat():
+    from belb_ray.stages.curation import dedup_passages_rewrite
+
+    # same 2-word chunk repeated inside one doc: keep only the first
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [7], "text": ["x y x y x y"]}))
+    out = dedup_passages_rewrite(docs, k=2).to_pandas()
+    assert out.clean_text.tolist() == ["x y"]
+    assert out.n_kept.tolist() == [1] and out.n_dropped.tolist() == [2]
