@@ -2835,6 +2835,31 @@ def q_name_jw_pairs(sf_dir: str) -> rd.Dataset:
     return pairs.map_batches(_score, batch_format="pandas")
 
 
+def q_name_monge_elkan(sf_dir: str) -> rd.Dataset:
+    """Symmetric Monge-Elkan name similarity over SNM candidate pairs
+    (functions/similarity.monge_elkan_batch): per-token max-JW means in
+    both directions — the multi-token scorer that survives word swaps
+    the flat JW misses. Oracle rebuilds it in DuckDB from unnested
+    token positions and jaro_winkler_similarity."""
+    from belb_ray.functions.similarity import monge_elkan_batch
+    from belb_ray.stages.linkage import sorted_neighborhood_pairs
+
+    part = _t(sf_dir, "part").select_columns(["p_partkey", "p_name"])
+    pairs = sorted_neighborhood_pairs(part, "p_partkey", "p_name",
+                                      window=8, carry_sort=True)
+
+    def _score(batch: pd.DataFrame) -> pd.DataFrame:
+        me = monge_elkan_batch(batch["sort_a"].tolist(),
+                               batch["sort_b"].tolist())
+        keep = me >= 0.92
+        return pd.DataFrame({
+            "id_a": batch["id_a"].to_numpy()[keep],
+            "id_b": batch["id_b"].to_numpy()[keep],
+            "me": np.round(me[keep], 6)})
+
+    return pairs.map_batches(_score, batch_format="pandas")
+
+
 def q_name_soundex(sf_dir: str) -> rd.Dataset:
     """American Soundex phonetic codes per part name (stages/linkage.
     soundex_codes): the phonetic-key blocking family — names that sound
@@ -3534,6 +3559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": q_multimodal_features,
         "snm_pairs": q_snm_pairs,
         "name_jw_pairs": q_name_jw_pairs,
+        "name_monge_elkan": q_name_monge_elkan,
         "name_soundex": q_name_soundex,
         "user_freq_cms": q_user_freq_cms,
         "doc_readability": q_doc_readability,
@@ -5530,6 +5556,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b,
                    round(jaro_winkler_similarity(na, nb), 6) AS jw
             FROM p WHERE jaro_winkler_similarity(na, nb) >= 0.85
+        """,
+        "name_monge_elkan": """
+            WITH r AS (SELECT p_partkey AS id, p_name AS nm,
+                              row_number() OVER (ORDER BY p_name,
+                                                 p_partkey) AS rn
+                       FROM part),
+            p AS (SELECT a.id AS id_a, b.id AS id_b,
+                         a.nm AS na, b.nm AS nb
+                  FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 8),
+            ta AS (SELECT id_a, id_b,
+                          unnest(string_split(na, ' ')) AS tok,
+                          generate_subscripts(string_split(na, ' '), 1)
+                              AS i
+                   FROM p),
+            tb AS (SELECT id_a, id_b,
+                          unnest(string_split(nb, ' ')) AS tok,
+                          generate_subscripts(string_split(nb, ' '), 1)
+                              AS j
+                   FROM p),
+            x AS (SELECT ta.id_a, ta.id_b, ta.i, tb.j,
+                         jaro_winkler_similarity(ta.tok, tb.tok) AS s
+                  FROM ta JOIN tb ON ta.id_a = tb.id_a
+                                 AND ta.id_b = tb.id_b),
+            mab AS (SELECT id_a, id_b, avg(m) AS sab FROM (
+                        SELECT id_a, id_b, i, max(s) AS m
+                        FROM x GROUP BY 1, 2, 3) GROUP BY 1, 2),
+            mba AS (SELECT id_a, id_b, avg(m) AS sba FROM (
+                        SELECT id_a, id_b, j, max(s) AS m
+                        FROM x GROUP BY 1, 2, 3) GROUP BY 1, 2)
+            SELECT id_a, id_b, round((sab + sba) / 2, 6) AS me
+            FROM mab JOIN mba USING (id_a, id_b)
+            WHERE (sab + sba) / 2 >= 0.92
         """,
         "name_soundex": """
             WITH b AS (

@@ -262,3 +262,48 @@ def kmeans_fit_l2(mat: np.ndarray, n_cells: int, iters: int = 10,
             if len(members):
                 cent[c] = members.mean(axis=0)
     return cent
+
+
+def monge_elkan_batch(a_list: list[str], b_list: list[str]) -> np.ndarray:
+    """Symmetric Monge-Elkan over aligned string lists:
+    ME(A→B) = mean over A's token INSTANCES of max_b JW(a, b), returned
+    as (ME(A→B) + ME(B→A)) / 2 — the multi-token name similarity the
+    single-string JW under-scores when word order differs.
+
+    Vectorized: every row's token cross product flattens into ONE
+    ``jaro_winkler_batch`` call per direction; the per-token max and
+    per-row mean are ``np.maximum.reduceat`` / ``np.add.reduceat``
+    segment ops. Empty strings tokenize to zero tokens and score 0."""
+
+    def _directed(xs: list[list[str]], ys: list[list[str]]) -> np.ndarray:
+        kx = np.fromiter((len(t) for t in xs), np.int64, len(xs))
+        ky = np.fromiter((len(t) for t in ys), np.int64, len(ys))
+        flat_x: list[str] = []
+        flat_y: list[str] = []
+        for tx, ty in zip(xs, ys):
+            for a in tx:
+                flat_x.extend([a] * len(ty))
+                flat_y.extend(ty)
+        out = np.zeros(len(xs))
+        if not flat_x:
+            return out
+        jw = jaro_winkler_batch(flat_x, flat_y)
+        # segment boundaries: one block of ky[i] comparisons per x-token
+        blocks = np.repeat(ky, kx)  # len = total x tokens
+        nz = blocks > 0
+        tok_max = np.zeros(len(blocks))
+        if nz.any():
+            starts = np.r_[0, np.cumsum(blocks)[:-1]]
+            tok_max[nz] = np.maximum.reduceat(jw, starts[nz])
+        row_has = (kx > 0) & (ky > 0)
+        row_starts = np.r_[0, np.cumsum(kx)[:-1]]
+        sums = np.add.reduceat(tok_max, row_starts[kx > 0]) \
+            if (kx > 0).any() else np.array([])
+        out[kx > 0] = sums
+        out[row_has] = out[row_has] / kx[row_has]
+        out[~row_has] = 0.0
+        return out
+
+    ta = [a.split() for a in a_list]
+    tb = [b.split() for b in b_list]
+    return (_directed(ta, tb) + _directed(tb, ta)) / 2.0

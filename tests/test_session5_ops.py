@@ -115,3 +115,27 @@ def test_dedup_passages_within_doc_repeat():
     out = dedup_passages_rewrite(docs, k=2).to_pandas()
     assert out.clean_text.tolist() == ["x y"]
     assert out.n_kept.tolist() == [1] and out.n_dropped.tolist() == [2]
+
+
+def test_monge_elkan_word_swap_and_edges():
+    from belb_ray.functions.similarity import (jaro_winkler_batch,
+                                               monge_elkan_batch)
+
+    me = monge_elkan_batch(
+        ["small ring", "red widget", "", "a b c"],
+        ["ring small", "red gadget", "x", "a b c"])
+    assert abs(me[0] - 1.0) < 1e-12       # word order irrelevant
+    jw = jaro_winkler_batch(["widget"], ["gadget"])[0]
+    assert abs(me[1] - (1.0 + jw) / 2) < 1e-12
+    assert me[2] == 0.0                    # empty side scores 0
+    assert abs(me[3] - 1.0) < 1e-12
+
+
+def test_monge_elkan_asymmetric_mean():
+    from belb_ray.functions.similarity import monge_elkan_batch
+
+    # A ⊂ B: ME(A→B)=1 (every A token has an exact twin), ME(B→A)<1
+    me = monge_elkan_batch(["ring"], ["ring small"])
+    me_sym = monge_elkan_batch(["ring small"], ["ring"])
+    assert 0.5 < me[0] < 1.0
+    assert abs(me[0] - me_sym[0]) < 1e-12  # symmetric by construction
