@@ -3383,6 +3383,23 @@ def q_doc_rule_filters(sf_dir: str) -> rd.Dataset:
     return rule_filter_chain(_t(sf_dir, "documents"))
 
 
+def q_salted_join(sf_dir: str) -> rd.Dataset:
+    """Skew-aware salted hash join (stages/joins.salted_hash_join):
+    exact Misra-Gries-detected hot keys fan out across salt sub-keys
+    with the right side's hot rows replicated — hash-partition-join
+    output equality at any skew, no one-hot-partition straggler."""
+    from belb_ray.stages.joins import salted_hash_join
+
+    ev = _t(sf_dir, "events").select_columns(["event_id", "user_id"])
+    cust = _t(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: pa.table({"user_id": t["c_custkey"],
+                            "c_nationkey": t["c_nationkey"]}),
+        batch_format="pyarrow")
+    out = salted_hash_join(ev, cust, "user_id", n_salt=4, phi=0.005)
+    return out.select_columns(["event_id", "user_id", "c_nationkey"])
+
+
 def q_dedup_passages(sf_dir: str) -> rd.Dataset:
     """Cross-doc passage dedup with corpus rewrite
     (stages/curation.dedup_passages_rewrite): non-overlapping 8-word
@@ -3441,6 +3458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rule_filters": q_doc_rule_filters,
         "dedup_passages": q_dedup_passages,
         "leakage_safe_split": q_leakage_safe_split,
+        "salted_join": q_salted_join,
         "foreign_name_homonyms": q_foreign_name_homonyms,
         "eval_subsets": q_eval_subsets,
         "asof_snapshot": q_asof_snapshot,
@@ -4061,6 +4079,10 @@ def oracle_sql() -> dict[str, str]:
                         WHEN mx * 9 > nw THEN 'repetitive'
                         ELSE 'keep' END AS reason
             FROM base b JOIN mx USING (doc_id)
+        """,
+        "salted_join": """
+            SELECT e.event_id, e.user_id, c.c_nationkey
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
         """,
         "dedup_passages": """
             WITH w AS (

@@ -139,3 +139,37 @@ def test_monge_elkan_asymmetric_mean():
     me_sym = monge_elkan_batch(["ring small"], ["ring"])
     assert 0.5 < me[0] < 1.0
     assert abs(me[0] - me_sym[0]) < 1e-12  # symmetric by construction
+
+
+def test_salted_hash_join_matches_plain_join_under_skew():
+    import numpy as np
+
+    from belb_ray.stages.joins import hash_partition_join, salted_hash_join
+
+    rng = np.random.RandomState(7)
+    keys = np.where(rng.rand(5000) < 0.4, 5, rng.randint(0, 200, 5000))
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": keys, "lv": np.arange(5000)})).repartition(8)
+    right = rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(150), "rv": np.arange(150) * 10})).repartition(4)
+    a = salted_hash_join(left, right, "k", n_salt=4, phi=0.01).to_pandas()
+    b = hash_partition_join(left, right, "k").to_pandas()
+    sa = a.sort_values(["k", "lv", "rv"]).reset_index(drop=True)[
+        ["k", "lv", "rv"]]
+    sb = b.sort_values(["k", "lv", "rv"]).reset_index(drop=True)[
+        ["k", "lv", "rv"]]
+    assert len(sa) > 0 and sa.equals(sb)
+
+
+def test_salted_hash_join_no_hot_keys_falls_back():
+    import numpy as np
+
+    from belb_ray.stages.joins import salted_hash_join
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(1000) % 97, "lv": np.arange(1000)}))
+    right = rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(97), "rv": np.arange(97)}))
+    # uniform keys: nothing exceeds phi=0.5 -> plain path
+    out = salted_hash_join(left, right, "k", phi=0.5).to_pandas()
+    assert len(out) == 1000
