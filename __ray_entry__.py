@@ -3383,6 +3383,16 @@ def q_doc_rule_filters(sf_dir: str) -> rd.Dataset:
     return rule_filter_chain(_t(sf_dir, "documents"))
 
 
+def q_kmeans_clusters(sf_dir: str) -> rd.Dataset:
+    """Distributed Lloyd's k-means (stages/vector.kmeans_lloyd): exact
+    int64 fixed-point centroid sums make the fit independent of block
+    count and batch order; golden from the independent single-process
+    implementation of the same determinism spec."""
+    from belb_ray.stages.vector import kmeans_lloyd
+
+    return kmeans_lloyd(_t(sf_dir, "embeddings"), k=8, n_iters=5)
+
+
 def q_salted_join(sf_dir: str) -> rd.Dataset:
     """Skew-aware salted hash join (stages/joins.salted_hash_join):
     exact Misra-Gries-detected hot keys fan out across salt sub-keys
@@ -3459,6 +3469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_passages": q_dedup_passages,
         "leakage_safe_split": q_leakage_safe_split,
         "salted_join": q_salted_join,
+        "kmeans_clusters": q_kmeans_clusters,
         "foreign_name_homonyms": q_foreign_name_homonyms,
         "eval_subsets": q_eval_subsets,
         "asof_snapshot": q_asof_snapshot,
@@ -6010,5 +6021,5 @@ def oracle_sql() -> dict[str, str]:
                         "bpe_merges", "bpe_tokens", "pq_ann_topk",
                         "part_k_core", "part_components",
                         "jl_projection", "fs_linkage_weights",
-                        "name_one2one_match")},
+                        "name_one2one_match", "kmeans_clusters")},
     }

@@ -142,3 +142,106 @@ def nearest_centroid_confusion(
     out = preagg_groupby(assigned, ["label", "pred_label"],
                          [("count", "", "n")], num_buckets)
     return out
+
+
+_KM_SCALE = 1 << 20  # fixed-point quantization for exact int64 sums
+
+
+def kmeans_lloyd(ds: rd.Dataset, k: int = 8, n_iters: int = 5,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> rd.Dataset:
+    """Distributed Lloyd's k-means with a bit-deterministic contract:
+    → (id, cluster) after exactly ``n_iters`` assignment/update rounds.
+
+    Determinism spec (mirrored by the single-process golden):
+    - vectors quantize ONCE to int64 fixed-point (×2^20, round-half-even)
+      — centroid updates are EXACT integer sums, so the fit is
+      independent of block count, batch order, and summation order (the
+      fs_em / key_skew_profile exact-arithmetic policy);
+    - init centroids = the vectors of the ``k`` smallest ids;
+    - assignment = argmin squared-L2 (first index wins ties);
+    - an emptied cluster keeps its previous centroid.
+
+    Scale shape: per iteration ONE streaming pass emits ≤ k fixed-width
+    partial rows per block ((cluster, n, Σq int64 vector)); the driver
+    M-step combines O(k·d) numbers — rows never shuffle; centroids
+    broadcast once per iteration via ray.put."""
+    import ray
+
+    from ..util import cached_get
+    from .ann import list_column_matrix
+
+    def _quant(t: pa.Table) -> pa.Table:
+        mat = list_column_matrix(t[vec_col])
+        q = np.rint(mat * _KM_SCALE).astype(np.int64)
+        n, d = (q.shape[0], q.shape[1]) if q.ndim == 2 and q.size else \
+            (0, 0)
+        # variable-size list keeps the type stable across empty blocks
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int64) * d, pa.int32()),
+            pa.array(q.ravel(), pa.int64()))
+        return pa.table({id_col: t[id_col].slice(0, n), "__q": lists})
+
+    qds = ds.select_columns([id_col, vec_col]).map_batches(
+        _quant, batch_format="pyarrow").materialize()  # reused n_iters+1
+
+    seed_rows = qds.sort(id_col).limit(k).take_all()
+    cents = np.asarray([r["__q"] for r in seed_rows],
+                       dtype=np.int64).astype(np.float64) / _KM_SCALE
+    dim = cents.shape[1]
+
+    def _qmat(t: pa.Table) -> np.ndarray:
+        return (t["__q"].combine_chunks().flatten().to_numpy()
+                .reshape(-1, dim))
+
+    def _assign_ids(q: np.ndarray, c: np.ndarray) -> np.ndarray:
+        x = q.astype(np.float64) / _KM_SCALE
+        d2 = ((x * x).sum(axis=1)[:, None]
+              - 2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :])
+        return np.argmin(d2, axis=1)
+
+    for _ in range(n_iters):
+        ref = ray.put(cents)
+
+        def _partial(t: pa.Table) -> pa.Table:
+            c = cached_get(ref)
+            q = _qmat(t)
+            if not len(q):
+                return pa.table({
+                    "cid": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.list_(pa.int64(), dim))})
+            a = _assign_ids(q, c)
+            order = np.argsort(a, kind="stable")
+            a_s, q_s = a[order], q[order]
+            starts = np.r_[0, np.flatnonzero(a_s[1:] != a_s[:-1]) + 1]
+            sums = np.add.reduceat(q_s, starts, axis=0)
+            counts = np.diff(np.r_[starts, len(a_s)])
+            return pa.table({
+                "cid": pa.array(a_s[starts], pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+                "s": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums.ravel(), pa.int64()), dim)})
+
+        parts = qds.map_batches(_partial, batch_format="pyarrow") \
+            .take_all()
+        n_tot = np.zeros(k, np.int64)
+        s_tot = np.zeros((k, dim), np.int64)
+        for r in parts:
+            n_tot[r["cid"]] += r["n"]
+            s_tot[r["cid"]] += np.asarray(r["s"], np.int64)
+        nz = n_tot > 0
+        cents = cents.copy()
+        cents[nz] = (s_tot[nz].astype(np.float64)
+                     / (n_tot[nz][:, None] * float(_KM_SCALE)))
+
+    ref = ray.put(cents)
+
+    def _final(t: pa.Table) -> pa.Table:
+        c = cached_get(ref)
+        q = _qmat(t)
+        a = _assign_ids(q, c) if len(q) else np.array([], np.int64)
+        return pa.table({id_col: t[id_col],
+                         "cluster": pa.array(a, pa.int64())})
+
+    return qds.map_batches(_final, batch_format="pyarrow")

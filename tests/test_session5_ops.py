@@ -173,3 +173,28 @@ def test_salted_hash_join_no_hot_keys_falls_back():
     # uniform keys: nothing exceeds phi=0.5 -> plain path
     out = salted_hash_join(left, right, "k", phi=0.5).to_pandas()
     assert len(out) == 1000
+
+
+def test_kmeans_lloyd_block_invariant_and_recovers_blobs():
+    import numpy as np
+
+    from belb_ray.stages.vector import kmeans_lloyd
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(4, 8) * 6
+    X = np.vstack([centers[i] + rng.randn(50, 8) * 0.3 for i in range(4)])
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(200),
+        "embedding": [list(map(float, r)) for r in X]}))
+    out1 = kmeans_lloyd(ds.repartition(1), k=4, n_iters=5).to_pandas() \
+        .sort_values("vec_id")
+    out8 = kmeans_lloyd(ds.repartition(8), k=4, n_iters=5).to_pandas() \
+        .sort_values("vec_id")
+    # exact integer centroid sums -> identical fit at any block count
+    assert (out1.cluster.to_numpy() == out8.cluster.to_numpy()).all()
+    # planted blobs: most points of a blob share a cluster
+    truth = np.repeat(np.arange(4), 50)
+    cl = out1.cluster.to_numpy()
+    purity = sum(int(np.bincount(cl[truth == i], minlength=4).max())
+                 for i in range(4)) / 200
+    assert purity >= 0.75

@@ -765,6 +765,40 @@ def golden_one2one_match(sf_dir: str) -> pa.Table:
                      "score": pa.array(out["score"], pa.float64())})
 
 
+def golden_kmeans_clusters(sf_dir: str, k: int = 8,
+                           n_iters: int = 5) -> pa.Table:
+    """Independent single-process Lloyd's k-means under the same
+    determinism spec as stages/vector.kmeans_lloyd: vectors quantized
+    once to int64 fixed-point (x 2^20, round-half-even), init = the k
+    smallest vec_ids, exact integer centroid sums, argmin squared-L2
+    with first-index ties, empty clusters keep their centroid."""
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = tbl["vec_id"].to_numpy().astype(np.int64)
+    X = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    scale = float(1 << 20)
+    q = np.rint(X * (1 << 20)).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    cents = q[order[:k]].astype(np.float64) / scale
+
+    def assign(c):
+        x = q.astype(np.float64) / scale
+        d2 = ((x * x).sum(axis=1)[:, None] - 2.0 * (x @ c.T)
+              + (c * c).sum(axis=1)[None, :])
+        return np.argmin(d2, axis=1)
+
+    for _ in range(n_iters):
+        a = assign(cents)
+        cents = cents.copy()
+        for c in range(k):
+            m = a == c
+            if m.any():
+                cents[c] = (q[m].sum(axis=0).astype(np.float64)
+                            / (int(m.sum()) * scale))
+    a = assign(cents)
+    return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                     "cluster": pa.array(a.astype(np.int64), pa.int64())})
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -794,6 +828,7 @@ def main() -> None:
         "jl_projection": golden_jl_projection(args.sf_dir),
         "fs_linkage_weights": golden_fs_linkage_weights(args.sf_dir),
         "name_one2one_match": golden_one2one_match(args.sf_dir),
+        "kmeans_clusters": golden_kmeans_clusters(args.sf_dir),
     }
     for name, tbl in tables.items():
         path = os.path.join(GOLDEN_DIR, f"{name}.{sf_tag}.parquet")
