@@ -3383,6 +3383,27 @@ def q_doc_rule_filters(sf_dir: str) -> rd.Dataset:
     return rule_filter_chain(_t(sf_dir, "documents"))
 
 
+def q_safe_parse(sf_dir: str) -> rd.Dataset:
+    """Per-record error containment (pipelines/qaqc.safe_apply — the
+    reference's BaseTransformation.safe_apply,
+    belb/preprocessing/transform.py:59-74): a fallible row parser
+    raises on a sentinel token; failing records quarantine with the
+    exception string instead of killing the task; rows_out == rows_in."""
+    from belb_ray.pipelines.qaqc import safe_apply
+
+    def parse(row: dict) -> dict:
+        words = row["text"].split(" ")
+        if words[2] == "vector":
+            raise ValueError("sentinel token at position 3")
+        return {"first_word": words[0], "n_words": len(words)}
+
+    out = safe_apply(
+        _t(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        parse, {"first_word": pa.string(), "n_words": pa.int64()})
+    return out.select_columns(
+        ["doc_id", "ok", "error", "first_word", "n_words"])
+
+
 def q_kmeans_clusters(sf_dir: str) -> rd.Dataset:
     """Distributed Lloyd's k-means (stages/vector.kmeans_lloyd): exact
     int64 fixed-point centroid sums make the fit independent of block
@@ -3470,6 +3491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_split": q_leakage_safe_split,
         "salted_join": q_salted_join,
         "kmeans_clusters": q_kmeans_clusters,
+        "safe_parse": q_safe_parse,
         "foreign_name_homonyms": q_foreign_name_homonyms,
         "eval_subsets": q_eval_subsets,
         "asof_snapshot": q_asof_snapshot,
@@ -4090,6 +4112,19 @@ def oracle_sql() -> dict[str, str]:
                         WHEN mx * 9 > nw THEN 'repetitive'
                         ELSE 'keep' END AS reason
             FROM base b JOIN mx USING (doc_id)
+        """,
+        "safe_parse": """
+            SELECT doc_id,
+                   (split_part(text, ' ', 3) <> 'vector') AS ok,
+                   CASE WHEN split_part(text, ' ', 3) = 'vector'
+                        THEN 'ValueError: sentinel token at position 3'
+                   END AS error,
+                   CASE WHEN split_part(text, ' ', 3) <> 'vector'
+                        THEN split_part(text, ' ', 1) END AS first_word,
+                   CASE WHEN split_part(text, ' ', 3) <> 'vector'
+                        THEN CAST(len(string_split(text, ' ')) AS BIGINT)
+                   END AS n_words
+            FROM documents
         """,
         "salted_join": """
             SELECT e.event_id, e.user_id, c.c_nationkey

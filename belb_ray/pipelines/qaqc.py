@@ -95,3 +95,57 @@ def write_qaqc_manifest(
     with open(path, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
+
+
+def safe_apply(
+    ds: rd.Dataset,
+    row_fn: Callable[[dict], dict],
+    out_schema: dict[str, "pa.DataType"],
+    stage: str = "safe_apply",
+    stats: "ray.actor.ActorHandle | None" = None,
+) -> rd.Dataset:
+    """Per-record error containment — the reference's
+    ``BaseTransformation.safe_apply`` (belb/preprocessing/
+    transform.py:59-74): ``row_fn(row_dict) -> out_dict`` runs per
+    record; an exception QUARANTINES that record (``ok=False``,
+    ``error='<ExcType>: <msg>'``, output columns null) instead of
+    killing the task, and the pipeline keeps streaming. Successes carry
+    ``ok=True`` and their outputs. Row conservation holds by
+    construction: rows_out == rows_in, every failure visible and
+    countable (per-exception-type counts stream to the QaqcStats actor
+    when given).
+
+    This wrapper is for FALLIBLE, inherently row-wise parser steps —
+    the one place a per-row Python loop is the semantics, not a
+    performance bug. Vectorized stages should use ``counted_filter`` /
+    plain ``map_batches`` instead."""
+    out_names = list(out_schema)
+
+    def _f(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        ok = np.zeros(len(rows), dtype=bool)
+        errs: list = [None] * len(rows)
+        outs: dict[str, list] = {n: [None] * len(rows) for n in out_names}
+        fail_counts: dict[str, int] = {}
+        for i, row in enumerate(rows):
+            try:
+                res = row_fn(row)
+            except Exception as e:  # noqa: BLE001 — containment IS the op
+                errs[i] = f"{type(e).__name__}: {e}"
+                fail_counts[type(e).__name__] = \
+                    fail_counts.get(type(e).__name__, 0) + 1
+                continue
+            ok[i] = True
+            for n in out_names:
+                outs[n][i] = res.get(n)
+        if stats is not None and fail_counts:
+            for exc, n in fail_counts.items():
+                ray.get(stats.add.remote(stage, exc, n))
+        cols = {name: batch[name] for name in batch.column_names}
+        cols["ok"] = pa.array(ok)
+        cols["error"] = pa.array(errs, pa.string())
+        for n in out_names:
+            cols[n] = pa.array(outs[n], out_schema[n])
+        return pa.table(cols)
+
+    return ds.map_batches(_f, batch_format="pyarrow")

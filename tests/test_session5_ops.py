@@ -198,3 +198,29 @@ def test_kmeans_lloyd_block_invariant_and_recovers_blobs():
     purity = sum(int(np.bincount(cl[truth == i], minlength=4).max())
                  for i in range(4)) / 200
     assert purity >= 0.75
+
+
+def test_safe_apply_quarantines_and_conserves_rows():
+    import pyarrow as pa_
+
+    from belb_ray.pipelines.qaqc import new_stats, safe_apply, stats_snapshot
+
+    def parse(row):
+        if row["v"] % 3 == 0:
+            raise ValueError("multiple of three")
+        if row["v"] == 7:
+            raise KeyError("seven")
+        return {"double": row["v"] * 2}
+
+    ds = rd.from_pandas(pd.DataFrame({"v": range(10)}))
+    stats = new_stats()
+    out = safe_apply(ds, parse, {"double": pa_.int64()},
+                     stage="t", stats=stats).to_pandas().sort_values("v")
+    assert len(out) == 10                       # conservation
+    bad = out[~out.ok]
+    assert sorted(bad.v.tolist()) == [0, 3, 6, 7, 9]
+    assert bad[bad.v == 7].error.iloc[0].startswith("KeyError")
+    assert out[out.ok].double.tolist() == [2, 4, 8, 10, 16]
+    assert bad.double.isna().all()
+    snap = stats_snapshot(stats)
+    assert sum(v for k, v in snap.items() if k.startswith("t")) == 5
