@@ -3383,6 +3383,79 @@ def q_doc_rule_filters(sf_dir: str) -> rd.Dataset:
     return rule_filter_chain(_t(sf_dir, "documents"))
 
 
+def q_corpus_build(sf_dir: str) -> rd.Dataset:
+    """The reference's full corpus-build read path (SURVEY §3.2,
+    corpus.py:182-663) as one composition
+    (pipelines/corpus_build.build_corpus): identifier explosion →
+    history resolution (obsolete drops) → notinkb KB boundary → exact
+    annotation dedup → span-group identifier list merge → offsets QAQC
+    gate. Mentions are the first occurrences of words 2 and 5 of each
+    document (each emitted TWICE to exercise the dedup), identifiers
+    are |-packed pairs, the KB holds even-numbered ids, and the history
+    redirects X:k (k%5=0) and retires Y:0."""
+    from belb_ray.pipelines.corpus_build import build_corpus
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def _anns(t: pa.Table) -> pa.Table:
+        dids = t["doc_id"].to_numpy()
+        texts = t["text"].to_pylist()
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "ann_id", "start", "end", "text", "entity_type",
+            "identifier_raw")}
+        for did, txt in zip(dids, texts):
+            words = txt.split(" ")
+            offs = np.cumsum([0] + [len(w) + 1 for w in words[:-1]])
+            raw = f"X:{did % 50}|Y:{did % 7}"
+            etype = "gene" if did % 2 == 0 else "chem"
+            for k, w in enumerate((words[1], words[4])):
+                first = words.index(w)
+                s = int(offs[first])
+                for dup in range(2):  # duplicate inject → A7 dedup
+                    out["doc_id"].append(int(did))
+                    out["ann_id"].append(int(did) * 10 + k * 2 + dup)
+                    out["start"].append(s)
+                    out["end"].append(s + len(w))
+                    out["text"].append(w)
+                    out["entity_type"].append(etype)
+                    out["identifier_raw"].append(raw)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "ann_id": pa.array(out["ann_id"], pa.int64()),
+            "start": pa.array(out["start"], pa.int64()),
+            "end": pa.array(out["end"], pa.int64()),
+            "text": pa.array(out["text"], pa.string()),
+            "entity_type": pa.array(out["entity_type"], pa.string()),
+            "identifier_raw": pa.array(out["identifier_raw"], pa.string()),
+        })
+
+    anns = docs.map_batches(_anns, batch_format="pyarrow")
+
+    def _kb(t: pa.Table) -> pa.Table:
+        m = np.unique(t["p_partkey"].to_numpy() % 150)
+        m = m[m % 2 == 0]
+        ids = [f"X:{v}" for v in m] + [f"Y:{v}" for v in m]
+        return pa.table({"resolved_identifier": pa.array(ids, pa.string())})
+
+    kb = _t(sf_dir, "part").select_columns(["p_partkey"]).map_batches(
+        _kb, batch_format="pyarrow")
+    history = pd.DataFrame({
+        "old_identifier": [f"X:{k}" for k in range(0, 50, 5)] + ["Y:0"],
+        "new_identifier": [f"X:{k + 100}" for k in range(0, 50, 5)]
+        + ["-1"],
+    })
+    out = build_corpus(docs, anns, kb, history)
+    return out["annotations"].map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"], "start": t["start"], "end": t["end"],
+            "text": t["text"], "entity_type": t["entity_type"],
+            "ids_joined": pa.array(
+                [";".join(v) for v in t["identifiers"].to_pylist()],
+                pa.string()),
+            "n_ids": t["n_ids"],
+        }), batch_format="pyarrow")
+
+
 def q_safe_parse(sf_dir: str) -> rd.Dataset:
     """Per-record error containment (pipelines/qaqc.safe_apply — the
     reference's BaseTransformation.safe_apply,
@@ -3492,6 +3565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_join": q_salted_join,
         "kmeans_clusters": q_kmeans_clusters,
         "safe_parse": q_safe_parse,
+        "corpus_build": q_corpus_build,
         "foreign_name_homonyms": q_foreign_name_homonyms,
         "eval_subsets": q_eval_subsets,
         "asof_snapshot": q_asof_snapshot,
@@ -4112,6 +4186,61 @@ def oracle_sql() -> dict[str, str]:
                         WHEN mx * 9 > nw THEN 'repetitive'
                         ELSE 'keep' END AS reason
             FROM base b JOIN mx USING (doc_id)
+        """,
+        "corpus_build": """
+            WITH d AS (
+                SELECT doc_id, text,
+                       split_part(text, ' ', 2) AS w2,
+                       split_part(text, ' ', 5) AS w5,
+                       CASE WHEN doc_id % 2 = 0 THEN 'gene'
+                            ELSE 'chem' END AS etype
+                FROM documents),
+            ann0 AS (
+                SELECT doc_id,
+                       CAST(strpos(' ' || text || ' ', ' ' || w2 || ' ')
+                            - 1 AS BIGINT) AS start,
+                       CAST(strpos(' ' || text || ' ', ' ' || w2 || ' ')
+                            - 1 + length(w2) AS BIGINT) AS "end",
+                       w2 AS text, etype
+                FROM d
+                UNION ALL
+                SELECT doc_id,
+                       CAST(strpos(' ' || text || ' ', ' ' || w5 || ' ')
+                            - 1 AS BIGINT),
+                       CAST(strpos(' ' || text || ' ', ' ' || w5 || ' ')
+                            - 1 + length(w5) AS BIGINT),
+                       w5, etype
+                FROM d),
+            expl AS (
+                SELECT a.*, unnest(string_split(
+                    'X:' || (doc_id % 50) || '|Y:' || (doc_id % 7), '|'))
+                    AS identifier
+                FROM ann0 a),
+            res AS (
+                SELECT *, CASE
+                    WHEN identifier = 'Y:0' THEN '-1'
+                    WHEN identifier LIKE 'X:%'
+                         AND CAST(substr(identifier, 3) AS INT) % 5 = 0
+                         AND CAST(substr(identifier, 3) AS INT) < 50
+                        THEN 'X:' ||
+                             (CAST(substr(identifier, 3) AS INT) + 100)
+                    ELSE identifier END AS rid
+                FROM expl),
+            kb AS (
+                SELECT DISTINCT 'X:' || (p_partkey % 150) AS id
+                FROM part WHERE (p_partkey % 150) % 2 = 0
+                UNION
+                SELECT DISTINCT 'Y:' || (p_partkey % 150)
+                FROM part WHERE (p_partkey % 150) % 2 = 0),
+            inkb AS (
+                SELECT * FROM res
+                WHERE rid <> '-1' AND rid IN (SELECT id FROM kb))
+            SELECT doc_id, start, "end", text, etype AS entity_type,
+                   array_to_string(list_sort(list_distinct(
+                       array_agg(rid))), ';') AS ids_joined,
+                   count(DISTINCT rid) AS n_ids
+            FROM inkb
+            GROUP BY doc_id, start, "end", text, etype
         """,
         "safe_parse": """
             SELECT doc_id,

@@ -202,6 +202,7 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "salted_join",
         "kmeans_clusters",
         "safe_parse",
+        "corpus_build",
         # part_k_core and fs_linkage_weights are oracle-checked but
         # excluded here: their fixpoint/EM rounds are iteration-count-
         # dominated at sf0.1 and would eat the min-of-2 budget

@@ -224,3 +224,64 @@ def test_safe_apply_quarantines_and_conserves_rows():
     assert bad.double.isna().all()
     snap = stats_snapshot(stats)
     assert sum(v for k, v in snap.items() if k.startswith("t")) == 5
+
+
+def test_build_corpus_conservation_and_gates():
+    import pyarrow as pa_
+
+    from belb_ray.pipelines.corpus_build import build_corpus
+    from belb_ray.pipelines.qaqc import new_stats, stats_snapshot
+
+    docs = rd.from_arrow(pa_.table({
+        "doc_id": [1, 2],
+        "text": ["alpha beta gamma", "delta epsilon zeta"],
+    }))
+    # doc1 'beta'@6 twice (dup), doc2 'epsilon'@6 once
+    anns = rd.from_arrow(pa_.table({
+        "doc_id": [1, 1, 2],
+        "ann_id": [10, 11, 20],
+        "start": [6, 6, 6],
+        "end": [10, 10, 13],
+        "text": ["beta", "beta", "epsilon"],
+        "entity_type": ["gene", "gene", "chem"],
+        "identifier_raw": ["X:1|X:2", "X:1|X:2", "X:3|Y:0"],
+    }))
+    kb = rd.from_arrow(pa_.table({
+        "resolved_identifier": ["X:1", "X:102", "X:3"]}))
+    history = pd.DataFrame({"old_identifier": ["X:2", "Y:0"],
+                            "new_identifier": ["X:102", "-1"]})
+    stats = new_stats()
+    out = build_corpus(docs, anns, kb, history, stats=stats)
+    man = out["manifest"]
+    # 3 anns x 2 identifiers exploded = 6; Y:0 obsolete drops 1
+    assert man["identifiers_in"] == 6
+    assert man["dropped_obsolete"] == 1
+    assert man["dropped_notinkb"] == 0  # X:1, X:102, X:3 all in KB
+    res = out["annotations"].to_pandas().sort_values("doc_id")
+    # doc1's two identical anns merged into ONE row w/ both (resolved) ids
+    assert len(res) == 2
+    r1 = res[res.doc_id == 1].iloc[0]
+    assert sorted(r1.identifiers) == ["X:1", "X:102"] and r1.n_ids == 2
+    r2 = res[res.doc_id == 2].iloc[0]
+    assert list(r2.identifiers) == ["X:3"]
+    # offsets invariant: surfaces equal their text slices
+    assert out["offset_violations"].count() == 0
+    snap = stats_snapshot(stats)
+    assert any("obsolete" in k for k in snap)
+
+
+def test_build_corpus_offset_violation_detected():
+    import pyarrow as pa_
+
+    from belb_ray.pipelines.corpus_build import build_corpus
+
+    docs = rd.from_arrow(pa_.table({
+        "doc_id": [1], "text": ["alpha beta gamma"]}))
+    anns = rd.from_arrow(pa_.table({
+        "doc_id": [1], "ann_id": [1], "start": [0], "end": [4],
+        "text": ["beta"],  # wrong: text[0:4] == 'alph'
+        "entity_type": ["gene"], "identifier_raw": ["X:1"]}))
+    kb = rd.from_arrow(pa_.table({"resolved_identifier": ["X:1"]}))
+    history = pd.DataFrame({"old_identifier": [], "new_identifier": []})
+    out = build_corpus(docs, anns, kb, history)
+    assert out["offset_violations"].count() == 1
