@@ -469,8 +469,11 @@ def rule_filter_chain(docs: rd.Dataset, id_col: str = "doc_id",
         if stats is not None:
             vals, counts = np.unique(reason[reason != "keep"],
                                      return_counts=True)
-            for v, c in zip(vals, counts):
-                stats.add.remote("rule_filter_chain", str(v), int(c))
+            # blocking, like counted_filter: the increment must land
+            # before this task reports done or a post-pipeline snapshot
+            # can undercount (one actor RTT per dropping batch only)
+            ray.get([stats.add.remote("rule_filter_chain", str(v), int(c))
+                     for v, c in zip(vals, counts)])
         return pa.table({
             id_col: batch[id_col],
             "n_words": pa.array(nw, pa.int64()),
