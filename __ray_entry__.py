@@ -47,6 +47,17 @@ def _t(sf_dir: str, name: str) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 
+def _t_where(sf_dir: str, name: str, predicate,
+             columns: list[str] | None = None) -> rd.Dataset:
+    """Predicate-pushdown read (sources/readers.read_parquet_pruned):
+    row groups whose min/max statistics exclude ``predicate`` never
+    leave storage — vs ``_t(...).filter(...)`` which scans every row."""
+    from belb_ray.sources.readers import read_parquet_pruned
+
+    return read_parquet_pruned(f"{sf_dir.rstrip('/')}/{name}.parquet",
+                               columns=columns, predicate=predicate)
+
+
 def _round_cols(ds: rd.Dataset, spec: dict[str, int]) -> rd.Dataset:
     def _r(batch: pd.DataFrame) -> pd.DataFrame:
         for c, nd in spec.items():
@@ -140,7 +151,10 @@ def q_customers_without_orders(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.agg import preagg_groupby
     from belb_ray.stages.joins import broadcast_semi_join, distinct_values
 
-    big = _t(sf_dir, "orders").filter(expr="o_totalprice > 300000")
+    import pyarrow.dataset as pads
+
+    big = _t_where(sf_dir, "orders", pads.field("o_totalprice") > 300000,
+                   columns=["o_custkey", "o_totalprice"])
     have_big = distinct_values(big, "o_custkey")
     cust = _t(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"])
     no_big = broadcast_semi_join(cust, have_big, key="c_custkey", anti=True)
@@ -1746,7 +1760,10 @@ def q_wealthy_or_supplier_nations(sf_dir: str) -> rd.Dataset:
     wealthy customer or any supplier."""
     from belb_ray.stages.setops import set_union
 
-    rich = _t(sf_dir, "customer").filter(expr="c_acctbal > 9000")
+    import pyarrow.dataset as pads
+
+    rich = _t_where(sf_dir, "customer", pads.field("c_acctbal") > 9000,
+                    columns=["c_nationkey", "c_acctbal"])
     sup = _t(sf_dir, "supplier")
     return set_union(rich, sup, ["c_nationkey"], b_cols=["s_nationkey"])
 
@@ -3337,7 +3354,10 @@ def q_bloom_semi_join(sf_dir: str) -> rd.Dataset:
 
     li = _t(sf_dir, "lineitem").select_columns(
         ["l_orderkey", "l_linenumber", "l_partkey"])
-    keys = _t(sf_dir, "part").filter(expr="p_size > 25").map_batches(
+    import pyarrow.dataset as pads
+
+    keys = _t_where(sf_dir, "part", pads.field("p_size") > 25,
+                    columns=["p_partkey", "p_size"]).map_batches(
         lambda t: pa.table({"l_partkey": t["p_partkey"]}),
         batch_format="pyarrow")
     out = bloom_semi_join(li, keys, "l_partkey", broadcast_threshold=1)

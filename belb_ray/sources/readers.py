@@ -232,3 +232,16 @@ def parse_keyed_records(records: rd.Dataset, key_len: int = 2,
         })
 
     return records.map_batches(_parse, batch_format="pyarrow")
+
+
+def read_parquet_pruned(path, columns=None, predicate=None,
+                        **kwargs) -> rd.Dataset:
+    """Parquet read with projection AND predicate pushdown: ``columns``
+    prunes at the column-chunk level, ``predicate`` (a
+    ``pyarrow.dataset`` expression, e.g. ``pads.field("x") > 5``)
+    prunes row groups via their min/max statistics BEFORE bytes leave
+    storage — the "prune at the read" rule. A post-read
+    ``ds.filter(expr=...)`` scans every row of every row group; this
+    never deserializes groups whose statistics exclude the predicate."""
+    return rd.read_parquet(path, columns=columns, filter=predicate,
+                           **kwargs)

@@ -285,3 +285,19 @@ def test_build_corpus_offset_violation_detected():
     history = pd.DataFrame({"old_identifier": [], "new_identifier": []})
     out = build_corpus(docs, anns, kb, history)
     assert out["offset_violations"].count() == 1
+
+
+def test_read_parquet_pruned_matches_post_filter(tmp_path):
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq_
+
+    from belb_ray.sources.readers import read_parquet_pruned
+
+    import pyarrow as pa_
+    tbl = pa_.table({"k": list(range(1000)), "v": [i * 2 for i in range(1000)]})
+    path = str(tmp_path / "t.parquet")
+    pq_.write_table(tbl, path, row_group_size=100)
+    got = read_parquet_pruned(path, columns=["k"],
+                              predicate=pads.field("k") >= 950).to_pandas()
+    assert sorted(got.k.tolist()) == list(range(950, 1000))
+    assert list(got.columns) == ["k"]
