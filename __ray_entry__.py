@@ -1128,11 +1128,13 @@ def q_parts_never_ordered(sf_dir: str) -> rd.Dataset:
     broadcast, one co-location shuffle of locally-deduped keys)."""
     from belb_ray.stages.setops import set_except
 
+    import pyarrow.dataset as pads
+
     part = _t(sf_dir, "part").select_columns(["p_partkey"])
-    li = (_t(sf_dir, "lineitem")
-          .select_columns(["l_partkey", "l_quantity"])
-          .filter(expr="l_quantity >= 48.0")
-          .select_columns(["l_partkey"]))
+    li = _t_where(sf_dir, "lineitem",
+                  pads.field("l_quantity") >= 48.0,
+                  columns=["l_partkey", "l_quantity"]
+                  ).select_columns(["l_partkey"])
     out = set_except(part, li, ["p_partkey"], b_cols=["l_partkey"])
 
     def _ren(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1383,8 +1385,12 @@ def q_order_item_balance(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.agg import preagg_groupby
     from belb_ray.stages.joins import hash_partition_join
 
-    big = _t(sf_dir, "orders").filter(
-        expr="o_totalprice > 300000").map_batches(
+    import pyarrow.dataset as pads
+
+    big = _t_where(
+        sf_dir, "orders", pads.field("o_totalprice") > 300000,
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    ).map_batches(
         lambda t: pa.table({"orderkey": t["o_orderkey"],
                             "o_orderpriority": t["o_orderpriority"]}),
         batch_format="pyarrow")
