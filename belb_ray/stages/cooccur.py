@@ -5,75 +5,140 @@ Counts unordered item pairs that appear together in the same group
 reference's citation-accumulator shape, belb/kbs/kb.py's pmid→set
 aggregation, generalized to pairwise counts).
 
-Distributed shape: ONE hash(group) co-location shuffle brings each
-group's items together; pair generation inside each bucket is fully
-vectorized (repeat/offset index arithmetic — no per-group Python
-dispatch); a second combiner aggregation counts each (a, b) pair with
-fixed-width partials. The pair blow-up is quadratic per group, so
-``max_group_size`` caps pathological groups (a group over the cap is
-dropped whole, deterministically, rather than silently exploding the
-shuffle) — the standard skew guard, same policy as the ER pair
-generator (pairs.py).
+Distributed shape: ONE hash(group) co-location shuffle builds compact
+per-group item lists (an Arrow ``large_list`` column — one row per
+group, fully vectorized ``ListArray.from_arrays`` construction, no
+per-group Python dispatch); the quadratic pair explosion then runs as
+a SEPARATE wide map stage over a cheap ``repartition`` of those
+group rows. Decoupling explosion from the groupby matters because a
+``groupby().map_groups`` stage runs one task per *sort output block* —
+a small-but-exploding input would otherwise blow up 13M pairs inside
+2-3 tasks while the rest of the cluster idles. Group rows are tiny
+(the deduped incidence), so the repartition moves almost nothing and
+the explosion parallelism is set by ``explode_blocks``, not by the
+shuffle's block count.
+
+The pair blow-up is quadratic per group, so ``max_group_size`` caps
+pathological groups (a group over the cap is dropped whole,
+deterministically, rather than silently exploding the shuffle) — the
+standard skew guard, same policy as the ER pair generator (pairs.py).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
 
-def cooccurrence_pairs(ds: rd.Dataset, group_col: str, item_col: str,
-                       num_buckets: int = 64,
-                       max_group_size: int | None = None) -> rd.Dataset:
-    """(a, b) rows — one per unordered distinct item pair per group,
-    with a < b. Items are deduped within a group first."""
+def group_item_lists(ds: rd.Dataset, group_col: str, item_col: str,
+                     num_buckets: int = 64,
+                     max_group_size: int | None = None) -> rd.Dataset:
+    """(group, __items) — one row per group, ``__items`` a sorted
+    ``large_list`` of the group's distinct items. Groups larger than
+    ``max_group_size`` are dropped whole (skew guard)."""
 
     def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch[[group_col, item_col]].drop_duplicates()
         h = pd.util.hash_array(batch[group_col].to_numpy(),
                                categorize=False)
-        batch = batch.assign(
+        return batch.assign(
             __bucket=(h % np.uint64(num_buckets)).astype(np.int32))
-        return batch
 
-    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+    def _lists(group: pd.DataFrame) -> pa.Table:
         g = (group.drop(columns="__bucket")
              .drop_duplicates()  # same (group,item) from two input blocks
              .sort_values([group_col, item_col], kind="mergesort"))
         gv = g[group_col].to_numpy()
-        it = g[item_col].to_numpy()
+        it = pa.Array.from_pandas(g[item_col])
         n = len(g)
+        empty = pa.table({
+            group_col: pa.Array.from_pandas(g[group_col][:0]),
+            "__items": pa.array([], pa.large_list(it.type))})
         if n == 0:
-            return pd.DataFrame({"a": it[:0], "b": it[:0]})
+            return empty
         new = np.ones(n, dtype=bool)
         new[1:] = gv[1:] != gv[:-1]
         starts = np.flatnonzero(new)
-        counts = np.diff(np.concatenate((starts, [n])))
+        counts = np.diff(np.concatenate((starts, [n]))).astype(np.int64)
         if max_group_size is not None:
             keep = counts <= max_group_size
             mask = np.repeat(keep, counts)
-            gv, it = gv[mask], it[mask]
-            n = len(it)
+            it = it.filter(pa.array(mask))
+            gv = gv[mask]
             counts = counts[keep]
-            if n == 0:
-                return pd.DataFrame({"a": it[:0], "b": it[:0]})
+            if counts.size == 0:
+                return empty
             starts = np.concatenate(
                 ([0], np.cumsum(counts)[:-1])).astype(np.int64)
-        # every row pairs with the rows after it inside its group:
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        la = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), it)
+        return pa.table({group_col: pa.array(gv[starts]), "__items": la})
+
+    return (ds.map_batches(_bucketize, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(_lists, batch_format="pandas"))
+
+
+def explode_pairs(lists: rd.Dataset,
+                  explode_blocks: int = 64) -> rd.Dataset:
+    """(group, __items) rows → (a, b) unordered item pairs, a < b.
+
+    ``repartition(explode_blocks)`` (a cheap split of whole group rows
+    — never breaks a group) sets the parallelism of the quadratic
+    explosion independently of the upstream shuffle's block count.
+
+    The trailing ``randomize_block_order(seed=0)`` is a FUSION BARRIER,
+    not a shuffle: without it a consumer's map chain (e.g. a count
+    combiner with ``batch_size=65536``) fuses onto ``_explode`` and the
+    executor bundles the tiny group-list blocks up to the largest
+    batch_size in the fused chain — collapsing the quadratic explosion
+    into 1-2 tasks (measured 38 s single-task vs 0.3 s at 64 tasks).
+    Every downstream consumer here is an order-independent aggregate,
+    and the seed keeps block order deterministic."""
+
+    def _explode(t: pa.Table) -> pa.Table:
+        arr = t["__items"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vals = arr.flatten()
+        if len(t) == 0 or len(vals) == 0:
+            return pa.table({"a": vals[:0], "b": vals[:0]})
+        counts = arr.value_lengths().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = int(counts.sum())
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        # every item pairs with the items after it inside its group:
         # fully vectorized repeat/offset index arithmetic
         idx = np.arange(n)
         local = idx - np.repeat(starts, counts)
         reps = np.repeat(counts, counts) - local - 1
+        total = int(reps.sum())
+        if total == 0:
+            return pa.table({"a": vals[:0], "b": vals[:0]})
         first = np.repeat(idx, reps)
-        offs = np.arange(int(reps.sum())) - np.repeat(
-            np.cumsum(reps) - reps, reps)
+        offs = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
         second = first + 1 + offs
-        return pd.DataFrame({"a": it[first], "b": it[second]})
+        return pa.table({"a": vals.take(pa.array(first)),
+                         "b": vals.take(pa.array(second))})
 
-    return (ds.map_batches(_bucketize, batch_format="pandas")
-            .groupby("__bucket")
-            .map_groups(_pairs, batch_format="pandas"))
+    return (lists.repartition(explode_blocks)
+            .map_batches(_explode, batch_format="pyarrow")
+            .randomize_block_order(seed=0))
+
+
+def cooccurrence_pairs(ds: rd.Dataset, group_col: str, item_col: str,
+                       num_buckets: int = 64,
+                       max_group_size: int | None = None,
+                       explode_blocks: int = 64) -> rd.Dataset:
+    """(a, b) rows — one per unordered distinct item pair per group,
+    with a < b. Items are deduped within a group first."""
+    return explode_pairs(
+        group_item_lists(ds, group_col, item_col, num_buckets,
+                         max_group_size),
+        explode_blocks)
 
 
 def cooccurrence_topk(ds: rd.Dataset, group_col: str, item_col: str,
@@ -95,33 +160,38 @@ def item_cosine_pairs(ds: rd.Dataset, group_col: str, item_col: str,
                       min_cosupport: int = 1, round_to: int = 6,
                       num_buckets: int = 64,
                       broadcast_threshold: int = 2_000_000,
-                      max_group_size: int | None = None) -> rd.Dataset:
+                      max_group_size: int | None = None,
+                      explode_blocks: int = 64) -> rd.Dataset:
     """Item–item cosine similarity from a bipartite (group, item)
     incidence — the collaborative-filtering bipartite projection:
     cos(a, b) = |G(a) ∩ G(b)| / √(|G(a)|·|G(b)|) over binary group
     vectors → (a, b, c, cosine) for unordered item pairs sharing ≥
     ``min_cosupport`` groups (a < b).
 
-    Distributed shape: co-support counts ride the
-    ``cooccurrence_pairs`` machinery (per-group dedup, ONE group
-    co-location shuffle, vectorized pair explosion, pair-count
-    combiner); per-item supports are a distinct-count combiner
-    (item-sized); both supports attach to the pair table via the
-    size-guarded broadcast join, and the cosine finish is one
-    vectorized map. Rows never shuffle beyond the pair machinery;
-    ``max_group_size`` caps hub groups exactly as in cooccurrence."""
-    from .agg import count_distinct, preagg_groupby
+    Distributed shape: the deduped per-group item lists are built with
+    ONE co-location shuffle and materialized once (they are the deduped
+    incidence — small relative to the pair blow-up); BOTH the pair
+    explosion and the per-item supports derive from that same table, so
+    the input is scanned exactly once. Co-support counts ride the pair
+    combiner (single-int64 packed keys on the int fast path); supports
+    are a count combiner over the flattened lists (each (group, item)
+    appears exactly once by construction); both attach to the pair
+    table via the size-guarded broadcast join and the cosine finish is
+    one vectorized map. ``max_group_size`` caps hub groups exactly as
+    in cooccurrence."""
+    from .agg import preagg_groupby
     from .analytic import _attach_small
 
-    pairs = cooccurrence_pairs(ds, group_col, item_col, num_buckets,
-                               max_group_size=max_group_size)
+    lists = group_item_lists(ds, group_col, item_col, num_buckets,
+                             max_group_size).materialize()
+    pairs = explode_pairs(lists, explode_blocks)
 
     # single-int64 pair keys make the count combine a fast-path int
     # groupby (composite-key pandas groupby measured ~4x slower on
     # pair-scale inputs); requires non-negative item ids < 2^31, which
     # the packer asserts per batch — non-int items take the plain path
-    in_schema = ds.schema()
-    item_type = in_schema.types[in_schema.names.index(item_col)]
+    item_type = lists.schema().types[
+        lists.schema().names.index("__items")].value_type
     int_items = str(item_type) in ("int64", "int32", "int16")
 
     if int_items:
@@ -148,8 +218,16 @@ def item_cosine_pairs(ds: rd.Dataset, group_col: str, item_col: str,
                             num_buckets)
     if min_cosupport > 1:
         co = co.filter(expr=f"c >= {int(min_cosupport)}")
-    sup = count_distinct(ds.select_columns([item_col, group_col]),
-                         [item_col], group_col, "sup", num_buckets)
+
+    def _flat_items(t: pa.Table) -> pa.Table:
+        arr = t["__items"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return pa.table({item_col: arr.flatten()})
+
+    sup = preagg_groupby(
+        lists.map_batches(_flat_items, batch_format="pyarrow"),
+        [item_col], [("count", "", "sup")], num_buckets)
 
     def _ren(new: str):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
