@@ -99,8 +99,8 @@ def jaccard_similarity_join(docs: rd.Dataset, threshold: float,
     dfs = preagg_groupby(
         feats.select_columns(["set"]).map_batches(_df_partial,
                                                   batch_format="pandas"),
-        ["tok"], [("sum", "df", "df")], num_buckets)
-    vocab_n = dfs.count()
+        ["tok"], [("sum", "df", "df")], num_buckets).materialize()
+    vocab_n = dfs.count()  # metadata on the materialized table — free
     if vocab_n <= vocab_broadcast:
         # tok is the uint64 hash wrapped to int64 bit-pattern (Arrow has
         # no uint64 groupby key here); sort + probe in the SAME int64
@@ -113,7 +113,7 @@ def jaccard_similarity_join(docs: rd.Dataset, threshold: float,
 
     def _prefix_rows(batch: pd.DataFrame) -> pd.DataFrame:
         lookup = cached_get(ref_df) if ref_df is not None else None
-        out_t, out_id, out_n = [], [], []
+        out_t, out_id, out_n, out_p = [], [], [], []
         for did, n, sb in zip(batch["id"], batch["n"], batch["set"]):
             if n == 0:
                 continue
@@ -126,24 +126,33 @@ def jaccard_similarity_join(docs: rd.Dataset, threshold: float,
             pre = th[:p]
             out_t.append(pre.astype(np.int64))
             out_id.append(np.full(pre.size, did, np.int64))
-            out_n.append(np.full(pre.size, n, np.int64))
+            out_n.append(np.full(pre.size, n, np.int32))
+            out_p.append(np.arange(pre.size, dtype=np.int32))
         if not out_t:
             z = np.zeros(0, np.int64)
-            return pd.DataFrame({"tok": z, "id": z, "n": z})
+            z32 = np.zeros(0, np.int32)
+            return pd.DataFrame({"tok": z, "id": z, "n": z32, "pos": z32})
         return pd.DataFrame({"tok": np.concatenate(out_t),
                              "id": np.concatenate(out_id),
-                             "n": np.concatenate(out_n)})
+                             "n": np.concatenate(out_n),
+                             "pos": np.concatenate(out_p)})
 
     def _tok_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch["__bucket"] = _bucket_of_frame(batch, ["tok"], num_buckets)
         return batch
 
     def _cand_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        # Chunked, allocation-lean pair generation: index arrays are
+        # int32, the length + positional filters run BEFORE the id
+        # gather, and pairs are emitted in ~2M-row chunks so the malloc
+        # arena is reused instead of first-touching one giant buffer
+        # (fresh-page faults measured ~27 MB/s on this host class).
         g = (group.drop(columns="__bucket")
              .sort_values(["tok", "id"], kind="mergesort"))
         tv = g["tok"].to_numpy()
         iv = g["id"].to_numpy()
-        nv = g["n"].to_numpy()
+        nv = g["n"].to_numpy(np.int64)
+        pv = g["pos"].to_numpy(np.int64)
         m = len(g)
         if m == 0:
             z = np.zeros(0, np.int64)
@@ -152,22 +161,51 @@ def jaccard_similarity_join(docs: rd.Dataset, threshold: float,
         new[1:] = tv[1:] != tv[:-1]
         starts = np.flatnonzero(new)
         counts = np.diff(np.concatenate((starts, [m])))
-        idx = np.arange(m)
+        idx = np.arange(m, dtype=np.int64)
         local = idx - np.repeat(starts, counts)
-        reps = np.repeat(counts, counts) - local - 1
-        first = np.repeat(idx, reps)
-        offs = np.arange(int(reps.sum())) - np.repeat(
-            np.cumsum(reps) - reps, reps)
-        second = first + 1 + offs
-        a, b = iv[first], iv[second]
-        na, nb = nv[first], nv[second]
-        lo = np.minimum(na, nb).astype(np.float64)
-        hi = np.maximum(na, nb).astype(np.float64)
-        keep = lo + 1e-9 >= t * hi  # length filter, over-admitting slack
-        a, b = a[keep], b[keep]
-        swap = a > b
-        return pd.DataFrame({"a": np.where(swap, b, a),
-                             "b": np.where(swap, a, b)})
+        reps_row = np.repeat(counts, counts) - local - 1  # pairs per row
+        cum = np.cumsum(reps_row)
+        total = int(cum[-1]) if m else 0
+        if total == 0:
+            z = np.zeros(0, np.int64)
+            return pd.DataFrame({"a": z, "b": z})
+        chunk = 2_000_000
+        row_bounds = np.searchsorted(
+            cum, np.arange(chunk, total, chunk), side="left") + 1
+        row_bounds = np.concatenate(([0], row_bounds, [m]))
+        out_a, out_b = [], []
+        # remaining-suffix overlap bound (PPJoin positional filter):
+        # the first common token of two sets with J >= t has
+        # min(n_x - i, n_y - j) >= ceil(t/(1+t) * (n_x + n_y)), so
+        # pruning late-position candidates is exact — the pair is still
+        # generated from its first common token's group.
+        tt = t / (1.0 + t)
+        for r0, r1 in zip(row_bounds[:-1], row_bounds[1:]):
+            if r0 >= r1:
+                continue
+            reps = reps_row[r0:r1]
+            cnt = int(reps.sum())
+            if cnt == 0:
+                continue
+            first = np.repeat(np.arange(r0, r1, dtype=np.int64), reps)
+            offs = np.arange(cnt, dtype=np.int64) - np.repeat(
+                np.cumsum(reps) - reps, reps)
+            second = first + 1 + offs
+            del offs
+            na, nb = nv[first], nv[second]
+            lo = np.minimum(na, nb)
+            hi = np.maximum(na, nb)
+            keep = lo.astype(np.float64) + 1e-9 >= t * hi  # length filter
+            ub = np.minimum(na - pv[first], nb - pv[second])
+            keep &= ub.astype(np.float64) + 1e-9 >= tt * (na + nb)
+            del lo, hi, ub, na, nb
+            first, second = first[keep], second[keep]
+            a, b = iv[first], iv[second]
+            swap = a > b
+            out_a.append(np.where(swap, b, a))
+            out_b.append(np.where(swap, a, b))
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
 
     def _pair_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch["__bucket"] = _bucket_of_frame(batch, ["a", "b"],
