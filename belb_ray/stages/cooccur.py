@@ -90,14 +90,14 @@ def explode_pairs(lists: rd.Dataset,
     — never breaks a group) sets the parallelism of the quadratic
     explosion independently of the upstream shuffle's block count.
 
-    The trailing ``randomize_block_order(seed=0)`` is a FUSION BARRIER,
-    not a shuffle: without it a consumer's map chain (e.g. a count
-    combiner with ``batch_size=65536``) fuses onto ``_explode`` and the
-    executor bundles the tiny group-list blocks up to the largest
+    The explode op requests ``num_cpus=1.01`` purely as a FUSION
+    BARRIER: a consumer's map chain (e.g. a count combiner with
+    ``batch_size=65536``) would otherwise fuse onto ``_explode`` and
+    the executor bundles the tiny group-list blocks up to the largest
     batch_size in the fused chain — collapsing the quadratic explosion
     into 1-2 tasks (measured 38 s single-task vs 0.3 s at 64 tasks).
-    Every downstream consumer here is an order-independent aggregate,
-    and the seed keeps block order deterministic."""
+    Operators with differing resource requests never fuse, and block
+    order stays deterministic."""
 
     def _explode(t: pa.Table) -> pa.Table:
         arr = t["__items"]
@@ -125,8 +125,8 @@ def explode_pairs(lists: rd.Dataset,
                          "b": vals.take(pa.array(second))})
 
     return (lists.repartition(explode_blocks)
-            .map_batches(_explode, batch_format="pyarrow")
-            .randomize_block_order(seed=0))
+            .map_batches(_explode, batch_format="pyarrow",
+                         num_cpus=1.01))
 
 
 def cooccurrence_pairs(ds: rd.Dataset, group_col: str, item_col: str,

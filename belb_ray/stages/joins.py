@@ -212,8 +212,14 @@ def hash_partition_join(
     join_type: str = "inner",
     right_suffix: str = "_r",
     strategy: str = "manual",
+    left_types: dict[str, pa.DataType] | None = None,
 ) -> rd.Dataset:
     """Partitioned hash join of two large Datasets on ``key``.
+
+    ``left_types`` (ordered {column: Arrow type}) lets a caller that
+    statically knows the left schema skip block-peek inference — the
+    peek can land on a zero-column empty block (AllToAll ops emit them
+    for empty partitions) and silently produce an empty join.
 
     Default strategy is the explicit union+bucket-groupby join
     (``_manual_partition_join``): one sort shuffle of the tagged union,
@@ -240,7 +246,7 @@ def hash_partition_join(
             except Exception:  # pragma: no cover — planner gaps
                 pass
     return _manual_partition_join(left, right, key, num_buckets, join_type,
-                                  right_suffix)
+                                  right_suffix, left_types)
 
 
 def _manual_partition_join(
@@ -250,6 +256,7 @@ def _manual_partition_join(
     num_buckets: int = 32,
     join_type: str = "inner",
     right_suffix: str = "_r",
+    left_types: dict[str, pa.DataType] | None = None,
 ) -> rd.Dataset:
     """Explicit partitioned hash join: bucket column on both sides,
     aligned schemas with a side tag, one ``groupby(bucket)``,
@@ -263,16 +270,39 @@ def _manual_partition_join(
             return pa.string()
         return pa.from_numpy_dtype(np.dtype(t))
 
-    lschema = left.schema()
     rschema = right.schema()
-    lcols = list(lschema.names)
+    if left_types is not None:
+        lcols = list(left_types.keys())
+        ltypes = dict(left_types)
+    else:
+        lschema = left.schema()
+        lcols = list(lschema.names)
     rtype_by_name = {n: _arrow_type(t)
                      for n, t in zip(rschema.names, rschema.types)}
     rcols = [c for c in rschema.names if c != key]
     rcols_out = [c + right_suffix if c in lcols else c for c in rcols]
     rtypes = {co: rtype_by_name[c] for c, co in zip(rcols, rcols_out)}
-    ltypes = {n: _arrow_type(t)
-              for n, t in zip(lschema.names, lschema.types)}
+    if left_types is None:
+        ltypes = {n: _arrow_type(t)
+                  for n, t in zip(lschema.names, lschema.types)}
+
+    def _pad(n: int, t: pa.DataType) -> pa.Array:
+        # schema-alignment padding for the other side's columns. The
+        # values are NEVER read (_join_bucket selects them away before
+        # joining), so pad with typed ZEROS, not nulls: an all-null
+        # int64 column that round-trips through a pandas block during
+        # the shuffle comes back as float64 (NaN laundering), silently
+        # breaking the bucket hash of any later join on that column.
+        if pa.types.is_integer(t) or pa.types.is_floating(t):
+            return pa.array(np.zeros(n, dtype=t.to_pandas_dtype()),
+                            type=t)
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return pa.array([""] * n, type=t)
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return pa.array([b""] * n, type=t)
+        if pa.types.is_boolean(t):
+            return pa.array(np.zeros(n, dtype=bool))
+        return pa.nulls(n, t)
 
     def _prep(side: int, rename: dict[str, str]):
         def fn(batch: pa.Table) -> pa.Table:
@@ -284,7 +314,7 @@ def _manual_partition_join(
                     cols[c] = batch[c]
                 else:
                     t = ltypes.get(c) or rtypes.get(c)
-                    cols[c] = pa.nulls(n, t)
+                    cols[c] = _pad(n, t)
             out = pa.table(cols)
             out = out.append_column("__bucket", _bucket_of(out[key], num_buckets))
             return out.append_column("__side", pa.array(np.full(n, side, dtype=np.int8)))
@@ -300,13 +330,24 @@ def _manual_partition_join(
     def _join_bucket(tbl: pa.Table) -> pa.Table:
         side = tbl["__side"].to_numpy(zero_copy_only=False)
         tbl = tbl.drop_columns(["__bucket", "__side"])
+        # a side's null-FILLED columns are typed by _prep, but the sort
+        # may round-trip blocks through pandas (all-None object series),
+        # which re-infers them as the Arrow `null` type — re-pin the
+        # declared type (Acero rejects null-typed non-key join fields)
+        for i, f in enumerate(tbl.schema):
+            if pa.types.is_null(f.type):
+                want = ltypes.get(f.name) or rtypes.get(f.name)
+                if want is not None:
+                    tbl = tbl.set_column(
+                        i, f.name, tbl[f.name].cast(want))
         lpart = tbl.filter(pa.array(side == 0)).select(lkeep)
         rpart = tbl.filter(pa.array(side == 1)).select([key] + rcols_out)
         out = lpart.join(rpart, keys=[key], join_type=join_type)
         # join may reorder columns; normalize
         return out.select([key] + [c for c in lcols if c != key] + rcols_out)
 
-    return both.groupby("__bucket").map_groups(_join_bucket, batch_format="pyarrow")
+    return both.groupby("__bucket").map_groups(_join_bucket,
+                                               batch_format="pyarrow")
 
 
 def _bloom_hashes(col: pa.ChunkedArray | pa.Array, m_bits: int,

@@ -141,53 +141,128 @@ def jaccard_similarity_join(docs: rd.Dataset, threshold: float,
         batch["__bucket"] = _bucket_of_frame(batch, ["tok"], num_buckets)
         return batch
 
-    def _cand_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        # Chunked, allocation-lean pair generation: index arrays are
-        # int32, the length + positional filters run BEFORE the id
-        # gather, and pairs are emitted in ~2M-row chunks so the malloc
-        # arena is reused instead of first-touching one giant buffer
-        # (fresh-page faults measured ~27 MB/s on this host class).
+    # Candidate generation is quadratic PER TOKEN GROUP, and a token
+    # group is atomic under any bucketing — a hot token (a near-dup
+    # mega-cluster sharing its rarest token) would otherwise pin one
+    # straggler task to millions of pairs. So the co-location shuffle
+    # only builds compact per-token member lists; "light" tokens
+    # explode in a wide repartitioned map (cooccur.py pattern), while
+    # each heavy token's pair triangle is SPLIT into ~chunk_pairs-sized
+    # row-range work units that each run as their own task. Both
+    # explode paths share one vectorized kernel; output is identical to
+    # the single-stage form (the pair dedup collapses multiplicity).
+    chunk_pairs = 2_000_000
+
+    def _tok_groups(group: pd.DataFrame) -> pa.Table:
         g = (group.drop(columns="__bucket")
              .sort_values(["tok", "id"], kind="mergesort"))
         tv = g["tok"].to_numpy()
-        iv = g["id"].to_numpy()
-        nv = g["n"].to_numpy(np.int64)
-        pv = g["pos"].to_numpy(np.int64)
+        iv = g["id"].to_numpy(np.int64)
         m = len(g)
+        empty = pa.table({
+            "ids": pa.array([], pa.large_list(pa.int64())),
+            "ns": pa.array([], pa.large_list(pa.int32())),
+            "poss": pa.array([], pa.large_list(pa.int32())),
+            "r0": pa.array([], pa.int64()),
+            "r1": pa.array([], pa.int64()),
+            "npairs": pa.array([], pa.int64())})
         if m == 0:
-            z = np.zeros(0, np.int64)
-            return pd.DataFrame({"a": z, "b": z})
+            return empty
         new = np.ones(m, dtype=bool)
         new[1:] = tv[1:] != tv[:-1]
         starts = np.flatnonzero(new)
-        counts = np.diff(np.concatenate((starts, [m])))
-        idx = np.arange(m, dtype=np.int64)
-        local = idx - np.repeat(starts, counts)
-        reps_row = np.repeat(counts, counts) - local - 1  # pairs per row
+        counts = np.diff(np.concatenate((starts, [m]))).astype(np.int64)
+        offsets = pa.array(np.concatenate(([0], np.cumsum(counts))),
+                           pa.int64())
+        return pa.table({
+            "ids": pa.LargeListArray.from_arrays(offsets, pa.array(iv)),
+            "ns": pa.LargeListArray.from_arrays(
+                offsets, pa.array(g["n"].to_numpy(np.int32))),
+            "poss": pa.LargeListArray.from_arrays(
+                offsets, pa.array(g["pos"].to_numpy(np.int32))),
+            "r0": pa.array(np.zeros(counts.size, np.int64)),
+            "r1": pa.array(counts),
+            "npairs": pa.array(counts * (counts - 1) // 2)})
+
+    def _make_chunks(t: pa.Table) -> pa.Table:
+        # heavy tokens only (a handful of rows): split the triangle's
+        # first-row range into ~chunk_pairs-sized sub-ranges; each chunk
+        # row duplicates the (small) member arrays and becomes one task
+        out = []
+        for i in range(len(t)):
+            c = int(t["r1"][i].as_py())
+            reps = c - np.arange(c, dtype=np.int64) - 1
+            cum = np.cumsum(reps)
+            bounds = np.searchsorted(
+                cum, np.arange(chunk_pairs, int(cum[-1]), chunk_pairs),
+                side="left") + 1
+            bounds = np.concatenate(([0], bounds, [c]))
+            for r0, r1 in zip(bounds[:-1], bounds[1:]):
+                if r0 < r1:
+                    out.append({"ids": t["ids"][i].as_py(),
+                                "ns": t["ns"][i].as_py(),
+                                "poss": t["poss"][i].as_py(),
+                                "r0": int(r0), "r1": int(r1)})
+        schema = pa.schema([("ids", pa.large_list(pa.int64())),
+                            ("ns", pa.large_list(pa.int32())),
+                            ("poss", pa.large_list(pa.int32())),
+                            ("r0", pa.int64()), ("r1", pa.int64())])
+        return pa.Table.from_pylist(out, schema=schema)
+
+    # remaining-suffix overlap bound (PPJoin positional filter): the
+    # first common token of two sets with J >= t has
+    # min(n_x - i, n_y - j) >= ceil(t/(1+t) * (n_x + n_y)), so pruning
+    # late-position candidates is exact — the pair is still generated
+    # from its first common token's group.
+    tt = t / (1.0 + t)
+
+    def _explode(tb: pa.Table) -> pd.DataFrame:
+        # shared vectorized kernel: each row is (member arrays, first-row
+        # range [r0, r1)); pairs (i, j) with r0 <= i < r1, i < j < c.
+        # Index arrays chunked at ~chunk_pairs so the malloc arena is
+        # reused (fresh-page faults measured ~27 MB/s on this host
+        # class); filters run BEFORE the id gather.
+        zf = pd.DataFrame({"a": np.zeros(0, np.int64),
+                           "b": np.zeros(0, np.int64)})
+        if len(tb) == 0:
+            return zf
+        ids = tb["ids"].combine_chunks()
+        c = ids.value_lengths().to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        iv = ids.flatten().to_numpy(zero_copy_only=False)
+        nv = tb["ns"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pv = tb["poss"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        r0 = tb["r0"].to_numpy()
+        r1 = tb["r1"].to_numpy()
+        base = np.cumsum(c) - c
+        nf = r1 - r0  # first-rows per unit
+        F = int(nf.sum())
+        if F == 0:
+            return zf
+        # global (flattened-array) index of every first row
+        fl = (np.arange(F, dtype=np.int64)
+              - np.repeat(np.cumsum(nf) - nf, nf)
+              + np.repeat(base + r0, nf))
+        reps_row = np.repeat(base + c, nf) - fl - 1  # partners per first
         cum = np.cumsum(reps_row)
-        total = int(cum[-1]) if m else 0
+        total = int(cum[-1]) if F else 0
         if total == 0:
-            z = np.zeros(0, np.int64)
-            return pd.DataFrame({"a": z, "b": z})
-        chunk = 2_000_000
-        row_bounds = np.searchsorted(
-            cum, np.arange(chunk, total, chunk), side="left") + 1
-        row_bounds = np.concatenate(([0], row_bounds, [m]))
+            return zf
+        fbounds = np.searchsorted(
+            cum, np.arange(chunk_pairs, total, chunk_pairs),
+            side="left") + 1
+        fbounds = np.concatenate(([0], fbounds, [F]))
         out_a, out_b = [], []
-        # remaining-suffix overlap bound (PPJoin positional filter):
-        # the first common token of two sets with J >= t has
-        # min(n_x - i, n_y - j) >= ceil(t/(1+t) * (n_x + n_y)), so
-        # pruning late-position candidates is exact — the pair is still
-        # generated from its first common token's group.
-        tt = t / (1.0 + t)
-        for r0, r1 in zip(row_bounds[:-1], row_bounds[1:]):
-            if r0 >= r1:
+        for q0, q1 in zip(fbounds[:-1], fbounds[1:]):
+            if q0 >= q1:
                 continue
-            reps = reps_row[r0:r1]
+            reps = reps_row[q0:q1]
             cnt = int(reps.sum())
             if cnt == 0:
                 continue
-            first = np.repeat(np.arange(r0, r1, dtype=np.int64), reps)
+            first = np.repeat(fl[q0:q1], reps)
             offs = np.arange(cnt, dtype=np.int64) - np.repeat(
                 np.cumsum(reps) - reps, reps)
             second = first + 1 + offs
@@ -204,6 +279,8 @@ def jaccard_similarity_join(docs: rd.Dataset, threshold: float,
             swap = a > b
             out_a.append(np.where(swap, b, a))
             out_b.append(np.where(swap, a, b))
+        if not out_a:
+            return zf
         return pd.DataFrame({"a": np.concatenate(out_a),
                              "b": np.concatenate(out_b)})
 
@@ -215,11 +292,47 @@ def jaccard_similarity_join(docs: rd.Dataset, threshold: float,
     def _dedup(group: pd.DataFrame) -> pd.DataFrame:
         return group.drop(columns="__bucket").drop_duplicates(["a", "b"])
 
-    pairs = (feats.map_batches(_prefix_rows, batch_format="pandas")
-             .map_batches(_tok_bucket, batch_format="pandas")
-             .groupby("__bucket")
-             .map_groups(_cand_pairs, batch_format="pandas")
-             .map_batches(_pair_bucket, batch_format="pandas")
+    toks = (feats.map_batches(_prefix_rows, batch_format="pandas")
+            .map_batches(_tok_bucket, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(_tok_groups, batch_format="pandas")
+            .materialize())  # per-token lists = deduped prefix incidence
+
+    light = toks.filter(expr=f"npairs <= {chunk_pairs}").drop_columns(
+        ["npairs"])
+    heavy = toks.filter(expr=f"npairs > {chunk_pairs}").drop_columns(
+        ["npairs"])
+
+    # num_cpus=1.01 on the explode ops is a fusion barrier (cooccur.py
+    # pattern): it stops the pair-bucket map from re-bundling the tiny
+    # token-list blocks into one giant explode task. Empty arms are
+    # skipped — an all-empty-block arm would poison schema inference
+    # downstream (AllToAll ops emit zero-column empty blocks).
+    arms = []
+    light_n = light.count()
+    if light_n > 0:
+        # never repartition to more blocks than rows: the surplus blocks
+        # would be EMPTY, bypass every map UDF, and flip the join-verify
+        # fallback's shuffle onto the pandas path — which launders the
+        # typed null-filled side columns to float64 and breaks the
+        # second join's bucket hashing
+        arms.append(light.repartition(min(num_buckets, light_n))
+                    .map_batches(_explode, batch_format="pyarrow",
+                                 num_cpus=1.01))
+    if heavy.count() > 0:
+        hchunks = heavy.map_batches(
+            _make_chunks, batch_format="pyarrow").materialize()
+        arms.append(hchunks.repartition(hchunks.count())
+                    .map_batches(_explode, batch_format="pyarrow",
+                                 num_cpus=1.01))
+    if not arms:
+        import ray.data as _rd
+        pairs = _rd.from_pandas(pd.DataFrame(
+            {"a": np.zeros(0, np.int64), "b": np.zeros(0, np.int64)}))
+    else:
+        pairs = arms[0] if len(arms) == 1 else arms[0].union(arms[1])
+
+    pairs = (pairs.map_batches(_pair_bucket, batch_format="pandas")
              .groupby("__bucket")
              .map_groups(_dedup, batch_format="pandas"))
 
@@ -272,8 +385,16 @@ def jaccard_similarity_join(docs: rd.Dataset, threshold: float,
     fb = feats.select_columns(["id", "set"]).map_batches(
         lambda tb: tb.rename_columns(["b", "set_b"]),
         batch_format="pyarrow")
-    j1 = hash_partition_join(pairs, fa, key="a", num_buckets=num_buckets)
-    j2 = hash_partition_join(j1, fb, key="b", num_buckets=num_buckets)
+    # left schemas passed statically: the pair stream's first block can
+    # be a zero-column empty (AllToAll empty partition), which would
+    # poison schema-peek inference inside the join
+    j1 = hash_partition_join(pairs, fa, key="a", num_buckets=num_buckets,
+                             left_types={"a": pa.int64(),
+                                         "b": pa.int64()})
+    j2 = hash_partition_join(j1, fb, key="b", num_buckets=num_buckets,
+                             left_types={"a": pa.int64(),
+                                         "b": pa.int64(),
+                                         "set_a": pa.binary()})
 
     def _verify_join(batch: pd.DataFrame) -> pd.DataFrame:
         return _jacc(batch["a"].to_numpy(), batch["b"].to_numpy(),
