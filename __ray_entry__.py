@@ -1675,6 +1675,39 @@ def q_incremental_neardup(sf_dir: str) -> rd.Dataset:
     return out.map_batches(_slim, batch_format="pandas")
 
 
+def q_compacted_neardup(sf_dir: str) -> rd.Dataset:
+    """Incremental near-dup dedup run against COMPACTED state
+    (stages/incremental.compact_state): wave 1 seeds the append-only
+    band/sig shards, compaction merges them into one run each (bucketed
+    distinct + distributed parquet rewrite, fixed_size_binary widths
+    restored), wave 2 must then produce EXACTLY the survivors it would
+    against the uncompacted state — so the oracle is the same pinned
+    golden as ``incremental_neardup``, which is the point: compaction
+    is behavior-preserving by construction (candidate generation
+    consumes the state's row set, never its shard layout)."""
+    import shutil
+    import tempfile
+
+    from belb_ray.stages.incremental import (compact_state,
+                                             neardup_against_state)
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    split = docs.count() // 2
+    state = _os.path.join(tempfile.gettempdir(),
+                          f"belb_ray_ndc_state_{split}")
+    shutil.rmtree(state, ignore_errors=True)
+    wave1 = docs.filter(expr=f"doc_id < {split}")
+    wave2 = docs.filter(expr=f"doc_id >= {split}")
+    neardup_against_state(wave1, state).materialize()  # seed the state
+    compact_state(state)
+    out = neardup_against_state(wave2, state)
+
+    def _slim(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["doc_id"]]
+
+    return out.map_batches(_slim, batch_format="pandas")
+
+
 def q_pca_variance(sf_dir: str) -> pd.DataFrame:
     """Explained-variance spectrum of the embedding covariance
     (stages/pca.explained_variance): one fixed-width moment row per
@@ -3697,6 +3730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_projection": q_pca_projection,
         "pca_variance": q_pca_variance,
         "incremental_neardup": q_incremental_neardup,
+        "compacted_neardup": q_compacted_neardup,
         "hash_sample": q_hash_sample,
         "upsample_chunks": q_upsample_chunks,
         "er_clusters": q_er_clusters,
@@ -6201,6 +6235,11 @@ def oracle_sql() -> dict[str, str]:
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py
         # over the driver's fixed sf0.01 inputs / seeded fixture
+        # compaction is behavior-preserving, so compacted_neardup is
+        # held to incremental_neardup's golden — identical survivors
+        "compacted_neardup": ("SELECT * FROM read_parquet("
+                              f"'{_GOLDEN_DIR}/incremental_neardup"
+                              ".sf0.01.parquet')"),
         **{name: f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}.sf0.01.parquet')"
            for name in ("pca_projection", "pca_variance",
                         "incremental_neardup",

@@ -242,3 +242,89 @@ def neardup_against_state(new_docs: rd.Dataset, state_dir: str,
             os.path.join(state_dir, "sigs", tag))
 
     return survivors
+
+
+def compact_state(state_dir: str, num_buckets: int = 64) -> dict:
+    """Merge an incremental-dedup state directory's append-only
+    ``run-*`` shard families into ONE compacted run each.
+
+    Append-only state (the crash-safe choice for ingest) accumulates one
+    shard directory per run; after many runs every future
+    ``*_against_state`` call pays a file-listing + small-file read tax.
+    Compaction is the standard maintenance op (the reference's cache
+    rebuild analog — belb/corpora/corpus.py re-materializes its caches
+    wholesale): behavior-preserving by construction, because candidate
+    generation only consumes the state's row SET, never its shard
+    layout.
+
+    Families handled (whichever exist):
+    - exact-dedup hashes: ``state_dir/run-*`` (column ``__h``) —
+      compacted to distinct hashes;
+    - near-dup band keys: ``state_dir/bands/run-*`` (band_key, rid) —
+      distinct rows;
+    - near-dup signatures: ``state_dir/sigs/run-*`` (rid, sig) —
+      keep-first per rid (ids are unique across runs, so duplicates
+      only arise from crashed re-appends; any copy carries the same
+      signature).
+
+    Distributed shape: each family is one bucketed dedup shuffle and a
+    distributed parquet rewrite — nothing collects on the driver. The
+    swap is remove-then-rename (single maintenance writer assumed; do
+    not run concurrently with ingest). Returns
+    ``{family: compacted_row_count}``.
+    """
+    import shutil
+
+    def _distinct(ds: rd.Dataset, keys: list[str]) -> rd.Dataset:
+        def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+            h = np.zeros(len(batch), dtype=np.uint64)
+            for k in keys:
+                h = h * np.uint64(0x100000001B3) + pd.util.hash_array(
+                    batch[k].to_numpy(), categorize=False)
+            batch["__bucket"] = (h % np.uint64(num_buckets)).astype(
+                np.int32)
+            return batch
+
+        def _dedup(group: pd.DataFrame) -> pd.DataFrame:
+            g = group.drop(columns="__bucket")
+            g = g.sort_values(keys, kind="mergesort")
+            return g[~g.duplicated(keys, keep="first")]
+
+        return (ds.map_batches(_bucketize, batch_format="pandas")
+                .groupby("__bucket")
+                .map_groups(_dedup, batch_format="pandas"))
+
+    families = {
+        "exact": (state_dir, ["__h"]),
+        "bands": (os.path.join(state_dir, "bands"), ["band_key", "rid"]),
+        "sigs": (os.path.join(state_dir, "sigs"), ["rid"]),
+    }
+    out: dict = {}
+    for fam, (root, keys) in families.items():
+        run_dirs = sorted(glob.glob(os.path.join(root, "run-*")))
+        shards = sorted(glob.glob(os.path.join(root, "run-*",
+                                               "*.parquet")))
+        if not shards:
+            continue
+        src = rd.read_parquet(shards)
+        schema = src.schema()
+        names, types = list(schema.names), list(schema.types)
+
+        def _restore(t: pa.Table, _n=names, _t=types) -> pa.Table:
+            # the bucketed dedup round-trips through pandas, which drops
+            # Arrow extension widths (fixed_size_binary -> binary);
+            # re-cast to the shard schema so readers' unions stay aligned
+            return pa.table({c: t[c].cast(ty)
+                             for c, ty in zip(_n, _t)})
+
+        compacted = (_distinct(src, keys)
+                     .map_batches(_restore, batch_format="pyarrow")
+                     .materialize())
+        tag = int(time.time())
+        tmp = os.path.join(root, f"compact-tmp-{tag}")  # not run-*
+        compacted.write_parquet(tmp)
+        for d in run_dirs:
+            shutil.rmtree(d)
+        os.rename(tmp, os.path.join(root, f"run-000000-compacted-{tag}"))
+        out[fam] = compacted.count()
+    return out

@@ -2561,3 +2561,58 @@ def test_item_cosine_pairs_matches_bruteforce():
     assert [(int(r.a), int(r.b), int(r.c), float(r.cosine))
             for r in got.itertuples()] == exp
     assert len(exp) > 10
+
+
+def test_compact_state_preserves_behavior(tmp_path):
+    from belb_ray.stages.incremental import (compact_state,
+                                             dedup_against_state,
+                                             neardup_against_state)
+
+    # exact family: two runs seed state, compact, third run behaves
+    # identically (drops everything already seen)
+    state = str(tmp_path / "exact")
+    w1 = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["aa", "bb", "cc"]})
+    w2 = pd.DataFrame({"doc_id": [10, 11], "text": ["dd", "ee"]})
+    dedup_against_state(rd.from_arrow(pa.Table.from_pandas(w1)),
+                        state).materialize()
+    dedup_against_state(rd.from_arrow(pa.Table.from_pandas(w2)),
+                        state).materialize()
+    import glob as _g
+    assert len(_g.glob(str(tmp_path / "exact" / "run-*"))) == 2
+    stats = compact_state(state)
+    assert stats == {"exact": 5}
+    assert len(_g.glob(str(tmp_path / "exact" / "run-*"))) == 1
+    w3 = pd.DataFrame({"doc_id": [20, 21, 22],
+                       "text": ["aa", "ee", "ff"]})
+    got = (dedup_against_state(rd.from_arrow(pa.Table.from_pandas(w3)),
+                               state, update_state=False)
+           .to_pandas())
+    assert got.doc_id.tolist() == [22]
+
+    # neardup family: compacted state yields the same wave-2 survivors
+    # as the uncompacted state
+    words = [f"tok{i}" for i in range(40)]
+    docs = []
+    for i in range(16):
+        base = " ".join(words[j % 40] for j in range(i, i + 12))
+        docs.append((i, base))
+        docs.append((100 + i, base))  # near/exact dup of i
+    d1 = pd.DataFrame({"doc_id": [a for a, _ in docs[:16]],
+                       "text": [b for _, b in docs[:16]]})
+    d2 = pd.DataFrame({"doc_id": [a for a, _ in docs[16:]],
+                       "text": [b for _, b in docs[16:]]})
+    sa = str(tmp_path / "nd_a")
+    sb = str(tmp_path / "nd_b")
+    for s in (sa, sb):
+        neardup_against_state(rd.from_arrow(pa.Table.from_pandas(d1)),
+                              s).materialize()
+    stats = compact_state(sb)
+    assert set(stats) == {"bands", "sigs"} and stats["sigs"] > 0
+    assert len(_g.glob(str(tmp_path / "nd_b" / "bands" / "run-*"))) == 1
+    surv_a = (neardup_against_state(
+        rd.from_arrow(pa.Table.from_pandas(d2)), sa,
+        update_state=False).to_pandas().doc_id.sort_values().tolist())
+    surv_b = (neardup_against_state(
+        rd.from_arrow(pa.Table.from_pandas(d2)), sb,
+        update_state=False).to_pandas().doc_id.sort_values().tolist())
+    assert surv_a == surv_b
