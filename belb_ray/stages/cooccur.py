@@ -189,9 +189,12 @@ def item_cosine_pairs(ds: rd.Dataset, group_col: str, item_col: str,
     # single-int64 pair keys make the count combine a fast-path int
     # groupby (composite-key pandas groupby measured ~4x slower on
     # pair-scale inputs); requires non-negative item ids < 2^31, which
-    # the packer asserts per batch — non-int items take the plain path
-    item_type = lists.schema().types[
-        lists.schema().names.index("__items")].value_type
+    # the packer asserts per batch — non-int items take the plain path.
+    # Item dtype comes from the INPUT dataset's schema: the lists
+    # table's schema peek can land on a zero-column empty block
+    # (AllToAll ops emit them for empty partitions).
+    in_schema = ds.schema()
+    item_type = in_schema.types[in_schema.names.index(item_col)]
     int_items = str(item_type) in ("int64", "int32", "int16")
 
     if int_items:
