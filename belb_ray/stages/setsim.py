@@ -71,10 +71,16 @@ def jaccard_similarity_join(docs: rd.Dataset, threshold: float,
                             text_col: str = "text",
                             num_buckets: int = 64,
                             vocab_broadcast: int = 2_000_000,
-                            broadcast_threshold: int = 2_000_000
+                            broadcast_threshold: int = 2_000_000,
+                            chunk_pairs: int = 2_000_000
                             ) -> rd.Dataset:
     """All pairs with distinct-word-token Jaccard >= threshold →
-    (id_a, id_b, jaccard), id_a < id_b, jaccard unrounded float64."""
+    (id_a, id_b, jaccard), id_a < id_b, jaccard unrounded float64.
+
+    ``chunk_pairs`` bounds the pair count of one explosion work unit —
+    token groups above it are split into row-range chunks that run as
+    separate tasks (the hot-token skew guard); the default matches the
+    in-task chunking granularity."""
     import ray
 
     from ..util import cached_get
@@ -151,8 +157,6 @@ def jaccard_similarity_join(docs: rd.Dataset, threshold: float,
     # row-range work units that each run as their own task. Both
     # explode paths share one vectorized kernel; output is identical to
     # the single-stage form (the pair dedup collapses multiplicity).
-    chunk_pairs = 2_000_000
-
     def _tok_groups(group: pd.DataFrame) -> pa.Table:
         g = (group.drop(columns="__bucket")
              .sort_values(["tok", "id"], kind="mergesort"))

@@ -2616,3 +2616,33 @@ def test_compact_state_preserves_behavior(tmp_path):
         rd.from_arrow(pa.Table.from_pandas(d2)), sb,
         update_state=False).to_pandas().doc_id.sort_values().tolist())
     assert surv_a == surv_b
+
+
+def test_jaccard_join_heavy_token_split_path():
+    # chunk_pairs=5 forces every non-trivial token group through the
+    # heavy-token triangle-split path (row-range work units, one task
+    # each); results must be identical to the default light path.
+    import random
+
+    from belb_ray.stages.setsim import jaccard_similarity_join
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    texts, ids = [], []
+    for i in range(60):
+        base = rng.sample(vocab, rng.randint(4, 8))
+        texts.append(" ".join(base))
+        ids.append(i)
+        if rng.random() < 0.6:
+            texts.append(" ".join(base))  # exact dup → hot tokens
+            ids.append(1000 + i)
+    df = pd.DataFrame({"doc_id": np.array(ids, np.int64), "text": texts})
+    want = (jaccard_similarity_join(rd.from_pandas(df), 0.8)
+            .to_pandas())
+    got = (jaccard_similarity_join(rd.from_pandas(df), 0.8,
+                                   chunk_pairs=5).to_pandas())
+    key = lambda d: sorted(  # noqa: E731
+        (int(a), int(b), round(float(j), 9))
+        for a, b, j in d.itertuples(index=False))
+    assert key(got) == key(want)
+    assert len(want) > 20  # the fixture actually produces hot groups
