@@ -2987,6 +2987,20 @@ def q_doc_jaccard_join(sf_dir: str) -> rd.Dataset:
     return out.map_batches(_round, batch_format="pandas")
 
 
+def q_dedup_threshold_sweep(sf_dir: str) -> rd.Dataset:
+    """Dedup-aggressiveness sweep (pipelines/docdedup.dedup_sweep):
+    docs dropped/kept per candidate Jaccard threshold under the
+    min-id-wins near-dup rule. One EXACT prefix-filtered set-similarity
+    join at the grid minimum feeds a per-doc max combiner and a
+    fixed-width histogram — grid size is free. Oracle = the same
+    all-pairs word-Jaccard self-join in SQL with a correlated count per
+    grid value (exact join → bit-identical double ratios)."""
+    from belb_ray.pipelines.docdedup import dedup_sweep
+
+    return dedup_sweep(_t(sf_dir, "documents"),
+                       [0.98, 0.95, 0.9, 0.85])
+
+
 def q_part_components(sf_dir: str) -> rd.Dataset:
     """Standalone connected components (stages/cluster.
     connected_components — the ER flagship's transitive-closure engine
@@ -3750,6 +3764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_readability": q_doc_readability,
         "supplier_key_skew": q_supplier_key_skew,
         "doc_jaccard_join": q_doc_jaccard_join,
+        "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "part_components": q_part_components,
         "jl_projection": q_jl_projection,
         "fs_linkage_weights": q_fs_linkage_weights,
@@ -5954,6 +5969,37 @@ def oracle_sql() -> dict[str, str]:
                          JOIN s sb ON sb.doc_id = id_b)
             SELECT id_a, id_b, round(jac, 6) AS jaccard
             FROM j WHERE jac >= 0.95
+        """,
+        "dedup_threshold_sweep": """
+            WITH w AS (SELECT DISTINCT doc_id,
+                              unnest(list_filter(string_split_regex(
+                                  lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS tok
+                       FROM documents),
+            s AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+            i AS (SELECT w1.doc_id AS id_a, w2.doc_id AS id_b,
+                         count(*) AS inter
+                  FROM w w1 JOIN w w2
+                    ON w1.tok = w2.tok AND w1.doc_id < w2.doc_id
+                  GROUP BY w1.doc_id, w2.doc_id),
+            j AS (SELECT id_b,
+                         CAST(inter AS DOUBLE)
+                             / CAST(sa.n + sb.n - inter AS DOUBLE) AS jac
+                  FROM i JOIN s sa ON sa.doc_id = id_a
+                         JOIN s sb ON sb.doc_id = id_b),
+            m AS (SELECT id_b AS doc_id, max(jac) AS mx
+                  FROM j GROUP BY id_b),
+            g AS (SELECT unnest([0.98, 0.95, 0.9, 0.85]) AS threshold),
+            n AS (SELECT count(*) AS total FROM documents)
+            SELECT g.threshold,
+                   CAST((SELECT count(*) FROM m
+                         WHERE m.mx >= g.threshold) AS BIGINT)
+                       AS docs_dropped,
+                   CAST(n.total - (SELECT count(*) FROM m
+                                   WHERE m.mx >= g.threshold) AS BIGINT)
+                       AS docs_kept
+            FROM g CROSS JOIN n
+            ORDER BY g.threshold DESC
         """,
         "snm_blocking_quality": """
             WITH r AS (SELECT c_custkey AS id, c_name AS nm,

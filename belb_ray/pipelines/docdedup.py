@@ -334,3 +334,77 @@ def ngram_jaccard_pairs(docs: rd.Dataset, threshold: float = 0.5,
                            batch["sh_b"].to_pylist())
 
     return pf.map_batches(_jacc, batch_format="pyarrow", batch_size=4096)
+
+
+def dedup_sweep(docs: rd.Dataset, thresholds: list[float],
+                id_col: str = "doc_id", text_col: str = "text",
+                num_buckets: int = 64) -> rd.Dataset:
+    """Dedup-aggressiveness planning table: for each candidate Jaccard
+    threshold, how many docs the min-id-wins exact near-dup pass would
+    drop vs keep — the "how hard should I dedup this corpus" question a
+    training-data pipeline answers before committing to a full rewrite.
+
+    → (threshold float64, docs_dropped, docs_kept), one row per grid
+    value, threshold descending.
+
+    Shape: the EXACT prefix-filtered set-similarity join
+    (stages/setsim.jaccard_similarity_join — complete, no LSH recall
+    loss, so the SQL oracle holds bit-exactly) runs ONCE at the grid
+    minimum; a max-combiner reduces pairs to one row per doc (its best
+    Jaccard against any smaller-id doc), and the sweep is a fixed-width
+    per-batch histogram + sum combiner — the whole grid costs one pair
+    join regardless of grid size. A doc is dropped at threshold t iff
+    its max-to-smaller-id Jaccard ≥ t (exactly the keep-first rule the
+    dedup ops apply)."""
+    import pandas as pd
+
+    from ..stages.agg import preagg_groupby
+    from ..stages.setsim import jaccard_similarity_join
+
+    if not thresholds:
+        raise ValueError("thresholds grid must be non-empty")
+    ts = np.array(sorted(set(float(t) for t in thresholds),
+                         reverse=True), np.float64)
+
+    pairs = jaccard_similarity_join(docs, float(ts.min()), id_col,
+                                    text_col, num_buckets)
+
+    def _larger(b: pd.DataFrame) -> pd.DataFrame:
+        # pair (id_a < id_b): only the LARGER id can be dropped by it
+        return pd.DataFrame({"doc": b["id_b"].to_numpy(np.int64),
+                             "j": b["jaccard"].to_numpy(np.float64)})
+
+    mx = preagg_groupby(pairs.map_batches(_larger, batch_format="pandas"),
+                        ["doc"], [("max", "j", "mx")], num_buckets)
+
+    def _hist(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["mx"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "threshold": ts,
+            "docs_dropped": np.array([(m >= t).sum() for t in ts],
+                                     np.int64)})
+
+    dropped = preagg_groupby(
+        mx.map_batches(_hist, batch_format="pandas"),
+        ["threshold"], [("sum", "docs_dropped", "docs_dropped")],
+        num_buckets)
+    n_docs = docs.count()
+
+    def _finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["docs_kept"] = n_docs - b["docs_dropped"]
+        return b
+
+    out = dropped.map_batches(_finish, batch_format="pandas")
+    # a grid value can be missing when NO batch reached _hist (empty
+    # corpus edge) — normalize by unioning zero rows for absent ts
+    got = out.to_pandas()
+    missing = [t for t in ts if t not in set(got["threshold"])]
+    if missing:
+        got = pd.concat([got, pd.DataFrame({
+            "threshold": np.array(missing, np.float64),
+            "docs_dropped": np.zeros(len(missing), np.int64),
+            "docs_kept": np.full(len(missing), n_docs, np.int64)})],
+            ignore_index=True)
+    got = got.sort_values("threshold", ascending=False,
+                          ignore_index=True)
+    return rd.from_pandas(got)

@@ -2646,3 +2646,40 @@ def test_jaccard_join_heavy_token_split_path():
         for a, b, j in d.itertuples(index=False))
     assert key(got) == key(want)
     assert len(want) > 20  # the fixture actually produces hot groups
+
+
+def test_dedup_sweep_matches_bruteforce():
+    import random
+
+    from belb_ray.functions.text import tokenize
+    from belb_ray.pipelines.docdedup import dedup_sweep
+
+    rng = random.Random(9)
+    vocab = [f"w{i}" for i in range(40)]
+    texts, ids = [], []
+    for i in range(80):
+        base = rng.sample(vocab, rng.randint(4, 9))
+        texts.append(" ".join(base))
+        ids.append(i)
+        if rng.random() < 0.5:
+            sib = base if rng.random() < 0.4 else \
+                base[:-1] + [rng.choice(vocab)]
+            texts.append(" ".join(sib))
+            ids.append(1000 + i)
+    df = pd.DataFrame({"doc_id": np.array(ids, np.int64), "text": texts})
+    grid = [0.95, 0.8, 0.6]
+    got = (dedup_sweep(rd.from_pandas(df).repartition(5), grid)
+           .to_pandas().set_index("threshold"))
+
+    sets = {r.doc_id: set(tokenize(r.text)) for r in df.itertuples()}
+    ks = sorted(sets)
+    mx = {}
+    for x, a in enumerate(ks):
+        for b in ks[x + 1:]:
+            u = len(sets[a] | sets[b])
+            jac = len(sets[a] & sets[b]) / u if u else 1.0
+            mx[b] = max(mx.get(b, 0.0), jac)
+    for t in grid:
+        dropped = sum(1 for v in mx.values() if v >= t)
+        assert got.loc[t, "docs_dropped"] == dropped, t
+        assert got.loc[t, "docs_kept"] == len(df) - dropped, t
