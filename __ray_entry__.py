@@ -1920,6 +1920,19 @@ def q_doc_shard_assignment(sf_dir: str) -> rd.Dataset:
     return out.select_columns(["doc_id", "lang", "shard", "pos"])
 
 
+def q_size_shard_plan(sf_dir: str) -> rd.Dataset:
+    """Greedy byte-packed shard plan (stages/sampling.
+    size_balanced_shards): shard = floor(exclusive-prefix-bytes /
+    target) in doc_id order, so skewed doc sizes still pack into
+    ~equal-byte output files. Two-phase distributed prefix sum (per-bin
+    partials, driver cumsums O(#bins), one bin shuffle). Oracle = the
+    SQL window sum(length) OVER (ORDER BY doc_id) - length."""
+    from belb_ray.stages.sampling import size_balanced_shards
+
+    return size_balanced_shards(_t(sf_dir, "documents"),
+                                target_bytes=50_000)
+
+
 def q_doc_chunks(sf_dir: str) -> rd.Dataset:
     """Sliding-window character chunking with overlap
     (stages/curation.chunk_documents): size 120, overlap 40 → stride 80.
@@ -3765,6 +3778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_key_skew": q_supplier_key_skew,
         "doc_jaccard_join": q_doc_jaccard_join,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
+        "size_shard_plan": q_size_shard_plan,
         "part_components": q_part_components,
         "jl_projection": q_jl_projection,
         "fs_linkage_weights": q_fs_linkage_weights,
@@ -5969,6 +5983,14 @@ def oracle_sql() -> dict[str, str]:
                          JOIN s sb ON sb.doc_id = id_b)
             SELECT id_a, id_b, round(jac, 6) AS jaccard
             FROM j WHERE jac >= 0.95
+        """,
+        "size_shard_plan": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS nbytes,
+                   CAST(floor((sum(length(text)) OVER (ORDER BY doc_id)
+                               - length(text)) / 50000) AS BIGINT)
+                       AS shard
+            FROM documents
         """,
         "dedup_threshold_sweep": """
             WITH w AS (SELECT DISTINCT doc_id,

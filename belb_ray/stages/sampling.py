@@ -220,3 +220,71 @@ def shard_assign(ds: rd.Dataset, key: str, num_shards: int,
                              batch_size=1 << 18))
     return bucketed.groupby("__bucket").map_groups(_rank,
                                                    batch_format="pandas")
+
+
+def size_balanced_shards(ds: rd.Dataset, target_bytes: int,
+                         id_col: str = "doc_id",
+                         text_col: str = "text",
+                         id_bin: int = 4096,
+                         num_buckets: int = 64) -> rd.Dataset:
+    """Greedy byte-packed shard plan for training-data export:
+    → (id, nbytes, shard) where ``shard = floor(exclusive-prefix-bytes
+    / target_bytes)`` in ``id_col`` order — consecutive ids pack into
+    ~``target_bytes``-sized output files (docs never split), the layout
+    a resumable partitioned-parquet writer wants when doc sizes are
+    skewed and hash-sharding (``shard_assign``) would produce uneven
+    files.
+
+    Distributed two-phase prefix (the ``global_rank`` device, summing
+    bytes instead of counting rows): phase 1 reduces per-id-bin byte
+    sums batch-locally (no row shuffle) and the driver cumsums the
+    O(#bins) totals; phase 2 shuffles rows ONCE by bin and finishes the
+    within-bin cumsum vectorized. Exactly mirrors the SQL window
+    ``sum(len) OVER (ORDER BY id) - len``.
+    """
+    import ray
+
+    from ..util import cached_get
+    from .agg import _bucket_of_frame
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[id_col].to_numpy(np.int64) // id_bin
+        n = batch[text_col].str.len().to_numpy(np.int64)
+        return (pd.DataFrame({"__bin": b, "__n": n})
+                .groupby("__bin", sort=False)["__n"].sum().reset_index())
+
+    bs = (ds.select_columns([id_col, text_col])
+          .map_batches(_partial, batch_format="pandas").to_pandas())
+    bs = bs.groupby("__bin", sort=True)["__n"].sum().sort_index()
+    bases = np.concatenate([[0], bs.cumsum().to_numpy()[:-1]])
+    base_of = {int(k): int(v) for k, v in zip(bs.index, bases)}
+    ref = ray.put(base_of)
+
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            id_col: batch[id_col].to_numpy(np.int64),
+            "nbytes": batch[text_col].str.len().to_numpy(np.int64)})
+        out["__bin"] = out[id_col].to_numpy() // id_bin
+        out["__bucket"] = _bucket_of_frame(out, ["__bin"], num_buckets)
+        return out
+
+    def _scan(group: pd.DataFrame) -> pd.DataFrame:
+        base_of = cached_get(ref)
+        outs = []
+        for bn, g in group.groupby("__bin", sort=False):
+            g = g.sort_values(id_col, kind="mergesort")
+            nb = g["nbytes"].to_numpy(np.int64)
+            cum_excl = base_of[int(bn)] + np.cumsum(nb) - nb
+            outs.append(pd.DataFrame({
+                id_col: g[id_col].to_numpy(),
+                "nbytes": nb,
+                "shard": cum_excl // int(target_bytes)}))
+        return pd.concat(outs) if outs else pd.DataFrame(
+            {id_col: np.zeros(0, np.int64),
+             "nbytes": np.zeros(0, np.int64),
+             "shard": np.zeros(0, np.int64)})
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(_bucketize, batch_format="pandas")
+            .groupby("__bucket").map_groups(_scan,
+                                            batch_format="pandas"))

@@ -2683,3 +2683,30 @@ def test_dedup_sweep_matches_bruteforce():
         dropped = sum(1 for v in mx.values() if v >= t)
         assert got.loc[t, "docs_dropped"] == dropped, t
         assert got.loc[t, "docs_kept"] == len(df) - dropped, t
+
+
+def test_size_balanced_shards_prefix_and_balance():
+    from belb_ray.stages.sampling import size_balanced_shards
+
+    rng = np.random.default_rng(5)
+    n = 400
+    # skewed sizes: a few huge docs among small ones
+    sizes = np.where(rng.random(n) < 0.05,
+                     rng.integers(400, 900, n),
+                     rng.integers(10, 60, n))
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "text": ["x" * int(s) for s in sizes]})
+    target = 1500
+    got = (size_balanced_shards(rd.from_pandas(df).repartition(7),
+                                target, id_bin=32)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    cum_excl = np.cumsum(sizes) - sizes
+    assert (got["nbytes"].to_numpy() == sizes).all()
+    assert (got["shard"].to_numpy() == cum_excl // target).all()
+    # no shard exceeds target + one doc (a doc never splits, so the
+    # only overshoot is the doc that crosses the boundary), and shards
+    # are contiguous id ranges
+    by = got.groupby("shard")["nbytes"].sum()
+    assert (by <= target + sizes.max()).all()
+    first_ids = got.groupby("shard")["doc_id"].min().to_numpy()
+    assert (np.diff(first_ids) > 0).all()
