@@ -1965,6 +1965,28 @@ def q_pii_redaction(sf_dir: str) -> rd.Dataset:
         ["doc_id", "text"]))
 
 
+def q_cross_corpus_contamination(sf_dir: str) -> rd.Dataset:
+    """Contamination overlap with a dataset-scale benchmark side
+    (stages/curation.cross_corpus_overlap): same contract as
+    contamination_flags (docs with doc_id % 50 = 0 stand in for the
+    benchmark) but via ONE gram-hash co-location shuffle instead of a
+    driver broadcast — certifying the at-scale path against the SAME
+    SQL oracle text."""
+    from belb_ray.stages.curation import cross_corpus_overlap
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def _split(keep_bench: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            m = (batch["doc_id"].to_numpy(zero_copy_only=False) % 50) == 0
+            return batch.filter(pa.array(m if keep_bench else ~m))
+        return fn
+
+    bench = docs.map_batches(_split(True), batch_format="pyarrow")
+    train = docs.map_batches(_split(False), batch_format="pyarrow")
+    return cross_corpus_overlap(train, bench)
+
+
 def q_contamination_flags(sf_dir: str) -> rd.Dataset:
     """Benchmark-contamination flagging (stages/curation.
     contamination_flags): docs sharing any word 3-gram with the
@@ -3712,6 +3734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_packing": q_seq_packing,
         "pii_redaction": q_pii_redaction,
         "contamination_flags": q_contamination_flags,
+        "cross_corpus_contamination": q_cross_corpus_contamination,
         "repetition_stats": q_repetition_stats,
         "corpus_ngrams": q_corpus_ngrams,
         "table_profile": q_table_profile,
@@ -3862,7 +3885,7 @@ def oracle_sql() -> dict[str, str]:
     from belb_ray.stages.sketch import hll_sql as _hll_sql
 
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
-    return {
+    sqls = {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -6320,3 +6343,7 @@ def oracle_sql() -> dict[str, str]:
                         "jl_projection", "fs_linkage_weights",
                         "name_one2one_match", "kmeans_clusters")},
     }
+    # the shuffle-path contamination op is held to the IDENTICAL SQL
+    # text as the broadcast path — same contract, different engine path
+    sqls["cross_corpus_contamination"] = sqls["contamination_flags"]
+    return sqls

@@ -627,3 +627,94 @@ def dedup_passages_rewrite(docs: rd.Dataset, k: int = 8,
         return b.drop(columns=[text_col])
 
     return out.map_batches(_fill, batch_format="pandas")
+
+
+def cross_corpus_overlap(train: rd.Dataset, bench: rd.Dataset,
+                         n: int = 3, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         num_buckets: int = 64,
+                         broadcast_threshold: int = 2_000_000
+                         ) -> rd.Dataset:
+    """Benchmark-contamination overlap when the benchmark side is ALSO
+    dataset-scale — the shuffle complement to ``contamination_flags``
+    (which broadcasts a driver-small benchmark list).
+
+    → (id_col, n_contaminated_ngrams [distinct shared word n-grams],
+    contaminated) for every train doc, zero-filled — same contract and
+    SQL mirror as ``contamination_flags``.
+
+    Distributed shape: both sides reduce to distinct 64-bit word-n-gram
+    hashes per doc (one vectorized keyed hash per doc set — the bench
+    side additionally dedups per batch and ships ONLY 8-byte hashes,
+    never text), ONE hash(gram) co-location shuffle marks train grams
+    present on the bench side, per-doc distinct-hit counts ride the sum
+    combiner, and the zero-fill is a size-guarded left broadcast join
+    onto the train id list. Train text never shuffles."""
+    from .agg import _bucket_of_frame, preagg_groupby
+    from .analytic import _attach_small
+
+    def _hash_grams(text: str) -> np.ndarray:
+        gs = _word_ngrams(text, n)
+        if not gs:
+            return np.zeros(0, np.int64)
+        return pd.util.hash_array(np.asarray(list(gs), object),
+                                  hash_key="belb_ray_xgram16",
+                                  categorize=False).view(np.int64)
+
+    def _explode_train(b: pd.DataFrame) -> pd.DataFrame:
+        hs, ids = [], []
+        for i, t in zip(b[id_col], b[text_col]):
+            h = _hash_grams(t)
+            hs.append(h)
+            ids.append(np.full(h.size, i, np.int64))
+        h = np.concatenate(hs) if hs else np.zeros(0, np.int64)
+        i = np.concatenate(ids) if ids else np.zeros(0, np.int64)
+        return pd.DataFrame({"h": h, "docid": i,
+                             "__side": np.ones(h.size, np.int8)})
+
+    def _explode_bench(b: pd.DataFrame) -> pd.DataFrame:
+        hs = [_hash_grams(t) for t in b[text_col]]
+        h = np.unique(np.concatenate(hs)) if hs else np.zeros(0, np.int64)
+        return pd.DataFrame({"h": h,
+                             "docid": np.full(h.size, -1, np.int64),
+                             "__side": np.zeros(h.size, np.int8)})
+
+    tg = train.select_columns([id_col, text_col]).map_batches(
+        _explode_train, batch_format="pandas")
+    bg = bench.select_columns([text_col]).map_batches(
+        _explode_bench, batch_format="pandas")
+
+    def _bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        b["__bucket"] = _bucket_of_frame(b, ["h"], num_buckets)
+        return b
+
+    def _mark(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns="__bucket")
+        side = g["__side"].to_numpy()
+        bset = np.unique(g["h"].to_numpy()[side == 0])
+        tr = g[side == 1]
+        hit = np.isin(tr["h"].to_numpy(), bset, assume_unique=False)
+        counts = (pd.DataFrame({"docid": tr["docid"].to_numpy()[hit]})
+                  .groupby("docid", sort=False).size()
+                  .rename("cnt").reset_index())
+        counts["cnt"] = counts["cnt"].astype(np.int64)
+        return counts
+
+    hits = preagg_groupby(
+        tg.union(bg).map_batches(_bucketize, batch_format="pandas")
+        .groupby("__bucket").map_groups(_mark, batch_format="pandas"),
+        ["docid"], [("sum", "cnt", "cnt")], num_buckets)
+
+    hits = hits.map_batches(
+        lambda b: b.rename(columns={"docid": id_col}),
+        batch_format="pandas")
+    out = _attach_small(train.select_columns([id_col]), hits, id_col,
+                        broadcast_threshold, join_type="left outer")
+
+    def _finish(b: pd.DataFrame) -> pd.DataFrame:
+        cnt = b["cnt"].fillna(0).astype(np.int64)
+        return pd.DataFrame({id_col: b[id_col].to_numpy(np.int64),
+                             "n_contaminated_ngrams": cnt,
+                             "contaminated": cnt > 0})
+
+    return out.map_batches(_finish, batch_format="pandas")

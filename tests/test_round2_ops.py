@@ -2710,3 +2710,26 @@ def test_size_balanced_shards_prefix_and_balance():
     assert (by <= target + sizes.max()).all()
     first_ids = got.groupby("shard")["doc_id"].min().to_numpy()
     assert (np.diff(first_ids) > 0).all()
+
+
+def test_cross_corpus_overlap_matches_broadcast_path():
+    from belb_ray.stages.curation import (contamination_flags,
+                                          cross_corpus_overlap)
+
+    rng = np.random.default_rng(3)
+    vocab = [f"t{i}" for i in range(60)]
+    mk = lambda: " ".join(rng.choice(vocab, 12))  # noqa: E731
+    bench_texts = [mk() for _ in range(5)]
+    train = pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64),
+        "text": [bench_texts[i % 5] if i % 7 == 0 else mk()
+                 for i in range(40)]})
+    bench = pd.DataFrame({"doc_id": np.arange(900, 905, dtype=np.int64),
+                          "text": bench_texts})
+    a = (contamination_flags(rd.from_pandas(train), bench_texts)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (cross_corpus_overlap(rd.from_pandas(train).repartition(5),
+                              rd.from_pandas(bench).repartition(2))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert b["contaminated"].sum() >= 6  # the planted hits were found
