@@ -1987,6 +1987,34 @@ def q_cross_corpus_contamination(sf_dir: str) -> rd.Dataset:
     return cross_corpus_overlap(train, bench)
 
 
+def q_resumable_export(sf_dir: str) -> pd.DataFrame:
+    """Per-partition resumable Parquet export (pipelines/outputs.
+    resumable_partitioned_write): documents hive-partitioned by lang
+    with a per-partition completion manifest. The query writes fresh,
+    then calls again and returns the SECOND call's skipped-partition
+    row counts — so the oracle (GROUP BY lang) certifies both the
+    partitioned write and the skip-if-complete resume path."""
+    import shutil
+    import tempfile
+
+    from belb_ray.pipelines.outputs import resumable_partitioned_write
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "lang",
+                                                   "text"])
+    out = _os.path.join(tempfile.gettempdir(),
+                        f"belb_ray_export_{abs(hash(sf_dir)) % 10**8}")
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = {"sf_dir": sf_dir, "v": 1}
+    resumable_partitioned_write(docs, out, "lang", cfg)
+    r2 = resumable_partitioned_write(docs, out, "lang", cfg)
+    assert not r2["written"], "resume path must skip completed parts"
+    return pd.DataFrame(
+        {"lang": sorted(r2["skipped"]),
+         "n_rows": np.array([r2["skipped"][k]
+                             for k in sorted(r2["skipped"])],
+                            np.int64)})
+
+
 def q_contamination_flags(sf_dir: str) -> rd.Dataset:
     """Benchmark-contamination flagging (stages/curation.
     contamination_flags): docs sharing any word 3-gram with the
@@ -3735,6 +3763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redaction": q_pii_redaction,
         "contamination_flags": q_contamination_flags,
         "cross_corpus_contamination": q_cross_corpus_contamination,
+        "resumable_export": q_resumable_export,
         "repetition_stats": q_repetition_stats,
         "corpus_ngrams": q_corpus_ngrams,
         "table_profile": q_table_profile,
@@ -6006,6 +6035,10 @@ def oracle_sql() -> dict[str, str]:
                          JOIN s sb ON sb.doc_id = id_b)
             SELECT id_a, id_b, round(jac, 6) AS jaccard
             FROM j WHERE jac >= 0.95
+        """,
+        "resumable_export": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_rows
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "size_shard_plan": """
             SELECT doc_id,

@@ -32,3 +32,51 @@ def test_write_er_outputs_and_resume(tmp_path):
     assert len(back) == 300
     with open(f"{out}/run_manifest.json") as f:
         assert json.load(f)["config_hash"] == man1["config_hash"]
+
+
+def test_resumable_partitioned_write(tmp_path):
+    import os
+    import time as _time
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from belb_ray.pipelines.outputs import resumable_partitioned_write
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(60, dtype=np.int64),
+        "lang": np.array(["en", "de", "fr"])[np.arange(60) % 3],
+        "val": np.arange(60, dtype=np.int64) * 7})
+    out = str(tmp_path / "exp")
+    cfg = {"v": 1}
+    r1 = resumable_partitioned_write(rd.from_pandas(df).repartition(4),
+                                     out, "lang", cfg)
+    assert r1["skipped"] == {} and sorted(r1["written"]) == ["de", "en", "fr"]
+    assert sum(r1["written"].values()) == 60
+    back = rd.read_parquet(out).to_pandas()
+    assert len(back) == 60 and set(back["lang"]) == {"de", "en", "fr"}
+
+    # full resume: nothing rewritten, mtimes untouched
+    mt = {d: os.path.getmtime(os.path.join(out, d))
+          for d in os.listdir(out) if d.startswith("lang=")}
+    _time.sleep(0.05)
+    r2 = resumable_partitioned_write(rd.from_pandas(df).repartition(4),
+                                     out, "lang", cfg)
+    assert r2["written"] == {} and sorted(r2["skipped"]) == ["de", "en", "fr"]
+    for d, m in mt.items():
+        assert os.path.getmtime(os.path.join(out, d)) == m
+
+    # partial resume: lose one partition, only it is rewritten
+    import shutil
+    shutil.rmtree(os.path.join(out, "lang=de"))
+    r3 = resumable_partitioned_write(rd.from_pandas(df).repartition(4),
+                                     out, "lang", cfg)
+    assert list(r3["written"]) == ["de"] and r3["written"]["de"] == 20
+    assert os.path.getmtime(os.path.join(out, "lang=en")) == mt["lang=en"]
+    assert len(rd.read_parquet(out).to_pandas()) == 60
+
+    # config change invalidates everything
+    r4 = resumable_partitioned_write(rd.from_pandas(df).repartition(4),
+                                     out, "lang", {"v": 2})
+    assert sorted(r4["written"]) == ["de", "en", "fr"]
