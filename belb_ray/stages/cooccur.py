@@ -83,8 +83,16 @@ def group_item_lists(ds: rd.Dataset, group_col: str, item_col: str,
 
 
 def explode_pairs(lists: rd.Dataset,
-                  explode_blocks: int = 64) -> rd.Dataset:
+                  explode_blocks: int = 64,
+                  split_pairs: int | None = None) -> rd.Dataset:
     """(group, __items) rows → (a, b) unordered item pairs, a < b.
+
+    ``split_pairs`` is the hub-group skew guard that KEEPS the data
+    (``max_group_size`` drops oversized groups whole): a group whose
+    pair triangle exceeds it is split into row-range work units — each
+    chunk row duplicates the (small) member array and carries a
+    ``[__r0, __r1)`` first-row range — so one hub group fans out over
+    many tasks instead of pinning a straggler.
 
     ``repartition(explode_blocks)`` (a cheap split of whole group rows
     — never breaks a group) sets the parallelism of the quadratic
@@ -99,6 +107,41 @@ def explode_pairs(lists: rd.Dataset,
     Operators with differing resource requests never fuse, and block
     order stays deterministic."""
 
+    def _split(t: pa.Table) -> pa.Table:
+        # light rows pass through with the full [0, c) range; the few
+        # heavy rows explode into chunk rows (python loop over heavy
+        # rows only — they are rare by definition)
+        arr = t["__items"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        c = arr.value_lengths().to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        npairs = c * (c - 1) // 2
+        heavy = npairs > split_pairs
+        out = t.append_column(
+            "__r0", pa.array(np.zeros(len(t), np.int64)))
+        out = out.append_column("__r1", pa.array(c))
+        if not heavy.any():
+            return out
+        light_tbl = out.filter(pa.array(~heavy))
+        rows = []
+        for i in np.flatnonzero(heavy):
+            ci = int(c[i])
+            reps = ci - np.arange(ci, dtype=np.int64) - 1
+            cum = np.cumsum(reps)
+            bounds = np.searchsorted(
+                cum, np.arange(split_pairs, int(cum[-1]), split_pairs),
+                side="left") + 1
+            bounds = np.concatenate(([0], bounds, [ci]))
+            base = {name: t[name][int(i)].as_py()
+                    for name in t.column_names}
+            for r0, r1 in zip(bounds[:-1], bounds[1:]):
+                if r0 < r1:
+                    rows.append({**base, "__r0": int(r0),
+                                 "__r1": int(r1)})
+        heavy_tbl = pa.Table.from_pylist(rows, schema=out.schema)
+        return pa.concat_tables([light_tbl, heavy_tbl])
+
     def _explode(t: pa.Table) -> pa.Table:
         arr = t["__items"]
         if isinstance(arr, pa.ChunkedArray):
@@ -106,24 +149,36 @@ def explode_pairs(lists: rd.Dataset,
         vals = arr.flatten()
         if len(t) == 0 or len(vals) == 0:
             return pa.table({"a": vals[:0], "b": vals[:0]})
-        counts = arr.value_lengths().to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        n = int(counts.sum())
-        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        # every item pairs with the items after it inside its group:
-        # fully vectorized repeat/offset index arithmetic
-        idx = np.arange(n)
-        local = idx - np.repeat(starts, counts)
-        reps = np.repeat(counts, counts) - local - 1
+        c = arr.value_lengths().to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        base = np.cumsum(c) - c
+        if "__r0" in t.column_names:
+            r0 = t["__r0"].to_numpy(zero_copy_only=False)
+            r1 = t["__r1"].to_numpy(zero_copy_only=False)
+        else:
+            r0, r1 = np.zeros(len(t), np.int64), c
+        nf = r1 - r0  # first-rows per unit
+        F = int(nf.sum())
+        if F == 0:
+            return pa.table({"a": vals[:0], "b": vals[:0]})
+        # global (flattened-array) index of every first row, then the
+        # same vectorized repeat/offset pair arithmetic — each first
+        # pairs with everything after it inside ITS unit
+        fl = (np.arange(F, dtype=np.int64)
+              - np.repeat(np.cumsum(nf) - nf, nf)
+              + np.repeat(base + r0, nf))
+        reps = np.repeat(base + c, nf) - fl - 1
         total = int(reps.sum())
         if total == 0:
             return pa.table({"a": vals[:0], "b": vals[:0]})
-        first = np.repeat(idx, reps)
+        first = np.repeat(fl, reps)
         offs = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
         second = first + 1 + offs
         return pa.table({"a": vals.take(pa.array(first)),
                          "b": vals.take(pa.array(second))})
 
+    if split_pairs is not None:
+        lists = lists.map_batches(_split, batch_format="pyarrow")
     return (lists.repartition(explode_blocks)
             .map_batches(_explode, batch_format="pyarrow",
                          num_cpus=1.01))
@@ -132,13 +187,16 @@ def explode_pairs(lists: rd.Dataset,
 def cooccurrence_pairs(ds: rd.Dataset, group_col: str, item_col: str,
                        num_buckets: int = 64,
                        max_group_size: int | None = None,
-                       explode_blocks: int = 64) -> rd.Dataset:
+                       explode_blocks: int = 64,
+                       split_pairs: int | None = None) -> rd.Dataset:
     """(a, b) rows — one per unordered distinct item pair per group,
-    with a < b. Items are deduped within a group first."""
+    with a < b. Items are deduped within a group first. Skew guards:
+    ``max_group_size`` DROPS oversized groups whole; ``split_pairs``
+    KEEPS them, splitting their pair triangle across tasks."""
     return explode_pairs(
         group_item_lists(ds, group_col, item_col, num_buckets,
                          max_group_size),
-        explode_blocks)
+        explode_blocks, split_pairs)
 
 
 def cooccurrence_topk(ds: rd.Dataset, group_col: str, item_col: str,

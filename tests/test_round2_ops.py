@@ -2733,3 +2733,21 @@ def test_cross_corpus_overlap_matches_broadcast_path():
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert b["contaminated"].sum() >= 6  # the planted hits were found
+
+
+def test_cooccurrence_split_pairs_hub_group():
+    from belb_ray.stages.cooccur import cooccurrence_pairs
+
+    # one hub group (40 items -> 780 pairs) among small ones
+    rows = [("hub", f"i{j:02d}") for j in range(40)]
+    rows += [(f"g{k}", f"i{j:02d}") for k in range(10) for j in range(3)]
+    df = pd.DataFrame({"g": [r[0] for r in rows],
+                       "it": [r[1] for r in rows]})
+    want = (cooccurrence_pairs(rd.from_pandas(df).repartition(4),
+                               "g", "it")
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    got = (cooccurrence_pairs(rd.from_pandas(df).repartition(4),
+                              "g", "it", split_pairs=50)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    assert len(want) == 40 * 39 // 2 + 10 * 3
