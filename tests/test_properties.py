@@ -104,3 +104,36 @@ def test_uf_solve_matches_dict_union_find(edges):
            for n in set(int(v) for v in np.concatenate((a, b)))}
     got = dict(zip(nodes.tolist(), labels.tolist()))
     assert got == exp, edges
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(0, 2**32 - 1),
+       st.lists(st.integers(0, 127), min_size=0, max_size=7,
+                unique=True),
+       st.sampled_from([8, 16, 32]))
+def test_band_keys_pigeonhole(seed, diff_positions, bands):
+    # LSH recall guarantee: two signatures differing in FEWER components
+    # than there are bands MUST share at least one identical band key
+    from belb_ray.functions.minhash import band_keys
+
+    rng = np.random.default_rng(seed)
+    num_perm = 128
+    sig_a = rng.integers(0, 2**63, (1, num_perm)).astype(np.uint64)
+    sig_b = sig_a.copy()
+    for p in diff_positions[:bands - 1]:  # < bands differing components
+        sig_b[0, p] ^= np.uint64(1)
+    ka = band_keys(sig_a, bands)
+    kb = band_keys(sig_b, bands)
+    assert (ka == kb).any(), (diff_positions, bands)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="ab \t\n -", min_size=0, max_size=30))
+def test_normalize_text_idempotent(s):
+    import pyarrow as pa
+
+    from belb_ray.functions.text import normalize_text_array
+
+    once = normalize_text_array(pa.array([s])).to_pylist()[0]
+    twice = normalize_text_array(pa.array([once])).to_pylist()[0]
+    assert once == twice, repr(s)
