@@ -2001,8 +2001,10 @@ def q_resumable_export(sf_dir: str) -> pd.DataFrame:
 
     docs = _t(sf_dir, "documents").select_columns(["doc_id", "lang",
                                                    "text"])
-    out = _os.path.join(tempfile.gettempdir(),
-                        f"belb_ray_export_{abs(hash(sf_dir)) % 10**8}")
+    import hashlib as _hl
+    out = _os.path.join(
+        tempfile.gettempdir(),
+        f"belb_ray_export_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}")
     shutil.rmtree(out, ignore_errors=True)
     cfg = {"sf_dir": sf_dir, "v": 1}
     resumable_partitioned_write(docs, out, "lang", cfg)
