@@ -203,9 +203,16 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "kmeans_clusters",
         "safe_parse",
         "corpus_build",
+        # session-6 additions
+        "size_shard_plan",
+        "cross_corpus_contamination",
+        "resumable_export",
+        "dedup_threshold_sweep",  # exercises the heavy-token split path
         # part_k_core and fs_linkage_weights are oracle-checked but
         # excluded here: their fixpoint/EM rounds are iteration-count-
-        # dominated at sf0.1 and would eat the min-of-2 budget
+        # dominated at sf0.1 and would eat the min-of-2 budget.
+        # compacted_neardup is excluded: it re-runs the same two-wave
+        # pipeline as incremental_neardup plus a compaction.
     ]
     # the sandbox host is co-tenant (same-config trials vary up to ~5x as
     # CPU steal moves around): report min over up to GRAFT_BENCH_TRIALS
