@@ -3442,6 +3442,18 @@ def q_part_cosine_sim(sf_dir: str) -> rd.Dataset:
     return out.sort(["a", "b"])
 
 
+def q_user_value_gini(sf_dir: str) -> rd.Dataset:
+    """Per-user Gini concentration of event values
+    (stages/analytic.grouped_gini): the (key, value) → count histogram
+    combiner runs before the one co-location shuffle, ties fold to one
+    exact integer rank-sum multiply per distinct value — the per-group
+    inequality audit of a curation run."""
+    from belb_ray.stages.analytic import grouped_gini
+
+    ev = _t(sf_dir, "events").select_columns(["user_id", "value"])
+    return grouped_gini(ev, "user_id", "value").sort("user_id")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -3850,6 +3862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_ks_drift": q_value_ks_drift,
         "user_skyline": q_user_skyline,
         "part_cosine_sim": q_part_cosine_sim,
+        "user_value_gini": q_user_value_gini,
     }
 
 
@@ -6357,6 +6370,17 @@ def oracle_sql() -> dict[str, str]:
                    JOIN s sb ON sb.item = p.b
             WHERE c >= 3
             ORDER BY a, b
+        """,
+        "user_value_gini": """
+            WITH r AS (SELECT user_id, value,
+                              row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY value) AS i
+                       FROM events WHERE value IS NOT NULL)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   round(2.0 * sum(i * value)
+                         / (count(*) * sum(value))
+                         - (count(*) + 1.0) / count(*), 8) AS gini
+            FROM r GROUP BY user_id ORDER BY user_id
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

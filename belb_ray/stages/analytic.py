@@ -889,3 +889,79 @@ def skyline2d(ds: rd.Dataset, x_col: str, y_col: str) -> rd.Dataset:
     local = ds.map_batches(_sky, batch_format="pandas")
     return local.repartition(1).map_batches(_sky, batch_size=None,
                                             batch_format="pandas")
+
+
+def grouped_gini(
+    ds: rd.Dataset,
+    key: str,
+    value_col: str,
+    round_to: int = 8,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Exact per-key Gini coefficient over nonnegative values → one row
+    per key: (key, n, gini) with the standard rank formulation over the
+    ascending-sorted values x_1..x_n,
+
+        gini = 2·Σ i·x_i / (n·Σ x_i) − (n+1)/n
+
+    (0 = perfectly equal, → 1 = fully concentrated; the per-group
+    concentration audit of a curation run — e.g. how skewed each user's
+    event values or each source's doc sizes are). Keys whose value sum
+    is 0 (all zeros) emit gini = 0.0. Nulls are ignored (SQL aggregate
+    semantics).
+
+    Distributed shape (the ``grouped_quantiles`` histogram device): a
+    per-block (key, value) → count combiner runs BEFORE the one
+    co-location shuffle, so the exchange moves distinct pairs, not rows.
+    The finish is vectorized across all keys of a bucket: within a run
+    of c equal values starting after cumulative rank r the rank sum is
+    exact integer c·r + c·(c+1)/2, so Σ i·x_i folds to one multiply per
+    distinct value — ties make the result order-independent by
+    construction. Assumes one key's *histogram* fits a worker."""
+
+    def _combine(batch: pd.DataFrame) -> pd.DataFrame:
+        c = (batch[[key, value_col]].dropna(subset=[value_col])
+             .groupby([key, value_col], sort=False, observed=True)
+             .size().reset_index(name="__cnt"))
+        h = pd.util.hash_array(c[key].to_numpy(), categorize=False)
+        c["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return c
+
+    def _finish(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.drop(columns="__bucket")
+                  .groupby([key, value_col], sort=False, observed=True)
+                  ["__cnt"].sum().reset_index()
+                  .sort_values([key, value_col], kind="stable")
+                  .reset_index(drop=True))
+        ks = g[key].to_numpy()
+        new_key = np.r_[True, ks[1:] != ks[:-1]]
+        gid = np.cumsum(new_key) - 1
+        cnt = g["__cnt"].to_numpy(np.int64)
+        vals = g[value_col].to_numpy(np.float64)
+        cum = np.cumsum(cnt)
+        # rows BEFORE this run, within the key (cumulative rank r)
+        prev = cum - cnt - (cum - cnt)[new_key][gid]
+        # exact integer rank sum of the run: c·r + c·(c+1)/2
+        rank_sum = cnt * prev + cnt * (cnt + 1) // 2
+        w = vals * rank_sum.astype(np.float64)     # Σ i·x_i per run
+        s = vals * cnt.astype(np.float64)          # Σ x_i per run
+        n_keys = int(new_key.sum())
+        seg = np.flatnonzero(new_key)
+        w_k = np.add.reduceat(w, seg) if len(w) else np.empty(0)
+        s_k = np.add.reduceat(s, seg) if len(s) else np.empty(0)
+        n_k = (cum - (cum - cnt)[new_key][gid])[
+            np.r_[new_key[1:], True]].astype(np.float64)
+        denom = n_k * s_k
+        gini = np.where(denom > 0,
+                        2.0 * w_k / np.where(denom > 0, denom, 1.0)
+                        - (n_k + 1.0) / np.maximum(n_k, 1.0),
+                        0.0)
+        return pd.DataFrame({
+            key: ks[new_key],
+            "n": n_k.astype(np.int64),
+            "gini": np.round(gini, round_to)})
+
+    partial = ds.map_batches(_combine, batch_format="pandas",
+                             batch_size=1 << 17)
+    return partial.groupby("__bucket").map_groups(_finish,
+                                                  batch_format="pandas")

@@ -2751,3 +2751,35 @@ def test_cooccurrence_split_pairs_hub_group():
            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
     assert len(want) == 40 * 39 // 2 + 10 * 3
+
+
+def test_grouped_gini_matches_bruteforce():
+    from belb_ray.stages.analytic import grouped_gini
+
+    rng = np.random.default_rng(77)
+    # integer values force ties through the histogram fold
+    df = pd.DataFrame({"k": rng.integers(0, 12, 4000),
+                       "v": rng.integers(0, 40, 4000).astype(float)})
+    df.loc[rng.integers(0, 4000, 50), "v"] = np.nan
+    df.loc[df["k"] == 11, "v"] = 0.0  # zero-sum group → gini 0
+
+    def gini(x):
+        s = np.sort(np.asarray(x)[~np.isnan(np.asarray(x))])
+        n, tot = len(s), s.sum()
+        if tot <= 0:
+            return 0.0
+        i = np.arange(1, n + 1)
+        return 2.0 * (i * s).sum() / (n * tot) - (n + 1.0) / n
+
+    got = (grouped_gini(rd.from_pandas(df).repartition(7), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = df.groupby("k")["v"].apply(gini)
+    np.testing.assert_allclose(got["gini"], np.round(exp.values, 8),
+                               atol=2e-8)
+    exp_n = df.dropna(subset=["v"]).groupby("k").size()
+    assert got["n"].tolist() == exp_n.tolist()
+
+    # block invariance: different partitioning, identical output
+    got2 = (grouped_gini(rd.from_pandas(df).repartition(2), "k", "v")
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2)
