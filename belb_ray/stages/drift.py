@@ -190,3 +190,79 @@ def ks_drift(
 
     return both.repartition(1).map_batches(_finish, batch_size=None,
                                            batch_format="pandas")
+
+
+def _token_counts(ds: rd.Dataset, text_col: str,
+                  num_buckets: int) -> rd.Dataset:
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(batch[text_col].combine_chunks(), " "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pa.table({"tok": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    partials = ds.select_columns([text_col]).map_batches(
+        _partial, batch_format="pyarrow")
+    return bucketed_combine(partials, ["tok"], {"n": "sum"}, num_buckets)
+
+
+def js_divergence(
+    ref: rd.Dataset,
+    cand: rd.Dataset,
+    text_col: str,
+    round_to: int = 8,
+    num_buckets: int = 16,
+) -> rd.Dataset:
+    """Jensen–Shannon divergence between the whitespace-token unigram
+    distributions of two corpora → one row per token present on EITHER
+    side: (tok, p_ref, p_cand, jsd_contrib); Σ jsd_contrib is the JSD
+    (symmetric, bounded by ln 2 — the corpus-level drift companion to
+    the value-histogram ``psi_drift``, e.g. did this crawl batch's
+    vocabulary shift?).
+
+    contrib = ½·p·ln(p/m) + ½·q·ln(q/m) with m = (p+q)/2 and 0·ln 0 = 0
+    — no eps clamp needed since m > 0 wherever either side is present;
+    identical arithmetic to the SQL mirror.
+
+    Distributed shape: each side reduces to a (token, count) table with
+    a per-batch Arrow ``value_counts`` combiner and ONE bucketed
+    combine — rows never shuffle, the exchange is vocabulary-bounded.
+    The join + finish run in one vocabulary-sized task."""
+    ha = _token_counts(ref, text_col, num_buckets)
+    hb = _token_counts(cand, text_col, num_buckets)
+
+    def _tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "tok": t["tok"], "n": t["n"],
+                "__side": pa.array(np.full(t.num_rows, side, np.int8))})
+
+        return fn
+
+    both = (ha.map_batches(_tag(0), batch_format="pyarrow")
+            .union(hb.map_batches(_tag(1), batch_format="pyarrow")))
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["__side"] == 0]
+        b = df[df["__side"] == 1]
+        na, nb = a["n"].sum(), b["n"].sum()
+        m = a.merge(b, on="tok", how="outer", suffixes=("_a", "_b")) \
+            .fillna({"n_a": 0, "n_b": 0}).sort_values("tok")
+        p = m["n_a"].to_numpy(np.float64) / max(na, 1)
+        q = m["n_b"].to_numpy(np.float64) / max(nb, 1)
+        mid = (p + q) / 2.0
+        ps = np.where(p > 0, p, 1.0)
+        qs = np.where(q > 0, q, 1.0)
+        contrib = (0.5 * np.where(p > 0, p * np.log(ps / mid), 0.0)
+                   + 0.5 * np.where(q > 0, q * np.log(qs / mid), 0.0))
+        return pd.DataFrame({
+            "tok": m["tok"].to_numpy(),
+            "p_ref": np.round(p, round_to),
+            "p_cand": np.round(q, round_to),
+            "jsd_contrib": np.round(contrib, round_to)})
+
+    return both.repartition(1).map_batches(_finish, batch_size=None,
+                                           batch_format="pandas")
