@@ -221,3 +221,41 @@ def key_skew_profile(ds: rd.Dataset, key: str,
         "max_cnt": np.array([mx], np.int64),
         "top_share": [np.round(mx / total, 8)],
         "cv": [np.round(cv, 8)]})
+
+
+def content_checksum(ds: rd.Dataset, key: str, seed: int = 0) -> rd.Dataset:
+    """Order-independent corpus checksum → ONE row
+    (n_rows, checksum): the exact integer sum of every row's 60-bit
+    md5 draw (``sampling._md5_hash60`` recipe, so the SQL mirror is
+    ``sum(CAST('0x' || substr(md5(v || ':seed'), 1, 15) AS BIGINT))``),
+    carried as arbitrary-precision Python ints and emitted as a decimal
+    string (the sum exceeds int64 past ~16 rows; SQL compares via
+    HUGEINT → VARCHAR). Addition commutes, so the checksum is
+    independent of partitioning and row order — the cheap equality
+    certificate for export/re-import round-trips and cross-engine
+    copies (same device as the per-partition manifests of
+    ``resumable_partitioned_write``, but content-sensitive).
+
+    Distributed shape: one streaming pass; each block reduces to a
+    (count, partial-sum-as-string) row, the block-count-sized union
+    folds in one tiny task. Nothing else moves."""
+    from .sampling import _md5_hash60
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        h = _md5_hash60(batch[key].combine_chunks(), seed)
+        return pa.table({
+            "__n": pa.array([len(h)], pa.int64()),
+            "__s": pa.array([str(int(h.sum(dtype=object))
+                                 if len(h) else 0)], pa.string())})
+
+    partials = ds.select_columns([key]).map_batches(
+        _partial, batch_format="pyarrow")
+
+    def _finish(t: pa.Table) -> pa.Table:
+        n = int(pa.compute.sum(t["__n"]).as_py() or 0)
+        s = sum(int(x) for x in t["__s"].to_pylist())
+        return pa.table({"n_rows": pa.array([n], pa.int64()),
+                         "checksum": pa.array([str(s)], pa.string())})
+
+    return partials.repartition(1).map_batches(
+        _finish, batch_size=None, batch_format="pyarrow")
