@@ -3454,6 +3454,79 @@ def q_user_value_gini(sf_dir: str) -> rd.Dataset:
     return grouped_gini(ev, "user_id", "value").sort("user_id")
 
 
+def q_token_js_drift(sf_dir: str) -> rd.Dataset:
+    """Jensen–Shannon vocabulary drift (stages/drift.js_divergence)
+    between the even- and odd-doc_id halves of the corpus: each side
+    reduces to a vocabulary-bounded token-count table with an Arrow
+    value_counts combiner; the join + ½p·ln(p/m) finish run in one
+    vocabulary-sized task."""
+    from belb_ray.stages.drift import js_divergence
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def _half(parity: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return t.filter(pa.array(ids % 2 == parity))
+
+        return fn
+
+    ref = docs.map_batches(_half(0), batch_format="pyarrow")
+    cand = docs.map_batches(_half(1), batch_format="pyarrow")
+    return js_divergence(ref, cand, "text").sort("tok")
+
+
+def q_nb_lang_scores(sf_dir: str) -> rd.Dataset:
+    """Multinomial Naive Bayes posterior surface
+    (stages/classify.nb_classify): fit add-1 token likelihoods per lang
+    from the corpus itself (vocabulary×label count combiner), score
+    every doc against every label via one size-guarded likelihood
+    attach + per-doc sum combiner. Full (doc, label, log_score) output
+    — hash-comparable without argmax float-tie hazards."""
+    from belb_ray.stages.classify import nb_classify
+
+    docs = _t(sf_dir, "documents")
+    return nb_classify(docs, id_col="doc_id", text_col="text",
+                       label_col="lang").sort(["doc_id", "label"])
+
+
+def q_user_value_autocorr(sf_dir: str) -> rd.Dataset:
+    """Per-user lag-1 autocorrelation of event values — the
+    burstiness/trend signal of a user's stream. Composition: one
+    ordered_window co-location shuffle attaches lag(value), then
+    grouped_corr ships six raw moments per user (rows never shuffle
+    again); 4dp oracle compare vs LAG OVER + corr()."""
+    from belb_ray.stages.agg import grouped_corr
+    from belb_ray.stages.analytic import ordered_window
+
+    ev = _t(sf_dir, "events").select_columns(
+        ["user_id", "event_id", "ts", "value"]).map_batches(
+        lambda b: b.assign(ts_us=b["ts"].astype("int64")),
+        batch_format="pandas").drop_columns(["ts"])
+    lagged = ordered_window(ev, "user_id", ["ts_us", "event_id"],
+                            [("lag", "value", "prev_value")])
+
+    def _drop_first(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["prev_value"].notna()][
+            ["user_id", "value", "prev_value"]]
+
+    lagged = lagged.map_batches(_drop_first, batch_format="pandas")
+    out = grouped_corr(lagged, ["user_id"], "value", "prev_value",
+                       out_col="autocorr")
+    return _round_cols(out, {"autocorr": 4}).sort("user_id")
+
+
+def q_corpus_checksum(sf_dir: str) -> rd.Dataset:
+    """Order-independent content checksum of the corpus
+    (stages/corpus.content_checksum): exact arbitrary-precision sum of
+    per-row 60-bit md5 draws — one (count, partial) row per block, one
+    tiny fold; the export/re-import equality certificate."""
+    from belb_ray.stages.corpus import content_checksum
+
+    return content_checksum(_t(sf_dir, "documents"), "text", seed=0)
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -3863,6 +3936,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_skyline": q_user_skyline,
         "part_cosine_sim": q_part_cosine_sim,
         "user_value_gini": q_user_value_gini,
+        "token_js_drift": q_token_js_drift,
+        "nb_lang_scores": q_nb_lang_scores,
+        "user_value_autocorr": q_user_value_autocorr,
+        "corpus_checksum": q_corpus_checksum,
     }
 
 
@@ -6381,6 +6458,74 @@ def oracle_sql() -> dict[str, str]:
                          / (count(*) * sum(value))
                          - (count(*) + 1.0) / count(*), 8) AS gini
             FROM r GROUP BY user_id ORDER BY user_id
+        """,
+        "token_js_drift": """
+            WITH ta AS (SELECT unnest(string_split(text, ' ')) AS tok
+                        FROM documents WHERE doc_id % 2 = 0),
+            tb AS (SELECT unnest(string_split(text, ' ')) AS tok
+                   FROM documents WHERE doc_id % 2 = 1),
+            a AS (SELECT tok, count(*) AS n FROM ta
+                  WHERE tok <> '' GROUP BY 1),
+            b AS (SELECT tok, count(*) AS n FROM tb
+                  WHERE tok <> '' GROUP BY 1),
+            m AS (SELECT COALESCE(a.tok, b.tok) AS tok,
+                         CAST(COALESCE(a.n, 0) AS DOUBLE)
+                             / (SELECT sum(n) FROM a) AS p,
+                         CAST(COALESCE(b.n, 0) AS DOUBLE)
+                             / (SELECT sum(n) FROM b) AS q
+                  FROM a FULL OUTER JOIN b ON a.tok = b.tok)
+            SELECT tok, round(p, 8) AS p_ref, round(q, 8) AS p_cand,
+                   round(0.5 * (CASE WHEN p > 0
+                                THEN p * ln(p / ((p + q) / 2.0))
+                                ELSE 0 END)
+                       + 0.5 * (CASE WHEN q > 0
+                                THEN q * ln(q / ((p + q) / 2.0))
+                                ELSE 0 END), 8) AS jsd_contrib
+            FROM m ORDER BY tok
+        """,
+        "nb_lang_scores": """
+            WITH toks AS (SELECT doc_id,
+                                 unnest(string_split(text, ' ')) AS tok
+                          FROM documents),
+            tk AS (SELECT * FROM toks WHERE tok <> ''),
+            cnt AS (SELECT d.lang AS label, t.tok, count(*) AS c
+                    FROM tk t JOIN documents d USING (doc_id)
+                    GROUP BY 1, 2),
+            lab AS (SELECT lang AS label, count(*) AS n_docs
+                    FROM documents GROUP BY 1),
+            tot AS (SELECT label, sum(c) AS total FROM cnt GROUP BY 1),
+            v AS (SELECT count(DISTINCT tok) AS v FROM tk)
+            SELECT t.doc_id, l.label,
+                   round(ln(CAST(l.n_docs AS DOUBLE)
+                            / (SELECT sum(n_docs) FROM lab))
+                         + sum(ln((CAST(COALESCE(c.c, 0) AS DOUBLE) + 1.0)
+                                  / (CAST(tt.total AS DOUBLE)
+                                     + 1.0 * (SELECT v FROM v)))),
+                         6) AS log_score
+            FROM tk t
+            CROSS JOIN lab l
+            JOIN tot tt ON tt.label = l.label
+            LEFT JOIN cnt c ON c.label = l.label AND c.tok = t.tok
+            GROUP BY t.doc_id, l.label, l.n_docs, tt.total
+            ORDER BY t.doc_id, l.label
+        """,
+        "user_value_autocorr": """
+            WITH l AS (SELECT user_id, value,
+                              lag(value) OVER (PARTITION BY user_id
+                                               ORDER BY epoch_us(ts),
+                                                        event_id)
+                                  AS prev_value
+                       FROM events)
+            SELECT user_id, round(corr(value, prev_value), 4) AS autocorr
+            FROM l WHERE prev_value IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
+        """,
+        "corpus_checksum": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(CAST('0x' || substr(md5(text || ':0'),
+                                                     1, 15) AS BIGINT)
+                                 AS HUGEINT)) AS VARCHAR) AS checksum
+            FROM documents
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

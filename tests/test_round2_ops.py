@@ -2783,3 +2783,109 @@ def test_grouped_gini_matches_bruteforce():
     got2 = (grouped_gini(rd.from_pandas(df).repartition(2), "k", "v")
             .to_pandas().sort_values("k").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_js_divergence_matches_bruteforce():
+    from collections import Counter
+
+    from belb_ray.stages.drift import js_divergence
+
+    ra = pd.DataFrame({"text": ["a b b c", "c c d", "a a"]})
+    rb = pd.DataFrame({"text": ["b b e", "e e a", ""]})
+    got = (js_divergence(rd.from_pandas(ra).repartition(2),
+                         rd.from_pandas(rb).repartition(2), "text")
+           .to_pandas().sort_values("tok").reset_index(drop=True))
+
+    ca = Counter(" ".join(ra["text"]).split())
+    cb = Counter(" ".join(rb["text"]).split())
+    na, nb = sum(ca.values()), sum(cb.values())
+    toks = sorted(set(ca) | set(cb))
+    total = 0.0
+    for i, t in enumerate(toks):
+        p, q = ca.get(t, 0) / na, cb.get(t, 0) / nb
+        m = (p + q) / 2
+        c = (0.5 * (p * np.log(p / m) if p else 0.0)
+             + 0.5 * (q * np.log(q / m) if q else 0.0))
+        total += c
+        assert got.loc[i, "tok"] == t
+        np.testing.assert_allclose(got.loc[i, "jsd_contrib"], c, atol=1e-8)
+        np.testing.assert_allclose(got.loc[i, "p_ref"], p, atol=1e-8)
+    # JSD is bounded by ln 2 and strictly positive for differing dists
+    assert 0 < total < np.log(2)
+
+    # identical corpora → zero divergence on every token
+    same = js_divergence(rd.from_pandas(ra), rd.from_pandas(ra),
+                         "text").to_pandas()
+    assert (same["jsd_contrib"] == 0).all()
+
+
+def test_nb_classify_matches_bruteforce():
+    from collections import Counter
+
+    from belb_ray.stages.classify import nb_classify
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["cat dog cat", "dog dog bone", "fish gill fin",
+                 "fin fish fish", "cat fish"],
+        "lang": ["pet", "pet", "sea", "sea", "pet"],
+    })
+    got = (nb_classify(rd.from_pandas(docs).repartition(3))
+           .to_pandas().sort_values(["doc_id", "label"])
+           .reset_index(drop=True))
+
+    # independent single-process NB
+    toks = {r.doc_id: r.text.split() for r in docs.itertuples()}
+    cnt = {}
+    for r in docs.itertuples():
+        cnt.setdefault(r.lang, Counter()).update(r.text.split())
+    vocab = {t for c in cnt.values() for t in c}
+    v = len(vocab)
+    n_docs = Counter(docs["lang"])
+    rows = []
+    for did in sorted(toks):
+        for lab in sorted(cnt):
+            tot = sum(cnt[lab].values())
+            s = np.log(n_docs[lab] / len(docs))
+            for t in toks[did]:
+                s += np.log((cnt[lab][t] + 1.0) / (tot + v))
+            rows.append((did, lab, round(s, 6)))
+    exp = pd.DataFrame(rows, columns=["doc_id", "label", "log_score"])
+    pd.testing.assert_frame_equal(got, exp)
+
+    # sanity: each doc's best label is its true one on this separable set
+    best = got.loc[got.groupby("doc_id")["log_score"].idxmax()]
+    assert best.set_index("doc_id")["label"].to_dict() == \
+        dict(zip(docs["doc_id"], docs["lang"]))
+
+    # hash-join fallback path produces identical scores
+    got2 = (nb_classify(rd.from_pandas(docs).repartition(3),
+                        broadcast_threshold=2)
+            .to_pandas().sort_values(["doc_id", "label"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got2, exp)
+
+
+def test_content_checksum_order_independent_and_exact():
+    import hashlib
+
+    from belb_ray.stages.corpus import content_checksum
+
+    df = pd.DataFrame({"t": [f"row {i} payload" for i in range(300)]})
+    got = content_checksum(rd.from_pandas(df).repartition(5), "t").to_pandas()
+    exp = sum(int(hashlib.md5(f"{v}:0".encode()).hexdigest()[:15], 16)
+              for v in df["t"])
+    assert got["n_rows"].iloc[0] == 300
+    assert int(got["checksum"].iloc[0]) == exp
+    assert exp > 2**63  # genuinely beyond int64 — the string carry matters
+
+    # partitioning/order independence
+    shuf = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    got2 = content_checksum(rd.from_pandas(shuf).repartition(2), "t").to_pandas()
+    assert got2["checksum"].iloc[0] == got["checksum"].iloc[0]
+
+    # sensitivity: any single-row change moves the checksum
+    df2 = df.copy()
+    df2.loc[7, "t"] = "row 7 payloadX"
+    got3 = content_checksum(rd.from_pandas(df2), "t").to_pandas()
+    assert got3["checksum"].iloc[0] != got["checksum"].iloc[0]
