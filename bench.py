@@ -208,6 +208,12 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "cross_corpus_contamination",
         "resumable_export",
         "dedup_threshold_sweep",  # exercises the heavy-token split path
+        # session-7 additions
+        "user_value_gini",
+        "token_js_drift",
+        "nb_lang_scores",
+        "user_value_autocorr",
+        "corpus_checksum",
         # part_k_core and fs_linkage_weights are oracle-checked but
         # excluded here: their fixpoint/EM rounds are iteration-count-
         # dominated at sf0.1 and would eat the min-of-2 budget.
