@@ -3527,6 +3527,82 @@ def q_corpus_checksum(sf_dir: str) -> rd.Dataset:
     return content_checksum(_t(sf_dir, "documents"), "text", seed=0)
 
 
+def q_label_silhouette(sf_dir: str) -> rd.Dataset:
+    """Simplified-silhouette clustering audit per embedding label
+    (stages/vector.simplified_silhouette): unrounded label centroids
+    broadcast once, per-batch vectorized Euclidean distances,
+    per-label (Σs, n) combiner — the no-all-pairs cluster-quality
+    check. Oracle mirrors a/b/max arithmetic over the centroid CTE."""
+    from belb_ray.stages.vector import simplified_silhouette
+
+    emb = _t(sf_dir, "embeddings").select_columns(["label", "embedding"])
+    return simplified_silhouette(emb, "label", "embedding",
+                                 dim=64).sort("label")
+
+
+def q_ivf_recall(sf_dir: str) -> rd.Dataset:
+    """ANN quality gate (composition): per-query recall@5 of the IVF
+    approximate index vs the exact brute-force cosine top-k — both
+    sides computed distributed, membership intersected with one
+    (query, neighbor) combiner (side-tag sum: 3 = present in both),
+    then a per-query hit count. The index-vs-truth evaluation every
+    ANN deployment needs; oracle joins the exact-SQL top-k against the
+    pinned IVF golden."""
+    import pyarrow.parquet as pq
+
+    from belb_ray.stages.agg import preagg_groupby
+    from belb_ray.stages.ann import cosine_topk_search, ivf_topk
+
+    emb = pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    queries = emb.filter(pa.compute.less(emb["vec_id"], pa.scalar(16)))
+    corpus = _t(sf_dir, "embeddings")
+    ex = cosine_topk_search(corpus, queries, k=5)
+    ap = ivf_topk(corpus, queries, k=5)
+
+    def _tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "query_id": t["query_id"],
+                "neighbor_id": t["neighbor_id"],
+                "__side": pa.array(
+                    np.full(t.num_rows, side, np.int64))})
+
+        return fn
+
+    both = (ex.map_batches(_tag(1), batch_format="pyarrow")
+            .union(ap.map_batches(_tag(2), batch_format="pyarrow")))
+    per_pair = preagg_groupby(both, ["query_id", "neighbor_id"],
+                              [("sum", "__side", "t")])
+
+    def _hit(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "query_id": b["query_id"],
+            "__hit": (b["t"] == 3).astype(np.int64)})
+
+    hits = preagg_groupby(per_pair.map_batches(_hit, batch_format="pandas"),
+                          ["query_id"], [("sum", "__hit", "hits")])
+
+    def _recall(b: pd.DataFrame) -> pd.DataFrame:
+        b["recall"] = np.round(b["hits"].to_numpy(np.float64) / 5.0, 6)
+        return b
+
+    return hits.map_batches(_recall, batch_format="pandas") \
+        .sort("query_id")
+
+
+def q_kcenter_sample(sf_dir: str) -> rd.Dataset:
+    """Greedy k-center diversity sample over the embedding corpus
+    (stages/vector.kcenter_sample): k streaming min-distance update
+    passes, ≤1 candidate row per block per round — the coreset /
+    diverse-subset selection step of embedding-curated training data.
+    Oracle = pinned golden from the independent single-process greedy
+    implementation of the same determinism spec."""
+    from belb_ray.stages.vector import kcenter_sample
+
+    emb = _t(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    return kcenter_sample(emb, "vec_id", "embedding", dim=64, k=8)
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -3940,6 +4016,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_scores": q_nb_lang_scores,
         "user_value_autocorr": q_user_value_autocorr,
         "corpus_checksum": q_corpus_checksum,
+        "label_silhouette": q_label_silhouette,
+        "ivf_recall": q_ivf_recall,
+        "kcenter_sample": q_kcenter_sample,
     }
 
 
@@ -6527,6 +6606,51 @@ def oracle_sql() -> dict[str, str]:
                                  AS HUGEINT)) AS VARCHAR) AS checksum
             FROM documents
         """,
+        "label_silhouette": """
+            WITH m AS (
+                SELECT label AS cand, s.i AS i,
+                       avg(CAST(embedding[s.i] AS DOUBLE)) AS mu
+                FROM embeddings, generate_series(1, 64) AS s(i)
+                GROUP BY label, s.i),
+            d AS (
+                SELECT e.vec_id, e.label, m.cand,
+                       sqrt(sum((CAST(e.embedding[m.i] AS DOUBLE) - m.mu)
+                                * (CAST(e.embedding[m.i] AS DOUBLE)
+                                   - m.mu))) AS dist
+                FROM embeddings e, m
+                GROUP BY e.vec_id, e.label, m.cand),
+            ab AS (
+                SELECT vec_id, label,
+                       min(CASE WHEN cand = label THEN dist END) AS a,
+                       min(CASE WHEN cand <> label THEN dist END) AS b
+                FROM d GROUP BY vec_id, label)
+            SELECT label, CAST(count(*) AS BIGINT) AS n,
+                   round(avg(CASE WHEN greatest(a, b) > 0
+                             THEN (b - a) / greatest(a, b)
+                             ELSE 0 END), 6) AS silhouette
+            FROM ab GROUP BY label ORDER BY label
+        """,
+        "ivf_recall": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 16),
+            s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(q.qe, e.embedding) AS sim
+                  FROM q CROSS JOIN embeddings e
+                  WHERE e.vec_id <> q.query_id),
+            r AS (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY sim DESC, neighbor_id)
+                             AS rank
+                  FROM s),
+            ex AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 5),
+            ap AS (SELECT query_id, neighbor_id FROM read_parquet(
+                       '{_GOLDEN_DIR}/ivf_ann_topk.sf0.01.parquet'))
+            SELECT ex.query_id,
+                   CAST(count(ap.neighbor_id) AS BIGINT) AS hits,
+                   round(count(ap.neighbor_id) / 5.0, 6) AS recall
+            FROM ex LEFT JOIN ap USING (query_id, neighbor_id)
+            GROUP BY ex.query_id ORDER BY ex.query_id
+        """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py
         # over the driver's fixed sf0.01 inputs / seeded fixture
@@ -6545,7 +6669,8 @@ def oracle_sql() -> dict[str, str]:
                         "bpe_merges", "bpe_tokens", "pq_ann_topk",
                         "part_k_core", "part_components",
                         "jl_projection", "fs_linkage_weights",
-                        "name_one2one_match", "kmeans_clusters")},
+                        "name_one2one_match", "kmeans_clusters",
+                        "kcenter_sample")},
     }
     # the shuffle-path contamination op is held to the IDENTICAL SQL
     # text as the broadcast path — same contract, different engine path

@@ -245,3 +245,186 @@ def kmeans_lloyd(ds: rd.Dataset, k: int = 8, n_iters: int = 5,
                          "cluster": pa.array(a, pa.int64())})
 
     return qds.map_batches(_final, batch_format="pyarrow")
+
+
+def simplified_silhouette(
+    ds: rd.Dataset,
+    label_col: str,
+    vec_col: str,
+    dim: int,
+    round_to: int = 6,
+    num_buckets: int = 16,
+) -> rd.Dataset:
+    """Simplified (centroid-based) silhouette per label → one row per
+    label: (label, n, silhouette) — the standard clustering-quality
+    audit at corpus scale, where the classic silhouette's all-pairs
+    distances are replaced by distances to cluster centroids
+    (a = distance to own centroid, b = min distance to any OTHER
+    centroid, s = (b − a)/max(a, b), 0 when both are 0; silhouette is
+    the per-label mean of s, rounded to ``round_to``). Validates a
+    kmeans/label assignment without O(n²) work.
+
+    Distributed shape: UNROUNDED centroids come from
+    ``grouped_vector_mean``'s fixed-width combiner (label-count-sized),
+    broadcast ONCE; each batch computes its (rows × labels) Euclidean
+    distance matrix with one numpy broadcast; per-label (Σs, n)
+    partials reduce with one bucketed combine. Rows never shuffle."""
+    import ray
+
+    from ..util import cached_get
+    from .joins import collect_arrow
+
+    wide = grouped_vector_mean(ds, label_col, vec_col, dim,
+                               round_to=None, num_buckets=num_buckets,
+                               long_form=False)
+    cent = collect_arrow(wide).to_pandas().sort_values(label_col)
+    labels = cent[label_col].to_numpy()
+    mu = np.stack(cent["mean"].to_numpy())
+    ref = ray.put((labels.copy(), np.ascontiguousarray(mu)))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        labs, mu_ = cached_get(ref)
+        x = list_column_matrix(batch[vec_col]).astype(np.float64)
+        lab = batch[label_col].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = np.sqrt(((x[:, None, :] - mu_[None, :, :]) ** 2).sum(axis=2))
+        own = np.searchsorted(labs, lab)
+        if len(own) and not np.array_equal(labs[own], lab):
+            raise KeyError("simplified_silhouette: row label missing "
+                           "from the centroid table")
+        rows = np.arange(len(x))
+        a = d[rows, own]
+        d[rows, own] = np.inf
+        b = d.min(axis=1) if d.shape[1] > 1 else np.zeros(len(x))
+        mx = np.maximum(a, b)
+        s = np.where(mx > 0, (b - a) / np.where(mx > 0, mx, 1.0), 0.0)
+        srt = np.argsort(lab, kind="stable")
+        lab_s, s_s = lab[srt], s[srt]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(lab_s[1:] != lab_s[:-1]) + 1)) \
+            if len(lab_s) else np.array([], np.int64)
+        sums = np.add.reduceat(s_s, starts) if len(s_s) else \
+            np.array([], np.float64)
+        counts = np.diff(np.concatenate((starts, [len(lab_s)]))) \
+            if len(lab_s) else np.array([], np.int64)
+        return pa.table({label_col: pa.array(lab_s[starts]),
+                         "__s": pa.array(sums, pa.float64()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    from .agg import bucketed_combine
+
+    partials = ds.select_columns([label_col, vec_col]).map_batches(
+        _partial, batch_format="pyarrow")
+    combined = bucketed_combine(partials, [label_col],
+                                {"__s": "sum", "n": "sum"}, num_buckets)
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            label_col: df[label_col],
+            "n": df["n"].astype(np.int64),
+            "silhouette": np.round(
+                df["__s"].to_numpy(np.float64)
+                / df["n"].to_numpy(np.float64), round_to)})
+
+    return combined.map_batches(_finish, batch_format="pandas")
+
+
+def kcenter_sample(
+    ds: rd.Dataset,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    round_to: int = 6,
+    num_buckets: int = 16,
+) -> rd.Dataset:
+    """Greedy k-center (farthest-point-first) diversity sample →
+    (sel_rank [0-based], id, dist): the classic coreset / diverse-subset
+    seed for training-data selection and kmeans++-style initialization.
+    Deterministic spec (the golden oracle implements the same): distances
+    are squared L2 in float64; center 0 is the minimum-id row; each round
+    picks the row maximizing its distance to the nearest chosen center,
+    exact-double ties → smaller id; already-chosen ids are excluded;
+    ``dist`` is the selected row's min-distance at selection time
+    (0 for rank 0), rounded to ``round_to``.
+
+    Distributed shape: the per-row min-distance column is UPDATED
+    against only the newest center each round (one streaming
+    ``map_batches`` + materialize), so the total work is k passes over
+    the data — never k×n² and never a shuffle. Each round's global
+    argmax reduces to ≤1 candidate row per block (id, vec, dist — a
+    block-count-sized collect). k is small by design (a seed/coreset
+    size); the k materialize barriers are the cost of the sequential
+    dependence inherent to greedy k-center."""
+    from .joins import collect_arrow
+
+    def _init(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col], vec_col: t[vec_col],
+            "__md": pa.array(np.full(t.num_rows, np.inf, np.float64))})
+
+    state = ds.select_columns([id_col, vec_col]).map_batches(
+        _init, batch_format="pyarrow")
+
+    def _minid_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select([id_col, vec_col])
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        j = int(np.argmin(ids))
+        return t.select([id_col, vec_col]).slice(j, 1)
+
+    first = collect_arrow(state.map_batches(
+        _minid_partial, batch_format="pyarrow")).to_pandas() \
+        .sort_values(id_col)
+    cid = first[id_col].iloc[0]
+    cvec = np.asarray(first[vec_col].iloc[0], np.float64)
+    chosen_ids = [cid]
+    chosen_dist = [0.0]
+
+    for r in range(1, k):
+        def _update(t: pa.Table, c=cvec) -> pa.Table:
+            from .ann import list_column_matrix
+            x = list_column_matrix(t[vec_col]).astype(np.float64)
+            d = ((x - c[None, :]) ** 2).sum(axis=1) if len(x) else \
+                np.array([], np.float64)
+            md = np.minimum(
+                t["__md"].combine_chunks().to_numpy(zero_copy_only=False),
+                d)
+            return pa.table({id_col: t[id_col], vec_col: t[vec_col],
+                             "__md": pa.array(md)})
+
+        state = state.map_batches(_update,
+                                  batch_format="pyarrow").materialize()
+
+        def _argmax_partial(t: pa.Table,
+                            excl=frozenset(chosen_ids)) -> pa.Table:
+            ids = t[id_col].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            keep = ~np.isin(ids, np.fromiter(excl, ids.dtype, len(excl)))
+            if not keep.any():
+                return t.slice(0, 0)
+            sub = t.filter(pa.array(keep))
+            md = sub["__md"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            sid = sub[id_col].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            # block argmax, exact-double ties → smaller id
+            best = np.lexsort((sid, -md))[0]
+            return sub.slice(int(best), 1)
+
+        cand = collect_arrow(state.map_batches(
+            _argmax_partial, batch_format="pyarrow")).to_pandas()
+        if not len(cand):
+            break
+        cand = cand.sort_values(["__md", id_col],
+                                ascending=[False, True])
+        row = cand.iloc[0]
+        chosen_ids.append(row[id_col])
+        chosen_dist.append(float(row["__md"]))
+        cvec = np.asarray(row[vec_col], np.float64)
+
+    out = pa.table({
+        "sel_rank": pa.array(np.arange(len(chosen_ids), dtype=np.int64)),
+        id_col: pa.array(chosen_ids, pa.int64()),
+        "dist": pa.array(np.round(np.asarray(chosen_dist), round_to))})
+    return rd.from_arrow(out)

@@ -2889,3 +2889,81 @@ def test_content_checksum_order_independent_and_exact():
     df2.loc[7, "t"] = "row 7 payloadX"
     got3 = content_checksum(rd.from_pandas(df2), "t").to_pandas()
     assert got3["checksum"].iloc[0] != got["checksum"].iloc[0]
+
+
+def test_simplified_silhouette_matches_bruteforce():
+    from belb_ray.stages.vector import simplified_silhouette
+
+    rng = np.random.default_rng(91)
+    # three well-separated blobs + one noisy label
+    centers = np.array([[0.0] * 8, [10.0] * 8, [-10.0] * 8, [0.5] * 8])
+    lab = rng.integers(0, 4, 400).astype(np.int32)
+    X = centers[lab] + rng.normal(0, 1.0, (400, 8))
+    df = pd.DataFrame({"label": lab,
+                       "embedding": [r.astype(np.float32) for r in X]})
+    tbl = pa.table({"label": pa.array(lab, pa.int32()),
+                    "embedding": pa.array(
+                        [r.astype(np.float32).tolist() for r in X],
+                        pa.list_(pa.float32()))})
+
+    got = (simplified_silhouette(rd.from_arrow(tbl).repartition(5),
+                                 "label", "embedding", dim=8)
+           .to_pandas().sort_values("label").reset_index(drop=True))
+
+    Xf = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    mu = np.stack([Xf[lab == l_].mean(axis=0) for l_ in range(4)])
+    d = np.sqrt(((Xf[:, None, :] - mu[None]) ** 2).sum(axis=2))
+    a = d[np.arange(len(Xf)), lab]
+    d[np.arange(len(Xf)), lab] = np.inf
+    b = d.min(axis=1)
+    s = np.where(np.maximum(a, b) > 0, (b - a) / np.maximum(a, b), 0.0)
+    for l_ in range(4):
+        np.testing.assert_allclose(got.loc[l_, "silhouette"],
+                                   round(s[lab == l_].mean(), 6),
+                                   atol=2e-6)
+        assert got.loc[l_, "n"] == (lab == l_).sum()
+    # tight blobs score near 1; the overlapping pair (0 vs 3) scores low
+    assert got.loc[1, "silhouette"] > 0.8
+    assert got.loc[0, "silhouette"] < 0.5
+
+
+def test_kcenter_sample_matches_bruteforce_and_block_invariant():
+    from belb_ray.stages.vector import kcenter_sample
+
+    rng = np.random.default_rng(17)
+    n, d = 200, 6
+    X = rng.normal(0, 1, (n, d)).astype(np.float32)
+    X[50] = 40.0   # planted far point: must be picked at rank 1
+    X[51] = -40.0  # second-farthest extreme
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array([r.tolist() for r in X],
+                                          pa.list_(pa.float32()))})
+
+    got = (kcenter_sample(rd.from_arrow(tbl).repartition(5), "vec_id",
+                          "embedding", dim=d, k=6).to_pandas())
+
+    # independent greedy reference
+    xf = X.astype(np.float64)
+    j = int(np.argmin(ids))
+    sel, chosen = [int(ids[j])], {int(ids[j])}
+    md = np.full(n, np.inf)
+    cur = xf[j]
+    for _ in range(5):
+        md = np.minimum(md, ((xf - cur) ** 2).sum(axis=1))
+        mm = md.copy()
+        mm[np.isin(ids, list(chosen))] = -np.inf
+        cands = np.flatnonzero(mm == mm.max())
+        j = int(cands[np.argmin(ids[cands])])
+        sel.append(int(ids[j]))
+        chosen.add(int(ids[j]))
+        cur = xf[j]
+    assert got["vec_id"].tolist() == sel
+    assert got["vec_id"].tolist()[1] in (150, 151)
+    assert {150, 151} <= set(got["vec_id"])  # both extremes chosen early
+    assert (np.diff(got["dist"].to_numpy()[1:]) <= 1e-9).all()  # non-increasing
+
+    # block invariance
+    got2 = (kcenter_sample(rd.from_arrow(tbl).repartition(2), "vec_id",
+                           "embedding", dim=d, k=6).to_pandas())
+    pd.testing.assert_frame_equal(got, got2)

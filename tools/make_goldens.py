@@ -799,6 +799,35 @@ def golden_kmeans_clusters(sf_dir: str, k: int = 8,
                      "cluster": pa.array(a.astype(np.int64), pa.int64())})
 
 
+def golden_kcenter_sample(sf_dir: str, k: int = 8) -> pa.Table:
+    """Independent single-process greedy k-center with the same
+    determinism spec as stages/vector.kcenter_sample: squared-L2
+    float64 distances, min-id start, exact-double max ties -> smaller
+    id, chosen ids excluded."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    x = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    j = int(np.argmin(ids))
+    sel, dist, chosen = [int(ids[j])], [0.0], {int(ids[j])}
+    cur = x[j]
+    md = np.full(len(ids), np.inf)
+    for _ in range(1, k):
+        md = np.minimum(md, ((x - cur) ** 2).sum(axis=1))
+        mm = md.copy()
+        mm[np.isin(ids, list(chosen))] = -np.inf
+        cands = np.flatnonzero(mm == mm.max())
+        j = int(cands[np.argmin(ids[cands])])
+        sel.append(int(ids[j]))
+        dist.append(float(md[j]))
+        chosen.add(int(ids[j]))
+        cur = x[j]
+    return pa.table({
+        "sel_rank": pa.array(np.arange(len(sel), dtype=np.int64)),
+        "vec_id": pa.array(sel, pa.int64()),
+        "dist": pa.array(np.round(np.asarray(dist), 6))})
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -829,6 +858,7 @@ def main() -> None:
         "fs_linkage_weights": golden_fs_linkage_weights(args.sf_dir),
         "name_one2one_match": golden_one2one_match(args.sf_dir),
         "kmeans_clusters": golden_kmeans_clusters(args.sf_dir),
+        "kcenter_sample": golden_kcenter_sample(args.sf_dir),
     }
     for name, tbl in tables.items():
         path = os.path.join(GOLDEN_DIR, f"{name}.{sf_tag}.parquet")
