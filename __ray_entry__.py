@@ -3603,6 +3603,53 @@ def q_kcenter_sample(sf_dir: str) -> rd.Dataset:
     return kcenter_sample(emb, "vec_id", "embedding", dim=64, k=8)
 
 
+def q_lang_source_mi(sf_dir: str) -> rd.Dataset:
+    """Mutual information between document language and source
+    (stages/drift.mutual_information): one pair-count combiner pass,
+    cell-sized finish — Σ mi_contrib is I(lang; source) in nats."""
+    from belb_ray.stages.drift import mutual_information
+
+    return mutual_information(_t(sf_dir, "documents"), "lang",
+                              "source").sort(["lang", "source"])
+
+
+def q_mixture_plan(sf_dir: str) -> rd.Dataset:
+    """Temperature-rebalanced mixture plan over document sources
+    (stages/corpus.mixture_plan, α=0.5): per-source counts via one
+    combiner, target shares ∝ n^α, downsampling-only rates with the
+    rarest-boosted source pinned at 1.0."""
+    from belb_ray.stages.corpus import mixture_plan
+
+    return mixture_plan(_t(sf_dir, "documents"), "source", alpha=0.5)
+
+
+def q_linkage_negatives(sf_dir: str) -> rd.Dataset:
+    """Hard-negative pair mining for linkage-model training
+    (composition): sorted-neighborhood candidates over customer names
+    (near in sort order) MINUS the true edit-distance-≤1 matches — the
+    distributed EXCEPT over canonicalized pairs. The training-data
+    generation step of learned entity resolution."""
+    from belb_ray.stages.linkage import (edit_distance_self_join,
+                                         sorted_neighborhood_pairs)
+    from belb_ray.stages.setops import set_except
+
+    cust = _t(sf_dir, "customer").select_columns(["c_custkey", "c_name"])
+    snm = sorted_neighborhood_pairs(cust, "c_custkey", "c_name",
+                                    window=4)
+    matches = edit_distance_self_join(cust, "c_custkey", "c_name", k=1)
+
+    def _canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["id_a"].to_numpy()
+        c = b["id_b"].to_numpy()
+        return pd.DataFrame({"id_a": np.minimum(a, c),
+                             "id_b": np.maximum(a, c)})
+
+    return set_except(
+        snm.map_batches(_canon, batch_format="pandas"),
+        matches.map_batches(_canon, batch_format="pandas"),
+        ["id_a", "id_b"]).sort(["id_a", "id_b"])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -4019,6 +4066,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_silhouette": q_label_silhouette,
         "ivf_recall": q_ivf_recall,
         "kcenter_sample": q_kcenter_sample,
+        "lang_source_mi": q_lang_source_mi,
+        "mixture_plan": q_mixture_plan,
+        "linkage_negatives": q_linkage_negatives,
     }
 
 
@@ -6650,6 +6700,57 @@ def oracle_sql() -> dict[str, str]:
                    round(count(ap.neighbor_id) / 5.0, 6) AS recall
             FROM ex LEFT JOIN ap USING (query_id, neighbor_id)
             GROUP BY ex.query_id ORDER BY ex.query_id
+        """,
+        "lang_source_mi": """
+            WITH c AS (SELECT lang, source, count(*) AS observed
+                       FROM documents GROUP BY 1, 2),
+            ra AS (SELECT lang, sum(observed) AS rt FROM c GROUP BY 1),
+            cb AS (SELECT source, sum(observed) AS ct FROM c GROUP BY 1),
+            t AS (SELECT CAST(sum(observed) AS DOUBLE) AS n FROM c)
+            SELECT c.lang, c.source, c.observed,
+                   round((CAST(c.observed AS DOUBLE) / (SELECT n FROM t))
+                         * ln((CAST(c.observed AS DOUBLE)
+                               / (SELECT n FROM t))
+                              / ((CAST(ra.rt AS DOUBLE)
+                                  / (SELECT n FROM t))
+                                 * (CAST(cb.ct AS DOUBLE)
+                                    / (SELECT n FROM t)))), 8)
+                       AS mi_contrib
+            FROM c JOIN ra USING (lang) JOIN cb USING (source)
+            ORDER BY lang, source
+        """,
+        "mixture_plan": """
+            WITH c AS (SELECT source, count(*) AS n_rows
+                       FROM documents GROUP BY 1),
+            m AS (SELECT source, n_rows,
+                         CAST(n_rows AS DOUBLE)
+                             / sum(n_rows) OVER () AS share,
+                         pow(CAST(n_rows AS DOUBLE), 0.5)
+                             / sum(pow(CAST(n_rows AS DOUBLE), 0.5))
+                                   OVER () AS tgt
+                  FROM c)
+            SELECT source, n_rows, round(share, 6) AS share,
+                   round(tgt, 6) AS target_share,
+                   round((tgt / share)
+                         / max(tgt / share) OVER (), 6) AS rate
+            FROM m ORDER BY source
+        """,
+        "linkage_negatives": """
+            WITH r AS (SELECT c_custkey AS id, c_name AS nm,
+                              row_number() OVER (ORDER BY c_name,
+                                                 c_custkey) AS rn
+                       FROM customer),
+            snm AS (SELECT least(a.id, b.id) AS id_a,
+                           greatest(a.id, b.id) AS id_b
+                    FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 4),
+            m AS (SELECT c1.c_custkey AS id_a, c2.c_custkey AS id_b
+                  FROM customer c1 JOIN customer c2
+                    ON c1.c_custkey < c2.c_custkey
+                  WHERE levenshtein(c1.c_name, c2.c_name) <= 1)
+            SELECT id_a, id_b FROM snm
+            EXCEPT
+            SELECT id_a, id_b FROM m
+            ORDER BY id_a, id_b
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

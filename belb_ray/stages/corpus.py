@@ -259,3 +259,44 @@ def content_checksum(ds: rd.Dataset, key: str, seed: int = 0) -> rd.Dataset:
 
     return partials.repartition(1).map_batches(
         _finish, batch_size=None, batch_format="pyarrow")
+
+
+def mixture_plan(ds: rd.Dataset, source_col: str, alpha: float = 0.5,
+                 round_to: int = 6, num_buckets: int = 16) -> rd.Dataset:
+    """Temperature-rebalanced mixture plan → one row per source:
+    (source, n_rows, share, target_share, rate). The planning step of
+    multi-source pretraining mixtures: flatten the source distribution
+    with temperature α (target_share ∝ n^α — α = 1 keeps natural
+    proportions, α = 0 is uniform), then the per-source DOWNSAMPLING
+    rate that realizes those shares without upsampling,
+    rate_s = (target_share_s / share_s) / max_t(target_share_t /
+    share_t) — the rarest-boosted source keeps rate 1.0. Feed the rates
+    to ``mixture_sample``.
+
+    Distributed shape: one per-source count combiner (rows never
+    shuffle); the arithmetic finish runs over the source-count-sized
+    table in one tiny task; the SQL oracle mirrors it
+    expression-for-expression."""
+    from .agg import preagg_groupby
+
+    counts = preagg_groupby(ds.select_columns([source_col]),
+                            [source_col], [("count", "", "n_rows")],
+                            num_buckets)
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(source_col, kind="mergesort")
+        n = df["n_rows"].to_numpy(np.float64)
+        share = n / n.sum()
+        w = np.power(n, alpha)
+        tgt = w / w.sum()
+        boost = tgt / share
+        rate = boost / boost.max()
+        return pd.DataFrame({
+            source_col: df[source_col].to_numpy(),
+            "n_rows": df["n_rows"].to_numpy(np.int64),
+            "share": np.round(share, round_to),
+            "target_share": np.round(tgt, round_to),
+            "rate": np.round(rate, round_to)})
+
+    return counts.repartition(1).map_batches(_finish, batch_size=None,
+                                             batch_format="pandas")

@@ -266,3 +266,45 @@ def js_divergence(
 
     return both.repartition(1).map_batches(_finish, batch_size=None,
                                            batch_format="pandas")
+
+
+def mutual_information(
+    ds: rd.Dataset,
+    col_a: str,
+    col_b: str,
+    round_to: int = 8,
+    num_buckets: int = 16,
+) -> rd.Dataset:
+    """Mutual information between two categorical columns → one row per
+    observed contingency cell: (col_a, col_b, observed, mi_contrib)
+    with contrib = p_ab·ln(p_ab / (p_a·p_b)); Σ mi_contrib is I(A;B) in
+    nats (the dependence-strength companion to ``chi2_association`` —
+    e.g. how much a doc's source tells you about its language).
+    Unobserved cells contribute 0 (0·ln 0 = 0) and are not emitted.
+
+    Distributed shape: identical to ``chi2_association`` — ONE (a, b)
+    pair-count combiner pass over the rows; marginals and the finish
+    derive from the cell-sized table in one tiny vectorized task."""
+    from .agg import preagg_groupby
+
+    pairs = preagg_groupby(ds.select_columns([col_a, col_b]),
+                           [col_a, col_b], [("count", "", "observed")],
+                           num_buckets)
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([col_a, col_b], kind="mergesort")
+        n = float(df["observed"].sum())
+        pa_ = df.groupby(col_a)["observed"].transform("sum") \
+            .to_numpy(np.float64) / n
+        pb_ = df.groupby(col_b)["observed"].transform("sum") \
+            .to_numpy(np.float64) / n
+        pab = df["observed"].to_numpy(np.float64) / n
+        return pd.DataFrame({
+            col_a: df[col_a].to_numpy(),
+            col_b: df[col_b].to_numpy(),
+            "observed": df["observed"].to_numpy(np.int64),
+            "mi_contrib": np.round(pab * np.log(pab / (pa_ * pb_)),
+                                   round_to)})
+
+    return pairs.repartition(1).map_batches(_finish, batch_size=None,
+                                            batch_format="pandas")

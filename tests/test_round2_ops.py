@@ -2967,3 +2967,53 @@ def test_kcenter_sample_matches_bruteforce_and_block_invariant():
     got2 = (kcenter_sample(rd.from_arrow(tbl).repartition(2), "vec_id",
                            "embedding", dim=d, k=6).to_pandas())
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_mutual_information_matches_bruteforce():
+    from belb_ray.stages.drift import mutual_information
+
+    rng = np.random.default_rng(23)
+    a = rng.integers(0, 3, 1200)
+    b = np.where(rng.random(1200) < 0.7, a, rng.integers(0, 3, 1200))
+    df = pd.DataFrame({"a": a.astype(str), "b": b.astype(str)})
+    got = (mutual_information(rd.from_pandas(df).repartition(4), "a", "b")
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+
+    n = len(df)
+    total = 0.0
+    for _, r in got.iterrows():
+        pab = r["observed"] / n
+        pa_ = (df["a"] == r["a"]).mean()
+        pb_ = (df["b"] == r["b"]).mean()
+        c = pab * np.log(pab / (pa_ * pb_))
+        np.testing.assert_allclose(r["mi_contrib"], c, atol=1e-8)
+        total += c
+    assert total > 0.2  # strongly dependent by construction
+
+    # independent columns → MI ~ 0 (small-sample bias only)
+    df2 = pd.DataFrame({"a": a.astype(str),
+                        "b": rng.integers(0, 3, 1200).astype(str)})
+    mi2 = mutual_information(rd.from_pandas(df2), "a", "b") \
+        .to_pandas()["mi_contrib"].sum()
+    assert abs(mi2) < 0.02
+
+
+def test_mixture_plan_shares_and_rates():
+    from belb_ray.stages.corpus import mixture_plan
+
+    df = pd.DataFrame({"src": ["a"] * 800 + ["b"] * 160 + ["c"] * 40})
+    got = (mixture_plan(rd.from_pandas(df).repartition(3), "src",
+                        alpha=0.5).to_pandas()
+           .sort_values("src").reset_index(drop=True))
+    n = np.array([800.0, 160.0, 40.0])
+    w = np.sqrt(n)
+    tgt = w / w.sum()
+    boost = tgt / (n / n.sum())
+    rate = boost / boost.max()
+    np.testing.assert_allclose(got["target_share"], np.round(tgt, 6))
+    np.testing.assert_allclose(got["rate"], np.round(rate, 6))
+    # rarest source keeps everything; shares sum to 1
+    assert got.loc[2, "rate"] == 1.0
+    assert abs(got["target_share"].sum() - 1.0) < 1e-5
+    # α flattens: rare source's target share exceeds its natural share
+    assert got.loc[2, "target_share"] > got.loc[2, "share"]
