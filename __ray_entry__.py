@@ -3650,6 +3650,100 @@ def q_linkage_negatives(sf_dir: str) -> rd.Dataset:
         ["id_a", "id_b"]).sort(["id_a", "id_b"])
 
 
+def q_vocab_coverage(sf_dir: str) -> rd.Dataset:
+    """Vocabulary coverage curve (composition): what fraction of all
+    token occurrences the top-k most frequent words cover, at k ∈
+    {10, 100, 1000} — the Zipf head/tail audit behind tokenizer-vocab
+    sizing. One corpus pass (ngram_counts combiner); the cumulative
+    finish runs over the vocabulary-sized table in one task."""
+    from belb_ray.stages.corpus import ngram_counts
+
+    vocab = ngram_counts(_t(sf_dir, "documents"), n=1, top_k=None)
+
+    def _cover(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_occurrences", "gram"],
+                            ascending=[False, True], kind="mergesort")
+        c = df["n_occurrences"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        total = float(cum[-1]) if len(cum) else 0.0
+        ks = np.array([10, 100, 1000], np.int64)
+        cov = np.array([cum[min(k, len(cum)) - 1] if len(cum) else 0
+                        for k in ks], np.int64)
+        return pd.DataFrame({
+            "top_k": ks,
+            "covered_occurrences": cov,
+            "coverage": np.round(cov / total, 6) if total else 0.0})
+
+    return vocab.repartition(1).map_batches(_cover, batch_size=None,
+                                            batch_format="pandas")
+
+
+def q_negative_pairs(sf_dir: str) -> rd.Dataset:
+    """Contrastive negative-pair generation (composition): each doc
+    paired with 2 pseudo-random partners via md5-derived rank offsets —
+    partner_rank = ((rank−1) + md5(doc_id:j) mod (n−1) + 1) mod n + 1,
+    which can never hit the doc itself. global_rank's two-phase prefix
+    gives the dense positions; one hash join resolves partner ranks to
+    ids. The deterministic negative-sampling step of embedding /
+    linkage training. Oracle re-derives the identical arithmetic."""
+    from belb_ray.stages.analytic import global_rank
+    from belb_ray.stages.joins import hash_partition_join
+    from belb_ray.stages.sampling import _md5_hash60
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "n_chars"])
+    n = docs.count()
+    ranked = global_rank(docs, "n_chars", "doc_id").materialize()
+
+    def _explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        rk = t["rank"].combine_chunks().to_numpy(zero_copy_only=False)
+        out_id, out_j, out_pr = [], [], []
+        for j in (0, 1):
+            off = _md5_hash60(t["doc_id"].combine_chunks(), j) % (n - 1)
+            pr = ((rk - 1) + off + 1) % n + 1
+            out_id.append(ids)
+            out_j.append(np.full(len(ids), j, np.int64))
+            out_pr.append(pr)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_id)),
+            "j": pa.array(np.concatenate(out_j)),
+            "rank": pa.array(np.concatenate(out_pr))})
+
+    probes = ranked.map_batches(_explode, batch_format="pyarrow")
+    partners = ranked.map_batches(
+        lambda t: pa.table({"rank": t["rank"], "neg_id": t["doc_id"]}),
+        batch_format="pyarrow")
+    out = hash_partition_join(probes, partners, key="rank")
+    return out.select_columns(["doc_id", "j", "neg_id"]) \
+        .sort(["doc_id", "j"])
+
+
+def q_source_freshness(sf_dir: str) -> rd.Dataset:
+    """Ingestion-freshness report per event type (composition): first /
+    last event micro-timestamps and staleness vs the global watermark —
+    one min/max/count combiner, one tiny finish; the ops dashboard
+    behind incremental ingestion."""
+    from belb_ray.stages.agg import preagg_groupby
+
+    ev = _t(sf_dir, "events").select_columns(["event_type", "ts"]) \
+        .map_batches(lambda b: pd.DataFrame({
+            "event_type": b["event_type"],
+            "ts_us": b["ts"].astype("int64")}), batch_format="pandas")
+    per = preagg_groupby(ev, ["event_type"],
+                         [("count", "", "n_events"),
+                          ("min", "ts_us", "first_us"),
+                          ("max", "ts_us", "last_us")])
+
+    def _stale(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("event_type", kind="mergesort")
+        wm = df["last_us"].max()
+        df["staleness_s"] = (wm - df["last_us"]) // 1_000_000
+        return df
+
+    return per.repartition(1).map_batches(_stale, batch_size=None,
+                                          batch_format="pandas")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -4069,6 +4163,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_mi": q_lang_source_mi,
         "mixture_plan": q_mixture_plan,
         "linkage_negatives": q_linkage_negatives,
+        "vocab_coverage": q_vocab_coverage,
+        "negative_pairs": q_negative_pairs,
+        "source_freshness": q_source_freshness,
     }
 
 
@@ -6751,6 +6848,54 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT id_a, id_b FROM m
             ORDER BY id_a, id_b
+        """,
+        "vocab_coverage": r"""
+            WITH w AS (SELECT unnest(list_filter(
+                           regexp_split_to_array(lower(text),
+                                                 '[^a-z0-9]+'),
+                           x -> x <> '')) AS gram
+                       FROM documents),
+            c AS (SELECT gram, count(*) AS n FROM w GROUP BY 1),
+            r AS (SELECT n, row_number() OVER (ORDER BY n DESC, gram)
+                         AS rn
+                  FROM c),
+            t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+            SELECT k AS top_k,
+                   CAST(sum(n) FILTER (rn <= k) AS BIGINT)
+                       AS covered_occurrences,
+                   round(sum(n) FILTER (rn <= k) / (SELECT total FROM t),
+                         6) AS coverage
+            FROM r CROSS JOIN (SELECT unnest([10, 100, 1000]) AS k)
+            GROUP BY k ORDER BY k
+        """,
+        "negative_pairs": """
+            WITH r AS (SELECT doc_id,
+                              row_number() OVER (ORDER BY n_chars,
+                                                 doc_id) AS rank
+                       FROM documents),
+            nn AS (SELECT count(*) AS n FROM documents),
+            p AS (SELECT doc_id, j,
+                         ((rank - 1)
+                          + (CAST('0x' || substr(md5(CAST(doc_id
+                                  AS VARCHAR) || ':' || j), 1, 15)
+                              AS BIGINT) % ((SELECT n FROM nn) - 1))
+                          + 1) % (SELECT n FROM nn) + 1 AS prank
+                  FROM r CROSS JOIN (SELECT unnest([0, 1]) AS j))
+            SELECT p.doc_id, CAST(p.j AS BIGINT) AS j,
+                   r2.doc_id AS neg_id
+            FROM p JOIN r r2 ON r2.rank = p.prank
+            ORDER BY p.doc_id, p.j
+        """,
+        "source_freshness": """
+            WITH per AS (SELECT event_type,
+                                CAST(count(*) AS BIGINT) AS n_events,
+                                min(epoch_us(ts)) AS first_us,
+                                max(epoch_us(ts)) AS last_us
+                         FROM events GROUP BY 1)
+            SELECT event_type, n_events, first_us, last_us,
+                   (max(last_us) OVER () - last_us) // 1000000
+                       AS staleness_s
+            FROM per ORDER BY event_type
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

@@ -220,6 +220,9 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "lang_source_mi",
         "mixture_plan",
         "linkage_negatives",
+        "vocab_coverage",
+        "negative_pairs",
+        "source_freshness",
         # part_k_core and fs_linkage_weights are oracle-checked but
         # excluded here: their fixpoint/EM rounds are iteration-count-
         # dominated at sf0.1 and would eat the min-of-2 budget.
