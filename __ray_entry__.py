@@ -3744,6 +3744,36 @@ def q_source_freshness(sf_dir: str) -> rd.Dataset:
                                           batch_format="pandas")
 
 
+def q_exact_value_quantiles(sf_dir: str) -> rd.Dataset:
+    """EXACT global quantiles of event values WITHOUT a sort
+    (stages/analytic.global_quantile_exact): iterative 4096-bin
+    histogram refinement — O(bins) exchange per round, rows never
+    shuffle; the final exact-value selection collects only the narrowed
+    interval's distinct values. The "p99 of 10^12 rows" op."""
+    from belb_ray.stages.analytic import global_quantile_exact
+
+    ev = _t(sf_dir, "events").select_columns(["value"])
+    return global_quantile_exact(ev, "value", [0.5, 0.9, 0.99])
+
+
+def q_nation_join_size(sf_dir: str) -> rd.Dataset:
+    """Join-cardinality estimation without running the join
+    (stages/sketch.join_size_estimate): exact Σ na·nb via per-side
+    count combiners + one pairing combine, AND the count-min linear-
+    sketch estimate (min over depth of row dot products — overcounts
+    only). The planner primitive behind join-order / skew decisions,
+    over the deliberately quadratic customer ⋈ supplier nation join."""
+    from belb_ray.stages.sketch import join_size_estimate
+
+    cust = _t(sf_dir, "customer").map_batches(
+        lambda t: pa.table({"k": t["c_nationkey"]}),
+        batch_format="pyarrow")
+    supp = _t(sf_dir, "supplier").map_batches(
+        lambda t: pa.table({"k": t["s_nationkey"]}),
+        batch_format="pyarrow")
+    return join_size_estimate(cust, supp, "k")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -4166,6 +4196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": q_vocab_coverage,
         "negative_pairs": q_negative_pairs,
         "source_freshness": q_source_freshness,
+        "exact_value_quantiles": q_exact_value_quantiles,
+        "nation_join_size": q_nation_join_size,
     }
 
 
@@ -6896,6 +6928,45 @@ def oracle_sql() -> dict[str, str]:
                    (max(last_us) OVER () - last_us) // 1000000
                        AS staleness_s
             FROM per ORDER BY event_type
+        """,
+        "exact_value_quantiles": """
+            SELECT 0.5 AS q, quantile_disc(value, 0.5) AS value
+            FROM events
+            UNION ALL
+            SELECT 0.9, quantile_disc(value, 0.9) FROM events
+            UNION ALL
+            SELECT 0.99, quantile_disc(value, 0.99) FROM events
+            ORDER BY q
+        """,
+        "nation_join_size": """
+            WITH a AS (SELECT c_nationkey AS k, count(*) AS na
+                       FROM customer GROUP BY 1),
+            b AS (SELECT s_nationkey AS k, count(*) AS nb
+                  FROM supplier GROUP BY 1),
+            ds AS (SELECT unnest(range(4)) AS d),
+            ha AS (SELECT ds.d,
+                          CAST(('0x' || substr(md5(CAST(c_nationkey
+                               AS VARCHAR) || ':' || ds.d), 1, 15))
+                               AS BIGINT) % 64 AS idx
+                   FROM customer CROSS JOIN ds),
+            ca AS (SELECT d, idx, count(*) AS cnt FROM ha GROUP BY 1, 2),
+            hb AS (SELECT ds.d,
+                          CAST(('0x' || substr(md5(CAST(s_nationkey
+                               AS VARCHAR) || ':' || ds.d), 1, 15))
+                               AS BIGINT) % 64 AS idx
+                   FROM supplier CROSS JOIN ds),
+            cb AS (SELECT d, idx, count(*) AS cnt FROM hb GROUP BY 1, 2),
+            dots AS (SELECT ca.d, sum(ca.cnt * cb.cnt) AS dot
+                     FROM ca JOIN cb ON ca.d = cb.d AND ca.idx = cb.idx
+                     GROUP BY ca.d)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM customer)
+                       AS n_left,
+                   (SELECT CAST(count(*) AS BIGINT) FROM supplier)
+                       AS n_right,
+                   (SELECT CAST(sum(a.na * b.nb) AS BIGINT)
+                    FROM a JOIN b USING (k)) AS exact_pairs,
+                   (SELECT CAST(min(dot) AS BIGINT) FROM dots)
+                       AS cms_estimate
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

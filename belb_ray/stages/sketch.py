@@ -396,3 +396,82 @@ def cms_estimate(cms: rd.Dataset, probes: rd.Dataset, key_col: str,
                              "est_count": est})
 
     return probes.map_batches(_est, batch_format="pyarrow")
+
+
+def join_size_estimate(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    num_buckets: int = 16,
+) -> rd.Dataset:
+    """Inner-equi-join cardinality, exact AND sketch-estimated, WITHOUT
+    running the join → one row: (n_left, n_right, exact_pairs,
+    cms_estimate). The query-planning primitive behind join-order /
+    skew decisions: |A ⋈ B| = Σ_k cA(k)·cB(k).
+
+    Exact path: per-side per-key count combiners (key-cardinality-sized
+    tables, rows never shuffle), ONE co-location combine pairs the two
+    count columns, Σ na·nb folds in a tiny task. Sketch path: the two
+    count-min matrices are LINEAR sketches, so the join size estimate is
+    min over depth rows of the row dot product Σ_w A[d][w]·B[d][w]
+    (Alon-Matias-Szegedy style; collisions only ADD, so
+    cms_estimate ≥ exact_pairs always) — depth×width integers per side
+    regardless of key cardinality, the path that still works when even
+    the per-key count table is too big to exchange."""
+    from .agg import bucketed_combine, preagg_groupby
+
+    def _counts(ds: rd.Dataset, out: str) -> rd.Dataset:
+        c = preagg_groupby(ds.select_columns([key_col]), [key_col],
+                           [("count", "", out)], num_buckets)
+
+        def _pad(t: pa.Table, which=out) -> pa.Table:
+            z = pa.array(np.zeros(t.num_rows, np.int64))
+            cols = {key_col: t[key_col],
+                    "na": t[which] if which == "na" else z,
+                    "nb": t[which] if which == "nb" else z}
+            return pa.table(cols)
+
+        return c.map_batches(_pad, batch_format="pyarrow")
+
+    both = _counts(left, "na").union(_counts(right, "nb"))
+    paired = bucketed_combine(both, [key_col],
+                              {"na": "sum", "nb": "sum"}, num_buckets)
+
+    def _dot(t: pa.Table) -> pa.Table:
+        na = t["na"].combine_chunks().to_numpy(zero_copy_only=False)
+        nb = t["nb"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "exact_pairs": pa.array([int((na * nb).sum())], pa.int64()),
+            "n_left": pa.array([int(na.sum())], pa.int64()),
+            "n_right": pa.array([int(nb.sum())], pa.int64())})
+
+    exact = paired.map_batches(_dot,
+                               batch_format="pyarrow").repartition(1)
+
+    def _fold(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_left": [int(pa.compute.sum(t["n_left"]).as_py() or 0)],
+            "n_right": [int(pa.compute.sum(t["n_right"]).as_py() or 0)],
+            "exact_pairs": [int(pa.compute.sum(t["exact_pairs"])
+                                .as_py() or 0)]})
+
+    exact_row = exact.map_batches(_fold, batch_size=None,
+                                  batch_format="pyarrow")
+
+    # sketch path: two depth×width matrices, estimate on the driver
+    ca = cms_sketch(left, key_col, depth, width, num_buckets).to_pandas()
+    cb = cms_sketch(right, key_col, depth, width,
+                    num_buckets).to_pandas()
+    ma = np.zeros((depth, width), np.int64)
+    mb = np.zeros((depth, width), np.int64)
+    ma[ca["d"].to_numpy(), ca["idx"].to_numpy()] = ca["cnt"].to_numpy()
+    mb[cb["d"].to_numpy(), cb["idx"].to_numpy()] = cb["cnt"].to_numpy()
+    est = int(min(int((ma[d] * mb[d]).sum()) for d in range(depth)))
+
+    def _attach(df: pd.DataFrame) -> pd.DataFrame:
+        df["cms_estimate"] = np.int64(est)
+        return df
+
+    return exact_row.map_batches(_attach, batch_format="pandas")

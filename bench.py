@@ -223,6 +223,8 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "vocab_coverage",
         "negative_pairs",
         "source_freshness",
+        "exact_value_quantiles",
+        "nation_join_size",
         # part_k_core and fs_linkage_weights are oracle-checked but
         # excluded here: their fixpoint/EM rounds are iteration-count-
         # dominated at sf0.1 and would eat the min-of-2 budget.

@@ -3017,3 +3017,45 @@ def test_mixture_plan_shares_and_rates():
     assert abs(got["target_share"].sum() - 1.0) < 1e-5
     # α flattens: rare source's target share exceeds its natural share
     assert got.loc[2, "target_share"] > got.loc[2, "share"]
+
+
+def test_global_quantile_exact_matches_numpy():
+    from belb_ray.stages.analytic import global_quantile_exact
+
+    rng = np.random.default_rng(41)
+    v = np.concatenate([rng.normal(100, 30, 5000),
+                        np.full(2000, 42.5),      # heavy tie mass
+                        rng.exponential(5, 3000)])
+    df = pd.DataFrame({"value": v})
+    qs = [0.1, 0.5, 0.9, 0.99]
+    got = (global_quantile_exact(rd.from_pandas(df).repartition(7),
+                                 "value", qs, distinct_budget=500)
+           .to_pandas())
+
+    s = np.sort(v)
+    for i, q in enumerate(qs):
+        exp = s[max(int(np.ceil(q * len(s) - 1e-9)) - 1, 0)]
+        assert got.loc[i, "value"] == exp, (q, got.loc[i, "value"], exp)
+
+    # all-ties column: interval stalls, exact fallback still right
+    df2 = pd.DataFrame({"value": np.full(1000, 7.25)})
+    got2 = global_quantile_exact(rd.from_pandas(df2), "value",
+                                 [0.5]).to_pandas()
+    assert got2.loc[0, "value"] == 7.25
+
+
+def test_join_size_estimate_exact_and_overcount():
+    from belb_ray.stages.sketch import join_size_estimate
+
+    rng = np.random.default_rng(53)
+    a = pd.DataFrame({"k": rng.integers(0, 30, 2000)})
+    b = pd.DataFrame({"k": rng.integers(10, 50, 1500)})
+    got = join_size_estimate(rd.from_pandas(a).repartition(4),
+                             rd.from_pandas(b).repartition(3),
+                             "k").to_pandas()
+    exact = a.merge(b, on="k").shape[0]
+    assert got["exact_pairs"].iloc[0] == exact
+    assert got["n_left"].iloc[0] == 2000
+    assert got["n_right"].iloc[0] == 1500
+    # CMS collisions only ADD mass: the estimate never undercounts
+    assert got["cms_estimate"].iloc[0] >= exact
