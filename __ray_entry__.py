@@ -3774,6 +3774,96 @@ def q_nation_join_size(sf_dir: str) -> rd.Dataset:
     return join_size_estimate(cust, supp, "k")
 
 
+def q_brand_weighted_median_price(sf_dir: str) -> rd.Dataset:
+    """Per-brand lower weighted median part price, weighted by size
+    (stages/analytic.grouped_weighted_median): (key, value)→Σweight
+    combiner before the one shuffle; exact integer 2·cumw ≥ totw rule."""
+    from belb_ray.stages.analytic import grouped_weighted_median
+
+    part = _t(sf_dir, "part").select_columns(
+        ["p_brand", "p_retailprice", "p_size"])
+    return grouped_weighted_median(part, "p_brand", "p_retailprice",
+                                   "p_size").sort("p_brand")
+
+
+def q_lang_id_kappa(sf_dir: str) -> rd.Dataset:
+    """Cohen's kappa between the gold language labels and the trigram
+    lang-ID predictions (composition): one confusion-cell combiner over
+    a single streaming pass (the predictor runs in the same batch as the
+    gold label — no join), exact-integer marginals, one-row finish. The
+    labeler-agreement QA behind weak supervision."""
+    from belb_ray.functions.textstats import lang_id
+    from belb_ray.stages.agg import preagg_groupby
+
+    docs = _t(sf_dir, "documents").select_columns(["lang", "text"])
+
+    def _pred(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "lang_pred": pa.array([lang_id(x) for x in
+                                   t["text"].to_pylist()], pa.string())})
+
+    cells = preagg_groupby(docs.map_batches(_pred, batch_format="pyarrow"),
+                           ["lang", "lang_pred"], [("count", "", "n")])
+
+    def _kappa(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["n"].sum())
+        po_num = int(df.loc[df["lang"] == df["lang_pred"], "n"].sum())
+        row = df.groupby("lang")["n"].sum()
+        col = df.groupby("lang_pred")["n"].sum()
+        pe_num = int(sum(int(row[l_]) * int(col[l_])
+                         for l_ in row.index if l_ in col.index))
+        po = po_num / n
+        pe = pe_num / (n * n)
+        return pd.DataFrame({
+            "n": np.array([n], np.int64),
+            "po": [round(po, 8)],
+            "pe": [round(pe, 8)],
+            "kappa": [round((po - pe) / (1 - pe), 8)]})
+
+    return cells.repartition(1).map_batches(_kappa, batch_size=None,
+                                            batch_format="pandas")
+
+
+def q_user_gap_stats(sf_dir: str) -> rd.Dataset:
+    """Per-user inter-event gap statistics (composition): one
+    ordered_window co-location shuffle attaches lag(ts), gaps in
+    seconds feed the raw-moment combiner (moment_stats), plus the
+    burstiness coefficient of variation std/mean. Users with a single
+    event (no gap pair) are excluded. 4dp compare (raw-moment fp)."""
+    from belb_ray.stages.agg import moment_stats
+    from belb_ray.stages.analytic import ordered_window
+
+    ev = _t(sf_dir, "events").select_columns(
+        ["user_id", "event_id", "ts"]).map_batches(
+        lambda b: b.assign(ts_us=b["ts"].astype("int64")),
+        batch_format="pandas").drop_columns(["ts"])
+    lagged = ordered_window(ev, "user_id", ["ts_us", "event_id"],
+                            [("lag", "ts_us", "prev_us")])
+
+    def _gap(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["prev_us"].notna()]
+        return pd.DataFrame({
+            "user_id": b["user_id"],
+            "gap_s": (b["ts_us"].to_numpy(np.float64)
+                      - b["prev_us"].to_numpy(np.float64)) / 1e6})
+
+    gaps = lagged.map_batches(_gap, batch_format="pandas")
+    stats = moment_stats(gaps, ["user_id"], "gap_s")
+
+    def _cv(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["n"] >= 2].copy()
+        b["cv"] = np.round(b["std"].to_numpy(np.float64)
+                           / b["mean"].to_numpy(np.float64), 4)
+        for c in ("mean", "std"):
+            b[c] = np.round(b[c].to_numpy(np.float64), 4)
+        # var is the cancellation-amplified raw moment — omit it from
+        # the hash-compared surface (std = sqrt(var) halves the rel err)
+        return b.drop(columns=["var"])
+
+    return stats.map_batches(_cv, batch_format="pandas").sort("user_id")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -4198,6 +4288,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_freshness": q_source_freshness,
         "exact_value_quantiles": q_exact_value_quantiles,
         "nation_join_size": q_nation_join_size,
+        "brand_weighted_median_price": q_brand_weighted_median_price,
+        "lang_id_kappa": q_lang_id_kappa,
+        "user_gap_stats": q_user_gap_stats,
     }
 
 
@@ -6967,6 +7060,62 @@ def oracle_sql() -> dict[str, str]:
                     FROM a JOIN b USING (k)) AS exact_pairs,
                    (SELECT CAST(min(dot) AS BIGINT) FROM dots)
                        AS cms_estimate
+        """,
+        "brand_weighted_median_price": """
+            WITH c AS (SELECT p_brand, p_retailprice AS v,
+                              CAST(sum(p_size) AS BIGINT) AS w
+                       FROM part GROUP BY 1, 2),
+            s AS (SELECT p_brand, v, w,
+                         sum(w) OVER (PARTITION BY p_brand ORDER BY v)
+                             AS cumw,
+                         sum(w) OVER (PARTITION BY p_brand) AS totw
+                  FROM c)
+            SELECT p_brand, CAST(min(totw) AS BIGINT) AS total_weight,
+                   min(v) FILTER (2 * cumw >= totw) AS wmedian
+            FROM s GROUP BY p_brand ORDER BY p_brand
+        """,
+        "lang_id_kappa": f"""
+            WITH pred AS ({_lang_id_sql()}),
+            j AS (SELECT d.lang, p.lang_pred
+                  FROM documents d JOIN pred p USING (doc_id)),
+            c AS (SELECT lang, lang_pred, count(*) AS n
+                  FROM j GROUP BY 1, 2),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM c),
+            ra AS (SELECT lang AS l, sum(n) AS r FROM c GROUP BY 1),
+            ca AS (SELECT lang_pred AS l, sum(n) AS cc FROM c GROUP BY 1),
+            po AS (SELECT CAST(COALESCE(sum(n), 0) AS DOUBLE)
+                          / (SELECT n FROM t) AS po
+                   FROM c WHERE lang = lang_pred),
+            pe AS (SELECT CAST(sum(ra.r * ca.cc) AS DOUBLE)
+                          / ((SELECT n FROM t) * (SELECT n FROM t)) AS pe
+                   FROM ra JOIN ca USING (l))
+            SELECT (SELECT n FROM t) AS n,
+                   round((SELECT po FROM po), 8) AS po,
+                   round((SELECT pe FROM pe), 8) AS pe,
+                   round(((SELECT po FROM po) - (SELECT pe FROM pe))
+                         / (1 - (SELECT pe FROM pe)), 8) AS kappa
+        """,
+        "user_gap_stats": """
+            WITH l AS (SELECT user_id,
+                              epoch_us(ts) AS ts_us,
+                              lag(epoch_us(ts)) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id)
+                                  AS prev_us
+                       FROM events),
+            g AS (SELECT user_id,
+                         (CAST(ts_us AS DOUBLE)
+                          - CAST(prev_us AS DOUBLE)) / 1e6 AS gap_s
+                  FROM l WHERE prev_us IS NOT NULL),
+            m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                         sum(gap_s) AS sx, sum(gap_s * gap_s) AS sxx
+                  FROM g GROUP BY user_id HAVING count(*) >= 2)
+            SELECT user_id, n,
+                   round(sx / n, 4) AS mean,
+                   round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS std,
+                   round(sqrt((sxx - sx * sx / n) / (n - 1))
+                         / (sx / n), 4) AS cv
+            FROM m ORDER BY user_id
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

@@ -1107,3 +1107,65 @@ def global_quantile_exact(
     return rd.from_arrow(pa.table({"q": pa.array(out_q, pa.float64()),
                                    "value": pa.array(out_v,
                                                      pa.float64())}))
+
+
+def grouped_weighted_median(
+    ds: rd.Dataset,
+    key: str,
+    value_col: str,
+    weight_col: str,
+    out_col: str = "wmedian",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-key lower weighted median → (key, total_weight, wmedian):
+    the smallest value whose cumulative weight (ascending value order)
+    reaches half the key's total, by the EXACT integer rule
+    ``2·cumw ≥ totw`` — weights must be integers (counts, bytes,
+    durations), which makes the rule tie-free and bit-identical to the
+    SQL window mirror. The "median doc length weighted by tokens" /
+    "median price weighted by volume" shape.
+
+    Distributed shape (the ``grouped_quantiles`` histogram device): a
+    per-block (key, value) → Σweight combiner runs BEFORE the one
+    co-location shuffle — distinct pairs move, not rows; the finish is
+    one vectorized cumulative scan across all keys of a bucket."""
+
+    def _combine(batch: pd.DataFrame) -> pd.DataFrame:
+        c = (batch[[key, value_col, weight_col]]
+             .dropna(subset=[value_col, weight_col])
+             .groupby([key, value_col], sort=False, observed=True)
+             [weight_col].sum().reset_index(name="__w"))
+        h = pd.util.hash_array(c[key].to_numpy(), categorize=False)
+        c["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return c
+
+    def _finish(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.drop(columns="__bucket")
+                  .groupby([key, value_col], sort=False, observed=True)
+                  ["__w"].sum().reset_index()
+                  .sort_values([key, value_col], kind="stable")
+                  .reset_index(drop=True))
+        ks = g[key].to_numpy()
+        new_key = np.r_[True, ks[1:] != ks[:-1]]
+        gid = np.cumsum(new_key) - 1
+        w = g["__w"].to_numpy(np.int64)
+        cum = np.cumsum(w)
+        cum_in = cum - (cum - w)[new_key][gid]
+        tot = cum_in[np.r_[new_key[1:], True]][gid]
+        hit = 2 * cum_in >= tot
+        # cum_in is monotone per key, so hits form a suffix of each run;
+        # the first hit (no hit immediately before it in the same key)
+        # is the lower weighted median
+        prev_same = np.zeros(len(g), bool)
+        prev_same[1:] = hit[:-1] & ~new_key[1:]
+        sel = hit & ~prev_same
+        out = g[sel]
+        return pd.DataFrame({
+            key: out[key].to_numpy(),
+            "total_weight": tot[sel].astype(np.int64),
+            out_col: out[value_col].to_numpy()})
+
+    partial = ds.map_batches(_combine, batch_format="pandas",
+                             batch_size=1 << 17)
+    return partial.groupby("__bucket").map_groups(_finish,
+                                                  batch_format="pandas")

@@ -225,6 +225,9 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "source_freshness",
         "exact_value_quantiles",
         "nation_join_size",
+        "brand_weighted_median_price",
+        "lang_id_kappa",
+        "user_gap_stats",
         # part_k_core and fs_linkage_weights are oracle-checked but
         # excluded here: their fixpoint/EM rounds are iteration-count-
         # dominated at sf0.1 and would eat the min-of-2 budget.

@@ -3059,3 +3059,33 @@ def test_join_size_estimate_exact_and_overcount():
     assert got["n_right"].iloc[0] == 1500
     # CMS collisions only ADD mass: the estimate never undercounts
     assert got["cms_estimate"].iloc[0] >= exact
+
+
+def test_grouped_weighted_median_matches_bruteforce():
+    from belb_ray.stages.analytic import grouped_weighted_median
+
+    rng = np.random.default_rng(67)
+    df = pd.DataFrame({"k": rng.integers(0, 9, 3000),
+                       "v": rng.integers(0, 50, 3000).astype(float),
+                       "w": rng.integers(1, 20, 3000)})
+
+    def wmed(g):
+        g = g.sort_values("v")
+        cum = g["w"].cumsum()
+        tot = int(g["w"].sum())
+        return float(g.loc[2 * cum >= tot, "v"].iloc[0])
+
+    got = (grouped_weighted_median(rd.from_pandas(df).repartition(6),
+                                   "k", "v", "w")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = df.groupby("k").apply(wmed, include_groups=False)
+    assert got["wmedian"].tolist() == exp.tolist()
+    assert got["total_weight"].tolist() == \
+        df.groupby("k")["w"].sum().tolist()
+
+    # weight-1 degenerates to the plain lower median rule
+    df1 = pd.DataFrame({"k": [0] * 4, "v": [1.0, 2.0, 3.0, 4.0],
+                        "w": [1] * 4})
+    got1 = grouped_weighted_median(rd.from_pandas(df1), "k", "v",
+                                   "w").to_pandas()
+    assert got1["wmedian"].iloc[0] == 2.0
