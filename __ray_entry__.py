@@ -3864,6 +3864,66 @@ def q_user_gap_stats(sf_dir: str) -> rd.Dataset:
     return stats.map_batches(_cv, batch_format="pandas").sort("user_id")
 
 
+def q_multipass_snm_pairs(sf_dir: str) -> rd.Dataset:
+    """Multi-pass sorted-neighborhood blocking (Hernandez–Stolfo
+    merge/purge, composition): SNM candidate pairs under TWO independent
+    sort keys — raw name and reversed name (catches prefix vs suffix
+    typos) — unioned distinct via the one-shuffle distributed UNION
+    over canonicalized pairs. The classic recall-boosting ER blocking
+    strategy the single-pass SNM op feeds."""
+    from belb_ray.stages.linkage import sorted_neighborhood_pairs
+    from belb_ray.stages.setops import set_union
+
+    cust = _t(sf_dir, "customer").select_columns(["c_custkey", "c_name"])
+    p1 = sorted_neighborhood_pairs(cust, "c_custkey", "c_name", window=4)
+
+    def _rev(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": b["c_custkey"],
+            "c_name": b["c_name"].str[::-1]})
+
+    p2 = sorted_neighborhood_pairs(
+        cust.map_batches(_rev, batch_format="pandas"),
+        "c_custkey", "c_name", window=4)
+
+    def _canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["id_a"].to_numpy()
+        c = b["id_b"].to_numpy()
+        return pd.DataFrame({"id_a": np.minimum(a, c),
+                             "id_b": np.maximum(a, c)})
+
+    return set_union(p1.map_batches(_canon, batch_format="pandas"),
+                     p2.map_batches(_canon, batch_format="pandas"),
+                     ["id_a", "id_b"]).sort(["id_a", "id_b"])
+
+
+def q_customer_conflicts(sf_dir: str) -> rd.Dataset:
+    """Data-fusion conflict audit (composition): per customer, how many
+    distinct order statuses / priorities their records carry, and
+    whether any attribute conflicts — the pre-survivorship QA that says
+    which clusters need a merge rule at all. Two count_distinct
+    combiners (batch-local dedup before one shuffle each)."""
+    from belb_ray.stages.agg import count_distinct
+
+    ords = _t(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderstatus", "o_orderpriority"])
+    st = count_distinct(ords, ["o_custkey"], "o_orderstatus",
+                        "n_statuses")
+    pr = count_distinct(ords, ["o_custkey"], "o_orderpriority",
+                        "n_priorities")
+    from belb_ray.stages.joins import hash_partition_join
+
+    out = hash_partition_join(st, pr, key="o_custkey")
+
+    def _flag(b: pd.DataFrame) -> pd.DataFrame:
+        b["has_conflict"] = ((b["n_statuses"] > 1)
+                             | (b["n_priorities"] > 1))
+        return b
+
+    return out.map_batches(_flag, batch_format="pandas") \
+        .sort("o_custkey")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -4291,6 +4351,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_weighted_median_price": q_brand_weighted_median_price,
         "lang_id_kappa": q_lang_id_kappa,
         "user_gap_stats": q_user_gap_stats,
+        "multipass_snm_pairs": q_multipass_snm_pairs,
+        "customer_conflicts": q_customer_conflicts,
     }
 
 
@@ -7116,6 +7178,39 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt((sxx - sx * sx / n) / (n - 1))
                          / (sx / n), 4) AS cv
             FROM m ORDER BY user_id
+        """,
+        "multipass_snm_pairs": """
+            WITH r1 AS (SELECT c_custkey AS id,
+                               row_number() OVER (ORDER BY c_name,
+                                                  c_custkey) AS rn
+                        FROM customer),
+            r2 AS (SELECT c_custkey AS id,
+                          row_number() OVER (ORDER BY reverse(c_name),
+                                             c_custkey) AS rn
+                   FROM customer),
+            p1 AS (SELECT least(a.id, b.id) AS id_a,
+                          greatest(a.id, b.id) AS id_b
+                   FROM r1 a JOIN r1 b
+                     ON b.rn > a.rn AND b.rn - a.rn < 4),
+            p2 AS (SELECT least(a.id, b.id) AS id_a,
+                          greatest(a.id, b.id) AS id_b
+                   FROM r2 a JOIN r2 b
+                     ON b.rn > a.rn AND b.rn - a.rn < 4)
+            SELECT id_a, id_b FROM p1
+            UNION
+            SELECT id_a, id_b FROM p2
+            ORDER BY id_a, id_b
+        """,
+        "customer_conflicts": """
+            SELECT o_custkey,
+                   CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+                       AS n_statuses,
+                   CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+                       AS n_priorities,
+                   (count(DISTINCT o_orderstatus) > 1
+                    OR count(DISTINCT o_orderpriority) > 1)
+                       AS has_conflict
+            FROM orders GROUP BY o_custkey ORDER BY o_custkey
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py
