@@ -175,3 +175,39 @@ def _make_minhash_features(cfg: dict):
             keep_cols=tuple(cfg.get("keep_cols", ())))
 
     return step
+
+
+def run_pipeline(
+    steps: list[tuple[str, dict[str, Any] | None]],
+    ds: rd.Dataset,
+    checkpoint_dir: str | None = None,
+) -> rd.Dataset:
+    """Compose registered steps sequentially — the named-pipeline analog
+    of the reference's corpus build chain (fetch → parse → normalize →
+    dedup, corpora/parser.py pipeline hooks). Each step's checkpoint
+    hash chains the UPSTREAM hashes, so editing any step's config (or
+    reordering) invalidates exactly the downstream checkpoints and a
+    re-run resumes from the last unchanged stage — the lineage
+    semantics of the reference's config-hexdigest versioning extended
+    to a DAG path. Steps run under ``<checkpoint_dir>/<idx>-<name>``
+    (the index keeps repeated step names distinct)."""
+    from .checkpoint import config_hash
+
+    upstream = ""
+    out = ds
+    for i, (name, config) in enumerate(steps):
+        step = build_step(name, config)
+        chained = {"step": name, "__upstream": upstream, **step.config}
+        upstream = config_hash(chained)
+        if checkpoint_dir is None:
+            out = step(out)
+            continue
+        from .checkpoint import checkpoint_stage
+
+        bound = out  # bind loop variable for the factory closure
+        out = checkpoint_stage(
+            lambda b=bound, s=step: s(b),
+            f"{checkpoint_dir}/{i:02d}-{name}", chained,
+            lineage={"step": name, "position": i,
+                     "upstream_hash": chained["__upstream"]})
+    return out

@@ -243,3 +243,69 @@ def test_read_pubtator(tmp_path):
     assert len(a) == 3
     assert a[a.pmid == "1001"]["text"].tolist() == ["Breast cancer", "BRCA1"]
     assert a[a.pmid == "1002"]["identifiers"].iloc[0] == "X:1|X:2"
+
+
+def test_run_pipeline_chains_checkpoints_and_invalidation(tmp_path):
+    from belb_ray.pipelines.checkpoint import read_manifest
+    from belb_ray.pipelines.registry import (register_step, run_pipeline,
+                                             unregister_step)
+
+    calls = {"add": 0, "mul": 0}
+
+    @register_step("p_add")
+    def _make_add(cfg):
+        k = int(cfg.get("k", 1))
+
+        def step(ds):
+            calls["add"] += 1
+            return ds.map_batches(
+                lambda t: pa.table({"v": pa.compute.add(t["v"],
+                                                        pa.scalar(k))}),
+                batch_format="pyarrow")
+
+        return step
+
+    @register_step("p_mul")
+    def _make_mul(cfg):
+        m = int(cfg.get("m", 2))
+
+        def step(ds):
+            calls["mul"] += 1
+            return ds.map_batches(
+                lambda t: pa.table({"v": pa.compute.multiply(
+                    t["v"], pa.scalar(m))}),
+                batch_format="pyarrow")
+
+        return step
+
+    try:
+        ds = rd.from_arrow(pa.table({"v": [1, 2, 3]}))
+        ck = str(tmp_path / "pk")
+        spec = [("p_add", {"k": 10}), ("p_mul", {"m": 3})]
+
+        out = run_pipeline(spec, ds, checkpoint_dir=ck)
+        assert sorted(out.to_pandas()["v"]) == [33, 36, 39]
+        assert calls == {"add": 1, "mul": 1}
+        # per-step manifests exist, downstream records the upstream hash
+        m0 = read_manifest(os.path.join(ck, "00-p_add"))
+        m1 = read_manifest(os.path.join(ck, "01-p_mul"))
+        assert m0 is not None and m1 is not None
+        assert m1["lineage"]["upstream_hash"] == m0["config_hash"]
+
+        # identical re-run: both steps load from shards, no recompute
+        out2 = run_pipeline(spec, ds, checkpoint_dir=ck)
+        assert sorted(out2.to_pandas()["v"]) == [33, 36, 39]
+        assert calls == {"add": 1, "mul": 1}
+
+        # editing the FIRST step's config invalidates BOTH checkpoints
+        out3 = run_pipeline([("p_add", {"k": 20}), ("p_mul", {"m": 3})],
+                            ds, checkpoint_dir=ck)
+        assert sorted(out3.to_pandas()["v"]) == [63, 66, 69]
+        assert calls == {"add": 2, "mul": 2}
+
+        # uncheckpointed composition still works
+        out4 = run_pipeline(spec, ds)
+        assert sorted(out4.to_pandas()["v"]) == [33, 36, 39]
+    finally:
+        unregister_step("p_add")
+        unregister_step("p_mul")
