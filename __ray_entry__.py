@@ -3924,6 +3924,21 @@ def q_customer_conflicts(sf_dir: str) -> rd.Dataset:
         .sort("o_custkey")
 
 
+def q_doc_tfidf_cosine(sf_dir: str) -> rd.Dataset:
+    """Weighted tf·idf cosine document-similarity join
+    (stages/tfidf.tfidf_cosine_join): discriminative-vocabulary
+    contract (df ≤ 50) bounds the per-token pair fan-out; the weighted
+    repeat/offset triangle explosion runs behind a fusion barrier, dot
+    products reduce in a pair combiner, norms attach size-guarded.
+    The idf-weighted upgrade of doc_jaccard_join."""
+    from belb_ray.stages.tfidf import tfidf_cosine_join
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    # fractional cut: 0.1·n_docs = df ≤ 50 at the sf0.01 oracle scale
+    return tfidf_cosine_join(docs, threshold=0.5, max_df=0.1) \
+        .sort(["id_a", "id_b"])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -4353,6 +4368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_gap_stats": q_user_gap_stats,
         "multipass_snm_pairs": q_multipass_snm_pairs,
         "customer_conflicts": q_customer_conflicts,
+        "doc_tfidf_cosine": q_doc_tfidf_cosine,
     }
 
 
@@ -7211,6 +7227,34 @@ def oracle_sql() -> dict[str, str]:
                     OR count(DISTINCT o_orderpriority) > 1)
                        AS has_conflict
             FROM orders GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        "doc_tfidf_cosine": r"""
+            WITH tok AS (SELECT doc_id,
+                                unnest(list_filter(
+                                    regexp_split_to_array(lower(text),
+                                                          '[^a-z0-9]+'),
+                                    x -> x <> '')) AS token
+                         FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM tok GROUP BY 1, 2),
+            dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            w AS (SELECT tf.doc_id, tf.token,
+                         tf * (ln((1.0 + (SELECT n FROM nd))
+                                  / (1.0 + df)) + 1.0) AS w
+                  FROM tf JOIN dfq USING (token) WHERE df <= 50),
+            nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
+            dot AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           sum(a.w * b.w) AS dot
+                    FROM w a JOIN w b
+                      ON a.token = b.token AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(dot / sqrt(na.n2 * nb.n2), 6) AS cosine
+            FROM dot JOIN nrm na ON na.doc_id = dot.id_a
+                     JOIN nrm nb ON nb.doc_id = dot.id_b
+            WHERE round(dot / sqrt(na.n2 * nb.n2), 6) >= 0.5
+            ORDER BY id_a, id_b
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

@@ -108,3 +108,182 @@ def tfidf_top_terms(
     return grouped_topk(weighted, keys=[id_col], order_col="weight", k=k,
                         descending=True, tiebreak="token",
                         num_buckets=num_buckets)
+
+
+def tfidf_cosine_join(
+    docs: rd.Dataset,
+    threshold: float = 0.5,
+    max_df: float = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+    num_buckets: int = 64,
+    explode_blocks: int = 64,
+    broadcast_threshold: int = 2_000_000,
+) -> rd.Dataset:
+    """Weighted (tf·idf) cosine document-similarity join →
+    (id_a, id_b, cosine) for unordered doc pairs with a < b and
+    ROUNDED cosine ≥ ``threshold`` (both engines compare the rounded
+    value, so the cut is boundary-stable). Weights are the module's
+    smooth-idf convention ``tf · (ln((1+n)/(1+df)) + 1)``.
+
+    Contract: the similarity is computed over the DISCRIMINATIVE
+    vocabulary only — tokens with df ≤ ``max_df`` (norms use the same
+    restricted set, so the cosine is exact for that contract). This is
+    what bounds the pair explosion: a token contributes at most
+    df·(df−1)/2 ≤ max_df²/2 pairs, so no stop-word ever fans out — the
+    weighted analog of the rare-token blocking every similarity join
+    at 100 TB needs (common tokens carry near-zero idf anyway).
+
+    Distributed shape: tf/df/weights/norms are all combiner passes
+    (vocabulary- and doc-sized tables, size-guarded broadcasts with
+    hash-join fallback); per-token (doc, weight) parallel lists build
+    with ONE co-location shuffle; the pair explosion reuses the
+    cooccurrence repeat/offset triangle arithmetic behind a fusion
+    barrier; dot products reduce in a (a, b)-pair combiner."""
+    from .agg import preagg_groupby
+    from .analytic import _attach_small
+
+    n_docs = float(docs.count())
+    # fractional max_df (< 1) scales the vocabulary cut with the corpus
+    if max_df < 1:
+        max_df = max(int(max_df * n_docs), 2)
+
+    def _tf(batch: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for i, txt in zip(batch[id_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            for w in _TOKEN_RE.findall((txt or "").lower()):
+                ids.append(i)
+                toks.append(w)
+        df = pd.DataFrame({id_col: ids, "token": toks})
+        tf = (df.groupby([id_col, "token"], sort=False)
+                .size().rename("tf").reset_index())
+        return pa.Table.from_pandas(tf, preserve_index=False)
+
+    tf_rows = docs.select_columns([id_col, text_col]).map_batches(
+        _tf, batch_format="pyarrow")
+
+    def _df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (batch.groupby("token", sort=False)
+                     .size().rename("df").reset_index())
+
+    df_ds = bucketed_combine(
+        tf_rows.map_batches(_df_partial, batch_format="pandas"),
+        ["token"], {"df": "sum"}, num_buckets=num_buckets)
+
+    w_rows = _attach_small(tf_rows, df_ds, "token", broadcast_threshold)
+
+    def _weigh(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["df"] <= max_df]
+        w = batch["tf"].to_numpy(np.float64) * (np.log(
+            (1.0 + n_docs)
+            / (1.0 + batch["df"].to_numpy(np.float64))) + 1.0)
+        return pd.DataFrame({id_col: batch[id_col],
+                             "token": batch["token"], "w": w})
+
+    w_rows = w_rows.map_batches(_weigh, batch_format="pandas")
+
+    def _sq(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: batch[id_col],
+                             "w2": batch["w"].to_numpy(np.float64) ** 2})
+
+    norms = preagg_groupby(w_rows.map_batches(_sq, batch_format="pandas"),
+                           [id_col], [("sum", "w2", "n2")],
+                           num_buckets).materialize()
+    if norms.count() == 0:
+        # the df cut emptied the discriminative vocabulary — no
+        # candidate pairs by the op's contract
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64())}))
+
+    # per-token parallel (doc, weight) lists: one co-location shuffle
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(batch["token"].to_numpy(),
+                               categorize=False)
+        batch["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return batch
+
+    def _lists(group: pd.DataFrame) -> pa.Table:
+        g = (group.drop(columns="__bucket")
+             .sort_values(["token", id_col], kind="mergesort"))
+        tok = g["token"].to_numpy()
+        n = len(g)
+        ids = pa.Array.from_pandas(g[id_col])
+        ws = pa.Array.from_pandas(g["w"])
+        if n == 0:
+            return pa.table({
+                "__docs": pa.array([], pa.large_list(ids.type)),
+                "__ws": pa.array([], pa.large_list(pa.float64()))})
+        new = np.r_[True, tok[1:] != tok[:-1]]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.concatenate((starts, [n]))).astype(np.int64)
+        offsets = pa.array(np.concatenate(([0], np.cumsum(counts))),
+                           pa.int64())
+        return pa.table({
+            "__docs": pa.LargeListArray.from_arrays(offsets, ids),
+            "__ws": pa.LargeListArray.from_arrays(offsets, ws)})
+
+    lists = (w_rows.map_batches(_bucketize, batch_format="pandas")
+             .groupby("__bucket").map_groups(_lists,
+                                             batch_format="pandas"))
+
+    def _explode(t: pa.Table) -> pa.Table:
+        arr = t["__docs"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        warr = t["__ws"]
+        if isinstance(warr, pa.ChunkedArray):
+            warr = warr.combine_chunks()
+        vals = arr.flatten()
+        wv = warr.flatten().to_numpy(zero_copy_only=False)
+        if len(t) == 0 or len(vals) == 0:
+            return pa.table({"a": vals[:0], "b": vals[:0],
+                             "prod": pa.array([], pa.float64())})
+        c = arr.value_lengths().to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        base = np.cumsum(c) - c
+        fl = np.arange(int(c.sum()), dtype=np.int64)
+        reps = np.repeat(base + c, c) - fl - 1
+        total = int(reps.sum())
+        if total == 0:
+            return pa.table({"a": vals[:0], "b": vals[:0],
+                             "prod": pa.array([], pa.float64())})
+        first = np.repeat(fl, reps)
+        offs = (np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(reps) - reps, reps))
+        second = first + 1 + offs
+        return pa.table({
+            "a": vals.take(pa.array(first)),
+            "b": vals.take(pa.array(second)),
+            "prod": pa.array(wv[first] * wv[second], pa.float64())})
+
+    pairs = (lists.repartition(explode_blocks)
+             .map_batches(_explode, batch_format="pyarrow",
+                          num_cpus=1.01))
+    dots = preagg_groupby(pairs, ["a", "b"], [("sum", "prod", "dot")],
+                          num_buckets)
+
+    def _na(t: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"a": t[id_col], "n2_a": t["n2"]})
+
+    def _nb(t: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"b": t[id_col], "n2_b": t["n2"]})
+
+    out = _attach_small(dots, norms.map_batches(
+        _na, batch_format="pandas"), "a", broadcast_threshold)
+    out = _attach_small(out, norms.map_batches(
+        _nb, batch_format="pandas"), "b", broadcast_threshold)
+
+    def _finish(b: pd.DataFrame) -> pd.DataFrame:
+        cos = np.round(b["dot"].to_numpy(np.float64)
+                       / np.sqrt(b["n2_a"].to_numpy(np.float64)
+                                 * b["n2_b"].to_numpy(np.float64)),
+                       round_to)
+        b = b.assign(cosine=cos)
+        return b.loc[cos >= threshold, ["a", "b", "cosine"]] \
+            .rename(columns={"a": "id_a", "b": "id_b"})
+
+    return out.map_batches(_finish, batch_format="pandas")

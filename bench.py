@@ -230,6 +230,7 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "user_gap_stats",
         "multipass_snm_pairs",
         "customer_conflicts",
+        "doc_tfidf_cosine",
         # part_k_core and fs_linkage_weights are oracle-checked but
         # excluded here: their fixpoint/EM rounds are iteration-count-
         # dominated at sf0.1 and would eat the min-of-2 budget.

@@ -3089,3 +3089,54 @@ def test_grouped_weighted_median_matches_bruteforce():
     got1 = grouped_weighted_median(rd.from_pandas(df1), "k", "v",
                                    "w").to_pandas()
     assert got1["wmedian"].iloc[0] == 2.0
+
+
+def test_tfidf_cosine_join_matches_bruteforce():
+    import re
+
+    from belb_ray.stages.tfidf import tfidf_cosine_join
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["alpha beta gamma delta",
+                 "alpha beta gamma epsilon",   # near-dup of doc 1
+                 "zeta eta theta iota",
+                 "alpha common common common"],
+    })
+    got = (tfidf_cosine_join(rd.from_pandas(docs).repartition(2),
+                             threshold=0.0, max_df=3)
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+
+    # independent brute force with the same smooth-idf + df<=3 contract
+    tok_re = re.compile(r"[a-z0-9]+")
+    tf = {}
+    for r in docs.itertuples():
+        for t in tok_re.findall(r.text):
+            tf[(r.doc_id, t)] = tf.get((r.doc_id, t), 0) + 1
+    from collections import Counter
+    dfc = Counter(t for (_, t) in tf)
+    n = float(len(docs))
+    w = {(d, t): c * (np.log((1 + n) / (1 + dfc[t])) + 1)
+         for (d, t), c in tf.items() if dfc[t] <= 3}
+    import itertools
+    exp = []
+    for a, b in itertools.combinations(docs["doc_id"], 2):
+        dot = sum(w[(a, t)] * w[(b, t)]
+                  for t in {t for (d, t) in w if d == a}
+                  if (b, t) in w)
+        if dot == 0:
+            continue
+        na = sum(v * v for (d, _), v in w.items() if d == a)
+        nb = sum(v * v for (d, _), v in w.items() if d == b)
+        exp.append((a, b, round(dot / np.sqrt(na * nb), 6)))
+    exp_df = pd.DataFrame(exp, columns=["id_a", "id_b", "cosine"])
+    got_c = dict(zip(zip(got["id_a"], got["id_b"]), got["cosine"]))
+    exp_c = dict(zip(zip(exp_df["id_a"], exp_df["id_b"]),
+                     exp_df["cosine"]))
+    assert set(got_c) == set(exp_c)
+    for k in exp_c:
+        np.testing.assert_allclose(got_c[k], exp_c[k], atol=2e-6)
+    # the near-dup pair scores far above the disjoint ones
+    assert got_c[(1, 2)] > 0.5
+    assert (3, 4) not in got_c  # no shared rare token → no candidate
