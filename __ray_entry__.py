@@ -3939,6 +3939,69 @@ def q_doc_tfidf_cosine(sf_dir: str) -> rd.Dataset:
         .sort(["id_a", "id_b"])
 
 
+def q_fk_integrity(sf_dir: str) -> rd.Dataset:
+    """Referential-integrity audit (composition): orphan counts for the
+    two FK edges lineitem→orders and orders→customer via the
+    size-guarded anti semi-join (Bloom/shuffle fallback path at scale)
+    — the cross-table consistency check every warehouse load runs."""
+    from belb_ray.stages.joins import semi_join
+
+    li = _t(sf_dir, "lineitem").select_columns(["l_orderkey"])
+    ords = _t(sf_dir, "orders").select_columns(["o_orderkey",
+                                                "o_custkey"])
+    cust = _t(sf_dir, "customer").select_columns(["c_custkey"])
+
+    def _k(ds: rd.Dataset, src: str, dst: str):
+        return ds.map_batches(
+            lambda t, s=src: pa.table({"k": t[s]}),
+            batch_format="pyarrow")
+
+    li_k = _k(li, "l_orderkey", "")
+    o_key = _k(ords, "o_orderkey", "")
+    o_fk = _k(ords, "o_custkey", "")
+    c_key = _k(cust, "c_custkey", "")
+
+    rows = []
+    for rel, n_child, child, parent in (
+            # child row counts come from parquet metadata (pre-map)
+            ("lineitem->orders", li.count(), li_k, o_key),
+            ("orders->customer", ords.count(), o_fk, c_key)):
+        n_orphans = semi_join(child, parent, "k", anti=True).count()
+        rows.append((rel, n_child, n_orphans))
+    return rd.from_arrow(pa.table({
+        "relation": pa.array([r[0] for r in rows]),
+        "n_child_rows": pa.array([r[1] for r in rows], pa.int64()),
+        "n_orphans": pa.array([r[2] for r in rows], pa.int64())}))
+
+
+def q_user_rfm(sf_dir: str) -> rd.Dataset:
+    """RFM (recency/frequency/monetary) feature engineering per user
+    (composition): one exact-cents combiner builds the per-user table,
+    then three equi-depth quintile bucketings (exact quantile
+    boundaries, one histogram exchange each; boundary ties go lower) —
+    the classic behavioral-feature block of churn/value models."""
+    from belb_ray.stages.agg import preagg_groupby
+    from belb_ray.stages.analytic import equi_depth_buckets
+
+    ev = _t(sf_dir, "events").select_columns(
+        ["user_id", "ts", "value"]).map_batches(
+        lambda b: pd.DataFrame({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].astype("int64"),
+            "cents": np.round(b["value"].to_numpy(np.float64)
+                              * 100).astype(np.int64)}),
+        batch_format="pandas")
+    per = preagg_groupby(ev, ["user_id"],
+                         [("max", "ts_us", "last_us"),
+                          ("count", "", "n_events"),
+                          ("sum", "cents", "sum_cents")]) \
+        .materialize()  # user-sized; read by 3 bucketings × 2 passes
+    per = equi_depth_buckets(per, "last_us", 5, out_col="r_score")
+    per = equi_depth_buckets(per, "n_events", 5, out_col="f_score")
+    per = equi_depth_buckets(per, "sum_cents", 5, out_col="m_score")
+    return per.sort("user_id")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -4369,6 +4432,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multipass_snm_pairs": q_multipass_snm_pairs,
         "customer_conflicts": q_customer_conflicts,
         "doc_tfidf_cosine": q_doc_tfidf_cosine,
+        "fk_integrity": q_fk_integrity,
+        "user_rfm": q_user_rfm,
     }
 
 
@@ -7255,6 +7320,45 @@ def oracle_sql() -> dict[str, str]:
                      JOIN nrm nb ON nb.doc_id = dot.id_b
             WHERE round(dot / sqrt(na.n2 * nb.n2), 6) >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "fk_integrity": """
+            SELECT 'lineitem->orders' AS relation,
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem)
+                       AS n_child_rows,
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = l.l_orderkey))
+                       AS n_orphans
+            UNION ALL
+            SELECT 'orders->customer',
+                   (SELECT CAST(count(*) AS BIGINT) FROM orders),
+                   (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = o.o_custkey))
+            ORDER BY relation
+        """,
+        "user_rfm": """
+            WITH u AS (SELECT user_id,
+                              max(epoch_us(ts)) AS last_us,
+                              CAST(count(*) AS BIGINT) AS n_events,
+                              CAST(sum(CAST(round(value * 100) AS BIGINT))
+                                   AS BIGINT) AS sum_cents
+                       FROM events GROUP BY 1),
+            br AS (SELECT quantile_disc(last_us,
+                              [0.2, 0.4, 0.6, 0.8]) AS bs FROM u),
+            bf AS (SELECT quantile_disc(n_events,
+                              [0.2, 0.4, 0.6, 0.8]) AS bs FROM u),
+            bm AS (SELECT quantile_disc(sum_cents,
+                              [0.2, 0.4, 0.6, 0.8]) AS bs FROM u)
+            SELECT u.user_id, u.last_us, u.n_events, u.sum_cents,
+                   CAST(len(list_filter(br.bs, x -> x < u.last_us)) + 1
+                        AS INT) AS r_score,
+                   CAST(len(list_filter(bf.bs, x -> x < u.n_events)) + 1
+                        AS INT) AS f_score,
+                   CAST(len(list_filter(bm.bs, x -> x < u.sum_cents)) + 1
+                        AS INT) AS m_score
+            FROM u CROSS JOIN br CROSS JOIN bf CROSS JOIN bm
+            ORDER BY user_id
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

@@ -231,6 +231,8 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "multipass_snm_pairs",
         "customer_conflicts",
         "doc_tfidf_cosine",
+        "fk_integrity",
+        "user_rfm",
         # part_k_core and fs_linkage_weights are oracle-checked but
         # excluded here: their fixpoint/EM rounds are iteration-count-
         # dominated at sf0.1 and would eat the min-of-2 budget.
