@@ -4002,6 +4002,78 @@ def q_user_rfm(sf_dir: str) -> rd.Dataset:
     return per.sort("user_id")
 
 
+def q_ab_test_report(sf_dir: str) -> rd.Dataset:
+    """Two-proportion A/B z-test per event type (composition): cohorts
+    by user parity, success = high-value event (value > 100); one
+    (type, cohort) count combiner, pooled-variance z finish from the
+    cell-sized table. The experiment-readout op, exact-integer counts."""
+    from belb_ray.stages.agg import preagg_groupby
+
+    ev = _t(sf_dir, "events").select_columns(
+        ["event_type", "user_id", "value"]).map_batches(
+        lambda b: pd.DataFrame({
+            "event_type": b["event_type"],
+            "grp": (b["user_id"].to_numpy(np.int64) % 2),
+            "hit": (b["value"].to_numpy(np.float64) > 100.0)
+            .astype(np.int64)}),
+        batch_format="pandas")
+    cells = preagg_groupby(ev, ["event_type", "grp"],
+                           [("count", "", "n"), ("sum", "hit", "hits")])
+
+    def _z(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "grp"], kind="mergesort")
+        a = df[df["grp"] == 0].set_index("event_type")
+        b = df[df["grp"] == 1].set_index("event_type")
+        ix = a.index.intersection(b.index).sort_values()
+        na = a.loc[ix, "n"].to_numpy(np.float64)
+        nb = b.loc[ix, "n"].to_numpy(np.float64)
+        ha = a.loc[ix, "hits"].to_numpy(np.float64)
+        hb = b.loc[ix, "hits"].to_numpy(np.float64)
+        pa_, pb_ = ha / na, hb / nb
+        pool = (ha + hb) / (na + nb)
+        z = (pa_ - pb_) / np.sqrt(pool * (1 - pool)
+                                  * (1 / na + 1 / nb))
+        return pd.DataFrame({
+            "event_type": ix.to_numpy(),
+            "n_a": na.astype(np.int64), "n_b": nb.astype(np.int64),
+            "p_a": np.round(pa_, 6), "p_b": np.round(pb_, 6),
+            "z": np.round(z, 6)})
+
+    return cells.repartition(1).map_batches(_z, batch_size=None,
+                                            batch_format="pandas")
+
+
+def q_lang_id_accuracy(sf_dir: str) -> rd.Dataset:
+    """Per-source accuracy of the trigram lang-ID heuristic vs the gold
+    label (composition): predictor and gold compare inside one
+    streaming pass, per-source (n, n_correct) combiner — the
+    slice-where-does-the-model-fail QA of weak supervision."""
+    from belb_ray.functions.textstats import lang_id
+    from belb_ray.stages.agg import preagg_groupby
+
+    docs = _t(sf_dir, "documents").select_columns(
+        ["source", "lang", "text"])
+
+    def _acc(t: pa.Table) -> pd.DataFrame:
+        pred = [lang_id(x) for x in t["text"].to_pylist()]
+        gold = t["lang"].to_pylist()
+        return pd.DataFrame({
+            "source": t["source"].to_pylist(),
+            "ok": np.array([p == g for p, g in zip(pred, gold)],
+                           np.int64)})
+
+    per = preagg_groupby(docs.map_batches(_acc, batch_format="pyarrow"),
+                         ["source"],
+                         [("count", "", "n"), ("sum", "ok", "n_correct")])
+
+    def _rate(b: pd.DataFrame) -> pd.DataFrame:
+        b["accuracy"] = np.round(b["n_correct"].to_numpy(np.float64)
+                                 / b["n"].to_numpy(np.float64), 6)
+        return b
+
+    return per.map_batches(_rate, batch_format="pandas").sort("source")
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -4434,6 +4506,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_cosine": q_doc_tfidf_cosine,
         "fk_integrity": q_fk_integrity,
         "user_rfm": q_user_rfm,
+        "ab_test_report": q_ab_test_report,
+        "lang_id_accuracy": q_lang_id_accuracy,
     }
 
 
@@ -7359,6 +7433,38 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS m_score
             FROM u CROSS JOIN br CROSS JOIN bf CROSS JOIN bm
             ORDER BY user_id
+        """,
+        "ab_test_report": """
+            WITH c AS (SELECT event_type, user_id % 2 AS grp,
+                              CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(CASE WHEN value > 100.0
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                                  AS hits
+                       FROM events GROUP BY 1, 2),
+            m AS (SELECT a.event_type,
+                         a.n AS n_a, b.n AS n_b,
+                         CAST(a.hits AS DOUBLE) / a.n AS pa,
+                         CAST(b.hits AS DOUBLE) / b.n AS pb,
+                         CAST(a.hits + b.hits AS DOUBLE)
+                             / (a.n + b.n) AS pool
+                  FROM c a JOIN c b ON a.event_type = b.event_type
+                  WHERE a.grp = 0 AND b.grp = 1)
+            SELECT event_type, n_a, n_b,
+                   round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+                   round((pa - pb) / sqrt(pool * (1 - pool)
+                         * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+            FROM m ORDER BY event_type
+        """,
+        "lang_id_accuracy": f"""
+            WITH pred AS ({_lang_id_sql()})
+            SELECT d.source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN d.lang = p.lang_pred
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                   round(CAST(sum(CASE WHEN d.lang = p.lang_pred
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS accuracy
+            FROM documents d JOIN pred p USING (doc_id)
+            GROUP BY d.source ORDER BY d.source
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py
