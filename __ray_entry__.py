@@ -4074,6 +4074,18 @@ def q_lang_id_accuracy(sf_dir: str) -> rd.Dataset:
     return per.map_batches(_rate, batch_format="pandas").sort("source")
 
 
+def q_embedding_quantization(sf_dir: str) -> rd.Dataset:
+    """Int8 scalar quantization of the embedding corpus
+    (stages/vector.quantize_embeddings): per-dim [lo, hi] from one
+    fixed-width combiner pass, bounds broadcast once, codes stream —
+    the 4× embedding-storage compressor. Long form for the SQL mirror."""
+    from belb_ray.stages.vector import quantize_embeddings
+
+    emb = _t(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    return quantize_embeddings(emb, "vec_id", "embedding",
+                               dim=64).sort(["vec_id", "dim_idx"])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -4508,6 +4520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rfm": q_user_rfm,
         "ab_test_report": q_ab_test_report,
         "lang_id_accuracy": q_lang_id_accuracy,
+        "embedding_quantization": q_embedding_quantization,
     }
 
 
@@ -7465,6 +7478,20 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 6) AS accuracy
             FROM documents d JOIN pred p USING (doc_id)
             GROUP BY d.source ORDER BY d.source
+        """,
+        "embedding_quantization": """
+            WITH m AS (SELECT s.i AS i,
+                              min(CAST(embedding[s.i] AS DOUBLE)) AS lo,
+                              max(CAST(embedding[s.i] AS DOUBLE)) AS hi
+                       FROM embeddings, generate_series(1, 64) AS s(i)
+                       GROUP BY 1)
+            SELECT e.vec_id, m.i AS dim_idx,
+                   CAST(CASE WHEN m.hi = m.lo THEN 0
+                        ELSE round((CAST(e.embedding[m.i] AS DOUBLE)
+                                    - m.lo) * 255.0 / (m.hi - m.lo))
+                             - 128 END AS BIGINT) AS code
+            FROM embeddings e, m
+            ORDER BY e.vec_id, m.i
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

@@ -428,3 +428,73 @@ def kcenter_sample(
         id_col: pa.array(chosen_ids, pa.int64()),
         "dist": pa.array(np.round(np.asarray(chosen_dist), round_to))})
     return rd.from_arrow(out)
+
+
+def quantize_embeddings(
+    ds: rd.Dataset,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    long_form: bool = True,
+    num_buckets: int = 16,
+) -> rd.Dataset:
+    """Per-dimension affine int8 quantization of an embedding column —
+    the 4× storage/bandwidth compressor for embedding corpora (scalar
+    quantization, the SQ companion of the PQ codec in ``stages/pq``):
+    ``code = round((v − lo_d) · 255 / (hi_d − lo_d)) − 128`` with
+    per-dimension corpus [lo, hi] (constant dims quantize to 0).
+    → long form (id, dim_idx [1-based], code) for the SQL mirror, or
+    wide (id, codes fixed_size_binary) for storage.
+
+    Distributed shape: per-dim min/max reduce in ONE fixed-width
+    combiner pass (2·d doubles per block, rows never shuffle); the
+    bounds broadcast once; quantization streams vectorized."""
+    import ray
+
+    from ..util import cached_get
+    from .ann import list_column_matrix
+    from .joins import collect_arrow
+
+    def _minmax(t: pa.Table) -> pa.Table:
+        x = list_column_matrix(t[vec_col]).astype(np.float64)
+        if not len(x):
+            return pa.table({"lo": pa.array([], pa.large_list(
+                pa.float64())), "hi": pa.array([], pa.large_list(
+                    pa.float64()))})
+        return pa.table({
+            "lo": pa.array([x.min(axis=0).tolist()],
+                           pa.large_list(pa.float64())),
+            "hi": pa.array([x.max(axis=0).tolist()],
+                           pa.large_list(pa.float64()))})
+
+    parts = collect_arrow(ds.select_columns([vec_col]).map_batches(
+        _minmax, batch_format="pyarrow")).to_pandas()
+    lo = np.min(np.stack(parts["lo"].to_numpy()), axis=0)
+    hi = np.max(np.stack(parts["hi"].to_numpy()), axis=0)
+    ref = ray.put((lo, hi))
+
+    def _quant(t: pa.Table) -> pa.Table:
+        lo_, hi_ = cached_get(ref)
+        x = list_column_matrix(t[vec_col]).astype(np.float64)
+        span = hi_ - lo_
+        safe = np.where(span > 0, span, 1.0)
+        codes = np.where(span > 0,
+                         np.round((x - lo_) * 255.0 / safe) - 128.0,
+                         0.0).astype(np.int64)
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if long_form:
+            return pa.table({
+                id_col: pa.array(np.repeat(ids, x.shape[1])),
+                "dim_idx": pa.array(np.tile(
+                    np.arange(1, x.shape[1] + 1, dtype=np.int64), n)),
+                "code": pa.array(codes.ravel())})
+        return pa.table({
+            id_col: t[id_col],
+            "codes": pa.array(
+                [(codes[i] + 128).astype(np.uint8).tobytes()
+                 for i in range(n)],
+                pa.binary(x.shape[1] if n else dim))})
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        _quant, batch_format="pyarrow")

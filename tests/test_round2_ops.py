@@ -3140,3 +3140,42 @@ def test_tfidf_cosine_join_matches_bruteforce():
     # the near-dup pair scores far above the disjoint ones
     assert got_c[(1, 2)] > 0.5
     assert (3, 4) not in got_c  # no shared rare token → no candidate
+
+
+def test_quantize_embeddings_roundtrip_and_block_invariance():
+    from belb_ray.stages.vector import quantize_embeddings
+
+    rng = np.random.default_rng(29)
+    X = rng.normal(0, 2, (120, 5)).astype(np.float32)
+    X[:, 3] = 7.0  # constant dim → code 0
+    ids = np.arange(120, dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array([r.tolist() for r in X],
+                                          pa.list_(pa.float32()))})
+
+    got = (quantize_embeddings(rd.from_arrow(tbl).repartition(4),
+                               "vec_id", "embedding", dim=5)
+           .to_pandas().sort_values(["vec_id", "dim_idx"])
+           .reset_index(drop=True))
+
+    xf = X.astype(np.float64)
+    lo, hi = xf.min(axis=0), xf.max(axis=0)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    exp = np.where(hi > lo,
+                   np.round((xf - lo) * 255.0 / span) - 128, 0.0)
+    np.testing.assert_array_equal(
+        got["code"].to_numpy().reshape(120, 5), exp.astype(np.int64))
+    assert got["code"].between(-128, 127).all()
+    assert (got.loc[got["dim_idx"] == 4, "code"] == 0).all()
+    # dequantization error bounded by half a step per dim
+    deq = lo + (exp + 128) * span / 255.0
+    assert np.abs(deq - xf)[:, [0, 1, 2, 4]].max() <= \
+        (span[[0, 1, 2, 4]] / 255.0 / 2 + 1e-12).max()
+
+    # wide form: fixed-width binary codes, block-order invariant
+    wide = (quantize_embeddings(rd.from_arrow(tbl).repartition(2),
+                                "vec_id", "embedding", dim=5,
+                                long_form=False)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    b0 = np.frombuffer(wide["codes"].iloc[0], np.uint8).astype(np.int64)
+    np.testing.assert_array_equal(b0 - 128, exp[0].astype(np.int64))
