@@ -946,7 +946,6 @@ def grouped_gini(
         rank_sum = cnt * prev + cnt * (cnt + 1) // 2
         w = vals * rank_sum.astype(np.float64)     # Σ i·x_i per run
         s = vals * cnt.astype(np.float64)          # Σ x_i per run
-        n_keys = int(new_key.sum())
         seg = np.flatnonzero(new_key)
         w_k = np.add.reduceat(w, seg) if len(w) else np.empty(0)
         s_k = np.add.reduceat(s, seg) if len(s) else np.empty(0)
