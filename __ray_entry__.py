@@ -4086,6 +4086,60 @@ def q_embedding_quantization(sf_dir: str) -> rd.Dataset:
                                dim=64).sort(["vec_id", "dim_idx"])
 
 
+def q_region_year_sales(sf_dir: str) -> rd.Dataset:
+    """Star-schema denormalized sales rollup
+    (stages/joins.star_broadcast_join): lineitem facts attach orders →
+    customer → nation → region in ONE map_batches pass (each dim
+    broadcast once), then an exact-cents (region, year) combiner — the
+    classic warehouse denormalize-and-rollup without N sequential join
+    operators."""
+    from belb_ray.stages.agg import preagg_groupby
+    from belb_ray.stages.joins import star_broadcast_join
+
+    li = _t(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount"])
+    ords = _t(sf_dir, "orders").map_batches(
+        lambda t: pa.table({"l_orderkey": t["o_orderkey"],
+                            "o_custkey": t["o_custkey"],
+                            "o_orderdate": t["o_orderdate"]}),
+        batch_format="pyarrow")
+    cust = _t(sf_dir, "customer").map_batches(
+        lambda t: pa.table({"o_custkey": t["c_custkey"],
+                            "c_nationkey": t["c_nationkey"]}),
+        batch_format="pyarrow")
+    nat = _t(sf_dir, "nation").map_batches(
+        lambda t: pa.table({"c_nationkey": t["n_nationkey"],
+                            "n_regionkey": t["n_regionkey"]}),
+        batch_format="pyarrow")
+    reg = _t(sf_dir, "region").map_batches(
+        lambda t: pa.table({"n_regionkey": t["r_regionkey"],
+                            "r_name": t["r_name"]}),
+        batch_format="pyarrow")
+
+    wide = star_broadcast_join(li, [
+        (ords, "l_orderkey", None), (cust, "o_custkey", None),
+        (nat, "c_nationkey", None), (reg, "n_regionkey", None)])
+
+    def _units(b: pd.DataFrame) -> pd.DataFrame:
+        # exact integer revenue units (cent · percent): price and
+        # discount are 2dp, so both factors are exact ints — no
+        # half-cent rounding ambiguity vs SQL
+        rev = (np.round(b["l_extendedprice"].to_numpy(np.float64)
+                        * 100).astype(np.int64)
+               * (100 - np.round(b["l_discount"].to_numpy(np.float64)
+                                 * 100).astype(np.int64)))
+        return pd.DataFrame({
+            "r_name": b["r_name"],
+            "year": b["o_orderdate"].astype(str).str.slice(0, 4),
+            "rev_units": rev})
+
+    out = preagg_groupby(wide.map_batches(_units, batch_format="pandas"),
+                         ["r_name", "year"],
+                         [("count", "", "n_items"),
+                          ("sum", "rev_units", "rev_units")])
+    return out.sort(["r_name", "year"])
+
+
 def entry() -> Any:
     """Flagship: ER/near-dup clustering over sf0.001 documents — read →
     adapt → block → pair → score → cluster; returns (row_id, cluster_id,
@@ -4521,6 +4575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_test_report": q_ab_test_report,
         "lang_id_accuracy": q_lang_id_accuracy,
         "embedding_quantization": q_embedding_quantization,
+        "region_year_sales": q_region_year_sales,
     }
 
 
@@ -7492,6 +7547,21 @@ def oracle_sql() -> dict[str, str]:
                              - 128 END AS BIGINT) AS code
             FROM embeddings e, m
             ORDER BY e.vec_id, m.i
+        """,
+        "region_year_sales": """
+            SELECT r.r_name, strftime(o.o_orderdate, '%Y') AS year,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100)
+                                 AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT)))
+                        AS BIGINT) AS rev_units
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

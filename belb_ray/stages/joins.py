@@ -559,3 +559,42 @@ def salted_hash_join(
         right_suffix=right_suffix).drop_columns(["__sk"])
 
     return cold.union(hot_join)
+
+
+def star_broadcast_join(
+    fact: rd.Dataset,
+    dims: list[tuple],
+    broadcast_threshold: int = 2_000_000,
+) -> rd.Dataset:
+    """One-pass star-schema denormalization: attach MANY small dimension
+    tables to a fact stream in a SINGLE ``map_batches`` — each dim is
+    put in the object store once and every task joins all of them
+    against its batch, instead of N sequential join operators each
+    re-materializing the fact stream. ``dims`` is a list of
+    ``(dim_dataset, key, cols)`` tuples joined inner in order (``cols``
+    None keeps every dim column; chained dims may key on columns a
+    PREVIOUS dim attached — order matters, e.g. fact→orders→customer→
+    nation→region). Any dim exceeding ``broadcast_threshold`` rows
+    fails loudly — route that edge through ``hash_partition_join`` /
+    ``salted_hash_join`` instead (a true big-big edge is not a star
+    dimension)."""
+    sides = []
+    for dim, key, cols in dims:
+        tbl = _as_arrow(dim.select_columns(
+            list(dict.fromkeys([key] + list(cols)))) if cols is not None
+            else dim)
+        if tbl.num_rows > broadcast_threshold:
+            raise ValueError(
+                f"star_broadcast_join: dim on {key!r} has "
+                f"{tbl.num_rows} rows > broadcast budget "
+                f"{broadcast_threshold}; use a partitioned join")
+        sides.append((ray.put(tbl), key))
+
+    def _join(batch: pa.Table) -> pa.Table:
+        from ..util import cached_get
+        for ref, key in sides:
+            batch = batch.join(cached_get(ref), keys=[key],
+                               join_type="inner")
+        return batch
+
+    return fact.map_batches(_join, batch_format="pyarrow")

@@ -236,6 +236,7 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "ab_test_report",
         "lang_id_accuracy",
         "embedding_quantization",
+        "region_year_sales",
         # part_k_core and fs_linkage_weights are oracle-checked but
         # excluded here: their fixpoint/EM rounds are iteration-count-
         # dominated at sf0.1 and would eat the min-of-2 budget.

@@ -3179,3 +3179,28 @@ def test_quantize_embeddings_roundtrip_and_block_invariance():
             .to_pandas().sort_values("vec_id").reset_index(drop=True))
     b0 = np.frombuffer(wide["codes"].iloc[0], np.uint8).astype(np.int64)
     np.testing.assert_array_equal(b0 - 128, exp[0].astype(np.int64))
+
+
+def test_star_broadcast_join_chained_dims_and_budget():
+    from belb_ray.stages.joins import star_broadcast_join
+
+    fact = pd.DataFrame({"fk1": [1, 2, 1, 3], "x": [10, 20, 30, 40]})
+    d1 = pd.DataFrame({"fk1": [1, 2, 3], "fk2": [7, 8, 7]})
+    d2 = pd.DataFrame({"fk2": [7, 8], "name": ["a", "b"]})
+    got = (star_broadcast_join(
+        rd.from_pandas(fact).repartition(2),
+        [(rd.from_pandas(d1), "fk1", None),
+         (rd.from_pandas(d2), "fk2", None)])
+        .to_pandas().sort_values(["fk1", "x"]).reset_index(drop=True))
+    exp = (fact.merge(d1, on="fk1").merge(d2, on="fk2")
+           .sort_values(["fk1", "x"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["fk1", "x", "fk2", "name"]], exp[["fk1", "x", "fk2", "name"]])
+
+    # oversized dim fails loudly instead of silently broadcasting
+    import pytest as _pytest
+    big = pd.DataFrame({"fk1": np.arange(100), "y": np.arange(100)})
+    with _pytest.raises(ValueError, match="broadcast budget"):
+        star_broadcast_join(rd.from_pandas(fact),
+                            [(rd.from_pandas(big), "fk1", None)],
+                            broadcast_threshold=10)
