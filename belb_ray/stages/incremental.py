@@ -74,9 +74,19 @@ def dedup_against_state(new_docs: rd.Dataset, state_dir: str,
         batch["__bucket"] = (hv % np.uint64(num_buckets)).astype(np.int32)
         return batch
 
+    def _is_int_type(t) -> bool:
+        # pandas-block datasets report numpy dtypes here, arrow-block
+        # ones report pa.DataType — accept both
+        if isinstance(t, pa.DataType):
+            return pa.types.is_integer(t)
+        try:
+            return np.issubdtype(t, np.integer)
+        except TypeError:
+            return False
+
     int_cols = [c for c, t in zip(new_docs.schema().names,
                                   new_docs.schema().types)
-                if pa.types.is_integer(t)]
+                if _is_int_type(t)]
 
     def _resolve(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop(columns="__bucket")
@@ -328,3 +338,38 @@ def compact_state(state_dir: str, num_buckets: int = 64) -> dict:
         os.rename(tmp, os.path.join(root, f"run-000000-compacted-{tag}"))
         out[fam] = compacted.count()
     return out
+
+
+def prune_state(state_dir: str, keep_last: int) -> dict:
+    """Retention GC for an incremental-dedup state directory: keep only
+    the NEWEST ``keep_last`` append-only ``run-*`` shard directories of
+    each family (exact hashes at ``state_dir/run-*``, near-dup
+    ``bands/run-*`` and ``sigs/run-*``), deleting older runs.
+
+    This is the retention-window semantics, not a space-only
+    optimization: after pruning, ``*_against_state`` deduplicates
+    against the kept runs ONLY — a document whose sole witness was in a
+    pruned run is admitted again ("only dedup against the last N
+    ingests/days"). ``compact_state`` is the behavior-PRESERVING
+    sibling; this one deliberately forgets. Bands and sigs prune in
+    lockstep (each near-dup ingest appends one run to both families).
+    Single maintenance writer assumed. Returns
+    ``{family: n_runs_removed}``."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    if keep_last < 0:
+        raise ValueError("keep_last must be >= 0")
+    removed: dict[str, int] = {}
+    for family, pattern in (
+            ("exact", _os.path.join(state_dir, "run-*")),
+            ("bands", _os.path.join(state_dir, "bands", "run-*")),
+            ("sigs", _os.path.join(state_dir, "sigs", "run-*"))):
+        runs = sorted(_glob.glob(pattern))
+        drop = runs[:-keep_last] if keep_last else runs
+        for d in drop:
+            _shutil.rmtree(d)
+        if runs:
+            removed[family] = len(drop)
+    return removed

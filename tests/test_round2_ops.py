@@ -3204,3 +3204,25 @@ def test_star_broadcast_join_chained_dims_and_budget():
         star_broadcast_join(rd.from_pandas(fact),
                             [(rd.from_pandas(big), "fk1", None)],
                             broadcast_threshold=10)
+
+
+def test_prune_state_retention_semantics(tmp_path):
+    from belb_ray.stages.incremental import dedup_against_state, prune_state
+
+    state = str(tmp_path / "st")
+    w1 = pd.DataFrame({"doc_id": [1, 2], "text": ["aaa", "bbb"]})
+    w2 = pd.DataFrame({"doc_id": [3, 4], "text": ["ccc", "ddd"]})
+    out1 = dedup_against_state(rd.from_pandas(w1), state).to_pandas()
+    out2 = dedup_against_state(rd.from_pandas(w2), state).to_pandas()
+    assert len(out1) == 2 and len(out2) == 2
+
+    # keep only the newest run: wave-1 docs are forgotten, wave-2 kept
+    removed = prune_state(state, keep_last=1)
+    assert removed["exact"] == 1
+
+    re1 = dedup_against_state(
+        rd.from_pandas(w1.assign(doc_id=[11, 12])), state).to_pandas()
+    assert len(re1) == 2  # admitted again — their witness was pruned
+    re2 = dedup_against_state(
+        rd.from_pandas(w2.assign(doc_id=[13, 14])), state).to_pandas()
+    assert len(re2) == 0  # still deduped against the kept run
