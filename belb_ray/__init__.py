@@ -13,3 +13,21 @@ Reference semantics are cited per-module as ``file:line`` into
 """
 
 __version__ = "0.1.0"
+
+import logging as _logging
+
+
+class _SchemaHashNoiseFilter(_logging.Filter):
+    """Drop Ray's benign "Failed to hash the schemas (for deduplication)"
+    warning (ray/data/_internal/arrow_ops/transform_pyarrow.py): parquet
+    schema metadata carrying a dict is unhashable, Ray falls back to the
+    full unify path, and the warning floods every read-heavy log without
+    signalling anything actionable."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # pragma: no cover
+        return "Failed to hash the schemas" not in record.getMessage()
+
+
+_logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow"
+).addFilter(_SchemaHashNoiseFilter())

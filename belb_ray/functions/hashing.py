@@ -39,20 +39,30 @@ def sha256_hex_list(values: list[str | None]) -> list[str | None]:
     return out
 
 
+# pd.util.hash_array requires an EXACTLY-16-byte key
+_ROWID_HASH_KEY = "belb_ray_rowid16"
+
+
 def stable_id64_list(*columns: list) -> np.ndarray:
-    """Order-independent int64 row id from the concatenation of key fields
-    (blake2b-8). Replaces the reference's driver-side uid counter
-    (SURVEY §2.4 T2/T3) with a hash-stable id usable on any partition."""
-    n = len(columns[0])
-    out = np.empty(n, dtype=np.int64)
-    b2 = hashlib.blake2b
-    for i in range(n):
-        h = b2(digest_size=8)
-        for col in columns:
-            h.update(str(col[i]).encode("utf-8"))
-            h.update(b"\x1f")
-        out[i] = int.from_bytes(h.digest(), "big") & 0x7FFFFFFFFFFFFFFF
-    return out
+    """Order-independent int64 row id from the concatenation of key fields.
+    Replaces the reference's driver-side uid counter (SURVEY §2.4 T2/T3)
+    with a hash-stable id usable on any partition.
+
+    Vectorized: fields join with a \\x1f separator, then ONE
+    ``pd.util.hash_array`` pass (keyed siphash — deterministic across
+    processes/platforms, which is the actual requirement; the round-2
+    per-row blake2b loop was the dominant cost of ingest at scale,
+    VERDICT r2 "What's wrong #1"). Stability contract: ids change if
+    ``_ROWID_HASH_KEY`` changes — regenerate fixtures/goldens then."""
+    import pandas as pd
+
+    key = None
+    for col in columns:
+        part = pd.Series(col, dtype="object").astype(str) + "\x1f"
+        key = part if key is None else key + part
+    h = pd.util.hash_array(key.to_numpy(), hash_key=_ROWID_HASH_KEY,
+                           categorize=False)
+    return (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
 
 def token_hashes(tokens: list[str], cache: dict | None = None) -> np.ndarray:

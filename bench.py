@@ -380,11 +380,30 @@ def main() -> None:
 
     timings = run_queries(sf_dir, args.only)
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    # Full per-query detail goes to a FILE (round 2's single stdout line
+    # with 177 queries overflowed the driver's tail-capture window and
+    # left BENCH_r02.json unparsed). The final stdout line is compact:
+    # total + the top-10 heaviest queries only.
+    detail = {
         "metric": "belb_ray_bench_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "sf": sf,
+        "num_cpus": num_cpus,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    print(json.dumps({
+        "metric": "belb_ray_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": top10,
+        "n_queries": len(timings),
+        "queries_file": "BENCH_DETAIL.json",
         "sf": sf,
         "num_cpus": num_cpus,
     }))

@@ -157,3 +157,43 @@ def test_textstats():
     assert lang_id("the cat and the dog of the house") == "en"
     assert fingerprint64("a b c d e f g h") == fingerprint64("a  b c d e f g  h")
     assert fingerprint64("a b c d e f g h") != fingerprint64("a b c d e f g x")
+
+
+def test_textstats_batch_twins_match_scalar():
+    """The vectorized pyarrow batch kernels must equal the scalar spec
+    kernels row-for-row (the goldens/oracles were generated from the
+    scalar forms)."""
+    import random
+    import string
+
+    from belb_ray.functions.textstats import (
+        bpe_ish_token_count,
+        bpe_ish_token_count_batch,
+        lang_id_batch,
+        quality_features_batch,
+        token_count_batch,
+    )
+
+    rng = random.Random(7)
+    vocab = ["the", "a", "of", "cat", "sat", "und", "der", "les", "que",
+             "mat!", "x9", "The.", "AND", "it,", "in"]
+    texts = ["", " ", "the", "  the  ", "a.b,c!d", "The cat AND the dog",
+             "der die und sch ein ich den", "les des que de ion eur"]
+    for _ in range(200):
+        n = rng.randint(0, 30)
+        texts.append(" ".join(rng.choice(vocab) for _ in range(n)))
+    for _ in range(50):
+        texts.append("".join(rng.choice(string.printable[:95])
+                             for _ in range(rng.randint(0, 120))))
+
+    tc = token_count_batch(texts)
+    bc = bpe_ish_token_count_batch(texts)
+    nch, nw, sr = quality_features_batch(texts)
+    li = lang_id_batch(texts)
+    for i, t in enumerate(texts):
+        assert tc[i] == token_count(t), repr(t)
+        assert bc[i] == bpe_ish_token_count(t), repr(t)
+        c, w, _, s = quality_features(t)
+        assert nch[i] == c and nw[i] == w, repr(t)
+        assert abs(sr[i] - s) < 1e-12, repr(t)
+        assert li[i] == lang_id(t), repr(t)
