@@ -94,6 +94,27 @@ def resumable_partitioned_write(ds: rd.Dataset, out_dir: str,
     import ray
 
     chash = config_hash(config)
+
+    # the resume skip-mask compares numpy str() values against manifest
+    # values parsed back from hive DIR NAMES; the two stringifications
+    # agree only for string and integer columns (floats: '0.5' vs
+    # '0.50'; bools: 'True' vs 'true') — fail loudly rather than
+    # silently re-write or mask out rows
+    schema = ds.schema()
+    ptype = dict(zip(schema.names, schema.types)).get(part_col)
+    _ok = False
+    if isinstance(ptype, pa.DataType):
+        _ok = (pa.types.is_string(ptype) or pa.types.is_large_string(ptype)
+               or pa.types.is_integer(ptype))
+    elif ptype is not None:  # pandas-block schema: numpy dtype / class
+        _ok = (ptype is str or ptype is object
+               or np.issubdtype(np.dtype(ptype), np.integer))
+    if not _ok:
+        raise TypeError(
+            f"resumable_partitioned_write: part_col {part_col!r} has type "
+            f"{ptype} — only string/int partition columns round-trip "
+            "through hive dir names canonically; cast first")
+
     man_dir = os.path.join(out_dir, "_manifests")
     os.makedirs(man_dir, exist_ok=True)
 

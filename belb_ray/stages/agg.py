@@ -39,6 +39,23 @@ def _bucket_of_frame(batch: pd.DataFrame, keys: list[str], num_buckets: int) -> 
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
+def guard_bucket_rows(group: pd.DataFrame, key: str, budget: int | None,
+                      op: str) -> None:
+    """Loud hot-key failure for bucketed per-key ops: each hash bucket
+    assembles on ONE worker, so a pathological key silently OOMs the
+    task. Past ``budget`` rows, raise with the hottest key named — the
+    remedy (more buckets / salt the key / raise the budget) is a caller
+    decision, not something to guess (``distinct_values`` max_size
+    pattern, joins.py)."""
+    if budget is not None and len(group) > budget:
+        vc = group[key].value_counts()
+        raise ValueError(
+            f"{op}: one bucket holds {len(group)} rows > max_bucket_rows="
+            f"{budget}; hottest key {vc.index[0]!r} carries "
+            f"{int(vc.iloc[0])} rows. Raise num_buckets, pre-salt the hot "
+            f"key, or raise max_bucket_rows.")
+
+
 def bucketed_combine(partials: rd.Dataset, keys: list[str],
                      agg_map: dict[str, str], num_buckets: int = 64) -> rd.Dataset:
     """Final combine of partial-aggregate rows: hash-bucket the key tuple

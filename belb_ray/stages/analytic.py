@@ -48,6 +48,7 @@ def ordered_window(
     order_cols: list[str],
     specs: list[WindowSpec],
     num_buckets: int = 64,
+    max_bucket_rows: int | None = 8_000_000,
 ) -> rd.Dataset:
     """→ input columns + one output column per spec, computed per key in
     ``order_cols`` order (SQL ``OVER (PARTITION BY key ORDER BY ...)``).
@@ -55,6 +56,10 @@ def ordered_window(
     lag/lead default offset 1, null at partition edges; cumsum is the
     running inclusive sum (``ROWS UNBOUNDED PRECEDING``); row_number is
     1-based.
+
+    A bucket larger than ``max_bucket_rows`` fails LOUDLY naming the
+    hottest key (instead of a silent worker OOM) — raise num_buckets,
+    pre-salt the pathological key, or raise the budget.
     """
     for spec in specs:
         if spec[0] not in ("lag", "lead", "cumsum", "row_number",
@@ -73,6 +78,9 @@ def ordered_window(
         return batch
 
     def _windows(group: pd.DataFrame) -> pd.DataFrame:
+        from .agg import guard_bucket_rows
+
+        guard_bucket_rows(group, key, max_bucket_rows, "ordered_window")
         g = (group.drop(columns="__bucket")
                   .sort_values([key] + order_cols, kind="stable")
                   .reset_index(drop=True))
@@ -1067,7 +1075,20 @@ def global_quantile_exact(
 
         h = preagg_groupby(base.map_batches(_partial,
                                             batch_format="pyarrow"),
-                           ["v"], [("sum", "c", "c")], num_buckets)
+                           ["v"], [("sum", "c", "c")], num_buckets
+                           ).materialize()
+        # budget guard BEFORE the driver collect: the loop bounds the
+        # candidate bin's ROW count, but adversarially dense-distinct
+        # data (or a max_rounds exit) can leave more DISTINCT doubles in
+        # [lo, hi] than the budget — fail loudly instead of collecting
+        # unboundedly (count() on the materialized table is metadata)
+        n_distinct = h.count()
+        if n_distinct > distinct_budget + 1:  # +1 = the -inf carrier row
+            raise ValueError(
+                f"global_quantile_exact: interval [{lo}, {hi}] still holds "
+                f"{n_distinct - 1} distinct values > distinct_budget="
+                f"{distinct_budget}; raise distinct_budget, n_bins or "
+                "max_rounds")
         return collect_arrow(h).to_pandas().sort_values("v")
 
     out_q, out_v = [], []

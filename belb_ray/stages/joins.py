@@ -558,7 +558,17 @@ def salted_hash_join(
         hot_right, "__sk", num_buckets,
         right_suffix=right_suffix).drop_columns(["__sk"])
 
-    return cold.union(hot_join)
+    # Align the hot arm's column ORDER with the cold arm before union:
+    # the cold join normalizes to [key, left-others..., right...] while
+    # the hot arm (joined on __sk, then dropped) keeps the left table's
+    # original order — heterogeneous block schemas break Arrow-level
+    # consumers (write_parquet, concat) whenever `key` is not the left
+    # table's first column.
+    def _key_first(t: pa.Table) -> pa.Table:
+        return t.select([key] + [c for c in t.column_names if c != key])
+
+    return cold.union(
+        hot_join.map_batches(_key_first, batch_format="pyarrow"))
 
 
 def star_broadcast_join(

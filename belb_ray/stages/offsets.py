@@ -50,7 +50,12 @@ def assemble_passages(chunks: rd.Dataset, doc_col: str = "doc_id",
                       num_buckets: int = 64) -> rd.Dataset:
     """chunks(doc, idx, type, text) → (doc, passage_id, passage_type,
     p_offset, p_len): offsets are the per-document prefix sum of
-    ``len(text) + sep_len`` in ``idx`` order, starting at 0."""
+    ``len(text) + sep_len`` in ``idx`` order, starting at 0.
+
+    (doc, idx) is normally unique; when duplicates occur the tie order
+    is pinned deterministically by (p_len, passage_type) so the assigned
+    offsets are block-layout-independent (rows identical in all four
+    fields are interchangeable)."""
 
     def _lens(batch: pa.Table) -> pa.Table:
         lens = pa.compute.utf8_length(
@@ -69,7 +74,8 @@ def assemble_passages(chunks: rd.Dataset, doc_col: str = "doc_id",
         doc = group[doc_col].to_numpy(zero_copy_only=False)
         idx = group["passage_id"].to_numpy()
         lens = group["p_len"].to_numpy()
-        order = np.lexsort((idx, doc))
+        ptype = group["passage_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ptype, lens, idx, doc))
         doc, idx, lens = doc[order], idx[order], lens[order]
         step = lens + sep_len
         csum = np.cumsum(step)

@@ -94,11 +94,16 @@ def session_windows(
     key: str,
     gap: str,
     num_buckets: int = 64,
+    max_bucket_rows: int | None = 8_000_000,
 ) -> rd.Dataset:
     """→ (key, session_id, session_start, session_end, n_events): events
     of a key sorted by time; a gap > ``gap`` starts a new session.
     session_id = epoch-seconds of the session's first event (stable under
-    any partitioning)."""
+    any partitioning).
+
+    A bucket larger than ``max_bucket_rows`` fails LOUDLY naming the
+    hottest key (instead of a silent worker OOM) — raise num_buckets,
+    pre-salt the pathological key, or raise the budget."""
     gap_td = pd.Timedelta(gap)
 
     def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
@@ -107,6 +112,9 @@ def session_windows(
         return batch
 
     def _sessions(group: pd.DataFrame) -> pd.DataFrame:
+        from .agg import guard_bucket_rows
+
+        guard_bucket_rows(group, key, max_bucket_rows, "session_windows")
         g = group.drop(columns="__bucket").sort_values([key, ts_col],
                                                        kind="stable")
         ts = g[ts_col].to_numpy()

@@ -349,6 +349,34 @@ def test_session_windows_gap_split():
     assert len(out[out.user_id == 2]) == 1
 
 
+def test_window_ops_hot_key_fails_loudly():
+    # a pathological key past max_bucket_rows must raise naming the key,
+    # not silently OOM the bucket task (VERDICT r2 What's-wrong #3)
+    import pytest
+
+    from belb_ray.stages.analytic import ordered_window
+    from belb_ray.stages.windows import session_windows
+
+    n = 500
+    ev = rd.from_pandas(pd.DataFrame({
+        "ts": pd.to_datetime("2026-01-01") + pd.to_timedelta(
+            np.arange(n), unit="s"),
+        "user_id": np.zeros(n, dtype=np.int64),
+        "value": np.arange(n, dtype=np.float64)}))
+    with pytest.raises(ValueError, match="session_windows.*hottest key"):
+        session_windows(ev, "ts", "user_id", "30min",
+                        max_bucket_rows=100).to_pandas()
+    with pytest.raises(ValueError, match="ordered_window.*hottest key"):
+        ordered_window(ev, "user_id", ["ts"],
+                       [("row_number", "", "rn")],
+                       max_bucket_rows=100).to_pandas()
+    # under the budget the ops run normally
+    ok = ordered_window(ev, "user_id", ["ts"],
+                        [("row_number", "", "rn")],
+                        max_bucket_rows=n).to_pandas()
+    assert len(ok) == n
+
+
 def test_ivf_topk_contains_near_neighbor(embeddings):
     from belb_ray.stages.ann import ivf_topk
 

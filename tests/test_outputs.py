@@ -34,6 +34,23 @@ def test_write_er_outputs_and_resume(tmp_path):
         assert json.load(f)["config_hash"] == man1["config_hash"]
 
 
+def test_resumable_write_rejects_nonstring_partition(tmp_path):
+    # float/bool partition values stringify differently in numpy vs hive
+    # dir names — the op must refuse them loudly (ADVICE r2)
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from belb_ray.pipelines.outputs import resumable_partitioned_write
+
+    df = pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64),
+                       "frac": np.arange(6) * 0.5})
+    with pytest.raises(TypeError, match="part_col"):
+        resumable_partitioned_write(rd.from_pandas(df),
+                                    str(tmp_path / "out"), "frac", {})
+
+
 def test_resumable_partitioned_write(tmp_path):
     import os
     import time as _time

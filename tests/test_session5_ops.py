@@ -161,6 +161,33 @@ def test_salted_hash_join_matches_plain_join_under_skew():
     assert len(sa) > 0 and sa.equals(sb)
 
 
+def test_salted_hash_join_non_first_key_uniform_schema():
+    # key NOT the left table's first column: the hot and cold arms must
+    # emit the SAME column order (Arrow-level consumers like
+    # write_parquet break on heterogeneous union block schemas)
+    import numpy as np
+    import pyarrow as pa
+
+    from belb_ray.stages.joins import hash_partition_join, salted_hash_join
+
+    rng = np.random.RandomState(3)
+    keys = np.where(rng.rand(3000) < 0.5, 7, rng.randint(0, 100, 3000))
+    left = rd.from_pandas(pd.DataFrame(
+        {"lv": np.arange(3000), "k": keys})).repartition(6)
+    right = rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(100), "rv": np.arange(100) * 3}))
+    ds = salted_hash_join(left, right, "k", n_salt=4, phi=0.01)
+    tables = [pa.Table.from_pandas(b, preserve_index=False)
+              for b in ds.iter_batches(batch_format="pandas")]
+    orders = {tuple(t.column_names) for t in tables if t.num_rows}
+    assert orders == {("k", "lv", "rv")}
+    pa.concat_tables(tables)  # homogeneous schemas concat cleanly
+    got = ds.to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    want = (hash_partition_join(left, right, "k").to_pandas()
+            .sort_values(["k", "lv"]).reset_index(drop=True))
+    assert got[["k", "lv", "rv"]].equals(want[["k", "lv", "rv"]])
+
+
 def test_salted_hash_join_no_hot_keys_falls_back():
     import numpy as np
 
