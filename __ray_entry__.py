@@ -779,6 +779,31 @@ def q_multimodal_features(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow")
 
 
+def q_text_embeddings(sf_dir: str) -> rd.Dataset:
+    """Model-in-``__init__`` actor-pool inference (stages/embed.
+    TextEmbedder — the GPU-shaped text twin of multimodal_features):
+    the deterministic stand-in checkpoint loads once per actor, batches
+    stream through the pool. Oracle = pinned golden computed by the
+    SAME model kernel run single-process over the whole corpus
+    (tools/make_goldens.py golden_text_embeddings; encode accumulates
+    per-row in token order, so batching cannot drift the hashes)."""
+    from belb_ray.stages.embed import embed_texts
+
+    dim = 8
+    out = embed_texts(_t(sf_dir, "documents"), dim=dim, seed=11)
+
+    def _flat(t: pa.Table) -> pa.Table:
+        emb = np.round(t["embedding"].combine_chunks().flatten()
+                       .to_numpy(zero_copy_only=False)
+                       .astype(np.float64).reshape(-1, dim), 6)
+        cols = {"doc_id": t["doc_id"]}
+        for j in range(dim):
+            cols[f"e{j}"] = pa.array(emb[:, j], pa.float64())
+        return pa.table(cols)
+
+    return out.map_batches(_flat, batch_format="pyarrow")
+
+
 def q_asof_snapshot(sf_dir: str) -> rd.Dataset:
     """Backward as-of join: every non-snapshot event picks up the latest
     snapshot-event (event_id % 5 == 0) of the same user at-or-before its
@@ -4521,6 +4546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "multimodal_features": q_multimodal_features,
+        "text_embeddings": q_text_embeddings,
         "snm_pairs": q_snm_pairs,
         "name_jw_pairs": q_name_jw_pairs,
         "name_monge_elkan": q_name_monge_elkan,
@@ -7577,7 +7603,8 @@ def oracle_sql() -> dict[str, str]:
                         "er_clusters", "minhash_dedup_docs",
                         "simhash_dedup_docs", "doc_fingerprints",
                         "lsh_neardup", "lsh_ann_topk", "ivf_ann_topk",
-                        "multimodal_features", "semantic_dedup",
+                        "multimodal_features", "text_embeddings",
+                        "semantic_dedup",
                         "bpe_merges", "bpe_tokens", "pq_ann_topk",
                         "part_k_core", "part_components",
                         "jl_projection", "fs_linkage_weights",

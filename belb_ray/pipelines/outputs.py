@@ -66,6 +66,35 @@ def write_er_outputs(results: dict[str, rd.Dataset], out_dir: str,
     return run_manifest
 
 
+def export_json_corpus(ds: rd.Dataset, out_dir: str,
+                       config: dict | None = None) -> dict:
+    """K2: JSON interchange export — the reference persists corpora as
+    BioC JSON collections (belb/corpora/corpus.py:171-180,
+    ``biocjson.dump(..., ensure_ascii=False)``); Parquet stays this
+    repo's at-scale format, this is the round-trippable interchange
+    twin. Writes newline-delimited JSON shards (one file per block,
+    UTF-8, non-ASCII preserved) plus a manifest; ``ray.data.read_json``
+    on the directory's data dir reproduces the dataset exactly (pinned
+    by ``test_json_corpus_roundtrip``).
+
+    Row count for the manifest comes from a driver-side line count of
+    the written shards — streaming file IO, no second Ray execution."""
+    data_dir = os.path.join(out_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    ds.write_json(data_dir, force_ascii=False)
+    rows = 0
+    files = sorted(f for f in os.listdir(data_dir)
+                   if f.endswith(".json"))
+    for f in files:
+        with open(os.path.join(data_dir, f), encoding="utf-8") as fh:
+            rows += sum(1 for line in fh if line.strip())
+    man = {"config_hash": config_hash(config or {}), "rows": rows,
+           "files": len(files), "format": "jsonl"}
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(man, f, indent=1)
+    return man
+
+
 def resumable_partitioned_write(ds: rd.Dataset, out_dir: str,
                                 part_col: str, config: dict) -> dict:
     """Per-PARTITION resumable Parquet export — the granularity the

@@ -234,6 +234,94 @@ def parse_keyed_records(records: rd.Dataset, key_len: int = 2,
     return records.map_batches(_parse, batch_format="pyarrow")
 
 
+def _xlsx_cell_value(c, shared: list[str]) -> str | None:
+    """One OOXML <c> element → string value (type-tag aware)."""
+    t = c.get("t", "n")
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    if t == "inlineStr":
+        is_el = c.find(f"{ns}is")
+        return "".join(el.text or "" for el in
+                       is_el.iter(f"{ns}t")) if is_el is not None else None
+    v = c.find(f"{ns}v")
+    if v is None or v.text is None:
+        return None
+    if t == "s":  # shared-string index
+        return shared[int(v.text)]
+    return v.text  # n / str / b: the raw stored text
+
+
+def _xlsx_col_index(ref: str) -> int:
+    """'BC12' → 0-based column 54 (letters part of the A1 reference)."""
+    idx = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        idx = idx * 26 + (ord(ch.upper()) - 64)
+    return idx - 1
+
+
+def read_excel_table(path: str, header: bool = True,
+                     sheet: int = 1) -> pa.Table:
+    """S10: ``.xlsx`` side-table reader — the reference loads an Excel
+    mapping sheet via ``pd.read_excel`` and broadcasts it as a dict
+    (belb/corpora/bioid/bioid.py:173-186). No Excel library ships in
+    this container, so this is a dependency-free OOXML parse (stdlib
+    ``zipfile`` + ``ElementTree``): shared strings + ``sheet{N}.xml``
+    → one Arrow table. Column types are inferred (all-int64 → int64,
+    all-numeric → float64, else string; blanks → null).
+
+    Returns a DRIVER-SIDE ``pa.Table`` by design: an Excel side table
+    is small by construction (the format caps at ~10^6 rows) and its
+    consumer is ``broadcast_join`` / a ``ray.put`` dict — it is never
+    the big side of anything. Wrap with ``ray.data.from_arrow`` to
+    compose as a Dataset."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as zf:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            for si in root.iter(f"{ns}si"):
+                shared.append("".join(el.text or ""
+                                      for el in si.iter(f"{ns}t")))
+        sheet_xml = zf.read(f"xl/worksheets/sheet{sheet}.xml")
+
+    rows: list[dict[int, str | None]] = []
+    width = 0
+    for row_el in ET.fromstring(sheet_xml).iter(f"{ns}row"):
+        row: dict[int, str | None] = {}
+        for j, c in enumerate(row_el.iter(f"{ns}c")):
+            ref = c.get("r")
+            col = _xlsx_col_index(ref) if ref else j
+            row[col] = _xlsx_cell_value(c, shared)
+        if row:
+            width = max(width, max(row) + 1)
+            rows.append(row)
+    if not rows:
+        return pa.table({})
+
+    grid = [[r.get(j) for r in rows] for j in range(width)]
+    if header:
+        names = [grid[j][0] if grid[j][0] is not None else f"col{j}"
+                 for j in range(width)]
+        grid = [col[1:] for col in grid]
+    else:
+        names = [f"col{j}" for j in range(width)]
+
+    def _typed(col: list) -> pa.Array:
+        for typ, conv in ((pa.int64(), int), (pa.float64(), float)):
+            try:
+                return pa.array(
+                    [None if v is None else conv(v) for v in col], typ)
+            except (ValueError, OverflowError, pa.ArrowInvalid):
+                continue
+        return pa.array(col, pa.string())
+
+    return pa.table({n: _typed(g) for n, g in zip(names, grid)})
+
+
 def read_parquet_pruned(path, columns=None, predicate=None,
                         **kwargs) -> rd.Dataset:
     """Parquet read with projection AND predicate pushdown: ``columns``

@@ -221,6 +221,69 @@ def test_read_xml_documents(tmp_path):
     assert "Body text." in out.iloc[0]["full_text"]
 
 
+def _write_minimal_xlsx(path, header, rows):
+    """Hand-built OOXML workbook: shared strings for str cells, inline
+    <v> for numbers — the subset every real writer (openpyxl, pandas,
+    Excel itself) emits."""
+    import zipfile
+
+    shared, sidx = [], {}
+
+    def cell(ref, v):
+        if v is None:
+            return f'<c r="{ref}"/>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        if v not in sidx:
+            sidx[v] = len(shared)
+            shared.append(v)
+        return f'<c r="{ref}" t="s"><v>{sidx[v]}</v></c>'
+
+    def row_xml(i, vals):
+        cells = "".join(cell(f"{chr(65 + j)}{i}", v)
+                        for j, v in enumerate(vals))
+        return f'<row r="{i}">{cells}</row>'
+
+    body = row_xml(1, header) + "".join(
+        row_xml(i + 2, r) for i, r in enumerate(rows))
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/worksheets/sheet1.xml",
+                    f'<worksheet {ns}><sheetData>{body}</sheetData>'
+                    f'</worksheet>')
+        zf.writestr("xl/sharedStrings.xml",
+                    f'<sst {ns}>' + "".join(
+                        f"<si><t>{s}</t></si>" for s in shared) + "</sst>")
+
+
+def test_read_excel_table_and_broadcast_join(tmp_path):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from belb_ray.sources.readers import read_excel_table
+    from belb_ray.stages.joins import broadcast_join
+
+    x = tmp_path / "mapping.xlsx"
+    _write_minimal_xlsx(
+        str(x), ["Uniprot", "NCBI gene", "score"],
+        [["P05201", 2875, 0.5], ["P99999", 54205, 1.5],
+         ["Q00001", 7157, None]])
+    tbl = read_excel_table(str(x))
+    assert tbl.column_names == ["Uniprot", "NCBI gene", "score"]
+    assert tbl["Uniprot"].to_pylist() == ["P05201", "P99999", "Q00001"]
+    assert tbl["NCBI gene"].type == "int64"
+    assert tbl["score"].to_pylist() == [0.5, 1.5, None]
+    # the reference's consumption shape: side table broadcast-joined
+    left = rd.from_pandas(pd.DataFrame(
+        {"Uniprot": ["P99999", "P05201", "P05201"],
+         "n": np.arange(3, dtype=np.int64)}))
+    side = rd.from_arrow(tbl.select(["Uniprot", "NCBI gene"]))
+    out = (broadcast_join(left, side, "Uniprot").to_pandas()
+           .sort_values("n").reset_index(drop=True))
+    assert out["NCBI gene"].tolist() == [54205, 2875, 2875]
+
+
 def test_read_pubtator(tmp_path):
     from belb_ray.sources.readers import read_pubtator
 

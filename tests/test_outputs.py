@@ -34,6 +34,30 @@ def test_write_er_outputs_and_resume(tmp_path):
         assert json.load(f)["config_hash"] == man1["config_hash"]
 
 
+def test_json_corpus_roundtrip(tmp_path):
+    # K2: JSON interchange export must re-read to the identical table
+    # (reference writes BioC JSON collections, corpus.py:171-180)
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from belb_ray.pipelines.outputs import export_json_corpus
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64),
+        "text": [f"döc {i} — ünïcode ok" for i in range(40)],
+        "score": np.arange(40) * 0.25})
+    out = str(tmp_path / "corpus_json")
+    man = export_json_corpus(rd.from_pandas(df).repartition(4), out,
+                             {"split": "train"})
+    assert man["rows"] == 40 and man["files"] >= 1
+    back = (rd.read_json(f"{out}/data").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert back["text"].tolist() == df["text"].tolist()  # utf-8 intact
+    pd.testing.assert_frame_equal(back[["doc_id", "text", "score"]],
+                                  df[["doc_id", "text", "score"]])
+
+
 def test_resumable_write_rejects_nonstring_partition(tmp_path):
     # float/bool partition values stringify differently in numpy vs hive
     # dir names — the op must refuse them loudly (ADVICE r2)

@@ -828,6 +828,22 @@ def golden_kcenter_sample(sf_dir: str, k: int = 8) -> pa.Table:
         "dist": pa.array(np.round(np.asarray(dist), 6))})
 
 
+def golden_text_embeddings(sf_dir: str, dim=8, seed=11) -> pa.Table:
+    """Single-process run of the SHARED deterministic embed model over
+    every document (the Ray stage adds only batching + the actor pool;
+    the model kernel is the pure function under test). Output exploded
+    to flat e0..e{dim-1} float64 columns rounded 6dp for hashability."""
+    from belb_ray.stages.embed import FakeTextEmbedModel
+
+    ids, texts, _ = _doc_arrays(sf_dir)
+    model = FakeTextEmbedModel(dim=dim, seed=seed)
+    emb = np.round(model.encode(list(texts)).astype(np.float64), 6)
+    cols = {"doc_id": pa.array(np.asarray(ids, np.int64))}
+    for j in range(dim):
+        cols[f"e{j}"] = pa.array(emb[:, j], pa.float64())
+    return pa.table(cols)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -859,6 +875,7 @@ def main() -> None:
         "name_one2one_match": golden_one2one_match(args.sf_dir),
         "kmeans_clusters": golden_kmeans_clusters(args.sf_dir),
         "kcenter_sample": golden_kcenter_sample(args.sf_dir),
+        "text_embeddings": golden_text_embeddings(args.sf_dir),
     }
     for name, tbl in tables.items():
         path = os.path.join(GOLDEN_DIR, f"{name}.{sf_tag}.parquet")
