@@ -44,24 +44,26 @@ _ROWID_HASH_KEY = "belb_ray_rowid16"
 
 
 def stable_id64_list(*columns: list) -> np.ndarray:
-    """Order-independent int64 row id from the concatenation of key fields.
-    Replaces the reference's driver-side uid counter (SURVEY §2.4 T2/T3)
-    with a hash-stable id usable on any partition.
+    """Order-dependent int64 row id over the key fields. Replaces the
+    reference's driver-side uid counter (SURVEY §2.4 T2/T3) with a
+    hash-stable id usable on any partition.
 
-    Vectorized: fields join with a \\x1f separator, then ONE
-    ``pd.util.hash_array`` pass (keyed siphash — deterministic across
-    processes/platforms, which is the actual requirement; the round-2
-    per-row blake2b loop was the dominant cost of ingest at scale,
-    VERDICT r2 "What's wrong #1"). Stability contract: ids change if
-    ``_ROWID_HASH_KEY`` changes — regenerate fixtures/goldens then."""
+    Vectorized as per-COLUMN keyed siphash (``pd.util.hash_array``,
+    deterministic across processes/platforms — the actual requirement)
+    mixed with an FNV-style fold; no per-row Python, no string
+    concatenation, no separator-ambiguity. Measured 1.6x vs both the
+    round-2 per-row blake2b loop and a join-then-hash form at 500k rows
+    (BASELINE.md "Ingest kernels", VERDICT r2 What's-wrong #1).
+    Stability contract: ids change if ``_ROWID_HASH_KEY`` or the mixing
+    changes — regenerate fixtures/goldens then."""
     import pandas as pd
 
-    key = None
+    h = None
     for col in columns:
-        part = pd.Series(col, dtype="object").astype(str) + "\x1f"
-        key = part if key is None else key + part
-    h = pd.util.hash_array(key.to_numpy(), hash_key=_ROWID_HASH_KEY,
-                           categorize=False)
+        hc = pd.util.hash_array(np.asarray(col, dtype=object),
+                                hash_key=_ROWID_HASH_KEY,
+                                categorize=False)
+        h = hc if h is None else (h * np.uint64(0x100000001B3)) ^ hc
     return (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
 

@@ -19,8 +19,8 @@ import ray.data as rd
 from ..functions.textstats import (
     bpe_ish_token_count_batch,
     fingerprint64,
-    lang_id_batch,
-    quality_features_batch,
+    lang_id,
+    quality_features,
     token_count_batch,
 )
 
@@ -46,15 +46,20 @@ def doc_quality(ds: rd.Dataset, id_col: str = "doc_id",
                 text_col: str = "text") -> rd.Dataset:
     """→ (doc_id, n_chars, n_words, stop_ratio). Quality-score components
     for filter thresholds (length / stopword-density heuristics).
-    Vectorized: 9 C++ substring/regex passes per batch, no per-row loop."""
+
+    Scalar re/set kernel per row BY MEASUREMENT: a 9-pass
+    pyarrow.compute form ran 0.57x this loop at 800-word docs
+    (BASELINE.md "Ingest kernels") — Python's C-backed regex already
+    dominates here."""
 
     def _f(batch: pa.Table) -> pa.Table:
-        n_chars, n_words, stop_ratio = quality_features_batch(batch[text_col])
+        texts = batch[text_col].to_pylist()
+        feats = [quality_features(t) for t in texts]
         return pa.table({
             id_col: batch[id_col],
-            "n_chars": pa.array(n_chars, pa.int64()),
-            "n_words": pa.array(n_words, pa.int64()),
-            "stop_ratio": pa.array(stop_ratio, pa.float64()),
+            "n_chars": pa.array([f[0] for f in feats], pa.int64()),
+            "n_words": pa.array([f[1] for f in feats], pa.int64()),
+            "stop_ratio": pa.array([f[3] for f in feats], pa.float64()),
         })
 
     return ds.map_batches(_f, batch_format="pyarrow")
@@ -62,13 +67,17 @@ def doc_quality(ds: rd.Dataset, id_col: str = "doc_id",
 
 def doc_lang_id(ds: rd.Dataset, id_col: str = "doc_id",
                 text_col: str = "text") -> rd.Dataset:
-    """→ (doc_id, lang_pred) via the character-trigram heuristic
-    (vectorized: 40 substring-count passes → argmax)."""
+    """→ (doc_id, lang_pred) via the character-trigram heuristic.
+
+    Scalar str.count kernel per row BY MEASUREMENT: a 40-pass
+    pyarrow.compute form ran 0.49x this loop at 800-word docs
+    (BASELINE.md "Ingest kernels")."""
 
     def _f(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
         return pa.table({
             id_col: batch[id_col],
-            "lang_pred": pa.array(lang_id_batch(batch[text_col]), pa.string()),
+            "lang_pred": pa.array([lang_id(t) for t in texts], pa.string()),
         })
 
     return ds.map_batches(_f, batch_format="pyarrow")
