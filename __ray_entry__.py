@@ -13,6 +13,13 @@ dict union-find, the fixture's analytic gold clusters) — regenerate with
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
+
+NOTE on trailing sorts: many queries end in a global ``.sort(...)`` /
+``sort_values``. That sort exists ONLY so the driver's order-insensitive
+value-hash compare sees a stable row set at tiny result sizes — it is
+the oracle-comparability harness, NOT part of the production pipeline
+shape (a real pipeline consumes the unsorted stream or writes
+partitioned parquet; see the library stage the query wraps).
 """
 
 from __future__ import annotations
@@ -777,6 +784,19 @@ def q_multimodal_features(sf_dir: str) -> rd.Dataset:
         lambda t: pa.table({"item_id": t["item_id"],
                             "width": t["width"], "height": t["height"]}),
         batch_format="pyarrow")
+
+
+def q_upsample_exact(sf_dir: str) -> rd.Dataset:
+    """O4 exact-shuffle upsampling (stages/sampling.
+    seeded_upsample_chunks): per-user stdlib Fisher-Yates over sorted
+    event ids, chunked at 20 — reference corpus.py:381-410 semantics
+    with per-group seeding (the documented deviation; the reference's
+    global-random-state order is unreproducible distributed). Oracle =
+    pinned golden from an independent single-process driver loop."""
+    from belb_ray.stages.sampling import seeded_upsample_chunks
+
+    return seeded_upsample_chunks(_t(sf_dir, "events"), "user_id",
+                                  "event_id", max_chunk=20, seed=9)
 
 
 def q_text_embeddings(sf_dir: str) -> rd.Dataset:
@@ -4547,6 +4567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "multimodal_features": q_multimodal_features,
         "text_embeddings": q_text_embeddings,
+        "upsample_exact": q_upsample_exact,
         "snm_pairs": q_snm_pairs,
         "name_jw_pairs": q_name_jw_pairs,
         "name_monge_elkan": q_name_monge_elkan,
@@ -7604,7 +7625,7 @@ def oracle_sql() -> dict[str, str]:
                         "simhash_dedup_docs", "doc_fingerprints",
                         "lsh_neardup", "lsh_ann_topk", "ivf_ann_topk",
                         "multimodal_features", "text_embeddings",
-                        "semantic_dedup",
+                        "upsample_exact", "semantic_dedup",
                         "bpe_merges", "bpe_tokens", "pq_ann_topk",
                         "part_k_core", "part_components",
                         "jl_projection", "fs_linkage_weights",

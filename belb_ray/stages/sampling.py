@@ -112,6 +112,50 @@ def upsample_chunks(ds: rd.Dataset, key: str, max_chunk: int,
     return bucketed.groupby("__bucket").map_groups(_chunk, batch_format="pyarrow")
 
 
+def seeded_upsample_chunks(ds: rd.Dataset, group_col: str, id_col: str,
+                           max_chunk: int, seed: int = 0,
+                           out_col: str = "chunk_idx",
+                           num_buckets: int = 64) -> rd.Dataset:
+    """O4, exact-shuffle form: per group, Fisher-Yates shuffle of the
+    group's ids with stdlib ``random.Random``, then chunks of ≤
+    ``max_chunk`` in shuffled order → (group_col, id_col, out_col).
+
+    Reference semantics (belb/corpora/corpus.py:381-410 ``upsample``):
+    shuffle an example's annotation ids, slice into ``max_mentions``
+    chunks. The reference shuffles with the GLOBAL random state — its
+    result depends on every previous shuffle in the run, which no
+    distributed (or even re-ordered sequential) execution can reproduce
+    bit-for-bit. The documented deviation is per-group seeding:
+    ``random.Random(f"{seed}:{group}")`` over the group's ids in sorted
+    (canonical) pre-shuffle order — deterministic under ANY
+    partitioning, same chunk-size distribution, stdlib-exact shuffle.
+    Groups are example-sized (annotations per document), so the per-
+    group Python shuffle IS the spec, not a hot path."""
+    import random
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch[group_col], seed)
+        return batch.append_column(
+            "__bucket", pa.array((h % np.uint64(num_buckets))
+                                 .astype(np.int32)))
+
+    def _chunk(group: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_i, out_c = [], [], []
+        for g, sub in group.groupby(group_col, sort=False):
+            ids = sorted(sub[id_col].tolist())
+            random.Random(f"{seed}:{g}").shuffle(ids)
+            out_g.extend([g] * len(ids))
+            out_i.extend(ids)
+            out_c.extend(i // max_chunk for i in range(len(ids)))
+        return pd.DataFrame({group_col: out_g, id_col: out_i,
+                             out_col: np.asarray(out_c, np.int64)})
+
+    bucketed = (ds.select_columns([group_col, id_col])
+                .map_batches(_bucketize, batch_format="pyarrow"))
+    return bucketed.groupby("__bucket").map_groups(
+        _chunk, batch_format="pandas")
+
+
 def weighted_sample_per_group(ds: rd.Dataset, group_col: str, id_col: str,
                               weight_col: str, k: int, seed: int = 0,
                               method: str = "md5",

@@ -43,24 +43,35 @@ def _tokset(path: str) -> frozenset:
 
 def attach_features(pairs: rd.Dataset, features: rd.Dataset,
                     num_buckets: int = 32,
-                    broadcast_threshold: int = 2_000_000,
+                    broadcast_threshold: int = 8_000_000,
+                    broadcast_bytes: int = 1_500_000_000,
                     need_paths: bool = True) -> rd.Dataset:
     """pairs(id_a,id_b) ⋈ features → + (sig_a, sig_b[, path_a, path_b]).
 
-    Size-aware strategy: when the (exact-dedup'd) feature table is small
-    enough to broadcast, it is ``ray.put`` ONCE and looked up per batch
-    with ``np.searchsorted`` — zero shuffles. Beyond the threshold, two
+    Size-aware strategy: when the (exact-dedup'd) feature table fits the
+    broadcast budget, it is ``ray.put`` ONCE and looked up per batch
+    with ``np.searchsorted`` — zero shuffles. Beyond the budget, two
     hash-partitioned joins (one shuffle per pair side).
+
+    The crossover was MEASURED round 3 (tools/profile_attach.py,
+    BASELINE.md "Feature-attach crossover"): broadcast beats the join
+    path 14-29x at 1M/2M/4M reps (up to a 1 GB payload), so the
+    governing quantity is the broadcast's BYTE size (object-store /
+    worker-heap pressure, and this sandbox's first-touch page-fault tax
+    past ~1.3 GB), not its row count — hence the dual budget:
+    ``broadcast_threshold`` rows AND ``broadcast_bytes`` of actual
+    materialized payload (``Dataset.size_bytes`` on the selected
+    columns, so a 128-perm sig counts 4x a 32-perm one).
 
     ``need_paths=False`` (pure-content scoring: w_jw == w_tok == 0, e.g.
     MinHash document dedup) drops the path column from the broadcast AND
     from every per-pair gather — at millions of reps that is hundreds of
     MB never materialized."""
     cols = ["row_id", "sig"] + (["path"] if need_paths else [])
-    feat = features.select_columns(cols)
+    feat = features.select_columns(cols).materialize()
     n_feat = feat.count()
 
-    if n_feat <= broadcast_threshold:
+    if n_feat <= broadcast_threshold and feat.size_bytes() <= broadcast_bytes:
         import ray
 
         from .joins import collect_arrow

@@ -111,3 +111,38 @@ def test_upsample_chunks_bounds():
     assert len(out) == 500
     sizes = out.groupby("chunk_id").size()
     assert sizes.max() <= 40
+
+
+def test_seeded_upsample_chunks_exact_stdlib_shuffle():
+    # O4 exact form: per-group assignment must equal stdlib
+    # random.Random(f"{seed}:{g}").shuffle over sorted ids, regardless
+    # of input partitioning (reference corpus.py:381-410 semantics)
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from belb_ray.stages.sampling import seeded_upsample_chunks
+
+    rng = np.random.default_rng(2)
+    g = rng.integers(0, 25, 700)
+    ids = np.arange(700, dtype=np.int64)
+    df = pd.DataFrame({"doc": g.astype(np.int64), "ann": ids})
+
+    outs = []
+    for blocks in (3, 17):
+        out = (seeded_upsample_chunks(
+            rd.from_pandas(df).repartition(blocks), "doc", "ann",
+            max_chunk=20, seed=9).to_pandas()
+            .sort_values(["doc", "ann"]).reset_index(drop=True))
+        outs.append(out)
+    assert outs[0].equals(outs[1])  # partition-independent
+
+    got = outs[0]
+    for gval, sub in df.groupby("doc"):
+        want_ids = sorted(sub["ann"].tolist())
+        random.Random(f"9:{gval}").shuffle(want_ids)
+        want = {i: pos // 20 for pos, i in enumerate(want_ids)}
+        sg = got[got["doc"] == gval]
+        assert dict(zip(sg["ann"], sg["chunk_idx"])) == want
+        assert sg["chunk_idx"].value_counts().max() <= 20

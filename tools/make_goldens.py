@@ -844,6 +844,29 @@ def golden_text_embeddings(sf_dir: str, dim=8, seed=11) -> pa.Table:
     return pa.table(cols)
 
 
+def golden_upsample_exact(sf_dir: str, max_chunk=20, seed=9) -> pa.Table:
+    """Independent single-process driver loop of the O4 exact-shuffle
+    spec: per user, stdlib random.Random(f"{seed}:{g}").shuffle over
+    sorted event ids, position // max_chunk (the distributed op's
+    composition — bucketing, map_groups — is what's under test; the
+    shuffle itself IS the stdlib call in both)."""
+    import random
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                      columns=["user_id", "event_id"])
+    df = t.to_pandas()
+    gs, es, cs = [], [], []
+    for g, sub in df.groupby("user_id", sort=True):
+        ids = sorted(sub["event_id"].tolist())
+        random.Random(f"{seed}:{g}").shuffle(ids)
+        gs.extend([int(g)] * len(ids))
+        es.extend(int(i) for i in ids)
+        cs.extend(pos // max_chunk for pos in range(len(ids)))
+    return pa.table({"user_id": pa.array(gs, pa.int64()),
+                     "event_id": pa.array(es, pa.int64()),
+                     "chunk_idx": pa.array(cs, pa.int64())})
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -876,6 +899,7 @@ def main() -> None:
         "kmeans_clusters": golden_kmeans_clusters(args.sf_dir),
         "kcenter_sample": golden_kcenter_sample(args.sf_dir),
         "text_embeddings": golden_text_embeddings(args.sf_dir),
+        "upsample_exact": golden_upsample_exact(args.sf_dir),
     }
     for name, tbl in tables.items():
         path = os.path.join(GOLDEN_DIR, f"{name}.{sf_tag}.parquet")
