@@ -786,6 +786,36 @@ def q_multimodal_features(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow")
 
 
+def q_bm25_rerank(sf_dir: str) -> rd.Dataset:
+    """Retrieval-then-rerank composition: cheap BM25 recall stage
+    (k=25 candidates) → text attach (broadcast join) → cross-encoder
+    actor-pool scoring (stages/embed.CrossEncoderReranker, model loads
+    once per actor; deterministic stand-in = cosine of the shared
+    fake-embed kernel) → final top-10 by (rerank_score desc, doc_id).
+    Only the 25-candidate sliver reaches the model — the corpus never
+    does. Oracle = pinned golden from the independent single-process
+    composition (tools/make_goldens.py golden_bm25_rerank)."""
+    from belb_ray.stages.embed import rerank_pairs
+    from belb_ray.stages.joins import broadcast_join
+    from belb_ray.stages.search import bm25_topk
+
+    docs = _t(sf_dir, "documents")
+    cand = bm25_topk(docs, list(BM25_TERMS), k=25)
+    with_text = broadcast_join(cand, docs.select_columns(
+        ["doc_id", "text"]), "doc_id")
+    query = " ".join(BM25_TERMS)
+    paired = with_text.map_batches(
+        lambda t: t.append_column(
+            "query", pa.array([query] * t.num_rows, pa.string())),
+        batch_format="pyarrow")
+    scored = rerank_pairs(paired, dim=32, seed=5)
+    out = scored.map_batches(
+        lambda t: t.select(["doc_id", "score", "rerank_score"]),
+        batch_format="pyarrow")
+    return out.sort(["rerank_score", "doc_id"],
+                    descending=[True, False]).limit(10)
+
+
 def q_upsample_exact(sf_dir: str) -> rd.Dataset:
     """O4 exact-shuffle upsampling (stages/sampling.
     seeded_upsample_chunks): per-user stdlib Fisher-Yates over sorted
@@ -4568,6 +4598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": q_multimodal_features,
         "text_embeddings": q_text_embeddings,
         "upsample_exact": q_upsample_exact,
+        "bm25_rerank": q_bm25_rerank,
         "snm_pairs": q_snm_pairs,
         "name_jw_pairs": q_name_jw_pairs,
         "name_monge_elkan": q_name_monge_elkan,
@@ -7625,7 +7656,7 @@ def oracle_sql() -> dict[str, str]:
                         "simhash_dedup_docs", "doc_fingerprints",
                         "lsh_neardup", "lsh_ann_topk", "ivf_ann_topk",
                         "multimodal_features", "text_embeddings",
-                        "upsample_exact", "semantic_dedup",
+                        "upsample_exact", "bm25_rerank", "semantic_dedup",
                         "bpe_merges", "bpe_tokens", "pq_ann_topk",
                         "part_k_core", "part_components",
                         "jl_projection", "fs_linkage_weights",

@@ -109,6 +109,69 @@ class TextEmbedder:
         })
 
 
+class CrossEncoderReranker:
+    """Actor-pool stage: (query, text) rows → + ``rerank_score``.
+
+    The second GPU-shaped inference op (a retrieval pipeline's
+    candidate rerank): a real cross-encoder checkpoint is attempted
+    once per actor when ``model_name`` is given (sentence-transformers'
+    ``CrossEncoder.predict(pairs)`` API — absent in this container);
+    otherwise the deterministic stand-in scores a pair as the cosine of
+    the two texts' ``FakeTextEmbedModel`` encodings, rounded to
+    ``round_to`` — reusing the batch-invariant encode kernel, so the
+    score is bit-stable under any batching/partitioning."""
+
+    def __init__(self, dim: int = 32, seed: int = 0,
+                 query_col: str = "query", text_col: str = "text",
+                 out_col: str = "rerank_score", round_to: int = 6,
+                 model_name: str | None = None):
+        self.query_col, self.text_col = query_col, text_col
+        self.out_col, self.round_to = out_col, round_to
+        self.model = None
+        if model_name is not None:
+            try:  # real checkpoint if the lib exists
+                from sentence_transformers import CrossEncoder
+
+                self.model = CrossEncoder(model_name)
+            except ImportError:
+                pass
+        self.fake = (FakeTextEmbedModel(dim=dim, seed=seed)
+                     if self.model is None else None)
+
+    def _scores(self, qs: list, ds_: list) -> np.ndarray:
+        if self.model is not None:
+            return np.asarray(self.model.predict(list(zip(qs, ds_))),
+                              dtype=np.float64)
+        eq = self.fake.encode(qs).astype(np.float64)
+        ed = self.fake.encode(ds_).astype(np.float64)
+        return (eq * ed).sum(axis=1)  # rows are already L2-normalized
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qs = batch[self.query_col].to_pylist()
+        ds_ = batch[self.text_col].to_pylist()
+        s = np.round(self._scores(qs, ds_), self.round_to)
+        return batch.append_column(self.out_col,
+                                   pa.array(s, pa.float64()))
+
+
+def rerank_pairs(ds: rd.Dataset, dim: int = 32, seed: int = 0,
+                 query_col: str = "query", text_col: str = "text",
+                 out_col: str = "rerank_score", round_to: int = 6,
+                 model_name: str | None = None, batch_size: int = 256,
+                 concurrency=(1, 8)) -> rd.Dataset:
+    """→ input + ``out_col``: streaming actor-pool cross-encoder
+    scoring of (query, candidate-text) rows. Candidates come from a
+    cheap first stage (BM25 / ANN top-k); only that k·|queries|-sized
+    sliver ever reaches the model — the corpus itself never does."""
+    return ds.map_batches(
+        CrossEncoderReranker, batch_format="pyarrow",
+        batch_size=batch_size,
+        fn_constructor_kwargs=dict(dim=dim, seed=seed, query_col=query_col,
+                                   text_col=text_col, out_col=out_col,
+                                   round_to=round_to, model_name=model_name),
+        concurrency=concurrency)
+
+
 def embed_texts(ds: rd.Dataset, dim: int = 64, seed: int = 0,
                 text_col: str = "text", id_col: str = "doc_id",
                 model_name: str | None = None, batch_size: int = 256,

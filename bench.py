@@ -237,6 +237,10 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "lang_id_accuracy",
         "embedding_quantization",
         "region_year_sales",
+        # round-3 additions
+        "text_embeddings",
+        "upsample_exact",
+        "bm25_rerank",
         # part_k_core and fs_linkage_weights are oracle-checked but
         # excluded here: their fixpoint/EM rounds are iteration-count-
         # dominated at sf0.1 and would eat the min-of-2 budget.
@@ -290,7 +294,8 @@ def main() -> None:
         # compute-dominated (the scaling claim is about throughput, not
         # about Ray's fixed per-stage scheduling overhead, which a 20k-row
         # toy run is entirely made of).
-        n_rows = max(5_000, int(5_000_000 * sf))
+        n_rows = int(os.environ.get(
+            "GRAFT_SCALING_ROWS", max(5_000, int(5_000_000 * sf))))
         path = f"/tmp/belb_ray_scaling_{n_rows}"
         if not os.path.exists(path):
             import pyarrow.parquet as pq

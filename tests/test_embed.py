@@ -47,6 +47,35 @@ def test_embed_texts_actor_pool_matches_direct_encode():
     assert np.array_equal(got, want)
 
 
+def test_rerank_pairs_matches_direct_cosine_and_is_batch_stable():
+    from belb_ray.stages.embed import rerank_pairs
+
+    n = 120
+    rng = np.random.default_rng(4)
+    vocab = np.array([f"w{i}" for i in range(30)])
+    texts = [" ".join(vocab[rng.integers(0, 30, rng.integers(3, 10))])
+             for _ in range(n)]
+    q = "w1 w2 w3"
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "query": [q] * n, "text": texts})
+    out = (rerank_pairs(rd.from_pandas(df).repartition(4), dim=16, seed=3,
+                        batch_size=32)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out.columns) == ["doc_id", "query", "text", "rerank_score"]
+    m = FakeTextEmbedModel(dim=16, seed=3)
+    eq = m.encode([q] * n).astype(np.float64)
+    ed = m.encode(texts).astype(np.float64)
+    want = np.round((eq * ed).sum(axis=1), 6)
+    assert np.array_equal(out["rerank_score"].to_numpy(), want)
+    assert (np.abs(out["rerank_score"]) <= 1.0 + 1e-9).all()
+    # identical text scores 1.0 against itself
+    self_df = pd.DataFrame({"doc_id": [0], "query": [texts[0]],
+                            "text": [texts[0]]})
+    s = rerank_pairs(rd.from_pandas(self_df), dim=16,
+                     seed=3).to_pandas()["rerank_score"].iloc[0]
+    assert abs(s - 1.0) < 1e-6
+
+
 def test_embed_output_schema_fixed_size_list():
     df = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
                        "text": ["a b", "c", "", "d e f"]})

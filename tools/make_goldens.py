@@ -867,6 +867,58 @@ def golden_upsample_exact(sf_dir: str, max_chunk=20, seed=9) -> pa.Table:
                      "chunk_idx": pa.array(cs, pa.int64())})
 
 
+def golden_bm25_rerank(sf_dir: str, terms=("hash", "join", "window"),
+                       k_cand=25, k_out=10, dim=32, seed=5) -> pa.Table:
+    """Independent single-process retrieval-then-rerank: brute-force
+    BM25 over every doc (same idf/tf expression, left-associated term
+    accumulation, 4dp rounding as stages/search.bm25_topk), top-25 by
+    (score desc, id asc), then cross-encoder stand-in = cosine of the
+    shared FakeTextEmbedModel encodings (6dp), top-10 by (rerank desc,
+    id asc)."""
+    from collections import Counter
+
+    from belb_ray.stages.embed import FakeTextEmbedModel
+    from belb_ray.stages.search import _tokenize
+
+    ids, texts, _ = _doc_arrays(sf_dir)
+    terms = list(terms)
+    nt = len(terms)
+    toks = [_tokenize(t or "") for t in texts]
+    n = float(len(texts))
+    avgdl = sum(len(t) for t in toks) / n
+    df = np.array([float(sum(1 for t in toks if term in set(t)))
+                   for term in terms])
+    idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    k1, b = 1.2, 0.75
+    m = len(texts)
+    tf = np.zeros((m, nt), dtype=np.float64)
+    dl = np.array([len(t) for t in toks], dtype=np.float64)
+    for r, t in enumerate(toks):
+        cnt = Counter(t)
+        for i, term in enumerate(terms):
+            tf[r, i] = cnt.get(term, 0)
+    score = np.zeros(m, dtype=np.float64)
+    norm = k1 * (1.0 - b + b * dl / avgdl)
+    for i in range(nt):
+        score = score + idf[i] * (tf[:, i] * (k1 + 1.0)) / (tf[:, i] + norm)
+    score = np.round(score, 4)
+    order = np.lexsort((np.asarray(ids), -score))[:k_cand]
+
+    model = FakeTextEmbedModel(dim=dim, seed=seed)
+    q = model.encode([" ".join(terms)]).astype(np.float64)[0]
+    cand_texts = [texts[i] for i in order]
+    ed = model.encode(cand_texts).astype(np.float64)
+    # same expression as CrossEncoderReranker._scores ((eq*ed).sum) so
+    # the float reduction order matches bit-for-bit before rounding
+    rr = np.round((ed * q[None, :]).sum(axis=1), 6)
+    sel = np.lexsort((np.asarray(ids)[order], -rr))[:k_out]
+    pick = np.asarray(order)[sel]
+    return pa.table({
+        "doc_id": pa.array(np.asarray(ids)[pick].astype(np.int64)),
+        "score": pa.array(score[pick], pa.float64()),
+        "rerank_score": pa.array(rr[sel], pa.float64())})
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -900,6 +952,7 @@ def main() -> None:
         "kcenter_sample": golden_kcenter_sample(args.sf_dir),
         "text_embeddings": golden_text_embeddings(args.sf_dir),
         "upsample_exact": golden_upsample_exact(args.sf_dir),
+        "bm25_rerank": golden_bm25_rerank(args.sf_dir),
     }
     for name, tbl in tables.items():
         path = os.path.join(GOLDEN_DIR, f"{name}.{sf_tag}.parquet")
