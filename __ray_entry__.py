@@ -51,7 +51,9 @@ _GOLDEN_DIR = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
 
 
 def _t(sf_dir: str, name: str) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    from belb_ray.sources.readers import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 
 def _t_where(sf_dir: str, name: str, predicate,

@@ -21,6 +21,8 @@ from typing import Any, Callable
 
 import ray.data as rd
 
+from belb_ray.sources.readers import read_parquet_clean
+
 MANIFEST = "manifest.json"
 
 
@@ -49,7 +51,7 @@ def checkpoint_stage(
         with open(man_path) as f:
             man = json.load(f)
         if man.get("config_hash") == chash:
-            return rd.read_parquet(os.path.join(path, "data"))
+            return read_parquet_clean(os.path.join(path, "data"))
         shutil.rmtree(path)
 
     tmp = path + ".tmp"
@@ -58,7 +60,7 @@ def checkpoint_stage(
     os.makedirs(os.path.join(tmp, "data"), exist_ok=True)
     ds = factory()
     ds.write_parquet(os.path.join(tmp, "data"))
-    rows = rd.read_parquet(os.path.join(tmp, "data")).count()
+    rows = read_parquet_clean(os.path.join(tmp, "data")).count()
     manifest = {
         "config_hash": chash,
         "config": {k: str(v) for k, v in config.items()},
@@ -70,7 +72,7 @@ def checkpoint_stage(
     if os.path.exists(path):
         shutil.rmtree(path)
     os.rename(tmp, path)
-    return rd.read_parquet(os.path.join(path, "data"))
+    return read_parquet_clean(os.path.join(path, "data"))
 
 
 def read_manifest(path: str) -> dict | None:

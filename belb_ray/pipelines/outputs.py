@@ -17,6 +17,8 @@ import ray.data as rd
 
 from .checkpoint import config_hash
 
+from belb_ray.sources.readers import read_parquet_clean
+
 
 def write_er_outputs(results: dict[str, rd.Dataset], out_dir: str,
                      config: dict, tables: tuple = ("clusters", "edges",
@@ -45,7 +47,7 @@ def write_er_outputs(results: dict[str, rd.Dataset], out_dir: str,
             shutil.rmtree(tmp)
         os.makedirs(os.path.join(tmp, "data"))
         ds.write_parquet(os.path.join(tmp, "data"))
-        written = rd.read_parquet(os.path.join(tmp, "data"))
+        written = read_parquet_clean(os.path.join(tmp, "data"))
         man = {
             "config_hash": chash,
             "rows": written.count(),

@@ -322,6 +322,51 @@ def read_excel_table(path: str, header: bool = True,
     return pa.table({n: _typed(g) for n, g in zip(names, grid)})
 
 
+def _clean_read_schema(path, columns=None):
+    """Resolve a metadata-free Arrow schema for a parquet file, shard
+    list, or flat shard directory. Pandas-written parquet carries a
+    ``b'pandas'`` schema-metadata dict that makes ``pa.Schema``
+    UNHASHABLE — Ray's block-unify dedup (`ray/data/_internal/arrow_ops/
+    transform_pyarrow.py` ``unify_schemas``) then warns "Failed to hash
+    the schemas" in EVERY read/reduce task. Passing an explicit
+    metadata-free schema to ``read_parquet`` removes the noise at the
+    source. Returns ``None`` (caller lets Ray infer) for hive-partitioned
+    dirs, missing columns, or any resolution failure — correctness never
+    depends on this."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        f = path
+        if isinstance(path, (list, tuple)):
+            if not path:
+                return None
+            f = path[0]
+        if os.path.isdir(f):
+            names = sorted(x for x in os.listdir(f) if x.endswith(".parquet"))
+            if not names:  # hive-partitioned / nested: partition cols
+                return None  # would be missing from the file schema
+            f = os.path.join(f, names[0])
+        sch = pq.read_schema(f).remove_metadata()
+        if columns is not None:
+            sch = pa.schema([sch.field(c) for c in columns])
+        return sch
+    except Exception:
+        return None
+
+
+def read_parquet_clean(path, *, columns=None, **kwargs) -> rd.Dataset:
+    """``rd.read_parquet`` with an explicit metadata-free schema (see
+    ``_clean_read_schema``) so every downstream block schema is hashable
+    and Ray's unify fast path engages silently."""
+    if "schema" not in kwargs:
+        sch = _clean_read_schema(path, columns)
+        if sch is not None:
+            kwargs["schema"] = sch
+    return rd.read_parquet(path, columns=columns, **kwargs)
+
+
 def read_parquet_pruned(path, columns=None, predicate=None,
                         **kwargs) -> rd.Dataset:
     """Parquet read with projection AND predicate pushdown: ``columns``
@@ -331,5 +376,5 @@ def read_parquet_pruned(path, columns=None, predicate=None,
     storage — the "prune at the read" rule. A post-read
     ``ds.filter(expr=...)`` scans every row of every row group; this
     never deserializes groups whose statistics exclude the predicate."""
-    return rd.read_parquet(path, columns=columns, filter=predicate,
-                           **kwargs)
+    return read_parquet_clean(path, columns=columns, filter=predicate,
+                              **kwargs)

@@ -36,6 +36,8 @@ import ray.data as rd
 from .agg import bucketed_combine
 from .curation import GRAM_WORD_RE
 
+from belb_ray.functions.arrow import table_from_pandas
+
 END_OF_WORD = "</w>"
 
 
@@ -84,7 +86,7 @@ def _pair_counts(vocab: rd.Dataset, num_buckets: int) -> rd.Dataset:
             "left": left.to_pandas(), "right": right.to_pandas(),
             "n_occurrences": w[word_of[idx]]})
         g = df.groupby(["left", "right"], sort=False, as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g)
 
     partials = vocab.map_batches(_partial, batch_format="pyarrow")
     return bucketed_combine(partials, ["left", "right"],

@@ -27,6 +27,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from belb_ray.sources.readers import read_parquet_clean
+
 
 def _content_md5(col: pa.ChunkedArray | pa.Array) -> list[str]:
     md5 = hashlib.md5
@@ -66,7 +68,7 @@ def dedup_against_state(new_docs: rd.Dataset, state_dir: str,
 
     both = hashed.map_batches(_tag(1), batch_format="pyarrow")
     if shards:
-        seen = rd.read_parquet(shards, columns=["__h"])
+        seen = read_parquet_clean(shards, columns=["__h"])
         both = both.union(seen.map_batches(_tag(0), batch_format="pyarrow"))
 
     def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
@@ -180,7 +182,7 @@ def neardup_against_state(new_docs: rd.Dataset, state_dir: str,
 
     both = new_bands.map_batches(_tag(1), batch_format="pyarrow")
     if band_shards:
-        both = both.union(rd.read_parquet(band_shards).map_batches(
+        both = both.union(read_parquet_clean(band_shards).map_batches(
             _tag(0), batch_format="pyarrow"))
 
     def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
@@ -209,7 +211,7 @@ def neardup_against_state(new_docs: rd.Dataset, state_dir: str,
         lambda t: pa.table({"rid": t["row_id"], "sig": t["sig"]}),
         batch_format="pyarrow")
     if sig_shards:
-        sigs_all = sigs_all.union(rd.read_parquet(sig_shards))
+        sigs_all = sigs_all.union(read_parquet_clean(sig_shards))
 
     new_keyed = sigs_all.map_batches(
         lambda t: pa.table({"new_id": t["rid"], "sig": t["sig"]}),
@@ -316,7 +318,7 @@ def compact_state(state_dir: str, num_buckets: int = 64) -> dict:
                                                "*.parquet")))
         if not shards:
             continue
-        src = rd.read_parquet(shards)
+        src = read_parquet_clean(shards)
         schema = src.schema()
         names, types = list(schema.names), list(schema.types)
 

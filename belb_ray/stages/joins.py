@@ -27,6 +27,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from belb_ray.functions.arrow import table_from_pandas
+
 
 def collect_arrow(ds: rd.Dataset) -> pa.Table:
     """Materialize a (small) Dataset to one driver-side Arrow table.
@@ -42,7 +44,7 @@ def collect_arrow(ds: rd.Dataset) -> pa.Table:
         if isinstance(t, _pd.DataFrame):
             if len(t) == 0:
                 continue
-            t = pa.Table.from_pandas(t, preserve_index=False)
+            t = table_from_pandas(t)
         if t.num_rows > 0:
             tables.append(t)
     if tables:
@@ -60,7 +62,7 @@ def _as_arrow(obj) -> pa.Table:
     import pandas as pd
 
     if isinstance(obj, pd.DataFrame):
-        return pa.Table.from_pandas(obj, preserve_index=False)
+        return table_from_pandas(obj)
     raise TypeError(type(obj))
 
 

@@ -25,6 +25,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from belb_ray.functions.arrow import table_from_pandas
+
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 
@@ -108,7 +110,7 @@ def bm25_topk(
         out = pd.DataFrame({id_col: ids, "score": score})
         out = out.sort_values(["score", id_col],
                               ascending=[False, True], kind="mergesort").head(k)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out)
 
     partial = docs.select_columns([id_col, text_col]).map_batches(
         _score, batch_format="pyarrow")

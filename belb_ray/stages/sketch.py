@@ -42,6 +42,8 @@ import ray.data as rd
 from .agg import _bucket_of_frame
 from .sampling import _md5_hash60
 
+from belb_ray.functions.arrow import table_from_pandas
+
 # rho is the leading-zero rank inside a 38-bit window (bits p..p+37 of the
 # 60-bit hash): [1, 39], 39 for w == 0. Keeping the window under 53 bits
 # makes float64(w) exact, so floor(log2(w)) matches SQL's double log2
@@ -123,7 +125,7 @@ def hll_sketch(ds: rd.Dataset, group_key: str, value_key: str, p: int = 6,
             "__idx": idx, "__rho": rho})
         part = (df.groupby(["__g", "__idx"], sort=False)["__rho"]
                   .max().reset_index())
-        return pa.Table.from_pandas(part, preserve_index=False)
+        return table_from_pandas(part)
 
     def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         batch["__bucket"] = _bucket_of_frame(batch, ["__g"], num_buckets)

@@ -31,6 +31,8 @@ import ray.data as rd
 
 from .agg import bucketed_combine, grouped_topk
 
+from belb_ray.functions.arrow import table_from_pandas
+
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 
@@ -59,7 +61,7 @@ def tfidf_top_terms(
         df = pd.DataFrame({id_col: ids, "token": toks})
         tf = (df.groupby([id_col, "token"], sort=False)
                 .size().rename("tf").reset_index())
-        return pa.Table.from_pandas(tf, preserve_index=False)
+        return table_from_pandas(tf)
 
     tf_rows = docs.select_columns([id_col, text_col]).map_batches(
         _tf, batch_format="pyarrow")
@@ -159,7 +161,7 @@ def tfidf_cosine_join(
         df = pd.DataFrame({id_col: ids, "token": toks})
         tf = (df.groupby([id_col, "token"], sort=False)
                 .size().rename("tf").reset_index())
-        return pa.Table.from_pandas(tf, preserve_index=False)
+        return table_from_pandas(tf)
 
     tf_rows = docs.select_columns([id_col, text_col]).map_batches(
         _tf, batch_format="pyarrow")

@@ -362,7 +362,8 @@ def main() -> None:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from belb_ray.pipelines.er import ERConfig, resolve_files
 
-        files = rd.read_parquet(args.er_parquet)
+        from belb_ray.sources.readers import read_parquet_clean
+        files = read_parquet_clean(args.er_parquet)
         t0 = time.time()
         # sharded dir reads as one block per file — no repartition shuffle
         out = resolve_files(files, ERConfig())

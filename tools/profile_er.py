@@ -61,7 +61,8 @@ def main() -> None:
     t_all0 = time.time()
 
     t0 = time.time()
-    files = ensure_identity_columns(rd.read_parquet(path))
+    from belb_ray.sources.readers import read_parquet_clean
+    files = ensure_identity_columns(read_parquet_clean(path))
     feats_all = compute_features(files, num_perm=cfg.num_perm,
                                  shingle_k=cfg.shingle_k, seed=cfg.seed,
                                  batch_size=cfg.blocker_batch_size,
