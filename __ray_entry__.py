@@ -818,6 +818,63 @@ def q_bm25_rerank(sf_dir: str) -> rd.Dataset:
                     descending=[True, False]).limit(10)
 
 
+def q_golden_records(sf_dir: str) -> rd.Dataset:
+    """Golden-record survivorship (stages/survivorship.golden_records):
+    one consolidated record per customer over their orders — priority
+    and status survive by MODE (tie -> min value), totalprice by MAX,
+    orderdate by LATEST. One partial pass + one bucketed single-int
+    shuffle; reference analog is the synset preferred-name selection
+    (belb/kbs/kb.py) generalized to per-column rules."""
+    from belb_ray.stages.survivorship import golden_records
+
+    out = golden_records(_t(sf_dir, "orders"), "o_custkey", {
+        "o_orderpriority": "mode",
+        "o_orderstatus": "mode",
+        "o_totalprice": "max",
+        "o_orderdate": "max",
+    })
+    return out.sort("o_custkey")
+
+
+def q_cluster_quality(sf_dir: str) -> rd.Dataset:
+    """Pairwise + B-cubed cluster-quality scoring (stages/ereval.
+    cluster_quality): predicted clustering = 100-char length bucket,
+    gold = lang, over documents. Pure contingency-cell math — the
+    quadratic pair set is never materialized (C(n,2) sums over cell
+    counts). Reference analog: corpus-level evaluation subsets
+    (belb/corpora/corpus.py; SURVEY §2.5 A11) lifted to cluster
+    metrics."""
+    from belb_ray.stages.ereval import cluster_quality
+
+    docs = _t(sf_dir, "documents")
+
+    def _pred(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "pred", pc.divide(t["n_chars"], pa.scalar(100, pa.int64())))
+
+    labeled = docs.select_columns(["n_chars", "lang"]).map_batches(
+        _pred, batch_format="pyarrow")
+    out = cluster_quality(labeled, "pred", "lang")
+    return _round_cols(out, {c: 6 for c in (
+        "pair_precision", "pair_recall", "pair_f1",
+        "bcubed_precision", "bcubed_recall", "bcubed_f1")})
+
+
+def q_substring_dup_stats(sf_dir: str) -> rd.Dataset:
+    """Exact substring duplication stats (stages/gramdedup.
+    cross_doc_gram_stats): per-doc counts of 8-token windows that occur
+    >= 2 times corpus-wide (Lee et al. 2022 exact-substring dedup at
+    window granularity). Token-hash rolling fingerprints — the window
+    text never ships; two bucketed single-int shuffles total."""
+    from belb_ray.stages.gramdedup import cross_doc_gram_stats
+
+    out = cross_doc_gram_stats(_t(sf_dir, "documents"), "doc_id",
+                               "text", k=8)
+    return out.sort("doc_id")
+
+
 def q_upsample_exact(sf_dir: str) -> rd.Dataset:
     """O4 exact-shuffle upsampling (stages/sampling.
     seeded_upsample_chunks): per-user stdlib Fisher-Yates over sorted
@@ -4601,6 +4658,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_embeddings": q_text_embeddings,
         "upsample_exact": q_upsample_exact,
         "bm25_rerank": q_bm25_rerank,
+        "golden_records": q_golden_records,
+        "cluster_quality": q_cluster_quality,
+        "substring_dup_stats": q_substring_dup_stats,
         "snm_pairs": q_snm_pairs,
         "name_jw_pairs": q_name_jw_pairs,
         "name_monge_elkan": q_name_monge_elkan,
@@ -7642,6 +7702,87 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON n.n_nationkey = c.c_nationkey
             JOIN region r ON r.r_regionkey = n.n_regionkey
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "golden_records": """
+            WITH pr AS (
+              SELECT o_custkey, o_orderpriority AS v, count(*) AS c
+              FROM orders GROUP BY 1, 2
+            ), prm AS (
+              SELECT o_custkey, v FROM (
+                SELECT o_custkey, v, ROW_NUMBER() OVER (
+                  PARTITION BY o_custkey ORDER BY c DESC, v ASC) AS rn
+                FROM pr) WHERE rn = 1
+            ), st AS (
+              SELECT o_custkey, o_orderstatus AS v, count(*) AS c
+              FROM orders GROUP BY 1, 2
+            ), stm AS (
+              SELECT o_custkey, v FROM (
+                SELECT o_custkey, v, ROW_NUMBER() OVER (
+                  PARTITION BY o_custkey ORDER BY c DESC, v ASC) AS rn
+                FROM st) WHERE rn = 1
+            ), ex AS (
+              SELECT o_custkey, max(o_totalprice) AS o_totalprice,
+                     max(o_orderdate) AS o_orderdate
+              FROM orders GROUP BY 1
+            )
+            SELECT ex.o_custkey, prm.v AS o_orderpriority,
+                   stm.v AS o_orderstatus, ex.o_totalprice, ex.o_orderdate
+            FROM ex JOIN prm USING (o_custkey) JOIN stm USING (o_custkey)
+            ORDER BY ex.o_custkey
+        """,
+        "cluster_quality": """
+            WITH base AS (
+              SELECT n_chars // 100 AS p, lang AS g FROM documents
+            ), cells AS (
+              SELECT p, g, count(*) AS n FROM base GROUP BY 1, 2
+            ), np AS (
+              SELECT p, sum(n) AS np FROM cells GROUP BY 1
+            ), ng AS (
+              SELECT g, sum(n) AS ng FROM cells GROUP BY 1
+            ), tot AS (
+              SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+                     sum(n * (n - 1) / 2.0) AS tp
+              FROM cells
+            ), pp AS (
+              SELECT sum(np * (np - 1) / 2.0) AS pp FROM np
+            ), gp AS (
+              SELECT sum(ng * (ng - 1) / 2.0) AS gp FROM ng
+            ), bc AS (
+              SELECT sum(cells.n * cells.n * 1.0 / np.np) AS bp,
+                     sum(cells.n * cells.n * 1.0 / ng.ng) AS br
+              FROM cells JOIN np USING (p) JOIN ng USING (g)
+            )
+            SELECT tot.n_rows,
+                   round(tp / pp, 6) AS pair_precision,
+                   round(tp / gp, 6) AS pair_recall,
+                   round(2 * (tp / pp) * (tp / gp)
+                         / ((tp / pp) + (tp / gp)), 6) AS pair_f1,
+                   round(bp / tot.n_rows, 6) AS bcubed_precision,
+                   round(br / tot.n_rows, 6) AS bcubed_recall,
+                   round(2 * (bp / tot.n_rows) * (br / tot.n_rows)
+                         / ((bp / tot.n_rows) + (br / tot.n_rows)), 6)
+                       AS bcubed_f1
+            FROM tot, pp, gp, bc
+        """,
+        "substring_dup_stats": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+            ), grams AS (
+              SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS gram
+              FROM toks, LATERAL (
+                SELECT unnest(range(1, len(ts) - 6)) AS i) r
+              WHERE len(ts) >= 8
+            ), gc AS (
+              SELECT gram, count(*) AS total FROM grams GROUP BY 1
+            )
+            SELECT g.doc_id,
+                   CAST(count(*) FILTER (WHERE gc.total >= 2) AS BIGINT)
+                       AS dup_grams,
+                   CAST(count(*) AS BIGINT) AS total_grams,
+                   round(count(*) FILTER (WHERE gc.total >= 2) * 1.0
+                         / count(*), 6) AS dup_frac
+            FROM grams g JOIN gc USING (gram)
+            GROUP BY 1 ORDER BY 1
         """,
         # pinned goldens (non-SQL-expressible compositions): computed by
         # the independent single-process oracle in tools/make_goldens.py

@@ -241,6 +241,9 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "text_embeddings",
         "upsample_exact",
         "bm25_rerank",
+        "golden_records",
+        "cluster_quality",
+        "substring_dup_stats",
         # part_k_core and fs_linkage_weights are oracle-checked but
         # excluded here: their fixpoint/EM rounds are iteration-count-
         # dominated at sf0.1 and would eat the min-of-2 budget.
