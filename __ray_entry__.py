@@ -713,6 +713,46 @@ def q_er_clusters(sf_dir: str) -> rd.Dataset:
     return res["clusters"]
 
 
+def q_er_increment(sf_dir: str) -> rd.Dataset:
+    """Incremental ER attach (pipelines/er.resolve_increment): wave 1
+    resolves half the fixture and persists rep features + assignments;
+    wave 2 attaches the other half against that state (cross band
+    pairing + nn components + min-cluster inheritance). Combined
+    assignments, canonically relabeled to min-member row_id, must equal
+    the BATCH resolution's gold — incremental attach is held to the
+    same golden as ``er_clusters``, which is the point."""
+    import shutil
+    import tempfile
+
+    from belb_ray.pipelines.er import (ERConfig, resolve_files,
+                                       resolve_increment,
+                                       save_resolution_state)
+    from belb_ray.sources.synthetic import make_fixture
+    from belb_ray.stages.agg import preagg_groupby
+    from belb_ray.stages.analytic import _attach_small
+
+    n_files = max(600, int(200_000 * _sf_of(sf_dir)))
+    tbl = make_fixture(n_files=n_files, seed=42)["files"]
+    half = tbl.num_rows // 2
+    state = _os.path.join(tempfile.gettempdir(),
+                          f"belb_ray_er_state_{n_files}")
+    shutil.rmtree(state, ignore_errors=True)
+    cfg = ERConfig(input_blocks=8)
+    res1 = resolve_files(rd.from_arrow(tbl.slice(0, half)), cfg)
+    save_resolution_state(res1, state)
+    inc = resolve_increment(rd.from_arrow(tbl.slice(half)), state, cfg)
+
+    combined = res1["clusters"].union(
+        inc.select_columns(["row_id", "cluster_id"]))
+    canon = preagg_groupby(combined, ["cluster_id"],
+                           [("min", "row_id", "canon")], num_buckets=32)
+    out = _attach_small(combined, canon, "cluster_id", 2_000_000)
+    return out.map_batches(
+        lambda t: pa.table({"row_id": t["row_id"],
+                            "cluster_id": t["canon"]}),
+        batch_format="pyarrow")
+
+
 def q_minhash_dedup_docs(sf_dir: str) -> rd.Dataset:
     from belb_ray.pipelines.docdedup import minhash_dedup
 
@@ -873,6 +913,133 @@ def q_substring_dup_stats(sf_dir: str) -> rd.Dataset:
     out = cross_doc_gram_stats(_t(sf_dir, "documents"), "doc_id",
                                "text", k=8)
     return out.sort("doc_id")
+
+
+def q_waterfall_match(sf_dir: str) -> rd.Dataset:
+    """MDM waterfall (cascade) matching (stages/mdm.waterfall_match):
+    customers matched to a deterministic supplier representative —
+    level 1 on (nationkey, acctbal-thousands band), level 2 on
+    nationkey alone; min-suppkey wins per key; level recorded.
+    Reference analog: the id → history → homonym resolution chain
+    (belb/kbs/kb.py, SURVEY §2.4 J2-J4). Level maps broadcast once;
+    the customer side never shuffles."""
+    from belb_ray.stages.mdm import waterfall_match
+
+    def _ckey(t: pa.Table) -> pa.Table:
+        band = pc.cast(pc.floor(pc.divide(t["c_acctbal"],
+                                          pa.scalar(1000.0))), pa.int64())
+        return t.append_column("acct_band", band)
+
+    def _skey(t: pa.Table) -> pa.Table:
+        band = pc.cast(pc.floor(pc.divide(t["s_acctbal"],
+                                          pa.scalar(1000.0))), pa.int64())
+        return t.append_column("acct_band", band)
+
+    cust = _t(sf_dir, "customer").map_batches(_ckey, batch_format="pyarrow")
+    supp = _t(sf_dir, "supplier").map_batches(_skey, batch_format="pyarrow")
+    out = waterfall_match(
+        cust, supp,
+        levels=[(["c_nationkey", "acct_band"], ["s_nationkey", "acct_band"]),
+                (["c_nationkey"], ["s_nationkey"])],
+        right_id="s_suppkey")
+    return (out.select_columns(["c_custkey", "match_id", "match_level"])
+            .sort("c_custkey"))
+
+
+def q_id_crosswalk(sf_dir: str) -> rd.Dataset:
+    """Transitive id crosswalk with ambiguity accounting (stages/mdm.
+    id_crosswalk): part → supplier (lineitem, many-to-many) → nation
+    (supplier): per part the distinct reachable nations, min-nation
+    representative, and an ambiguity flag. Reference analog: the
+    PMCID→PMID→document bridge (SURVEY §2.4 J6). Both hops collapse in
+    combiner passes; the A→C blowup never hits the driver."""
+    from belb_ray.stages.mdm import id_crosswalk
+
+    supp = (_t(sf_dir, "supplier")
+            .select_columns(["s_suppkey", "s_nationkey"])
+            .rename_columns({"s_suppkey": "l_suppkey"}))
+    out = id_crosswalk(_t(sf_dir, "lineitem"), supp,
+                       "l_partkey", "l_suppkey", "s_nationkey")
+
+    def _names(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["l_partkey", "n_nations", "rep_nation",
+                                 "ambiguous"])
+
+    return out.map_batches(_names, batch_format="pyarrow").sort("l_partkey")
+
+
+def q_score_calibration(sf_dir: str) -> rd.Dataset:
+    """Linkage-score reliability curve + ECE (stages/ereval.
+    calibration_curve): score = clipped events.value/200, label =
+    purchase-or-click; 10 equal-width bins, one fixed-width-bin
+    combiner shuffle. The post-scoring QA step for any probabilistic
+    matcher (Fellegi-Sunter weights, JW scores)."""
+    from belb_ray.stages.ereval import calibration_curve
+
+    def _prep(t: pa.Table) -> pa.Table:
+        s = pc.min_element_wise(
+            pc.max_element_wise(pc.divide(t["value"], pa.scalar(200.0)),
+                                pa.scalar(0.0)), pa.scalar(1.0))
+        y = pc.cast(pc.is_in(t["event_type"],
+                             value_set=pa.array(["purchase", "click"])),
+                    pa.int64())
+        return pa.table({"score": s, "label": y})
+
+    ev = _t(sf_dir, "events").map_batches(_prep, batch_format="pyarrow")
+    out = calibration_curve(ev, "score", "label", n_bins=10)
+    return _round_cols(out.sort("bin"), {"mean_score": 6, "event_rate": 6,
+                                         "abs_gap": 6, "ece": 6})
+
+
+def q_cannot_link_audit(sf_dir: str) -> rd.Dataset:
+    """Cannot-link constraint audit (stages/ereval.cannot_link_audit):
+    predicted clusters = 100-char doc length bucket; cannot-link pairs
+    = (doc_id, doc_id+1) for every third doc — pairs whose members
+    share a bucket are resolution errors, counted per cluster. Two
+    narrow-pair hash joins + one combiner; the assignment table never
+    broadcasts."""
+    from belb_ray.stages.ereval import cannot_link_audit
+
+    docs = _t(sf_dir, "documents")
+
+    def _pred(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "cluster": pc.divide(t["n_chars"], pa.scalar(100, pa.int64()))})
+
+    clusters = docs.map_batches(_pred, batch_format="pyarrow")
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        keep = ids % 3 == 0
+        return pa.table({"id_a": pa.array(ids[keep], pa.int64()),
+                         "id_b": pa.array(ids[keep] + 1, pa.int64())})
+
+    pairs = docs.select_columns(["doc_id"]).map_batches(
+        _pairs, batch_format="pyarrow")
+    out = cannot_link_audit(clusters, pairs, "doc_id", "cluster")
+    return out.sort("cluster")
+
+
+def q_source_accuracy(sf_dir: str) -> rd.Dataset:
+    """Truth-discovery-lite source scoring (stages/mdm.source_accuracy):
+    per-cluster majority lang (100-char length buckets) is the working
+    truth; each document source scored by its agreement rate. One
+    mode_agg combiner + broadcast-or-join attach + one tally combiner.
+    Reference analog: the QAQC disagreement counters (SURVEY §2.5 A10)
+    lifted to per-source reliability."""
+    from belb_ray.stages.mdm import source_accuracy
+
+    docs = _t(sf_dir, "documents")
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cl": pc.divide(t["n_chars"], pa.scalar(100, pa.int64())),
+            "lang": t["lang"], "source": t["source"]})
+
+    ds = docs.map_batches(_prep, batch_format="pyarrow")
+    out = source_accuracy(ds, "cl", "lang", "source")
+    return _round_cols(out.sort("source"), {"accuracy": 6})
 
 
 def q_upsample_exact(sf_dir: str) -> rd.Dataset:
@@ -4661,6 +4828,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "golden_records": q_golden_records,
         "cluster_quality": q_cluster_quality,
         "substring_dup_stats": q_substring_dup_stats,
+        "waterfall_match": q_waterfall_match,
+        "id_crosswalk": q_id_crosswalk,
+        "score_calibration": q_score_calibration,
+        "cannot_link_audit": q_cannot_link_audit,
+        "source_accuracy": q_source_accuracy,
+        "er_increment": q_er_increment,
         "snm_pairs": q_snm_pairs,
         "name_jw_pairs": q_name_jw_pairs,
         "name_monge_elkan": q_name_monge_elkan,
@@ -7764,6 +7937,96 @@ def oracle_sql() -> dict[str, str]:
                        AS bcubed_f1
             FROM tot, pp, gp, bc
         """,
+        "waterfall_match": """
+            WITH r1 AS (
+              SELECT s_nationkey AS k1,
+                     CAST(floor(s_acctbal / 1000.0) AS BIGINT) AS k2,
+                     min(s_suppkey) AS m
+              FROM supplier GROUP BY 1, 2
+            ), r2 AS (
+              SELECT s_nationkey AS k1, min(s_suppkey) AS m
+              FROM supplier GROUP BY 1
+            )
+            SELECT c_custkey,
+                   COALESCE(r1.m, r2.m) AS match_id,
+                   CASE WHEN r1.m IS NOT NULL THEN 1
+                        WHEN r2.m IS NOT NULL THEN 2 END AS match_level
+            FROM customer
+            LEFT JOIN r1 ON r1.k1 = c_nationkey
+                        AND r1.k2 = CAST(floor(c_acctbal / 1000.0) AS BIGINT)
+            LEFT JOIN r2 ON r2.k1 = c_nationkey
+            ORDER BY c_custkey
+        """,
+        "id_crosswalk": """
+            WITH ac AS (
+              SELECT DISTINCT l.l_partkey, s.s_nationkey
+              FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            )
+            SELECT l_partkey,
+                   CAST(count(*) AS BIGINT) AS n_nations,
+                   min(s_nationkey) AS rep_nation,
+                   count(*) > 1 AS ambiguous
+            FROM ac GROUP BY 1 ORDER BY 1
+        """,
+        "score_calibration": """
+            WITH base AS (
+              SELECT least(greatest(value / 200.0, 0.0), 1.0) AS s,
+                     CASE WHEN event_type IN ('purchase', 'click')
+                          THEN 1 ELSE 0 END AS y
+              FROM events
+            ), binned AS (
+              SELECT least(greatest(
+                       CAST(floor(s / 0.1) AS BIGINT), 0), 9) AS bin,
+                     s, y
+              FROM base
+            ), cells AS (
+              SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                     avg(s) AS conf, avg(y) AS rate
+              FROM binned GROUP BY 1
+            )
+            SELECT bin, n,
+                   round(conf, 6) AS mean_score,
+                   round(rate, 6) AS event_rate,
+                   round(abs(rate - conf), 6) AS abs_gap,
+                   round(sum(n * abs(rate - conf)) OVER ()
+                         / sum(n) OVER (), 6) AS ece
+            FROM cells ORDER BY bin
+        """,
+        "source_accuracy": """
+            WITH base AS (
+              SELECT n_chars // 100 AS cl, lang, source FROM documents
+            ), cnt AS (
+              SELECT cl, lang, count(*) AS c FROM base GROUP BY 1, 2
+            ), maj AS (
+              SELECT cl, lang AS maj FROM (
+                SELECT cl, lang, ROW_NUMBER() OVER (
+                  PARTITION BY cl ORDER BY c DESC, lang ASC) AS rn
+                FROM cnt) WHERE rn = 1
+            )
+            SELECT b.source,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN b.lang = m.maj THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_agree,
+                   round(sum(CASE WHEN b.lang = m.maj THEN 1 ELSE 0 END)
+                         * 1.0 / count(*), 6) AS accuracy
+            FROM base b JOIN maj m USING (cl)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "cannot_link_audit": """
+            WITH asg AS (
+              SELECT doc_id, n_chars // 100 AS cluster FROM documents
+            ), pairs AS (
+              SELECT doc_id AS id_a, doc_id + 1 AS id_b
+              FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT a.cluster,
+                   CAST(count(*) AS BIGINT) AS violations
+            FROM pairs p
+            JOIN asg a ON a.doc_id = p.id_a
+            JOIN asg b ON b.doc_id = p.id_b
+            WHERE a.cluster = b.cluster
+            GROUP BY 1 ORDER BY 1
+        """,
         "substring_dup_stats": """
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS ts FROM documents
@@ -7792,6 +8055,10 @@ def oracle_sql() -> dict[str, str]:
         "compacted_neardup": ("SELECT * FROM read_parquet("
                               f"'{_GOLDEN_DIR}/incremental_neardup"
                               ".sf0.01.parquet')"),
+        # incremental attach must reproduce the batch resolution: held
+        # to er_clusters' golden (the fixture's analytic gold)
+        "er_increment": ("SELECT * FROM read_parquet("
+                         f"'{_GOLDEN_DIR}/er_clusters.sf0.01.parquet')"),
         **{name: f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}.sf0.01.parquet')"
            for name in ("pca_projection", "pca_variance",
                         "incremental_neardup",

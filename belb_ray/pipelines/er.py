@@ -130,3 +130,228 @@ def cluster_summary(clusters: rd.Dataset) -> rd.Dataset:
     from ray.data.aggregate import Count
 
     return clusters.groupby("cluster_id").aggregate(Count(alias_name="size"))
+
+
+# ---------------------------------------------------------------- increment
+
+def save_resolution_state(result: dict, state_dir: str) -> None:
+    """Persist a ``resolve_files`` result for incremental attachment:
+    rep features (row_id, sig, path) + full assignments (row_id,
+    cluster_id), each an append-only run-shard directory (the
+    stages/incremental.py registry pattern — a crashed run leaves prior
+    shards untouched and re-appends)."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    runs = sorted(_glob.glob(_os.path.join(state_dir, "features", "run-*")))
+    tag = f"run-{len(runs):06d}-{int(_time.time())}"
+    result["features"].write_parquet(
+        _os.path.join(state_dir, "features", tag))
+    result["clusters"].write_parquet(
+        _os.path.join(state_dir, "clusters", tag))
+
+
+def resolve_increment(
+    new_files: rd.Dataset,
+    state_dir: str,
+    cfg: ERConfig = ERConfig(),
+    update_state: bool = True,
+    max_per_key: int = 256,
+    broadcast_threshold: int = 2_000_000,
+) -> rd.Dataset:
+    """Attach a NEW batch of files to an existing resolution — the
+    streaming-ingest completion of the flagship (the ER twin of
+    stages/incremental.neardup_against_state; reference analog: the
+    history-resolved incremental KB rebuild, SURVEY §2.4 J2/T9).
+
+    Semantics (deterministic, iteration-free):
+
+    1. New rows sketch + exact-dedup exactly like ``resolve_files``.
+    2. Band/path block keys pair new reps with STATE reps (cross) and
+       with each other (nn); scoring is the flagship's hybrid kernel.
+    3. New reps first cluster among THEMSELVES (connected components
+       over nn edges); each component then inherits the MIN existing
+       cluster id its members cross-matched (score ≥ threshold), or
+       keeps min-member-row_id as a fresh cluster id. Existing
+       assignments are never mutated (merge-conflicts between OLD
+       clusters surface via the cross edges but are deliberately not
+       auto-merged — that is a curation decision, cf. homonym QAQC).
+    4. Returns (row_id, cluster_id, matched_existing) for ALL new rows;
+       appends the new reps' features + assignments to the state.
+
+    Scale shape: state ships (block_key, row_id) and (row_id, sig,
+    path) rows only — never content; candidate generation is ONE
+    block-key co-location shuffle with a deterministic per-(key, side)
+    member cap (``max_per_key`` smallest row_ids survive — the
+    candidate_pairs hot-key budget in cross-batch form); every
+    attach/membership step is broadcast-or-partitioned by size."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..sources.readers import read_parquet_clean
+    from ..stages.analytic import _attach_small
+    from ..stages.blocking import compute_features
+    from ..stages.scoring import attach_features, score_pairs
+
+    files = ensure_identity_columns(new_files)
+    if cfg.input_blocks:
+        files = files.repartition(cfg.input_blocks)
+    feats_all = compute_features(
+        files, num_perm=cfg.num_perm, shingle_k=cfg.shingle_k, seed=cfg.seed,
+        batch_size=cfg.blocker_batch_size, keep_cols=("content_sha256",))
+    fm = exact_dedup_annotate(feats_all).materialize()
+    members = fm.select_columns(["row_id", "rep_id"])
+    feats_new = fm.map_batches(
+        lambda t: t.filter(pc.equal(t["row_id"], t["rep_id"]))
+        .drop_columns(["content_sha256", "rep_id"]),
+        batch_format="pyarrow").materialize()
+
+    import glob as _glob
+    import os as _os
+
+    feat_shards = sorted(_glob.glob(
+        _os.path.join(state_dir, "features", "run-*", "*.parquet")))
+    if not feat_shards:
+        raise FileNotFoundError(
+            f"resolve_increment: no state under {state_dir}/features — "
+            "run resolve_files + save_resolution_state first")
+    feats_old = read_parquet_clean(feat_shards)
+
+    def _blocks(feats: rd.Dataset) -> rd.Dataset:
+        b = explode_band_keys(feats, bands=cfg.bands)
+        if cfg.use_path_keys:
+            b = b.union(path_neighborhood_keys(feats))
+        return b
+
+    def _tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            import numpy as _np
+            return t.append_column("__side", pa.array(
+                _np.full(t.num_rows, side, _np.int8)))
+        return fn
+
+    both = (_blocks(feats_new).map_batches(_tag(1), batch_format="pyarrow")
+            .union(_blocks(feats_old).map_batches(_tag(0),
+                                                  batch_format="pyarrow")))
+
+    num_buckets = 256
+
+    def _bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(b["block_key"].to_numpy(), categorize=False)
+        b["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return b
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns="__bucket").drop_duplicates(
+            ["block_key", "row_id", "__side"])
+        # deterministic hot-key budget: keep the max_per_key smallest
+        # row_ids per (key, side) — same recall contract as
+        # candidate_pairs' sorted-window fallback
+        g = (g.sort_values(["block_key", "__side", "row_id"],
+                           kind="mergesort")
+             .groupby(["block_key", "__side"], sort=False)
+             .head(max_per_key))
+        new = g.loc[g["__side"] == 1, ["block_key", "row_id"]]
+        old = g.loc[g["__side"] == 0, ["block_key", "row_id"]]
+        cross = new.merge(old, on="block_key", suffixes=("", "_o"))
+        cross = pd.DataFrame({"id_a": cross["row_id"],
+                              "id_b": cross["row_id_o"],
+                              "is_cross": np.int8(1)})
+        nn = new.merge(new, on="block_key", suffixes=("", "_o"))
+        nn = nn[nn["row_id"] < nn["row_id_o"]]
+        nn = pd.DataFrame({"id_a": nn["row_id"], "id_b": nn["row_id_o"],
+                           "is_cross": np.int8(0)})
+        out = pd.concat([cross, nn], ignore_index=True)
+        return out.drop_duplicates(["id_a", "id_b", "is_cross"])
+
+    pairs = (both.map_batches(_bucketize, batch_format="pandas")
+             .groupby("__bucket").map_groups(_pairs, batch_format="pandas")
+             ).materialize()
+
+    need_paths = cfg.w_jw > 0 or cfg.w_tok > 0
+    cross_pairs = pairs.filter(expr="is_cross == 1").drop_columns(["is_cross"])
+    nn_pairs = pairs.filter(expr="is_cross == 0").drop_columns(["is_cross"])
+
+    all_feats = feats_new.union(feats_old)
+    cross_edges = score_pairs(
+        attach_features(cross_pairs, all_feats, num_buckets=cfg.join_buckets,
+                        need_paths=need_paths),
+        threshold=cfg.threshold, w_jacc=cfg.w_jacc, w_jw=cfg.w_jw,
+        w_tok=cfg.w_tok)
+    nn_edges = score_pairs(
+        attach_features(nn_pairs, feats_new, num_buckets=cfg.join_buckets,
+                        need_paths=need_paths),
+        threshold=cfg.threshold, w_jacc=cfg.w_jacc, w_jw=cfg.w_jw,
+        w_tok=cfg.w_tok)
+
+    # components among the new reps, then per-component inheritance
+    labels = connected_components(nn_edges, num_buckets=cfg.join_buckets)
+    rep_ids = feats_new.select_columns(["row_id"])
+    rep_members = rep_ids.map_batches(
+        lambda t: pa.table({"row_id": t["row_id"], "rep_id": t["row_id"]}),
+        batch_format="pyarrow")
+    comp = assign_clusters(rep_members, labels,
+                           num_buckets=cfg.join_buckets)  # row_id -> comp id
+
+    clus_shards = sorted(_glob.glob(
+        _os.path.join(state_dir, "clusters", "run-*", "*.parquet")))
+    old_clusters = read_parquet_clean(clus_shards)
+    old_map = old_clusters.map_batches(
+        lambda t: pa.table({"id_b": t["row_id"],
+                            "old_cluster": t["cluster_id"]}),
+        batch_format="pyarrow")
+    cross_w = _attach_small(
+        cross_edges.select_columns(["id_a", "id_b"]), old_map, "id_b",
+        broadcast_threshold)
+    comp_keyed = comp.map_batches(
+        lambda t: pa.table({"id_a": t["row_id"], "comp": t["cluster_id"]}),
+        batch_format="pyarrow")
+    cross_wc = _attach_small(cross_w, comp_keyed, "id_a",
+                             broadcast_threshold)
+
+    from ..stages.agg import preagg_groupby
+
+    inherit = preagg_groupby(
+        cross_wc.select_columns(["comp", "old_cluster"]), ["comp"],
+        [("min", "old_cluster", "inherited")], num_buckets=64)
+
+    # rep -> final cluster: inherited if its component cross-matched
+    rep_comp = comp.map_batches(
+        lambda t: pa.table({"row_id": t["row_id"], "comp": t["cluster_id"]}),
+        batch_format="pyarrow")
+    rep_final = _attach_small(rep_comp, inherit, "comp",
+                              broadcast_threshold, join_type="left outer")
+
+    def _pick(t: pa.Table) -> pa.Table:
+        # pc.coalesce keeps 64-bit ids exact (a numpy float64 round-trip
+        # would corrupt stable_id64 values past 2**53)
+        inh = t["inherited"]
+        cid = pc.coalesce(pc.cast(inh, pa.int64()),
+                          pc.cast(t["comp"], pa.int64()))
+        return pa.table({
+            "rep_id": t["row_id"],
+            "rep_cluster": cid,
+            "matched_existing": pc.is_valid(inh)})
+
+    rep_assign = rep_final.map_batches(_pick, batch_format="pyarrow")
+
+    assigned = _attach_small(members, rep_assign, "rep_id",
+                             broadcast_threshold)
+    out = assigned.map_batches(
+        lambda t: pa.table({"row_id": t["row_id"],
+                            "cluster_id": t["rep_cluster"],
+                            "matched_existing": t["matched_existing"]}),
+        batch_format="pyarrow").materialize()
+
+    if update_state:
+        import time as _time
+
+        runs = sorted(_glob.glob(_os.path.join(state_dir, "features",
+                                               "run-*")))
+        tag = f"run-{len(runs):06d}-{int(_time.time())}"
+        feats_new.write_parquet(_os.path.join(state_dir, "features", tag))
+        out.select_columns(["row_id", "cluster_id"]).write_parquet(
+            _os.path.join(state_dir, "clusters", tag))
+    return out

@@ -116,3 +116,98 @@ def cluster_quality(ds: rd.Dataset, pred_col: str, gold_col: str,
     # the partial rows are a handful of scalars — a single-task combine
     return parts.repartition(1).map_batches(_finish,
                                             batch_format="pandas")
+
+
+def calibration_curve(ds: rd.Dataset, score_col: str, label_col: str,
+                      n_bins: int = 10, lo: float = 0.0, hi: float = 1.0,
+                      num_buckets: int = 64) -> rd.Dataset:
+    """Reliability curve + expected calibration error for a match score
+    against a binary label (the linkage-score QA step after Fellegi-
+    Sunter / Jaro-Winkler scoring — is a 0.9 score right 90% of the
+    time?). Scores are clipped into ``n_bins`` equal-width bins over
+    [lo, hi); per bin: row count, mean score (confidence), empirical
+    positive rate, |gap|; every row also carries the global ``ece``
+    (sum of n_b/N * |rate_b - conf_b|).
+
+    Scale shape: ONE fixed-width-bin combiner pass (sum/count partials
+    per batch, single-int bucketed shuffle); the ECE finish runs over
+    the n_bins-row result in a single task."""
+    width = (hi - lo) / n_bins
+
+    def _binned(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[score_col].to_numpy(np.float64)
+        binned = np.clip(((s - lo) / width).astype(np.int64), 0, n_bins - 1)
+        return pd.DataFrame({
+            "bin": binned, "__s": s,
+            "__y": b[label_col].to_numpy(np.float64)})
+
+    cells = preagg_groupby(ds.map_batches(_binned, batch_format="pandas"),
+                           ["bin"],
+                           [("count", "bin", "n"),
+                            ("sum", "__s", "sum_score"),
+                            ("sum", "__y", "sum_label")],
+                           num_buckets=num_buckets)
+
+    def _finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values("bin").reset_index(drop=True)
+        n = b["n"].to_numpy(np.float64)
+        conf = b["sum_score"].to_numpy(np.float64) / n
+        rate = b["sum_label"].to_numpy(np.float64) / n
+        gap = np.abs(rate - conf)
+        ece = float((n / n.sum() * gap).sum()) if n.sum() else 0.0
+        return pd.DataFrame({
+            "bin": b["bin"].astype("int64"), "n": b["n"].astype("int64"),
+            "mean_score": conf, "event_rate": rate, "abs_gap": gap,
+            "ece": ece})
+
+    # n_bins rows — single-task finish
+    return cells.repartition(1).map_batches(_finish, batch_format="pandas")
+
+
+def cannot_link_audit(clusters: rd.Dataset, pairs: rd.Dataset,
+                      id_col: str, cluster_col: str,
+                      id_a: str = "id_a", id_b: str = "id_b",
+                      num_buckets: int = 32) -> rd.Dataset:
+    """Constraint QA after clustering: count cannot-link pairs whose two
+    members landed in the SAME predicted cluster (each such pair is a
+    resolution error a reviewer must split). Returns one row per
+    violated cluster: (cluster, violations).
+
+    Scale shape: the cluster assignment is dataset-scale, so each pair
+    side attaches by a partitioned hash join (two shuffles of the
+    narrow pair table; the assignment shuffles once per side); the
+    per-cluster count is a combiner pass over the surviving pairs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from belb_ray.stages.joins import hash_partition_join
+
+    def _rename(mapping: dict[str, str]):
+        # Dataset.rename_columns' Project op crashes on pandas-format
+        # blocks (calls pa.Table.rename_columns on a DataFrame); an
+        # Arrow map_batches rename is block-format-proof
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [mapping.get(c, c) for c in t.column_names])
+        return fn
+
+    asg = clusters.select_columns([id_col, cluster_col])
+    a = hash_partition_join(
+        pairs.select_columns([id_a, id_b])
+        .map_batches(_rename({id_a: id_col}), batch_format="pyarrow"),
+        asg, id_col, num_buckets=num_buckets)
+    a = a.map_batches(_rename({id_col: id_a, cluster_col: "__ca",
+                               id_b: id_col}), batch_format="pyarrow")
+    b = hash_partition_join(a, asg, id_col, num_buckets=num_buckets)
+    b = b.map_batches(_rename({id_col: id_b, cluster_col: "__cb"}),
+                      batch_format="pyarrow")
+
+    def _same(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(t["__ca"], t["__cb"]))
+        return keep.select([id_a, "__ca"]).rename_columns([id_a,
+                                                           cluster_col])
+
+    same = b.map_batches(_same, batch_format="pyarrow")
+    return preagg_groupby(same, [cluster_col],
+                          [("count", cluster_col, "violations")],
+                          num_buckets=num_buckets)

@@ -77,20 +77,46 @@ def pairs_from_blocks(keys: np.ndarray, ids: np.ndarray,
     return np.concatenate(out_a), np.concatenate(out_b)
 
 
+def _default_shuffle_partitions() -> int:
+    """Partition count for the pair-generation shuffles.
+
+    Ray's sort shuffle creates (map partitions × reduce partitions)
+    intermediate objects; when the band-key explosion upstream emits many
+    narrow blocks (512 at 2M input rows), 512×512 ≈ 262k objects of
+    ~3.5 KB each and per-object overhead caps the stage at ~30 MB/s
+    regardless of CPU count (round-3 2M campaign, BASELINE.md). Coalescing
+    to ~4 partitions per CPU drops pair-gen 50 s → 22 s at 16 CPUs while
+    keeping every core busy; the count scales with the cluster, not the
+    input block count, which is the right shape at 100 TB too."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(4 * cpus, 16)
+
+
 def candidate_pairs(
     blocks: rd.Dataset,
     max_block: int = 64,
     window: int = 8,
     num_buckets: int = 256,
+    shuffle_partitions: int | None = None,
 ) -> rd.Dataset:
     """(block_key, row_id) → deduped (id_a, id_b)."""
+    if shuffle_partitions is None:
+        shuffle_partitions = _default_shuffle_partitions()
 
     def _bucketize(batch: pa.Table) -> pa.Table:
         k = batch["block_key"].to_numpy().astype(np.uint64)
         b = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % np.uint64(num_buckets)
         return batch.append_column("__bucket", pa.array(b.astype(np.int32)))
 
-    bucketed = blocks.map_batches(_bucketize, batch_format="pyarrow")
+    # split/coalesce (no all-to-all) so the groupby sort sees a bounded
+    # map-partition count — see _default_shuffle_partitions.
+    bucketed = blocks.repartition(shuffle_partitions).map_batches(
+        _bucketize, batch_format="pyarrow")
 
     def _bucket_pairs(group: pa.Table) -> pa.Table:
         a, b = pairs_from_blocks(group["block_key"].to_numpy(),
