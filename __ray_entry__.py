@@ -733,14 +733,19 @@ def q_er_increment(sf_dir: str) -> rd.Dataset:
 
     n_files = max(600, int(200_000 * _sf_of(sf_dir)))
     tbl = make_fixture(n_files=n_files, seed=42)["files"]
-    half = tbl.num_rows // 2
+    # interleave the waves (even/odd positions) so duplicate families
+    # STRADDLE the waves and the inheritance path is load-bearing — a
+    # positional half-split leaves families whole in one wave and the
+    # increment degenerates to fresh clustering
+    idx = np.arange(tbl.num_rows)
     state = _os.path.join(tempfile.gettempdir(),
                           f"belb_ray_er_state_{n_files}")
     shutil.rmtree(state, ignore_errors=True)
     cfg = ERConfig(input_blocks=8)
-    res1 = resolve_files(rd.from_arrow(tbl.slice(0, half)), cfg)
+    res1 = resolve_files(rd.from_arrow(tbl.take(idx[idx % 2 == 0])), cfg)
     save_resolution_state(res1, state)
-    inc = resolve_increment(rd.from_arrow(tbl.slice(half)), state, cfg)
+    inc = resolve_increment(rd.from_arrow(tbl.take(idx[idx % 2 == 1])),
+                            state, cfg)
 
     combined = res1["clusters"].union(
         inc.select_columns(["row_id", "cluster_id"]))

@@ -315,14 +315,24 @@ def resolve_increment(
 
     inherit = preagg_groupby(
         cross_wc.select_columns(["comp", "old_cluster"]), ["comp"],
-        [("min", "old_cluster", "inherited")], num_buckets=64)
+        [("min", "old_cluster", "inherited")], num_buckets=64).materialize()
 
     # rep -> final cluster: inherited if its component cross-matched
     rep_comp = comp.map_batches(
         lambda t: pa.table({"row_id": t["row_id"], "comp": t["cluster_id"]}),
         batch_format="pyarrow")
-    rep_final = _attach_small(rep_comp, inherit, "comp",
-                              broadcast_threshold, join_type="left outer")
+    if inherit.count() == 0:
+        # no new rep matched the state (disjoint batch): a zero-row
+        # combiner output has ZERO blocks (schema None), which the
+        # broadcast join can't collect — synthesize the null column
+        rep_final = rep_comp.map_batches(
+            lambda t: t.append_column(
+                "inherited", pa.nulls(t.num_rows, pa.int64())),
+            batch_format="pyarrow")
+    else:
+        rep_final = _attach_small(rep_comp, inherit, "comp",
+                                  broadcast_threshold,
+                                  join_type="left outer")
 
     def _pick(t: pa.Table) -> pa.Table:
         # pc.coalesce keeps 64-bit ids exact (a numpy float64 round-trip

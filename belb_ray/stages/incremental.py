@@ -277,7 +277,12 @@ def compact_state(state_dir: str, num_buckets: int = 64) -> dict:
     - near-dup signatures: ``state_dir/sigs/run-*`` (rid, sig) —
       keep-first per rid (ids are unique across runs, so duplicates
       only arise from crashed re-appends; any copy carries the same
-      signature).
+      signature);
+    - ER resolution state (pipelines/er.save_resolution_state /
+      resolve_increment): ``state_dir/features/run-*`` keep-first per
+      row_id and ``state_dir/clusters/run-*`` keep-first per row_id
+      (a row's assignment never mutates across runs, so any copy
+      agrees; keep-first is crash-re-append hygiene).
 
     Distributed shape: each family is one bucketed dedup shuffle and a
     distributed parquet rewrite — nothing collects on the driver. The
@@ -310,6 +315,8 @@ def compact_state(state_dir: str, num_buckets: int = 64) -> dict:
         "exact": (state_dir, ["__h"]),
         "bands": (os.path.join(state_dir, "bands"), ["band_key", "rid"]),
         "sigs": (os.path.join(state_dir, "sigs"), ["rid"]),
+        "features": (os.path.join(state_dir, "features"), ["row_id"]),
+        "clusters": (os.path.join(state_dir, "clusters"), ["row_id"]),
     }
     out: dict = {}
     for fam, (root, keys) in families.items():
