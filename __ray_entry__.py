@@ -713,6 +713,24 @@ def q_er_clusters(sf_dir: str) -> rd.Dataset:
     return res["clusters"]
 
 
+def q_pprl_links(sf_dir: str) -> rd.Dataset:
+    """Privacy-preserving record linkage (stages/pprl.pprl_dice_links):
+    CLK Bloom-filter encodings over (repo, path) quasi-identifiers —
+    vectorized byte-bigram double hashing into 512-bit filters — then
+    identical-filter collapse, byte-sampled LSH bands, candidate pairs,
+    and exact Dice ≥ 0.9 links computed ONLY on the encodings (Schnell
+    et al. 2009). Oracle = pinned golden from the independent plain-
+    Python single-process composition (tools/make_goldens.py
+    golden_pprl_links). Trailing sort is oracle-comparability only."""
+    from belb_ray.sources.synthetic import make_fixture
+    from belb_ray.stages.pprl import pprl_dice_links
+
+    n_files = max(600, int(200_000 * _sf_of(sf_dir)))
+    files = rd.from_arrow(make_fixture(n_files=n_files, seed=42)["files"])
+    out = pprl_dice_links(files, "row_id", ["repo", "path"], threshold=0.9)
+    return out.sort(["id_a", "id_b"])
+
+
 def q_er_increment(sf_dir: str) -> rd.Dataset:
     """Incremental ER attach (pipelines/er.resolve_increment): wave 1
     resolves half the fixture and persists rep features + assignments;
@@ -4839,6 +4857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cannot_link_audit": q_cannot_link_audit,
         "source_accuracy": q_source_accuracy,
         "er_increment": q_er_increment,
+        "pprl_links": q_pprl_links,
         "snm_pairs": q_snm_pairs,
         "name_jw_pairs": q_name_jw_pairs,
         "name_monge_elkan": q_name_monge_elkan,
@@ -8076,7 +8095,7 @@ def oracle_sql() -> dict[str, str]:
                         "part_k_core", "part_components",
                         "jl_projection", "fs_linkage_weights",
                         "name_one2one_match", "kmeans_clusters",
-                        "kcenter_sample")},
+                        "kcenter_sample", "pprl_links")},
     }
     # the shuffle-path contamination op is held to the IDENTICAL SQL
     # text as the broadcast path — same contract, different engine path

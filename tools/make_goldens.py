@@ -723,6 +723,86 @@ def golden_fs_linkage_weights(sf_dir: str, iters: int = 15) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def golden_pprl_links(sf: float, threshold: float = 0.9, m_bits: int = 512,
+                      k: int = 8, bands: int = 32, bytes_per_band: int = 3,
+                      seed: int = 7) -> pa.Table:
+    """Independent single-process PPRL: per-record CLK Bloom filters built
+    with plain-Python int arithmetic (the engine's mix constants, none of
+    its numpy kernels), identical-filter collapse to min-id reps, UNCAPPED
+    brute-force pair enumeration inside every LSH band group, exact Dice
+    with the same integer threshold."""
+    from belb_ray.sources.synthetic import make_fixture
+
+    n_files = max(600, int(200_000 * sf))
+    t = make_fixture(n_files=n_files, seed=42)["files"]
+    ids = t["row_id"].to_pylist()
+    repos = t["repo"].to_pylist()
+    paths = t["path"].to_pylist()
+    m64 = (1 << 64) - 1
+
+    def mix(v: int, salt: int) -> int:
+        v = ((v + salt) * 0x9E3779B97F4A7C15) & m64
+        return ((v ^ (v >> 29)) * 0xC2B2AE3D27D4EB4F) & m64
+
+    def encode(fields) -> frozenset:
+        pos = set()
+        for f_idx, s in enumerate(fields):
+            b = s.lower().encode("utf-8")
+            for i in range(len(b) - 1):
+                v = ((b[i] << 8) | b[i + 1]) | ((f_idx + 1) << 16)
+                h1 = mix(v, seed) % m_bits
+                h2 = (mix(v, seed + 0x51ED) % m_bits) | 1
+                for j in range(k):
+                    pos.add((h1 + j * h2) % m_bits)
+        return frozenset(pos)
+
+    enc = {i: encode((r, p)) for i, r, p in zip(ids, repos, paths)}
+    by_bloom: dict[frozenset, int] = {}
+    for i in sorted(enc):
+        if enc[i] not in by_bloom:
+            by_bloom[enc[i]] = i
+    reps = {i: s for s, i in by_bloom.items()}
+
+    def packed(s: frozenset) -> bytes:
+        bb = bytearray(m_bits // 8)
+        for p in s:
+            bb[p // 8] |= 0x80 >> (p % 8)  # np.packbits bitorder='big'
+        return bytes(bb)
+
+    perm = np.random.default_rng(seed).permutation(m_bits // 8)
+    idx = np.arange(bands * bytes_per_band) % (m_bits // 8)
+    cols = perm[idx].reshape(bands, bytes_per_band)
+    groups: dict[int, list[int]] = {}
+    for i, s in reps.items():
+        pb = packed(s)
+        for j in range(bands):
+            h = j + 1
+            for c in cols[j]:
+                h = mix(h ^ pb[int(c)], seed + j)
+            # the engine's block_key is the MASKED int64, band-unaware
+            groups.setdefault(h & 0x7FFFFFFFFFFFFFFF, []).append(i)
+
+    cand = set()
+    for g in groups.values():
+        g = sorted(set(g))
+        for x in range(len(g)):
+            for y in range(x + 1, len(g)):
+                cand.add((g[x], g[y]))
+
+    thr = round(threshold * 1_000_000)
+    rows = []
+    for a, b in sorted(cand):
+        inter = len(reps[a] & reps[b])
+        den = len(reps[a]) + len(reps[b])
+        if den > 0 and 2 * inter * 1_000_000 >= thr * den:
+            rows.append((a, b, round(2.0 * inter / den, 6)))
+    return pa.table({
+        "id_a": pa.array([r[0] for r in rows], pa.int64()),
+        "id_b": pa.array([r[1] for r in rows], pa.int64()),
+        "dice": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
 def golden_one2one_match(sf_dir: str) -> pa.Table:
     """Independent single-process greedy one-to-one matching: SNM window
     candidates + JW scores derived in SQL (DuckDB jaro_winkler_similarity,
@@ -922,39 +1002,45 @@ def golden_bm25_rerank(sf_dir: str, terms=("hash", "join", "window"),
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="regenerate only these goldens")
     args = ap.parse_args()
     sf_tag = "sf" + args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_tag[2:])
     os.makedirs(GOLDEN_DIR, exist_ok=True)
 
     tables = {
-        "er_clusters": golden_er_clusters(sf),
-        "minhash_dedup_docs": golden_minhash_dedup(args.sf_dir),
-        "simhash_dedup_docs": golden_simhash_dedup(args.sf_dir),
-        "doc_fingerprints": golden_doc_fingerprints(args.sf_dir),
-        "lsh_neardup": golden_lsh_neardup(args.sf_dir),
-        "lsh_ann_topk": golden_lsh_ann_topk(args.sf_dir),
-        "ivf_ann_topk": golden_ivf_topk(args.sf_dir),
-        "multimodal_features": golden_multimodal_features(args.sf_dir),
-        "semantic_dedup": golden_semantic_dedup(args.sf_dir),
-        "pca_projection": golden_pca_projection(args.sf_dir),
-        "incremental_neardup": golden_incremental_neardup(args.sf_dir),
-        "pca_variance": golden_pca_variance(args.sf_dir),
-        "bpe_merges": golden_bpe_merges(args.sf_dir),
-        "bpe_tokens": golden_bpe_tokens(args.sf_dir),
-        "pq_ann_topk": golden_pq_ann_topk(args.sf_dir),
-        "part_k_core": golden_part_k_core(args.sf_dir),
-        "part_components": golden_part_components(args.sf_dir),
-        "jl_projection": golden_jl_projection(args.sf_dir),
-        "fs_linkage_weights": golden_fs_linkage_weights(args.sf_dir),
-        "name_one2one_match": golden_one2one_match(args.sf_dir),
-        "kmeans_clusters": golden_kmeans_clusters(args.sf_dir),
-        "kcenter_sample": golden_kcenter_sample(args.sf_dir),
-        "text_embeddings": golden_text_embeddings(args.sf_dir),
-        "upsample_exact": golden_upsample_exact(args.sf_dir),
-        "bm25_rerank": golden_bm25_rerank(args.sf_dir),
+        "er_clusters": lambda: golden_er_clusters(sf),
+        "minhash_dedup_docs": lambda: golden_minhash_dedup(args.sf_dir),
+        "simhash_dedup_docs": lambda: golden_simhash_dedup(args.sf_dir),
+        "doc_fingerprints": lambda: golden_doc_fingerprints(args.sf_dir),
+        "lsh_neardup": lambda: golden_lsh_neardup(args.sf_dir),
+        "lsh_ann_topk": lambda: golden_lsh_ann_topk(args.sf_dir),
+        "ivf_ann_topk": lambda: golden_ivf_topk(args.sf_dir),
+        "multimodal_features": lambda: golden_multimodal_features(args.sf_dir),
+        "semantic_dedup": lambda: golden_semantic_dedup(args.sf_dir),
+        "pca_projection": lambda: golden_pca_projection(args.sf_dir),
+        "incremental_neardup": lambda: golden_incremental_neardup(args.sf_dir),
+        "pca_variance": lambda: golden_pca_variance(args.sf_dir),
+        "bpe_merges": lambda: golden_bpe_merges(args.sf_dir),
+        "bpe_tokens": lambda: golden_bpe_tokens(args.sf_dir),
+        "pq_ann_topk": lambda: golden_pq_ann_topk(args.sf_dir),
+        "part_k_core": lambda: golden_part_k_core(args.sf_dir),
+        "part_components": lambda: golden_part_components(args.sf_dir),
+        "jl_projection": lambda: golden_jl_projection(args.sf_dir),
+        "fs_linkage_weights": lambda: golden_fs_linkage_weights(args.sf_dir),
+        "name_one2one_match": lambda: golden_one2one_match(args.sf_dir),
+        "kmeans_clusters": lambda: golden_kmeans_clusters(args.sf_dir),
+        "kcenter_sample": lambda: golden_kcenter_sample(args.sf_dir),
+        "text_embeddings": lambda: golden_text_embeddings(args.sf_dir),
+        "upsample_exact": lambda: golden_upsample_exact(args.sf_dir),
+        "bm25_rerank": lambda: golden_bm25_rerank(args.sf_dir),
+        "pprl_links": lambda: golden_pprl_links(sf),
     }
-    for name, tbl in tables.items():
+    if args.only:
+        tables = {n: t for n, t in tables.items() if n in set(args.only)}
+    for name, thunk in tables.items():
+        tbl = thunk()
         path = os.path.join(GOLDEN_DIR, f"{name}.{sf_tag}.parquet")
         pq.write_table(tbl, path)
         print(f"wrote {path}: {tbl.num_rows} rows")
