@@ -731,6 +731,21 @@ def q_pprl_links(sf_dir: str) -> rd.Dataset:
     return out.sort(["id_a", "id_b"])
 
 
+def q_canopy_blocks(sf_dir: str) -> rd.Dataset:
+    """Canopy clustering as cheap overlapping blocking (stages/canopy.
+    canopy_blocks, McCallum et al. 2000): hashed-unit-vector cosine,
+    per-bucket greedy center selection (one shuffle), driver merge under
+    a loud budget, broadcast assignment with nearest-center coverage
+    fallback. Oracle = pinned golden from the independent sequential
+    single-process composition (tools/make_goldens.py
+    golden_canopy_blocks). Trailing sort is oracle-comparability only."""
+    from belb_ray.stages.canopy import canopy_blocks
+
+    docs = _t(sf_dir, "documents")
+    out = canopy_blocks(docs, "doc_id", "text", t1_sim=0.6, t2_sim=0.75)
+    return out.sort(["canopy_id", "row_id"])
+
+
 def q_er_increment(sf_dir: str) -> rd.Dataset:
     """Incremental ER attach (pipelines/er.resolve_increment): wave 1
     resolves half the fixture and persists rep features + assignments;
@@ -4858,6 +4873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_accuracy": q_source_accuracy,
         "er_increment": q_er_increment,
         "pprl_links": q_pprl_links,
+        "canopy_blocks": q_canopy_blocks,
         "snm_pairs": q_snm_pairs,
         "name_jw_pairs": q_name_jw_pairs,
         "name_monge_elkan": q_name_monge_elkan,
@@ -8095,7 +8111,8 @@ def oracle_sql() -> dict[str, str]:
                         "part_k_core", "part_components",
                         "jl_projection", "fs_linkage_weights",
                         "name_one2one_match", "kmeans_clusters",
-                        "kcenter_sample", "pprl_links")},
+                        "kcenter_sample", "pprl_links",
+                        "canopy_blocks")},
     }
     # the shuffle-path contamination op is held to the IDENTICAL SQL
     # text as the broadcast path — same contract, different engine path

@@ -803,6 +803,62 @@ def golden_pprl_links(sf: float, threshold: float = 0.9, m_bits: int = 512,
     })
 
 
+def golden_canopy_blocks(sf_dir: str, t1_sim: float = 0.6,
+                         t2_sim: float = 0.75, dim: int = 64,
+                         num_buckets: int = 32) -> pa.Table:
+    """Independent single-process canopy clustering: same hashed-unit-
+    vector features (pure kernel), but plain row-by-row sequential greedy
+    per id-hash bucket, a second sequential greedy over the merged
+    centers, and a dense assignment loop — no chunking, no Ray."""
+    from belb_ray.stages.canopy import hashed_unit_vectors
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ids = docs["doc_id"].to_numpy().astype(np.int64)
+    x = hashed_unit_vectors(docs["text"].to_pylist(), dim)
+
+    def greedy(sub_ids: np.ndarray, sub_x: np.ndarray) -> list[int]:
+        order = np.argsort(sub_ids, kind="stable")
+        kept: list[int] = []
+        for i in order:
+            ok = True
+            for j in kept:
+                if round(float(sub_x[i] @ sub_x[j]), 6) >= t2_sim:
+                    ok = False
+                    break
+            if ok:
+                kept.append(int(i))
+        return kept
+
+    buckets = ((ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+               % np.uint64(num_buckets)).astype(np.int64)
+    loc_idx: list[int] = []
+    for b in np.unique(buckets):
+        sub = np.flatnonzero(buckets == b)
+        loc_idx.extend(sub[k] for k in greedy(ids[sub], x[sub]))
+    loc_idx = np.array(sorted(loc_idx, key=lambda i: ids[i]), np.int64)
+    fin = greedy(ids[loc_idx], x[loc_idx])
+    c_idx = loc_idx[fin]
+    c_order = np.argsort(ids[c_idx], kind="stable")
+    c_ids = ids[c_idx][c_order]
+    c_x = x[c_idx][c_order]
+
+    rows = []
+    for i in range(len(ids)):
+        sims = np.round(c_x @ x[i], 6)
+        member = np.flatnonzero(sims >= t1_sim)
+        if len(member) == 0:
+            member = np.array([int(sims.argmax())])
+        for c in member:
+            rows.append((int(c_ids[c]), int(ids[i]), float(sims[c])))
+    rows.sort()
+    return pa.table({
+        "canopy_id": pa.array([r[0] for r in rows], pa.int64()),
+        "row_id": pa.array([r[1] for r in rows], pa.int64()),
+        "sim": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
 def golden_one2one_match(sf_dir: str) -> pa.Table:
     """Independent single-process greedy one-to-one matching: SNM window
     candidates + JW scores derived in SQL (DuckDB jaro_winkler_similarity,
@@ -1036,6 +1092,7 @@ def main() -> None:
         "upsample_exact": lambda: golden_upsample_exact(args.sf_dir),
         "bm25_rerank": lambda: golden_bm25_rerank(args.sf_dir),
         "pprl_links": lambda: golden_pprl_links(sf),
+        "canopy_blocks": lambda: golden_canopy_blocks(args.sf_dir),
     }
     if args.only:
         tables = {n: t for n, t in tables.items() if n in set(args.only)}
