@@ -746,6 +746,28 @@ def q_canopy_blocks(sf_dir: str) -> rd.Dataset:
     return out.sort(["canopy_id", "row_id"])
 
 
+def q_corr_clusters(sf_dir: str) -> rd.Dataset:
+    """Correlation clustering by distributed KwikCluster
+    (stages/corrcluster.kwik_cluster, Ailon et al. 2008 / Chierichetti
+    et al. KDD'14): support-≥2 part co-occurrence edges → hashed-key
+    pivot peeling (local-minima MIS per round, smallest-keyed-pivot
+    assignment) — the non-transitive alternative to connected-components
+    identity merge. Oracle = pinned golden from the independent plain
+    dict/set single-process round-major walk (tools/make_goldens.py
+    golden_corr_clusters). Trailing sort is oracle-comparability only."""
+    from belb_ray.stages.agg import preagg_groupby
+    from belb_ray.stages.cooccur import cooccurrence_pairs
+    from belb_ray.stages.corrcluster import kwik_cluster
+
+    li = _t(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+    counts = preagg_groupby(pairs, ["a", "b"], [("count", "", "n")],
+                            num_buckets=64)
+    edges = counts.filter(expr="n >= 2")
+    out = kwik_cluster(edges, id_a="a", id_b="b", seed=5)
+    return out.sort(["row_id"])
+
+
 def q_er_increment(sf_dir: str) -> rd.Dataset:
     """Incremental ER attach (pipelines/er.resolve_increment): wave 1
     resolves half the fixture and persists rep features + assignments;
@@ -4874,6 +4896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_increment": q_er_increment,
         "pprl_links": q_pprl_links,
         "canopy_blocks": q_canopy_blocks,
+        "corr_clusters": q_corr_clusters,
         "snm_pairs": q_snm_pairs,
         "name_jw_pairs": q_name_jw_pairs,
         "name_monge_elkan": q_name_monge_elkan,
@@ -8112,7 +8135,7 @@ def oracle_sql() -> dict[str, str]:
                         "jl_projection", "fs_linkage_weights",
                         "name_one2one_match", "kmeans_clusters",
                         "kcenter_sample", "pprl_links",
-                        "canopy_blocks")},
+                        "canopy_blocks", "corr_clusters")},
     }
     # the shuffle-path contamination op is held to the IDENTICAL SQL
     # text as the broadcast path — same contract, different engine path

@@ -252,6 +252,7 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "er_increment",
         "pprl_links",
         "canopy_blocks",
+        "corr_clusters",
         # part_k_core and fs_linkage_weights are oracle-checked but
         # excluded here: their fixpoint/EM rounds are iteration-count-
         # dominated at sf0.1 and would eat the min-of-2 budget.
@@ -393,6 +394,13 @@ def main() -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    # the streaming executor WARNs on every empty pandas block emitted by
+    # bucketed map_groups for empty partitions (hundreds of lines per
+    # full run); plan INFO lines flood stderr the same way — neither is a
+    # signal at bench time
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     timings = run_queries(sf_dir, args.only)

@@ -50,6 +50,9 @@ def main() -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     sys.path.insert(0, ".")
     import __ray_entry__ as entrymod

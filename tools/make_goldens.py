@@ -859,6 +859,62 @@ def golden_canopy_blocks(sf_dir: str, t1_sim: float = 0.6,
     })
 
 
+def golden_corr_clusters(sf_dir: str, min_support: int = 2,
+                         seed: int = 5) -> pa.Table:
+    """Independent single-process KwikCluster: co-occurrence edges from a
+    plain dict count, then the SEQUENTIAL greedy pivot walk in hashed-key
+    order (the engine's parallel peeling must equal it exactly)."""
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"])
+    by_order: dict[int, set] = {}
+    for o, p in zip(li["l_orderkey"].to_pylist(),
+                    li["l_partkey"].to_pylist()):
+        by_order.setdefault(o, set()).add(p)
+    counts: dict[tuple, int] = {}
+    for items in by_order.values():
+        s = sorted(items)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                counts[(s[x], s[y])] = counts.get((s[x], s[y]), 0) + 1
+    edges = [e for e, c in counts.items() if c >= min_support]
+
+    m64 = (1 << 64) - 1
+
+    def key(i: int) -> int:
+        v = ((i + seed) * 0x9E3779B97F4A7C15) & m64
+        return (((v ^ (v >> 31)) * 0xC2B2AE3D27D4EB4F) & m64) \
+            & 0x7FFFFFFFFFFFFFFF
+
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # round-major pivot walk (the parallel peeling's defined order):
+    # each round's pivots are the key-local-minima of the ACTIVE graph;
+    # every active node with a pivot neighbor joins its smallest-keyed
+    # round pivot (pivots self-join); both leave the graph.
+    cluster: dict[int, int] = {}
+    active = set(adj)
+    while active:
+        pivots = {v for v in active
+                  if all(key(v) < key(w) for w in adj[v] if w in active)}
+        removed = set()
+        for v in active:
+            cand = [w for w in adj[v] if w in pivots]
+            if v in pivots:
+                cluster[v] = v
+                removed.add(v)
+            elif cand:
+                cluster[v] = min(cand, key=lambda w: (key(w), w))
+                removed.add(v)
+        active -= removed
+    rows = sorted(cluster.items())
+    return pa.table({
+        "row_id": pa.array([r[0] for r in rows], pa.int64()),
+        "cluster_id": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
 def golden_one2one_match(sf_dir: str) -> pa.Table:
     """Independent single-process greedy one-to-one matching: SNM window
     candidates + JW scores derived in SQL (DuckDB jaro_winkler_similarity,
@@ -1093,6 +1149,7 @@ def main() -> None:
         "bm25_rerank": lambda: golden_bm25_rerank(args.sf_dir),
         "pprl_links": lambda: golden_pprl_links(sf),
         "canopy_blocks": lambda: golden_canopy_blocks(args.sf_dir),
+        "corr_clusters": lambda: golden_corr_clusters(args.sf_dir),
     }
     if args.only:
         tables = {n: t for n, t in tables.items() if n in set(args.only)}
