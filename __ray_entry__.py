@@ -746,6 +746,25 @@ def q_canopy_blocks(sf_dir: str) -> rd.Dataset:
     return out.sort(["canopy_id", "row_id"])
 
 
+def q_progressive_er_curve(sf_dir: str) -> rd.Dataset:
+    """Pay-as-you-go verification schedule (pipelines/docdedup.
+    progressive_verify_curve, Whang et al. 2013): LSH candidates ranked
+    by cheap MinHash score; per cheap-score threshold, the share of true
+    matches (exact shingle Jaccard ≥ 0.5) the work prefix captures.
+    Whole curve costs ONE pass over the candidate pairs (fixed-width
+    partial per batch). Oracle = pinned golden from the independent
+    single-process composition (tools/make_goldens.py
+    golden_progressive_curve)."""
+    from belb_ray.pipelines.docdedup import progressive_verify_curve
+    from belb_ray.sources.synthetic import make_fixture
+
+    n_files = max(600, int(200_000 * _sf_of(sf_dir)))
+    files = rd.from_arrow(
+        make_fixture(n_files=n_files, seed=42)["files"])
+    return progressive_verify_curve(
+        files, id_col="row_id", text_col="content").sort(["threshold"])
+
+
 def q_corr_clusters(sf_dir: str) -> rd.Dataset:
     """Correlation clustering by distributed KwikCluster
     (stages/corrcluster.kwik_cluster, Ailon et al. 2008 / Chierichetti
@@ -4897,6 +4916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pprl_links": q_pprl_links,
         "canopy_blocks": q_canopy_blocks,
         "corr_clusters": q_corr_clusters,
+        "progressive_er_curve": q_progressive_er_curve,
         "snm_pairs": q_snm_pairs,
         "name_jw_pairs": q_name_jw_pairs,
         "name_monge_elkan": q_name_monge_elkan,
@@ -8135,7 +8155,8 @@ def oracle_sql() -> dict[str, str]:
                         "jl_projection", "fs_linkage_weights",
                         "name_one2one_match", "kmeans_clusters",
                         "kcenter_sample", "pprl_links",
-                        "canopy_blocks", "corr_clusters")},
+                        "canopy_blocks", "corr_clusters",
+                        "progressive_er_curve")},
     }
     # the shuffle-path contamination op is held to the IDENTICAL SQL
     # text as the broadcast path — same contract, different engine path

@@ -408,3 +408,133 @@ def dedup_sweep(docs: rd.Dataset, thresholds: list[float],
     got = got.sort_values("threshold", ascending=False,
                           ignore_index=True)
     return rd.from_pandas(got)
+
+
+def progressive_verify_curve(
+    docs: rd.Dataset,
+    thresholds: tuple = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+    true_jaccard: float = 0.5,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_block: int = 4096,
+) -> rd.Dataset:
+    """Pay-as-you-go verification schedule (Whang, Marmaros &
+    Garcia-Molina 2013, "Pay-as-you-go entity resolution"): LSH candidate
+    pairs are ranked by their CHEAP score (estimated MinHash Jaccard);
+    for each cheap-score threshold ``t`` the row reports how many pairs
+    the ``est ≥ t`` work prefix contains and what fraction of the true
+    matches (exact shingle Jaccard ≥ ``true_jaccard``, candidate-
+    relative — blocking recall is a separate metric, see
+    ``snm_blocking_quality``) that prefix captures:
+
+        (threshold, n_pairs, n_true, pair_recall, pair_precision)
+
+    A steep recall curve at high ``t`` means early verification budget
+    lands on real matches — the progressive-ER property.
+
+    Shape: exact dups collapse to min-id reps first (identical docs make
+    degenerate band groups); features+shingle sets are computed once and
+    broadcast (binary columns, sorted-id searchsorted gather); the grid
+    is accumulated as ONE fixed-width partial row per batch, so the
+    whole curve costs a single pass over the candidate pairs. Threshold
+    comparisons are exact integer arithmetic (agreeing-permutation and
+    shingle-overlap counts), never float order. Exact per-pair set
+    intersections are a Python loop over ~max_block-bounded candidates —
+    this is an EVAL op; the scale path for exact set-similarity joins is
+    stages/setsim.py."""
+    import ray
+
+    from ..stages.joins import semi_join
+    from ..stages.pairs import candidate_pairs
+    from ..functions.minhash import band_keys as mh_band_keys
+    from ..functions.minhash import sig_matrix
+
+    # 1. exact-dup collapse (min-id rep per content md5)
+    groups = exact_dup_groups(docs, id_col=id_col, text_col=text_col)
+    reps = groups.map_batches(
+        lambda t: pa.table({id_col: t["rep_id"]}), batch_format="pyarrow")
+    rep_docs = semi_join(docs.select_columns([id_col, text_col]), reps,
+                         key=id_col)
+
+    # 2. signatures + shingle sets, once per rep
+    feats = _doc_features(rep_docs, num_perm, shingle_k, seed,
+                          id_col, text_col, keep_shingles=True).materialize()
+
+    def _blocks(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"block_key": pa.array([], pa.int64()),
+                             "row_id": pa.array([], pa.int64())})
+        keys = mh_band_keys(sig_matrix(batch["sig"]), bands)
+        rid = batch["row_id"].to_numpy()
+        return pa.table({
+            "block_key": pa.array(keys.ravel(), pa.int64()),
+            "row_id": pa.array(np.repeat(rid, bands), pa.int64()),
+        })
+
+    pairs = candidate_pairs(feats.map_batches(_blocks, batch_format="pyarrow"),
+                            max_block=max_block, window=16)
+
+    whole = pa.concat_tables(
+        [t for t in ray.get(feats.to_arrow_refs()) if t.num_rows])
+    ids = whole["row_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    sigs_sorted = sig_matrix(whole["sig"])[order]
+    sh_sorted = [np.frombuffer(b, np.int64)
+                 for b in whole["shingles"].to_pylist()]
+    sh_sorted = [sh_sorted[i] for i in order]
+    ref = ray.put((ids[order], np.ascontiguousarray(sigs_sorted), sh_sorted))
+
+    ts = np.array(sorted(thresholds), np.float64)
+    t_nums = np.round(ts * 1_000_000).astype(np.int64)
+    tj_num = round(true_jaccard * 1_000_000)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        s_ids, s_sigs, s_sh = cached_get(ref)
+        a = np.searchsorted(s_ids, batch["id_a"].to_numpy())
+        b = np.searchsorted(s_ids, batch["id_b"].to_numpy())
+        agree = (s_sigs[a] == s_sigs[b]).sum(axis=1).astype(np.int64)
+        true = np.zeros(len(a), bool)
+        for i, (ia, ib) in enumerate(zip(a, b)):
+            sa, sb = s_sh[ia], s_sh[ib]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            true[i] = union > 0 and inter * 1_000_000 >= tj_num * union
+        cols = {"n_true_total": pa.array([int(true.sum())], pa.int64())}
+        for t_num, t in zip(t_nums, ts):
+            pre = agree * 1_000_000 >= t_num * num_perm
+            cols[f"np_{t_num}"] = pa.array([int(pre.sum())], pa.int64())
+            cols[f"nt_{t_num}"] = pa.array([int((pre & true).sum())],
+                                           pa.int64())
+        return pa.table(cols)
+
+    parts = pairs.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=8192).to_pandas()
+    if parts.empty:  # no candidate pairs at all
+        zero = {f"np_{t}": 0 for t in t_nums}
+        zero.update({f"nt_{t}": 0 for t in t_nums})
+        zero["n_true_total"] = 0
+        import pandas as pd
+
+        parts = pd.DataFrame([zero])
+    tot = parts.sum(axis=0)
+    n_true_total = int(tot["n_true_total"])
+    rows = []
+    for t_num, t in zip(t_nums, ts):
+        n_pairs = int(tot[f"np_{t_num}"])
+        n_true = int(tot[f"nt_{t_num}"])
+        rows.append((float(t), n_pairs, n_true,
+                     round(n_true / n_true_total, 6) if n_true_total else 0.0,
+                     round(n_true / n_pairs, 6) if n_pairs else 0.0))
+    return rd.from_arrow(pa.table({
+        "threshold": pa.array([r[0] for r in rows], pa.float64()),
+        "n_pairs": pa.array([r[1] for r in rows], pa.int64()),
+        "n_true": pa.array([r[2] for r in rows], pa.int64()),
+        "pair_recall": pa.array([r[3] for r in rows], pa.float64()),
+        "pair_precision": pa.array([r[4] for r in rows], pa.float64()),
+    }))

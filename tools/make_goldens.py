@@ -915,6 +915,85 @@ def golden_corr_clusters(sf_dir: str, min_support: int = 2,
     })
 
 
+def golden_progressive_curve(sf: float,
+                             thresholds=(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+                             true_jaccard: float = 0.5, num_perm: int = 128,
+                             bands: int = 32, shingle_k: int = 3,
+                             seed: int = 7) -> pa.Table:
+    """Independent single-process progressive-verification curve over the
+    synthetic near-dup fixture: exact md5 collapse, shared signature
+    kernels, UNCAPPED in-band pairs, python-set exact Jaccard, same
+    integer threshold arithmetic."""
+    import hashlib
+
+    from belb_ray.functions.hashing import ngram_hashes, token_hashes
+    from belb_ray.functions.minhash import MinHasher, band_keys
+    from belb_ray.functions.text import tokenize
+    from belb_ray.sources.synthetic import make_fixture
+
+    n_files = max(600, int(200_000 * sf))
+    t = make_fixture(n_files=n_files, seed=42)["files"]
+    ids = t["row_id"].to_numpy().astype(np.int64)
+    texts = t["content"].to_pylist()
+    rep_of: dict[str, int] = {}
+    for i in np.argsort(ids, kind="stable"):
+        rep_of.setdefault(hashlib.md5(texts[i].encode()).hexdigest(),
+                          int(ids[i]))
+    reps = sorted(rep_of.values())
+    idx_of = {int(v): i for i, v in enumerate(ids)}
+
+    hasher = MinHasher(num_perm=num_perm, seed=seed)
+    cache: dict[str, int] = {}
+    sigs = np.empty((len(reps), num_perm), np.uint64)
+    shingles = []
+    for r, rid in enumerate(reps):
+        th = token_hashes(tokenize(texts[idx_of[rid]]), cache)
+        sh = np.unique(ngram_hashes(th, shingle_k))
+        sigs[r] = hasher.signature(sh)
+        shingles.append(set((sh & np.uint64(0x7FFFFFFFFFFFFFFF))
+                            .astype(np.int64).tolist()))
+
+    keys = band_keys(sigs, bands)
+    buckets: dict[int, list[int]] = {}
+    for r in range(len(reps)):
+        for b in range(bands):
+            buckets.setdefault(int(keys[r, b]), []).append(r)
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(set(members))
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                cand.add((ms[x], ms[y]))
+
+    tj = round(true_jaccard * 1_000_000)
+    rows_agree, rows_true = [], []
+    for a, b in cand:
+        rows_agree.append(int((sigs[a] == sigs[b]).sum()))
+        inter = len(shingles[a] & shingles[b])
+        union = len(shingles[a]) + len(shingles[b]) - inter
+        rows_true.append(union > 0 and inter * 1_000_000 >= tj * union)
+    agree = np.array(rows_agree, np.int64)
+    true = np.array(rows_true, bool)
+    n_true_total = int(true.sum())
+
+    out = []
+    for t in sorted(thresholds):
+        tn = round(t * 1_000_000)
+        pre = agree * 1_000_000 >= tn * num_perm
+        n_pairs = int(pre.sum())
+        n_t = int((pre & true).sum())
+        out.append((float(t), n_pairs, n_t,
+                    round(n_t / n_true_total, 6) if n_true_total else 0.0,
+                    round(n_t / n_pairs, 6) if n_pairs else 0.0))
+    return pa.table({
+        "threshold": pa.array([r[0] for r in out], pa.float64()),
+        "n_pairs": pa.array([r[1] for r in out], pa.int64()),
+        "n_true": pa.array([r[2] for r in out], pa.int64()),
+        "pair_recall": pa.array([r[3] for r in out], pa.float64()),
+        "pair_precision": pa.array([r[4] for r in out], pa.float64()),
+    })
+
+
 def golden_one2one_match(sf_dir: str) -> pa.Table:
     """Independent single-process greedy one-to-one matching: SNM window
     candidates + JW scores derived in SQL (DuckDB jaro_winkler_similarity,
@@ -1150,6 +1229,7 @@ def main() -> None:
         "pprl_links": lambda: golden_pprl_links(sf),
         "canopy_blocks": lambda: golden_canopy_blocks(args.sf_dir),
         "corr_clusters": lambda: golden_corr_clusters(args.sf_dir),
+        "progressive_er_curve": lambda: golden_progressive_curve(sf),
     }
     if args.only:
         tables = {n: t for n, t in tables.items() if n in set(args.only)}
