@@ -3518,6 +3518,45 @@ def q_fs_linkage_weights(sf_dir: str) -> pd.DataFrame:
         feats, ["agree_name", "agree_brand", "agree_type"], iters=15)
 
 
+def q_fs_pair_posteriors(sf_dir: str) -> rd.Dataset:
+    """Fellegi-Sunter pair scoring (stages/fellegi.fs_score_pairs): the
+    complete probabilistic-linkage loop — fit m/u/prior by EM over SNM
+    candidate agreement vectors, then score EVERY pair with the fitted
+    (8dp-rounded, determinism contract) parameters: composite log2
+    weight + P(match|x) posterior, keep posterior ≥ 0.5. One streaming
+    map; the O(k) parameter table rides the task closure. Oracle =
+    pinned golden from the independent single-process EM + scoring over
+    SQL-derived pairs (tools/make_goldens.py golden_fs_pair_posteriors).
+    Trailing sort is oracle-comparability only."""
+    from belb_ray.functions.similarity import jaro_winkler_batch
+    from belb_ray.stages.fellegi import fs_em_weights, fs_score_pairs
+    from belb_ray.stages.linkage import sorted_neighborhood_pairs
+
+    part = _t(sf_dir, "part").select_columns(
+        ["p_partkey", "p_name", "p_brand", "p_type"])
+    pairs = sorted_neighborhood_pairs(
+        part, "p_partkey", "p_name", window=8, carry_sort=True,
+        carry_cols=["p_brand", "p_type"])
+
+    def _feat(b: pd.DataFrame) -> pd.DataFrame:
+        jw = jaro_winkler_batch(b["sort_a"].tolist(), b["sort_b"].tolist())
+        return pd.DataFrame({
+            "id_a": b["id_a"].to_numpy(),
+            "id_b": b["id_b"].to_numpy(),
+            "agree_name": (jw >= 0.9).astype(np.int8),
+            "agree_brand": (b["p_brand_a"].to_numpy()
+                            == b["p_brand_b"].to_numpy()).astype(np.int8),
+            "agree_type": (b["p_type_a"].to_numpy()
+                           == b["p_type_b"].to_numpy()).astype(np.int8),
+        })
+
+    feats = pairs.map_batches(_feat, batch_format="pandas").materialize()
+    cols = ["agree_name", "agree_brand", "agree_type"]
+    w = fs_em_weights(feats, cols, iters=15)
+    out = fs_score_pairs(feats, cols, w, min_posterior=0.5)
+    return out.sort(["id_a", "id_b"])
+
+
 def q_snm_blocking_quality(sf_dir: str) -> pd.DataFrame:
     """Blocking-scheme evaluation (the record-linkage methodology
     metrics): pairs completeness + reduction ratio of sorted-neighborhood
@@ -4917,6 +4956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canopy_blocks": q_canopy_blocks,
         "corr_clusters": q_corr_clusters,
         "progressive_er_curve": q_progressive_er_curve,
+        "fs_pair_posteriors": q_fs_pair_posteriors,
         "snm_pairs": q_snm_pairs,
         "name_jw_pairs": q_name_jw_pairs,
         "name_monge_elkan": q_name_monge_elkan,
@@ -8156,7 +8196,7 @@ def oracle_sql() -> dict[str, str]:
                         "name_one2one_match", "kmeans_clusters",
                         "kcenter_sample", "pprl_links",
                         "canopy_blocks", "corr_clusters",
-                        "progressive_er_curve")},
+                        "progressive_er_curve", "fs_pair_posteriors")},
     }
     # the shuffle-path contamination op is held to the IDENTICAL SQL
     # text as the broadcast path — same contract, different engine path

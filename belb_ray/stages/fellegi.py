@@ -94,3 +94,44 @@ def fs_em_weights(pairs: rd.Dataset, feature_cols: list[str],
     for c in ("m", "u", "weight_agree", "weight_disagree"):
         out[c] = np.round(out[c].to_numpy(np.float64), 8)
     return out
+
+
+def fs_score_pairs(pairs: rd.Dataset, feature_cols: list[str],
+                   weights: pd.DataFrame,
+                   id_cols: tuple = ("id_a", "id_b"),
+                   min_posterior: float | None = None,
+                   round_to: int = 6) -> rd.Dataset:
+    """Score candidate pairs with FITTED Fellegi-Sunter parameters →
+    pairs + (weight, posterior). ``weights`` is ``fs_em_weights``'s
+    output table (8dp-rounded m/u per feature + the ``__match_prior``
+    row) — scoring from the ROUNDED table is the determinism contract:
+    any engine recomputing from the same table gets bit-identical
+    doubles. ``weight`` is the classical composite log2 likelihood
+    ratio; ``posterior`` is P(match | x) under the fitted mixture,
+    quantized to 2^-30 (the EM's own grid) then rounded.
+
+    One streaming ``map_batches``; the parameter table is O(k) and rides
+    the task closure — no broadcast, no shuffle, no state."""
+    w = weights.set_index("feature")
+    p = float(w.loc["__match_prior", "m"])
+    m = w.loc[feature_cols, "m"].to_numpy(np.float64)
+    u = w.loc[feature_cols, "u"].to_numpy(np.float64)
+    thr = None if min_posterior is None else float(min_posterior)
+
+    def _score(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[feature_cols].to_numpy(np.float64)
+        lm = x @ np.log(m) + (1.0 - x) @ np.log1p(-m)
+        lu = x @ np.log(u) + (1.0 - x) @ np.log1p(-u)
+        la = np.log(p) + lm
+        lb = np.log1p(-p) + lu
+        r = 1.0 / (1.0 + np.exp(lb - la))
+        r = np.round(r * _QUANT) / _QUANT
+        wgt = x @ np.log2(m / u) + (1.0 - x) @ np.log2((1.0 - m) / (1.0 - u))
+        out = b[[*id_cols, *feature_cols]].copy()
+        out["weight"] = np.round(wgt, round_to)
+        out["posterior"] = np.round(r, round_to)
+        if thr is not None:
+            out = out[out["posterior"].to_numpy() >= thr]
+        return out
+
+    return pairs.map_batches(_score, batch_format="pandas")

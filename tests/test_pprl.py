@@ -112,3 +112,33 @@ def test_bloom_encode_schema(ray_session):
     assert len(enc) == 1
     row = enc[0]
     assert len(row["bloom"]) == 64 and row["card"] > 0
+
+
+def test_fs_score_pairs_separates_planted_structure(ray_session):
+    import pandas as pd
+    from belb_ray.stages.fellegi import fs_em_weights, fs_score_pairs
+
+    rng = np.random.default_rng(4)
+    n = 400
+    match = rng.random(n) < 0.2
+    x = np.where(match[:, None],
+                 rng.random((n, 3)) < 0.95,
+                 rng.random((n, 3)) < 0.05).astype(np.int8)
+    t = pa.table({
+        "id_a": pa.array(np.arange(n), pa.int64()),
+        "id_b": pa.array(np.arange(n) + 10_000, pa.int64()),
+        "f1": x[:, 0], "f2": x[:, 1], "f3": x[:, 2],
+    })
+    ds = rd.from_arrow(t).materialize()
+    cols = ["f1", "f2", "f3"]
+    w = fs_em_weights(ds, cols, iters=10)
+    out = fs_score_pairs(ds, cols, w).to_pandas()
+    assert len(out) == n
+    full = out[(out.f1 == 1) & (out.f2 == 1) & (out.f3 == 1)]
+    none = out[(out.f1 == 0) & (out.f2 == 0) & (out.f3 == 0)]
+    assert (full.posterior > 0.9).all()
+    assert (none.posterior < 0.1).all()
+    assert (full.weight > none.weight.max()).all()
+    kept = fs_score_pairs(ds, cols, w, min_posterior=0.5).to_pandas()
+    assert set(map(tuple, kept[["id_a", "id_b"]].to_numpy())) == \
+        set(map(tuple, out[out.posterior >= 0.5][["id_a", "id_b"]].to_numpy()))

@@ -723,6 +723,67 @@ def golden_fs_linkage_weights(sf_dir: str, iters: int = 15) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def golden_fs_pair_posteriors(sf_dir: str, iters: int = 15,
+                              min_posterior: float = 0.5) -> pa.Table:
+    """Independent single-process FS pair scoring: SQL-derived pairs WITH
+    ids, the same plain-numpy EM as golden_fs_linkage_weights, then the
+    per-pair posterior/weight computed from the 8dp-ROUNDED parameter
+    table (the scoring determinism contract)."""
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    df = con.sql(f"""
+        WITH part AS (SELECT * FROM '{os.path.join(sf_dir, "part.parquet")}'),
+        r AS (SELECT p_partkey AS id, p_name AS nm, p_brand AS br,
+                     p_type AS ct,
+                     row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+              FROM part)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CASE WHEN jaro_winkler_similarity(a.nm, b.nm) >= 0.9
+                    THEN 1 ELSE 0 END AS agree_name,
+               CASE WHEN a.br = b.br THEN 1 ELSE 0 END AS agree_brand,
+               CASE WHEN a.ct = b.ct THEN 1 ELSE 0 END AS agree_type
+        FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 8
+    """).df()
+    names = ["agree_name", "agree_brand", "agree_type"]
+    x = df[names].to_numpy(np.float64)
+    k = x.shape[1]
+    p, m, u = 0.1, np.full(k, 0.9), np.full(k, 0.1)
+    eps = 1e-6
+    quant = float(1 << 30)
+    for _ in range(iters):
+        lm = x @ np.log(m) + (1.0 - x) @ np.log1p(-m)
+        lu = x @ np.log(u) + (1.0 - x) @ np.log1p(-u)
+        r_ = 1.0 / (1.0 + np.exp((np.log1p(-p) + lu) - (np.log(p) + lm)))
+        r_ = np.round(r_ * quant) / quant
+        n, sr = float(len(r_)), r_.sum()
+        su = n - sr
+        p = min(max(sr / n, eps), 1.0 - eps)
+        for i in range(k):
+            m[i] = min(max((r_ * x[:, i]).sum() / max(sr, eps), eps),
+                       1.0 - eps)
+            u[i] = min(max((x[:, i] - r_ * x[:, i]).sum() / max(su, eps),
+                           eps), 1.0 - eps)
+    # score from the ROUNDED table, exactly like fs_score_pairs
+    p = float(np.round(p, 8))
+    m = np.round(m, 8)
+    u = np.round(u, 8)
+    lm = x @ np.log(m) + (1.0 - x) @ np.log1p(-m)
+    lu = x @ np.log(u) + (1.0 - x) @ np.log1p(-u)
+    r_ = 1.0 / (1.0 + np.exp((np.log1p(-p) + lu) - (np.log(p) + lm)))
+    r_ = np.round(r_ * quant) / quant
+    wgt = x @ np.log2(m / u) + (1.0 - x) @ np.log2((1.0 - m) / (1.0 - u))
+    out = df[["id_a", "id_b", *names]].copy()
+    for c in names:
+        out[c] = out[c].astype(np.int8)
+    out["weight"] = np.round(wgt, 6)
+    out["posterior"] = np.round(r_, 6)
+    out = out[out["posterior"].to_numpy() >= min_posterior]
+    out = out.sort_values(["id_a", "id_b"], ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def golden_pprl_links(sf: float, threshold: float = 0.9, m_bits: int = 512,
                       k: int = 8, bands: int = 32, bytes_per_band: int = 3,
                       seed: int = 7) -> pa.Table:
@@ -1230,6 +1291,7 @@ def main() -> None:
         "canopy_blocks": lambda: golden_canopy_blocks(args.sf_dir),
         "corr_clusters": lambda: golden_corr_clusters(args.sf_dir),
         "progressive_er_curve": lambda: golden_progressive_curve(sf),
+        "fs_pair_posteriors": lambda: golden_fs_pair_posteriors(args.sf_dir),
     }
     if args.only:
         tables = {n: t for n, t in tables.items() if n in set(args.only)}
