@@ -3518,17 +3518,21 @@ def q_fs_linkage_weights(sf_dir: str) -> pd.DataFrame:
         feats, ["agree_name", "agree_brand", "agree_type"], iters=15)
 
 
-def q_fs_pair_posteriors(sf_dir: str) -> rd.Dataset:
-    """Fellegi-Sunter pair scoring (stages/fellegi.fs_score_pairs): the
-    complete probabilistic-linkage loop — fit m/u/prior by EM over SNM
-    candidate agreement vectors, then score EVERY pair with the fitted
-    (8dp-rounded, determinism contract) parameters: composite log2
-    weight + P(match|x) posterior, keep posterior ≥ 0.5. One streaming
-    map; the O(k) parameter table rides the task closure. Oracle =
-    pinned golden from the independent single-process EM + scoring over
-    SQL-derived pairs (tools/make_goldens.py golden_fs_pair_posteriors).
-    Trailing sort is oracle-comparability only."""
+def q_fs_pattern_posteriors(sf_dir: str) -> rd.Dataset:
+    """Fellegi-Sunter agreement-pattern table (stages/fellegi.
+    fs_score_pairs + a pattern count): the classical FS decision device —
+    fit m/u/prior by EM over SNM candidate agreement vectors, then one
+    row per OBSERVED agreement pattern with its pair count, composite
+    log2 weight, and P(match|x) posterior from the fitted (8dp-rounded,
+    determinism contract) parameters. Pattern-level output is
+    scale-stable (≤ 2^k rows at any corpus size) where a per-pair
+    posterior cutoff is not — at sf0.1 the SNM window makes agree_name
+    nearly universal and no pair clears 0.5. Per-pair scoring is the
+    library op ``fs_score_pairs`` (tested on planted structure). Oracle
+    = pinned golden from the independent single-process EM + scoring
+    (tools/make_goldens.py golden_fs_pattern_posteriors)."""
     from belb_ray.functions.similarity import jaro_winkler_batch
+    from belb_ray.stages.agg import preagg_groupby
     from belb_ray.stages.fellegi import fs_em_weights, fs_score_pairs
     from belb_ray.stages.linkage import sorted_neighborhood_pairs
 
@@ -3553,8 +3557,12 @@ def q_fs_pair_posteriors(sf_dir: str) -> rd.Dataset:
     feats = pairs.map_batches(_feat, batch_format="pandas").materialize()
     cols = ["agree_name", "agree_brand", "agree_type"]
     w = fs_em_weights(feats, cols, iters=15)
-    out = fs_score_pairs(feats, cols, w, min_posterior=0.5)
-    return out.sort(["id_a", "id_b"])
+    scored = fs_score_pairs(feats, cols, w)
+    out = preagg_groupby(
+        scored, cols, [("count", "", "n_pairs"),
+                       ("min", "weight", "weight"),
+                       ("min", "posterior", "posterior")], num_buckets=8)
+    return out.sort(cols)
 
 
 def q_snm_blocking_quality(sf_dir: str) -> pd.DataFrame:
@@ -4956,7 +4964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canopy_blocks": q_canopy_blocks,
         "corr_clusters": q_corr_clusters,
         "progressive_er_curve": q_progressive_er_curve,
-        "fs_pair_posteriors": q_fs_pair_posteriors,
+        "fs_pattern_posteriors": q_fs_pattern_posteriors,
         "snm_pairs": q_snm_pairs,
         "name_jw_pairs": q_name_jw_pairs,
         "name_monge_elkan": q_name_monge_elkan,
@@ -8196,7 +8204,7 @@ def oracle_sql() -> dict[str, str]:
                         "name_one2one_match", "kmeans_clusters",
                         "kcenter_sample", "pprl_links",
                         "canopy_blocks", "corr_clusters",
-                        "progressive_er_curve", "fs_pair_posteriors")},
+                        "progressive_er_curve", "fs_pattern_posteriors")},
     }
     # the shuffle-path contamination op is held to the IDENTICAL SQL
     # text as the broadcast path — same contract, different engine path

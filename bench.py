@@ -254,7 +254,7 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "canopy_blocks",
         "corr_clusters",
         "progressive_er_curve",
-        "fs_pair_posteriors",
+        "fs_pattern_posteriors",
         # part_k_core and fs_linkage_weights are oracle-checked but
         # excluded here: their fixpoint/EM rounds are iteration-count-
         # dominated at sf0.1 and would eat the min-of-2 budget.

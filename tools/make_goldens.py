@@ -723,12 +723,12 @@ def golden_fs_linkage_weights(sf_dir: str, iters: int = 15) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
-def golden_fs_pair_posteriors(sf_dir: str, iters: int = 15,
-                              min_posterior: float = 0.5) -> pa.Table:
-    """Independent single-process FS pair scoring: SQL-derived pairs WITH
-    ids, the same plain-numpy EM as golden_fs_linkage_weights, then the
-    per-pair posterior/weight computed from the 8dp-ROUNDED parameter
-    table (the scoring determinism contract)."""
+def golden_fs_pattern_posteriors(sf_dir: str, iters: int = 15) -> pa.Table:
+    """Independent single-process FS agreement-pattern table: SQL-derived
+    pairs, the same plain-numpy EM as golden_fs_linkage_weights, then per
+    OBSERVED pattern the pair count plus weight/posterior computed from
+    the 8dp-ROUNDED parameter table (the scoring determinism
+    contract)."""
     import duckdb
     import pandas as pd
 
@@ -774,14 +774,19 @@ def golden_fs_pair_posteriors(sf_dir: str, iters: int = 15,
     r_ = 1.0 / (1.0 + np.exp((np.log1p(-p) + lu) - (np.log(p) + lm)))
     r_ = np.round(r_ * quant) / quant
     wgt = x @ np.log2(m / u) + (1.0 - x) @ np.log2((1.0 - m) / (1.0 - u))
-    out = df[["id_a", "id_b", *names]].copy()
+    out = df[names].copy()
     for c in names:
         out[c] = out[c].astype(np.int8)
     out["weight"] = np.round(wgt, 6)
     out["posterior"] = np.round(r_, 6)
-    out = out[out["posterior"].to_numpy() >= min_posterior]
-    out = out.sort_values(["id_a", "id_b"], ignore_index=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    g = out.groupby(names, sort=True)
+    tbl = pd.DataFrame({
+        "n_pairs": g.size(),
+        "weight": g["weight"].min(),
+        "posterior": g["posterior"].min(),
+    }).reset_index()
+    tbl["n_pairs"] = tbl["n_pairs"].astype(np.int64)
+    return pa.Table.from_pandas(tbl, preserve_index=False)
 
 
 def golden_pprl_links(sf: float, threshold: float = 0.9, m_bits: int = 512,
@@ -1291,7 +1296,8 @@ def main() -> None:
         "canopy_blocks": lambda: golden_canopy_blocks(args.sf_dir),
         "corr_clusters": lambda: golden_corr_clusters(args.sf_dir),
         "progressive_er_curve": lambda: golden_progressive_curve(sf),
-        "fs_pair_posteriors": lambda: golden_fs_pair_posteriors(args.sf_dir),
+        "fs_pattern_posteriors":
+            lambda: golden_fs_pattern_posteriors(args.sf_dir),
     }
     if args.only:
         tables = {n: t for n, t in tables.items() if n in set(args.only)}
