@@ -765,6 +765,25 @@ def q_progressive_er_curve(sf_dir: str) -> rd.Dataset:
         files, id_col="row_id", text_col="content").sort(["threshold"])
 
 
+def q_blocking_ablation(sf_dir: str) -> rd.Dataset:
+    """Blocking-scheme ablation (stages/ereval.blocking_ablation): for
+    each of the ER pipeline's two key families (MinHash content bands,
+    path sorted-neighborhood) and their union — candidate volume, gold-
+    pair coverage after exact-dup collapse, and each scheme's UNIQUE
+    marginal contribution (the number that justifies running it).
+    Candidate counts stay distributed; only covered gold keys reach the
+    driver (budget-guarded). Oracle = pinned golden from the independent
+    single-process composition (tools/make_goldens.py
+    golden_blocking_ablation)."""
+    from belb_ray.sources.synthetic import make_fixture
+    from belb_ray.stages.ereval import blocking_ablation
+
+    n_files = max(600, int(200_000 * _sf_of(sf_dir)))
+    fx = make_fixture(n_files=n_files, seed=42)
+    return blocking_ablation(rd.from_arrow(fx["files"]),
+                             rd.from_arrow(fx["gold_pairs"]))
+
+
 def q_corr_clusters(sf_dir: str) -> rd.Dataset:
     """Correlation clustering by distributed KwikCluster
     (stages/corrcluster.kwik_cluster, Ailon et al. 2008 / Chierichetti
@@ -4965,6 +4984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_clusters": q_corr_clusters,
         "progressive_er_curve": q_progressive_er_curve,
         "fs_pattern_posteriors": q_fs_pattern_posteriors,
+        "blocking_ablation": q_blocking_ablation,
         "snm_pairs": q_snm_pairs,
         "name_jw_pairs": q_name_jw_pairs,
         "name_monge_elkan": q_name_monge_elkan,
@@ -8204,7 +8224,8 @@ def oracle_sql() -> dict[str, str]:
                         "name_one2one_match", "kmeans_clusters",
                         "kcenter_sample", "pprl_links",
                         "canopy_blocks", "corr_clusters",
-                        "progressive_er_curve", "fs_pattern_posteriors")},
+                        "progressive_er_curve", "fs_pattern_posteriors",
+                        "blocking_ablation")},
     }
     # the shuffle-path contamination op is held to the IDENTICAL SQL
     # text as the broadcast path — same contract, different engine path

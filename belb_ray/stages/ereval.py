@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
 from belb_ray.stages.agg import preagg_groupby
@@ -211,3 +212,130 @@ def cannot_link_audit(clusters: rd.Dataset, pairs: rd.Dataset,
     return preagg_groupby(same, [cluster_col],
                           [("count", cluster_col, "violations")],
                           num_buckets=num_buckets)
+
+
+def blocking_ablation(files: rd.Dataset, gold_pairs: rd.Dataset,
+                      bands: int = 32, num_perm: int = 128,
+                      shingle_k: int = 3, seed: int = 7,
+                      snm_width: int = 2, max_block: int = 4096,
+                      max_gold: int = 5_000_000) -> rd.Dataset:
+    """Blocking-scheme ablation: which blocking family earns its keep?
+
+    For each scheme (MinHash-LSH content bands; path sorted-neighborhood
+    keys) and for their union, one row:
+
+        (scheme, n_pairs, gold_covered, gold_recall, unique_gold)
+
+    ``gold_recall`` is measured against the gold positive pairs whose
+    endpoints survive exact-dup collapse as DISTINCT reps (pairs merged
+    by the collapse are blocking-free wins — reported in the
+    ``collapse`` row). ``unique_gold`` = gold pairs only this scheme
+    covers: the marginal contribution that justifies running the scheme
+    at all (the methodology twin of pairs-completeness, cf.
+    `snm_blocking_quality`).
+
+    Shape: features once, both key channels reuse the ER pipeline's own
+    generators (`explode_band_keys`, `path_neighborhood_keys`) and the
+    skew-capped `candidate_pairs`; candidate counts stay distributed;
+    only COVERED GOLD KEYS (≤ |gold|, budget-guarded) ever reach the
+    driver for the set algebra."""
+    import ray
+
+    from ..functions.hashing import combine64
+    from ..stages.blocking import (compute_features, explode_band_keys,
+                                   path_neighborhood_keys)
+    from ..stages.dedup import exact_dedup_annotate
+    from ..stages.pairs import candidate_pairs
+
+    feats_all = compute_features(files, num_perm=num_perm,
+                                 shingle_k=shingle_k, seed=seed,
+                                 keep_cols=("content_sha256",))
+    fm = exact_dedup_annotate(feats_all).materialize()
+    feats = fm.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["row_id"], t["rep_id"]))
+        .drop_columns(["content_sha256", "rep_id"]),
+        batch_format="pyarrow").materialize()
+
+    # gold pairs → rep space, packed keys; collapse-merged pairs split off
+    rep_map = fm.select_columns(["row_id", "rep_id"]).to_pandas()
+    rep_of = dict(zip(rep_map.row_id, rep_map.rep_id))
+    if len(rep_of) > max_gold:
+        raise ValueError(
+            f"blocking_ablation: {len(rep_of)} rows exceed the driver "
+            f"budget max_gold={max_gold}")
+    g = gold_pairs.to_pandas()
+    if len(g) > max_gold:
+        raise ValueError(
+            f"blocking_ablation: {len(g)} gold pairs exceed max_gold")
+    g = g[g.get("label", 1) == 1] if "label" in g.columns else g
+    ra = g["id_a"].map(rep_of).to_numpy(np.int64)
+    rb = g["id_b"].map(rep_of).to_numpy(np.int64)
+    lo, hi = np.minimum(ra, rb), np.maximum(ra, rb)
+    distinct = lo != hi
+    n_collapsed = int((~distinct).sum())
+    gold_keys = np.unique(
+        combine64(lo[distinct].astype(np.uint64),
+                  hi[distinct].astype(np.uint64)).astype(np.int64))
+    n_gold = len(gold_keys)
+    gref = ray.put(gold_keys)
+
+    def _scheme(blocks: rd.Dataset) -> tuple[int, np.ndarray]:
+        pairs = candidate_pairs(blocks, max_block=max_block, window=16)
+
+        def _mark(batch: pa.Table) -> pa.Table:
+            from ..util import cached_get
+
+            gk = cached_get(gref)
+            a = batch["id_a"].to_numpy().astype(np.uint64)
+            b = batch["id_b"].to_numpy().astype(np.uint64)
+            keys = combine64(a, b).astype(np.int64)
+            if len(gk) == 0:
+                hit = np.zeros(len(keys), bool)
+            else:
+                idx = np.searchsorted(gk, keys)
+                idx[idx >= len(gk)] = 0
+                hit = gk[idx] == keys
+            return pa.table({
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "covered": pa.array(
+                    [np.unique(keys[hit]) if hit.any()
+                     else np.empty(0, np.int64)],
+                    pa.list_(pa.int64())),
+            })
+
+        parts = pairs.map_batches(_mark, batch_format="pyarrow",
+                                  batch_size=65536).to_pandas()
+        n_pairs = int(parts["n"].sum()) if len(parts) else 0
+        cov = (np.unique(np.concatenate(
+            [np.asarray(v, np.int64) for v in parts["covered"]]))
+            if len(parts) else np.empty(0, np.int64))
+        return n_pairs, cov
+
+    schemes = {
+        "minhash_bands": explode_band_keys(feats, bands=bands),
+        "path_snm": path_neighborhood_keys(feats, width=snm_width),
+    }
+    results = {name: _scheme(blocks) for name, blocks in schemes.items()}
+
+    union_cov = (np.unique(np.concatenate(
+        [cov for _, cov in results.values()]))
+        if results else np.empty(0, np.int64))
+    rows = []
+    for name, (n_pairs, cov) in results.items():
+        others = np.unique(np.concatenate(
+            [c for o, (_, c) in results.items() if o != name]
+            or [np.empty(0, np.int64)]))
+        uniq = np.setdiff1d(cov, others).size
+        rows.append((name, n_pairs, len(cov),
+                     round(len(cov) / n_gold, 6) if n_gold else 0.0, uniq))
+    rows.append(("union", sum(r[1] for r in rows), len(union_cov),
+                 round(len(union_cov) / n_gold, 6) if n_gold else 0.0, 0))
+    rows.append(("collapse", 0, n_collapsed, 0.0, n_collapsed))
+    rows.sort()
+    return rd.from_arrow(pa.table({
+        "scheme": pa.array([r[0] for r in rows], pa.string()),
+        "n_pairs": pa.array([r[1] for r in rows], pa.int64()),
+        "gold_covered": pa.array([r[2] for r in rows], pa.int64()),
+        "gold_recall": pa.array([r[3] for r in rows], pa.float64()),
+        "unique_gold": pa.array([r[4] for r in rows], pa.int64()),
+    }))

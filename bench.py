@@ -255,6 +255,7 @@ def run_queries(sf_dir: str, names: list[str] | None) -> dict[str, float]:
         "corr_clusters",
         "progressive_er_curve",
         "fs_pattern_posteriors",
+        "blocking_ablation",
         # part_k_core and fs_linkage_weights are oracle-checked but
         # excluded here: their fixpoint/EM rounds are iteration-count-
         # dominated at sf0.1 and would eat the min-of-2 budget.

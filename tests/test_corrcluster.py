@@ -86,3 +86,26 @@ def test_kwik_max_rounds_budget_is_loud(ray_session):
 def test_kwik_singleton_edge_and_empty(ray_session):
     got = _run([(9, 9)], seed=1)  # self-pair degenerates to a singleton
     assert got == {9: 9}
+
+
+def test_blocking_ablation_invariants(ray_session):
+    from belb_ray.sources.synthetic import make_fixture
+    from belb_ray.stages.ereval import blocking_ablation
+
+    fx = make_fixture(n_files=800, seed=42)
+    out = blocking_ablation(rd.from_arrow(fx["files"]),
+                            rd.from_arrow(fx["gold_pairs"])).to_pandas()
+    out = out.set_index("scheme")
+    schemes = {"minhash_bands", "path_snm"}
+    assert set(out.index) == schemes | {"union", "collapse"}
+    union = out.loc["union"]
+    for s in schemes:
+        r = out.loc[s]
+        assert 0 <= r.gold_covered <= union.gold_covered
+        assert 0 <= r.unique_gold <= r.gold_covered
+        assert 0.0 <= r.gold_recall <= 1.0
+    # union coverage >= best single scheme; recall consistent with counts
+    assert union.gold_covered >= max(out.loc[s].gold_covered
+                                     for s in schemes)
+    # unique contributions can't exceed what the union holds
+    assert sum(out.loc[s].unique_gold for s in schemes) <= union.gold_covered

@@ -789,6 +789,101 @@ def golden_fs_pattern_posteriors(sf_dir: str, iters: int = 15) -> pa.Table:
     return pa.Table.from_pandas(tbl, preserve_index=False)
 
 
+def golden_blocking_ablation(sf: float, bands: int = 32, num_perm: int = 128,
+                             shingle_k: int = 3, seed: int = 7,
+                             snm_width: int = 2) -> pa.Table:
+    """Independent single-process blocking ablation over the fixture:
+    sha collapse, shared signature/key kernels, UNCAPPED in-group pairs
+    per scheme, plain python set algebra for coverage/uniqueness."""
+    from belb_ray.functions.hashing import (as_int64, combine64,
+                                            ngram_hashes, token_hashes)
+    from belb_ray.functions.minhash import MinHasher, band_keys
+    from belb_ray.functions.text import sorted_neighborhood_key, tokenize
+    from belb_ray.sources.synthetic import make_fixture
+    from belb_ray.stages.joins import hash_str
+
+    n_files = max(600, int(200_000 * sf))
+    fx = make_fixture(n_files=n_files, seed=42)
+    t = fx["files"]
+    ids = t["row_id"].to_numpy().astype(np.int64)
+    sha = t["content_sha256"].to_pylist()
+    texts = t["content"].to_pylist()
+    paths = t["path"].to_pylist()
+    langs = t["lang"].to_pylist()
+
+    rep_of_sha: dict[str, int] = {}
+    for i in np.argsort(ids, kind="stable"):
+        rep_of_sha.setdefault(sha[i], int(ids[i]))
+    rep_of = {int(ids[i]): rep_of_sha[sha[i]] for i in range(len(ids))}
+    reps = sorted(set(rep_of.values()))
+    idx_of = {int(v): i for i, v in enumerate(ids)}
+
+    hasher = MinHasher(num_perm=num_perm, seed=seed)
+    cache: dict[str, int] = {}
+    groups_mh: dict[int, list[int]] = {}
+    groups_snm: dict[int, list[int]] = {}
+    for rid in reps:
+        i = idx_of[rid]
+        th = token_hashes(tokenize(texts[i]), cache)
+        sig = hasher.signature(ngram_hashes(th, shingle_k))
+        keys = band_keys(sig.reshape(1, -1), bands)[0]
+        salt = np.uint64(hash_str(langs[i]))
+        keys = as_int64(combine64(keys.astype(np.uint64), salt))
+        for kv in keys:
+            groups_mh.setdefault(int(kv), []).append(rid)
+        snk = int(as_int64(np.array([hash_str(
+            f"snk:{langs[i]}:{sorted_neighborhood_key(paths[i], snm_width)}"
+        )], np.uint64))[0])
+        groups_snm.setdefault(snk, []).append(rid)
+
+    def pairs_of(groups: dict) -> set:
+        out = set()
+        for g in groups.values():
+            gs = sorted(set(g))
+            for x in range(len(gs)):
+                for y in range(x + 1, len(gs)):
+                    out.add((gs[x], gs[y]))
+        return out
+
+    gp = fx["gold_pairs"]
+    la = gp["id_a"].to_numpy()
+    lb = gp["id_b"].to_numpy()
+    lab = gp["label"].to_numpy()
+    gold = set()
+    n_collapsed = 0
+    for a, b, l in zip(la, lb, lab):
+        if l != 1:
+            continue
+        ra, rb = rep_of[int(a)], rep_of[int(b)]
+        if ra == rb:
+            n_collapsed += 1
+        else:
+            gold.add((min(ra, rb), max(ra, rb)))
+    n_gold = len(gold)
+
+    res = {"minhash_bands": pairs_of(groups_mh),
+           "path_snm": pairs_of(groups_snm)}
+    cov = {n: p & gold for n, p in res.items()}
+    union_cov = set().union(*cov.values())
+    rows = []
+    for name, p in res.items():
+        others = set().union(*[c for o, c in cov.items() if o != name])
+        rows.append((name, len(p), len(cov[name]),
+                     round(len(cov[name]) / n_gold, 6) if n_gold else 0.0,
+                     len(cov[name] - others)))
+    rows.append(("union", sum(r[1] for r in rows), len(union_cov),
+                 round(len(union_cov) / n_gold, 6) if n_gold else 0.0, 0))
+    rows.append(("collapse", 0, n_collapsed, 0.0, n_collapsed))
+    rows.sort()
+    return pa.table({
+        "scheme": pa.array([r[0] for r in rows], pa.string()),
+        "n_pairs": pa.array([r[1] for r in rows], pa.int64()),
+        "gold_covered": pa.array([r[2] for r in rows], pa.int64()),
+        "gold_recall": pa.array([r[3] for r in rows], pa.float64()),
+        "unique_gold": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
 def golden_pprl_links(sf: float, threshold: float = 0.9, m_bits: int = 512,
                       k: int = 8, bands: int = 32, bytes_per_band: int = 3,
                       seed: int = 7) -> pa.Table:
@@ -1298,6 +1393,7 @@ def main() -> None:
         "progressive_er_curve": lambda: golden_progressive_curve(sf),
         "fs_pattern_posteriors":
             lambda: golden_fs_pattern_posteriors(args.sf_dir),
+        "blocking_ablation": lambda: golden_blocking_ablation(sf),
     }
     if args.only:
         tables = {n: t for n, t in tables.items() if n in set(args.only)}
