@@ -50,10 +50,15 @@ _GOLDEN_DIR = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                             "goldens")
 
 
-def _t(sf_dir: str, name: str) -> rd.Dataset:
+def _t(sf_dir: str, name: str,
+       columns: list[str] | None = None) -> rd.Dataset:
+    """Table read; pass ``columns=`` for wide fact tables (lineitem,
+    events, documents) so projection pushdown keeps unused column chunks
+    in storage — "prune at the read"."""
     from belb_ray.sources.readers import read_parquet_clean
 
-    return read_parquet_clean(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    return read_parquet_clean(f"{sf_dir.rstrip('/')}/{name}.parquet",
+                              columns=columns)
 
 
 def _t_where(sf_dir: str, name: str, predicate,
@@ -91,7 +96,9 @@ def q_pricing_summary(sf_dir: str) -> rd.Dataset:
     """TPC-H-Q1-style combiner aggregate (SURVEY A10 preagg pattern)."""
     from belb_ray.stages.agg import preagg_groupby
 
-    li = _t(sf_dir, "lineitem").map_batches(
+    li = _t(sf_dir, "lineitem", columns=[
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount"]).map_batches(
         lambda t: t.append_column(
             "disc_price",
             pa.compute.multiply(t["l_extendedprice"],
@@ -119,8 +126,8 @@ def q_revenue_by_nation(sf_dir: str) -> rd.Dataset:
         lambda t: pa.table({"o_custkey": t["c_custkey"],
                             "n_nationkey": pa.compute.cast(t["c_nationkey"], pa.int32())}),
         batch_format="pyarrow")
-    nation = _t(sf_dir, "nation").select_columns(["n_nationkey", "n_name"])
-    orders = _t(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"])
+    nation = _t(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    orders = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     j = broadcast_join(orders, cust, keys="o_custkey")
     j = broadcast_join(j, nation, keys="n_nationkey")
     out = preagg_groupby(j, ["n_name"], [
@@ -135,14 +142,16 @@ def q_order_priority_revenue(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.agg import preagg_groupby
     from belb_ray.stages.joins import hash_partition_join
 
-    li = _t(sf_dir, "lineitem").map_batches(
+    li = _t(sf_dir, "lineitem", columns=[
+        "l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
         lambda t: pa.table({
             "orderkey": t["l_orderkey"],
             "disc_price": pa.compute.multiply(
                 t["l_extendedprice"],
                 pa.compute.subtract(pa.scalar(1.0), t["l_discount"]))}),
         batch_format="pyarrow")
-    orders = _t(sf_dir, "orders").map_batches(
+    orders = _t(sf_dir, "orders", columns=[
+        "o_orderkey", "o_orderpriority"]).map_batches(
         lambda t: pa.table({"orderkey": t["o_orderkey"],
                             "o_orderpriority": t["o_orderpriority"]}),
         batch_format="pyarrow")
@@ -165,7 +174,7 @@ def q_customers_without_orders(sf_dir: str) -> rd.Dataset:
     big = _t_where(sf_dir, "orders", pads.field("o_totalprice") > 300000,
                    columns=["o_custkey", "o_totalprice"])
     have_big = distinct_values(big, "o_custkey")
-    cust = _t(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"])
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     no_big = broadcast_semi_join(cust, have_big, key="c_custkey", anti=True)
     return preagg_groupby(no_big, ["c_mktsegment"],
                           [("count", "", "n_customers")])
@@ -175,7 +184,7 @@ def q_top_orders(sf_dir: str) -> rd.Dataset:
     """Deterministic top-k (sort + limit, tie-break on key — SURVEY O2)."""
     from belb_ray.stages.agg import topk
 
-    orders = _t(sf_dir, "orders").select_columns(["o_orderkey", "o_totalprice"])
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
     return topk(orders, "o_totalprice", 10, descending=True,
                 tiebreak="o_orderkey")
 
@@ -416,7 +425,7 @@ def q_id_explosion(sf_dir: str) -> rd.Dataset:
     prefix-stripped, exploded to one row per id (identifier parsing per
     corpus, e.g. belb/corpora/bc5cdr.py:48-60 — SURVEY M7). Vectorized:
     pyarrow split_pattern + list flatten, no Python row loop."""
-    orders = _t(sf_dir, "orders").select_columns(["o_orderkey", "o_custkey"])
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
     def _explode(batch: pa.Table) -> pa.Table:
         ok = batch["o_orderkey"]
@@ -460,7 +469,8 @@ def q_span_assignment(sf_dir: str) -> rd.Dataset:
     derive from lineitem rows, segments are 3 fixed windows per order."""
     from belb_ray.stages.intervals import assign_spans_to_segments
 
-    spans = _t(sf_dir, "lineitem").map_batches(
+    spans = _t(sf_dir, "lineitem", columns=[
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]).map_batches(
         lambda t: pa.table({
             "doc_id": t["l_orderkey"],
             "span_id": pa.compute.add(
@@ -484,7 +494,7 @@ def q_span_assignment(sf_dir: str) -> rd.Dataset:
             "seg_end": pa.array(s * 100 + 100, pa.int64()),
         })
 
-    segments = _t(sf_dir, "orders").select_columns(["o_orderkey"]).map_batches(
+    segments = _t(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
         _segs, batch_format="pyarrow")
     return assign_spans_to_segments(spans, segments)
 
@@ -505,7 +515,8 @@ def q_span_merge(sf_dir: str) -> rd.Dataset:
     the query joins it to a string for the cross-engine hash compare."""
     from belb_ray.stages.spans import merge_span_identifiers
 
-    anns = _t(sf_dir, "lineitem").map_batches(
+    anns = _t(sf_dir, "lineitem", columns=[
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_suppkey"]).map_batches(
         lambda t: pa.table({
             "doc_id": pa.compute.cast(t["l_orderkey"], pa.int64()),
             "start": pa.compute.cast(
@@ -537,7 +548,7 @@ def q_overlap_suppression(sf_dir: str) -> rd.Dataset:
     (belb/preprocessing/data.py:549-567)."""
     from belb_ray.stages.spans import suppress_overlapping
 
-    gold = _t(sf_dir, "orders").map_batches(
+    gold = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
         lambda t: pa.table({
             "doc_id": pa.compute.cast(t["o_orderkey"], pa.int64()),
             "ann_id": pa.compute.cast(
@@ -548,7 +559,8 @@ def q_overlap_suppression(sf_dir: str) -> rd.Dataset:
             "text": pa.array(["t%d" % (v % 100)
                               for v in t["o_custkey"].to_pylist()], pa.string()),
         }), batch_format="pyarrow")
-    foreign = _t(sf_dir, "lineitem").map_batches(
+    foreign = _t(sf_dir, "lineitem", columns=[
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]).map_batches(
         lambda t: pa.table({
             "doc_id": pa.compute.cast(t["l_orderkey"], pa.int64()),
             "ann_id": pa.compute.cast(
@@ -578,7 +590,8 @@ def q_passage_assembly(sf_dir: str) -> rd.Dataset:
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
     # chunk order tiebreaks by partkey so equal-idx rows (which could
     # otherwise swap offsets) always carry equal lengths
-    chunks = _t(sf_dir, "lineitem").map_batches(
+    chunks = _t(sf_dir, "lineitem", columns=[
+        "l_orderkey", "l_linenumber", "l_partkey"]).map_batches(
         lambda t: pa.table({
             "doc_id": t["l_orderkey"],
             "chunk_idx": pa.compute.cast(pa.compute.add(
@@ -609,7 +622,7 @@ def q_offset_remap(sf_dir: str) -> rd.Dataset:
     reoccurs after the second match), and a never-present token."""
     from belb_ray.stages.offsets import remap_offsets
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
 
     def _passages(t: pa.Table) -> pa.Table:
         d = t["doc_id"].to_numpy()
@@ -797,7 +810,7 @@ def q_corr_clusters(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.cooccur import cooccurrence_pairs
     from belb_ray.stages.corrcluster import kwik_cluster
 
-    li = _t(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
     pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
     counts = preagg_groupby(pairs, ["a", "b"], [("count", "", "n")],
                             num_buckets=64)
@@ -1208,8 +1221,7 @@ def q_top_orders_per_customer(sf_dir: str) -> rd.Dataset:
     per key per block enter the shuffle)."""
     from belb_ray.stages.agg import grouped_topk
 
-    orders = _t(sf_dir, "orders").select_columns(
-        ["o_custkey", "o_orderkey", "o_totalprice"])
+    orders = _t(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
     return grouped_topk(orders, keys=["o_custkey"],
                         order_col="o_totalprice", k=3, descending=True,
                         tiebreak="o_orderkey")
@@ -1288,8 +1300,7 @@ def q_user_event_windows(sf_dir: str) -> rd.Dataset:
 
     from belb_ray.stages.analytic import ordered_window
 
-    events = _t(sf_dir, "events").select_columns(
-        ["event_id", "ts", "user_id", "value"])
+    events = _t(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
 
     def _cents(batch: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -1319,8 +1330,7 @@ def q_user_event_rolling(sf_dir: str) -> rd.Dataset:
 
     from belb_ray.stages.analytic import ordered_window
 
-    events = _t(sf_dir, "events").select_columns(
-        ["event_id", "ts", "user_id", "value"])
+    events = _t(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
 
     def _cents(batch: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -1350,7 +1360,7 @@ def q_event_value_quantiles(sf_dir: str) -> rd.Dataset:
 
     from belb_ray.stages.analytic import grouped_quantiles
 
-    events = _t(sf_dir, "events").select_columns(["event_type", "value"])
+    events = _t(sf_dir, "events", columns=["event_type", "value"])
 
     def _cents(batch: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -1378,8 +1388,7 @@ def q_user_value_ranks(sf_dir: str) -> rd.Dataset:
 
     from belb_ray.stages.analytic import ordered_window
 
-    events = _t(sf_dir, "events").select_columns(
-        ["event_id", "user_id", "value"])
+    events = _t(sf_dir, "events", columns=["event_id", "user_id", "value"])
 
     def _cents(batch: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -1410,7 +1419,7 @@ def q_event_daily_pivot(sf_dir: str) -> rd.Dataset:
 
     from belb_ray.stages.agg import pivot_agg
 
-    events = _t(sf_dir, "events").select_columns(["ts", "event_type"])
+    events = _t(sf_dir, "events", columns=["ts", "event_type"])
 
     def _day(batch: pd.DataFrame) -> pd.DataFrame:
         batch["day"] = batch["ts"].dt.strftime("%Y-%m-%d")
@@ -1433,9 +1442,8 @@ def q_customer_order_counts(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.agg import preagg_groupby
     from belb_ray.stages.joins import hash_partition_join
 
-    customer = _t(sf_dir, "customer").select_columns(["c_custkey"])
-    orders = _t(sf_dir, "orders").select_columns(
-        ["o_orderkey", "o_custkey"])
+    customer = _t(sf_dir, "customer", columns=["c_custkey"])
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
     def _ren(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.rename(columns={"o_custkey": "c_custkey"})
@@ -1468,8 +1476,7 @@ def q_event_overlaps(sf_dir: str) -> rd.Dataset:
 
     from belb_ray.stages.rangejoin import interval_join
 
-    events = _t(sf_dir, "events").select_columns(
-        ["event_id", "ts", "user_id", "event_type", "value"])
+    events = _t(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
 
     def _mk(etype: str, idname: str):
         def _prep(b: pd.DataFrame) -> pd.DataFrame:
@@ -1506,8 +1513,7 @@ def q_hourly_distinct_users(sf_dir: str) -> rd.Dataset:
 
     from belb_ray.stages.agg import count_distinct
 
-    events = _t(sf_dir, "events").select_columns(
-        ["ts", "event_type", "user_id"])
+    events = _t(sf_dir, "events", columns=["ts", "event_type", "user_id"])
 
     def _win(batch: pd.DataFrame) -> pd.DataFrame:
         batch["window_start"] = batch["ts"].dt.floor("h").dt.strftime(
@@ -1529,7 +1535,7 @@ def q_parts_never_ordered(sf_dir: str) -> rd.Dataset:
 
     import pyarrow.dataset as pads
 
-    part = _t(sf_dir, "part").select_columns(["p_partkey"])
+    part = _t(sf_dir, "part", columns=["p_partkey"])
     li = _t_where(sf_dir, "lineitem",
                   pads.field("l_quantity") >= 48.0,
                   columns=["l_partkey", "l_quantity"]
@@ -1548,8 +1554,8 @@ def q_supplier_customer_nations(sf_dir: str) -> rd.Dataset:
     distinct-key engine as EXCEPT)."""
     from belb_ray.stages.setops import set_intersect
 
-    sup = _t(sf_dir, "supplier").select_columns(["s_nationkey"])
-    cust = _t(sf_dir, "customer").select_columns(["c_nationkey"])
+    sup = _t(sf_dir, "supplier", columns=["s_nationkey"])
+    cust = _t(sf_dir, "customer", columns=["c_nationkey"])
     out = set_intersect(sup, cust, ["s_nationkey"],
                         b_cols=["c_nationkey"])
 
@@ -1565,7 +1571,7 @@ def q_user_modal_event_type(sf_dir: str) -> rd.Dataset:
     (user, type) counts, one bucketed shuffle, vectorized arg-max."""
     from belb_ray.stages.agg import mode_agg
 
-    events = _t(sf_dir, "events").select_columns(["user_id", "event_type"])
+    events = _t(sf_dir, "events", columns=["user_id", "event_type"])
     return mode_agg(events, ["user_id"], "event_type", "modal_type")
 
 
@@ -1577,7 +1583,7 @@ def q_user_value_stats(sf_dir: str) -> rd.Dataset:
     far below that)."""
     from belb_ray.stages.agg import moment_stats
 
-    events = _t(sf_dir, "events").select_columns(["user_id", "value"])
+    events = _t(sf_dir, "events", columns=["user_id", "value"])
     out = moment_stats(events, ["user_id"], "value")
     return _round_cols(out, {"mean": 4, "var": 4, "std": 4})
 
@@ -1588,8 +1594,7 @@ def q_lineitem_corr(sf_dir: str) -> rd.Dataset:
     bucketed combine, closed-form finish; 4dp oracle compare."""
     from belb_ray.stages.agg import grouped_corr
 
-    li = _t(sf_dir, "lineitem").select_columns(
-        ["l_returnflag", "l_extendedprice", "l_discount"])
+    li = _t(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice", "l_discount"])
     out = grouped_corr(li, ["l_returnflag"], "l_extendedprice",
                        "l_discount", out_col="price_discount_corr")
     return _round_cols(out, {"price_discount_corr": 4})
@@ -1613,8 +1618,7 @@ def q_event_rollup(sf_dir: str) -> rd.Dataset:
             .astype(np.int64),
         })
 
-    ev = _t(sf_dir, "events").select_columns(
-        ["event_type", "ts", "value"]).map_batches(
+    ev = _t(sf_dir, "events", columns=["event_type", "ts", "value"]).map_batches(
         _prep, batch_format="pandas", batch_size=65536)
     return rollup_agg(ev, ["event_type", "day"], [
         ("count", "", "n_events"),
@@ -1630,7 +1634,7 @@ def q_event_value_percentiles(sf_dir: str) -> rd.Dataset:
     compared to the oracle at 4dp."""
     from belb_ray.stages.analytic import grouped_quantiles
 
-    events = _t(sf_dir, "events").select_columns(["event_type", "value"])
+    events = _t(sf_dir, "events", columns=["event_type", "value"])
     out = grouped_quantiles(
         events, key="event_type", value_col="value",
         specs=[(0.25, "p25"), (0.5, "p50"), (0.75, "p75"),
@@ -1657,8 +1661,7 @@ def q_event_cube(sf_dir: str) -> rd.Dataset:
             .astype(np.int64),
         })
 
-    ev = _t(sf_dir, "events").select_columns(
-        ["event_type", "ts", "value"]).map_batches(
+    ev = _t(sf_dir, "events", columns=["event_type", "ts", "value"]).map_batches(
         _prep, batch_format="pandas", batch_size=65536)
     return cube_agg(ev, ["event_type", "day"], [
         ("count", "", "n_events"),
@@ -1679,8 +1682,7 @@ def q_user_value_pctl(sf_dir: str) -> rd.Dataset:
 
     from belb_ray.stages.analytic import ordered_window
 
-    events = _t(sf_dir, "events").select_columns(
-        ["event_id", "user_id", "value"])
+    events = _t(sf_dir, "events", columns=["event_id", "user_id", "value"])
 
     def _cents(batch: pd.DataFrame) -> pd.DataFrame:
         batch["cents"] = np.round(
@@ -1713,8 +1715,7 @@ def q_user_event_paths(sf_dir: str) -> rd.Dataset:
     exactly once."""
     from belb_ray.stages.analytic import grouped_string_agg
 
-    events = _t(sf_dir, "events").select_columns(
-        ["user_id", "event_type", "ts", "event_id"])
+    events = _t(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
     return grouped_string_agg(events, key="user_id",
                               value_col="event_type",
                               order_cols=["ts", "event_id"],
@@ -1740,8 +1741,7 @@ def q_event_grouping_sets(sf_dir: str) -> rd.Dataset:
             .astype(np.int64),
         })
 
-    ev = _t(sf_dir, "events").select_columns(
-        ["event_type", "ts", "value"]).map_batches(
+    ev = _t(sf_dir, "events", columns=["event_type", "ts", "value"]).map_batches(
         _prep, batch_format="pandas", batch_size=65536)
     return grouping_sets_agg(
         ev, ["event_type", "day"],
@@ -1757,7 +1757,7 @@ def q_user_value_shape(sf_dir: str) -> rd.Dataset:
     SUM(x..x⁴)/COUNT expression-for-expression; 4dp compare."""
     from belb_ray.stages.agg import higher_moment_stats
 
-    events = _t(sf_dir, "events").select_columns(["user_id", "value"])
+    events = _t(sf_dir, "events", columns=["user_id", "value"])
     out = higher_moment_stats(events, ["user_id"], "value")
     return _round_cols(out, {"mean": 4, "skew": 4, "kurt": 4})
 
@@ -1768,8 +1768,7 @@ def q_part_attributes_long(sf_dir: str) -> rd.Dataset:
     row yields one output row per value column; streams at any scale."""
     from belb_ray.stages.reshape import unpivot
 
-    part = _t(sf_dir, "part").select_columns(
-        ["p_partkey", "p_size", "p_retailprice"])
+    part = _t(sf_dir, "part", columns=["p_partkey", "p_size", "p_retailprice"])
     return unpivot(part, ["p_partkey"], ["p_size", "p_retailprice"],
                    var_name="attribute", value_name="value")
 
@@ -1834,7 +1833,7 @@ def q_dup_passage_spans(sf_dir: str) -> rd.Dataset:
     gram strings."""
     from belb_ray.stages.dupspans import duplicate_passage_spans
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     return duplicate_passage_spans(docs, k=5, min_count=2)
 
 
@@ -1846,7 +1845,7 @@ def q_parts_bought_together(sf_dir: str) -> rd.Dataset:
     deterministic (count desc, a, b) order."""
     from belb_ray.stages.cooccur import cooccurrence_topk
 
-    li = _t(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
     return cooccurrence_topk(li, "l_orderkey", "l_partkey", k=40)
 
 
@@ -1857,7 +1856,7 @@ def q_user_value_mad(sf_dir: str) -> rd.Dataset:
     (quantile_disc) semantics mirrored in SQL."""
     from belb_ray.stages.analytic import grouped_mad
 
-    events = _t(sf_dir, "events").select_columns(["user_id", "value"])
+    events = _t(sf_dir, "events", columns=["user_id", "value"])
     return grouped_mad(events, "user_id", "value")
 
 
@@ -1868,8 +1867,7 @@ def q_user_value_zscores(sf_dir: str) -> rd.Dataset:
     4dp compare vs the SQL window mirror."""
     from belb_ray.stages.analytic import normalize_by_group
 
-    events = _t(sf_dir, "events").select_columns(
-        ["event_id", "user_id", "value"])
+    events = _t(sf_dir, "events", columns=["event_id", "user_id", "value"])
     out = normalize_by_group(events, "user_id", "value")
     return _round_cols(out, {"z": 4, "value": 4})
 
@@ -1882,8 +1880,7 @@ def q_quality_weighted_sample(sf_dir: str) -> rd.Dataset:
     quality-weighted training-subset curation op."""
     from belb_ray.stages.sampling import weighted_sample_per_group
 
-    docs = _t(sf_dir, "documents").select_columns(
-        ["doc_id", "lang", "n_chars"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
     return weighted_sample_per_group(docs, "lang", "doc_id", "n_chars",
                                      k=5, seed=11)
 
@@ -1897,7 +1894,7 @@ def q_event_value_approx_quantiles(sf_dir: str) -> rd.Dataset:
     quantized values."""
     from belb_ray.stages.analytic import approx_grouped_quantiles
 
-    ev = _t(sf_dir, "events").select_columns(["event_type", "value"])
+    ev = _t(sf_dir, "events", columns=["event_type", "value"])
     return approx_grouped_quantiles(ev, "event_type", "value",
                                     [(0.5, "p50"), (0.95, "p95")],
                                     bin_width=0.5)
@@ -1910,7 +1907,7 @@ def q_event_prop_stats(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.agg import preagg_groupby
     from belb_ray.stages.semistructured import json_field
 
-    ev = _t(sf_dir, "events").select_columns(["event_type", "props"])
+    ev = _t(sf_dir, "events", columns=["event_type", "props"])
     withk = json_field(ev, "props", "k", out_col="k", out_type=pa.int64())
     return preagg_groupby(withk, ["event_type"], [
         ("count", "", "n"), ("sum", "k", "sum_k")])
@@ -1923,7 +1920,7 @@ def q_doc_first_words(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.agg import preagg_groupby
     from belb_ray.stages.semistructured import regex_extract
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     fw = regex_extract(docs, "text", r"^([A-Za-z0-9_]+)", ["first_word"])
     counts = preagg_groupby(fw, ["first_word"], [("count", "", "n_docs")])
     return counts.sort(["n_docs", "first_word"],
@@ -1942,7 +1939,7 @@ def q_part_pagerank(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.cooccur import cooccurrence_pairs
     from belb_ray.stages.graph import pagerank
 
-    li = _t(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
     pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
     und = preagg_groupby(pairs, ["a", "b"],
                          [("count", "", "__n")]).drop_columns(["__n"])
@@ -1970,8 +1967,7 @@ def q_signup_funnel(sf_dir: str) -> rd.Dataset:
     + one vectorized pass per step inside each bucket."""
     from belb_ray.stages.funnel import funnel
 
-    ev = _t(sf_dir, "events").select_columns(
-        ["user_id", "event_type", "ts"])
+    ev = _t(sf_dir, "events", columns=["user_id", "event_type", "ts"])
     return funnel(ev, "user_id", "event_type", "ts",
                   ["signup", "click", "purchase"])
 
@@ -1984,7 +1980,7 @@ def q_value_deciles(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.agg import preagg_groupby
     from belb_ray.stages.analytic import equi_depth_buckets
 
-    ev = _t(sf_dir, "events").select_columns(["value"])
+    ev = _t(sf_dir, "events", columns=["value"])
     b = equi_depth_buckets(ev, "value", 10, out_col="decile")
     return preagg_groupby(b, ["decile"], [("count", "", "n")])
 
@@ -1998,7 +1994,7 @@ def q_doc_lm_scores(sf_dir: str) -> rd.Dataset:
     6dp compare vs the expression-level SQL mirror."""
     from belb_ray.stages.lm import lm_score
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     return _round_cols(lm_score(docs), {"logprob_mean": 6})
 
 
@@ -2015,7 +2011,7 @@ def q_incremental_dedup(sf_dir: str) -> rd.Dataset:
 
     from belb_ray.stages.incremental import dedup_against_state
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     split = docs.count() // 2
     state = _os.path.join(tempfile.gettempdir(),
                           f"belb_ray_incr_state_{split}")
@@ -2040,7 +2036,7 @@ def q_pca_projection(sf_dir: str) -> rd.Dataset:
     PCA golden at 6dp."""
     from belb_ray.stages.pca import pca_project
 
-    emb = _t(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    emb = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = pca_project(emb, "embedding", 4, id_cols=["vec_id"])
     return _round_cols(out, {f"pc{j}": 6 for j in range(1, 5)})
 
@@ -2058,7 +2054,7 @@ def q_incremental_neardup(sf_dir: str) -> rd.Dataset:
 
     from belb_ray.stages.incremental import neardup_against_state
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     split = docs.count() // 2
     state = _os.path.join(tempfile.gettempdir(),
                           f"belb_ray_nd_state_{split}")
@@ -2090,7 +2086,7 @@ def q_compacted_neardup(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.incremental import (compact_state,
                                              neardup_against_state)
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     split = docs.count() // 2
     state = _os.path.join(tempfile.gettempdir(),
                           f"belb_ray_ndc_state_{split}")
@@ -2113,7 +2109,7 @@ def q_pca_variance(sf_dir: str) -> pd.DataFrame:
     block, driver eigh; d-row output. Golden from independent numpy."""
     from belb_ray.stages.pca import explained_variance
 
-    emb = _t(sf_dir, "embeddings").select_columns(["embedding"])
+    emb = _t(sf_dir, "embeddings", columns=["embedding"])
     out = explained_variance(emb, "embedding")
     for c in ("eigenvalue", "explained_ratio", "cum_explained_ratio"):
         out[c] = out[c].round(8)
@@ -2127,7 +2123,7 @@ def q_user_event_entropy(sf_dir: str) -> rd.Dataset:
     6dp compare vs the arithmetic SQL mirror."""
     from belb_ray.stages.docstats import grouped_entropy
 
-    ev = _t(sf_dir, "events").select_columns(["user_id", "event_type"])
+    ev = _t(sf_dir, "events", columns=["user_id", "event_type"])
     out = grouped_entropy(ev, "user_id", "event_type")
     return _round_cols(out, {"entropy": 6})
 
@@ -2139,8 +2135,7 @@ def q_stratified_docs_sample(sf_dir: str) -> rd.Dataset:
     partition-independent, SQL-re-derivable draw per row."""
     from belb_ray.stages.sampling import stratified_hash_sample
 
-    docs = _t(sf_dir, "documents").select_columns(
-        ["doc_id", "lang", "source"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "lang", "source"])
     return stratified_hash_sample(docs, "doc_id", "lang",
                                   {"en": 0.5, "de": 0.25},
                                   default_frac=0.10, seed=7)
@@ -2157,7 +2152,7 @@ def q_user_value_winsorized(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.agg import preagg_groupby
     from belb_ray.stages.analytic import winsorize_by_group
 
-    ev = _t(sf_dir, "events").select_columns(["user_id", "value"])
+    ev = _t(sf_dir, "events", columns=["user_id", "value"])
     w = winsorize_by_group(ev, "user_id", "value", lo=0.10, hi=0.90,
                            out_col="wv")
 
@@ -2179,8 +2174,7 @@ def q_user_event_validity(sf_dir: str) -> rd.Dataset:
     (stages/analytic.ordered_window, one co-location shuffle)."""
     from belb_ray.stages.analytic import ordered_window
 
-    ev = _t(sf_dir, "events").select_columns(
-        ["user_id", "event_id", "ts"]).map_batches(
+    ev = _t(sf_dir, "events", columns=["user_id", "event_id", "ts"]).map_batches(
         lambda b: b.assign(ts_us=b["ts"].astype("int64")),
         batch_format="pandas").drop_columns(["ts"])
     out = ordered_window(ev, "user_id", ["ts_us", "event_id"],
@@ -2213,10 +2207,9 @@ def q_nation_type_matrix(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.agg import preagg_groupby
     from belb_ray.stages.joins import cross_join
 
-    nations = _t(sf_dir, "nation").select_columns(
-        ["n_nationkey", "n_name"])
+    nations = _t(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     types = preagg_groupby(
-        _t(sf_dir, "events").select_columns(["event_type"]),
+        _t(sf_dir, "events", columns=["event_type"]),
         ["event_type"], [("count", "", "__n")]).drop_columns(["__n"])
     return cross_join(nations, types)
 
@@ -2230,7 +2223,7 @@ def q_user_value_regression(sf_dir: str) -> rd.Dataset:
     the 6dp/4dp rounded compare is exact."""
     from belb_ray.stages.agg import grouped_regression
 
-    ev = _t(sf_dir, "events").select_columns(["user_id", "ts", "value"])
+    ev = _t(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def _x(batch: pd.DataFrame) -> pd.DataFrame:
         secs = (batch["ts"].astype("int64") / 1e6)
@@ -2251,7 +2244,7 @@ def q_weekly_cohort_retention(sf_dir: str) -> rd.Dataset:
     dialect."""
     from belb_ray.stages.cohort import cohort_retention
 
-    ev = _t(sf_dir, "events").select_columns(["user_id", "ts"])
+    ev = _t(sf_dir, "events", columns=["user_id", "ts"])
     return cohort_retention(ev, "user_id", "ts")
 
 
@@ -2263,8 +2256,7 @@ def q_customer_table_diff(sf_dir: str) -> rd.Dataset:
     ONE co-location shuffle."""
     from belb_ray.stages.setops import keyed_diff
 
-    cust = _t(sf_dir, "customer").select_columns(
-        ["c_custkey", "c_acctbal", "c_mktsegment"])
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_acctbal", "c_mktsegment"])
     old = cust.map_batches(
         lambda b: b[b["c_custkey"] % 11 != 0],
         batch_format="pandas", batch_size=1 << 16)
@@ -2289,7 +2281,7 @@ def q_user_value_daily_ffill(sf_dir: str) -> rd.Dataset:
     bit-identical to the SQL last_value(... IGNORE NULLS) mirror."""
     from belb_ray.stages.resample import resample_ffill
 
-    ev = _t(sf_dir, "events").select_columns(["user_id", "ts", "value"])
+    ev = _t(sf_dir, "events", columns=["user_id", "ts", "value"])
     return resample_ffill(ev, "user_id", "ts", "value", period_s=86_400,
                           agg="max")
 
@@ -2301,8 +2293,7 @@ def q_user_event_transitions(sf_dir: str) -> rd.Dataset:
     shifted compare, per-pair counts combined bucketed."""
     from belb_ray.stages.analytic import transition_counts
 
-    ev = _t(sf_dir, "events").select_columns(
-        ["user_id", "ts", "event_id", "event_type"])
+    ev = _t(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
     return transition_counts(ev, "user_id", ["ts", "event_id"],
                              "event_type")
 
@@ -2314,7 +2305,7 @@ def q_doc_shard_assignment(sf_dir: str) -> rd.Dataset:
     so the SQL row_number() mirror re-derives both columns."""
     from belb_ray.stages.sampling import shard_assign
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "lang"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "lang"])
     out = shard_assign(docs, key="doc_id", num_shards=8, seed=5)
     return out.select_columns(["doc_id", "lang", "shard", "pos"])
 
@@ -2339,7 +2330,7 @@ def q_doc_chunks(sf_dir: str) -> rd.Dataset:
     substring."""
     from belb_ray.stages.curation import chunk_documents
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     return chunk_documents(docs, chunk_size=120, overlap=40)
 
 
@@ -2349,7 +2340,7 @@ def q_seq_packing(sf_dir: str) -> rd.Dataset:
     bucket scan, seq_len 512. SQL mirror is a window cumulative sum."""
     from belb_ray.stages.curation import pack_sequences
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     return pack_sequences(docs, seq_len=512, bucket_width=64)
 
 
@@ -2360,8 +2351,7 @@ def q_pii_redaction(sf_dir: str) -> rd.Dataset:
     same order via DuckDB's RE2."""
     from belb_ray.stages.curation import redact_pii
 
-    return redact_pii(_t(sf_dir, "documents").select_columns(
-        ["doc_id", "text"]))
+    return redact_pii(_t(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
 def q_cross_corpus_contamination(sf_dir: str) -> rd.Dataset:
@@ -2373,7 +2363,7 @@ def q_cross_corpus_contamination(sf_dir: str) -> rd.Dataset:
     SQL oracle text."""
     from belb_ray.stages.curation import cross_corpus_overlap
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
 
     def _split(keep_bench: bool):
         def fn(batch: pa.Table) -> pa.Table:
@@ -2398,7 +2388,7 @@ def q_resumable_export(sf_dir: str) -> pd.DataFrame:
 
     from belb_ray.pipelines.outputs import resumable_partitioned_write
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "lang",
+    docs = _t(sf_dir, "documents", columns=["doc_id", "lang",
                                                    "text"])
     import hashlib as _hl
     out = _os.path.join(
@@ -2424,7 +2414,7 @@ def q_contamination_flags(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.curation import contamination_flags
     from belb_ray.stages.joins import collect_arrow
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
 
     def _split(batch: pa.Table, keep_bench: bool) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -2445,8 +2435,7 @@ def q_repetition_stats(sf_dir: str) -> rd.Dataset:
     tokenizer contract."""
     from belb_ray.stages.curation import repetition_stats
 
-    return repetition_stats(_t(sf_dir, "documents").select_columns(
-        ["doc_id", "text"]))
+    return repetition_stats(_t(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
 def q_corpus_ngrams(sf_dir: str) -> rd.Dataset:
@@ -2455,7 +2444,7 @@ def q_corpus_ngrams(sf_dir: str) -> rd.Dataset:
     key → tiny global top-k. Rows never shuffle."""
     from belb_ray.stages.corpus import ngram_counts
 
-    docs = _t(sf_dir, "documents").select_columns(["text"])
+    docs = _t(sf_dir, "documents", columns=["text"])
     return ngram_counts(docs, n=2, top_k=100)
 
 
@@ -2496,7 +2485,7 @@ def q_inverted_index(sf_dir: str) -> rd.Dataset:
     postings-list assembly; min_df=2 prunes hapax terms."""
     from belb_ray.stages.corpus import inverted_index
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     return inverted_index(docs, min_df=2)
 
 
@@ -2506,8 +2495,7 @@ def q_target_encoding(sf_dir: str) -> rd.Dataset:
     prior is a 2-number driver reduce."""
     from belb_ray.stages.mlprep import target_encode
 
-    orders = _t(sf_dir, "orders").select_columns(
-        ["o_orderpriority", "o_totalprice"])
+    orders = _t(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
     return target_encode(orders, "o_orderpriority", "o_totalprice",
                          smoothing=20.0)
 
@@ -2525,7 +2513,7 @@ def q_dataset_split(sf_dir: str) -> rd.Dataset:
     partition-independent, stateless, SQL-mirrored."""
     from belb_ray.stages.mlprep import dataset_split
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id"])
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
     return dataset_split(docs, "doc_id", _SPLIT_FRACS, seed=3)
 
 
@@ -2535,7 +2523,7 @@ def q_quota_sample(sf_dir: str) -> rd.Dataset:
     shuffle, vectorized rank-and-take."""
     from belb_ray.stages.mlprep import quota_sample
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "source"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "source"])
     return quota_sample(docs, "source", 5, key="doc_id", seed=3)
 
 
@@ -2547,8 +2535,7 @@ def q_triangle_counts(sf_dir: str) -> rd.Dataset:
     bounds wedge fan-out; closure via size-guarded semi-join."""
     from belb_ray.stages.graph import cochain_edges, triangle_counts
 
-    ev = _t(sf_dir, "events").select_columns(
-        ["event_type", "ts", "user_id"])
+    ev = _t(sf_dir, "events", columns=["event_type", "ts", "user_id"])
 
     def _hour(batch: pd.DataFrame) -> pd.DataFrame:
         hr = batch["ts"].to_numpy().astype("datetime64[h]").astype(np.int64)
@@ -2568,7 +2555,7 @@ def q_name_edit_pairs(sf_dir: str) -> rd.Dataset:
     cover."""
     from belb_ray.stages.linkage import edit_distance_self_join
 
-    cust = _t(sf_dir, "customer").select_columns(["c_custkey", "c_name"])
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_name"])
     return edit_distance_self_join(cust, "c_custkey", "c_name", k=1)
 
 
@@ -2578,8 +2565,7 @@ def q_customer_golden_record(sf_dir: str) -> rd.Dataset:
     status via grouped_topk(k=1)."""
     from belb_ray.stages.linkage import survivorship
 
-    orders = _t(sf_dir, "orders").select_columns(
-        ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+    orders = _t(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
          "o_orderstatus"])
     return survivorship(
         orders, "o_custkey",
@@ -2596,8 +2582,7 @@ def q_event_value_imputed(sf_dir: str) -> rd.Dataset:
     (event_id % 7 = 0) so the repair path is actually exercised."""
     from belb_ray.stages.analytic import impute_by_group
 
-    ev = _t(sf_dir, "events").select_columns(
-        ["event_id", "user_id", "value"])
+    ev = _t(sf_dir, "events", columns=["event_id", "user_id", "value"])
 
     def _null_out(batch: pd.DataFrame) -> pd.DataFrame:
         v = batch["value"].to_numpy(dtype=np.float64).copy()
@@ -2621,7 +2606,7 @@ def q_dict_mentions(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.joins import collect_arrow
     from belb_ray.stages.tagging import tag_mentions
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     top = collect_arrow(ngram_counts(docs, n=2, top_k=25)).to_pandas()
     top = top.sort_values(["n_occurrences", "gram"],
                           ascending=[False, True], kind="mergesort")
@@ -2643,7 +2628,7 @@ def q_part_bfs_hops(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.cooccur import cooccurrence_pairs
     from belb_ray.stages.graph import bfs_hops
 
-    li = _t(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
     pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
     und = preagg_groupby(pairs, ["a", "b"],
                          [("count", "", "__n")]).drop_columns(["__n"])
@@ -2659,7 +2644,7 @@ def q_part_bfs_hops(sf_dir: str) -> rd.Dataset:
         mask = pa.array(k.to_numpy(zero_copy_only=False) % 200 == 0)
         return pa.table({"node": k.filter(mask)})
 
-    seeds = (_t(sf_dir, "part").select_columns(["p_partkey"])
+    seeds = (_t(sf_dir, "part", columns=["p_partkey"])
              .map_batches(_seed, batch_format="pyarrow"))
     return bfs_hops(edges, seeds, max_hops=3).sort("node")
 
@@ -2673,7 +2658,7 @@ def q_bpe_merges(sf_dir: str) -> rd.Dataset:
     single-process Counter/tuple-scan implementation."""
     from belb_ray.stages.bpe import learn_bpe
 
-    docs = _t(sf_dir, "documents").select_columns(["text"])
+    docs = _t(sf_dir, "documents", columns=["text"])
     return learn_bpe(docs, n_merges=12).sort("step")
 
 
@@ -2685,7 +2670,7 @@ def q_bpe_tokens(sf_dir: str) -> rd.Dataset:
     single-process priority encoder."""
     from belb_ray.stages.bpe import bpe_encode, learn_bpe
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     merges = learn_bpe(docs, n_merges=12)
     return bpe_encode(docs, merges).sort("doc_id")
 
@@ -2769,7 +2754,7 @@ def q_value_drift(sf_dir: str) -> rd.Dataset:
     expression-for-expression."""
     from belb_ray.stages.drift import psi_drift
 
-    ev = _t(sf_dir, "events").select_columns(["event_id", "value"])
+    ev = _t(sf_dir, "events", columns=["event_id", "value"])
 
     def _half(parity: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -2803,7 +2788,7 @@ def q_mention_contexts(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.joins import collect_arrow
     from belb_ray.stages.tagging import mention_contexts, tag_mentions
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     top = collect_arrow(ngram_counts(docs, n=2, top_k=25)).to_pandas()
     top = top.sort_values(["n_occurrences", "gram"],
                           ascending=[False, True], kind="mergesort")
@@ -2825,8 +2810,7 @@ def q_quasi_id_audit(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.agg import preagg_groupby
     from belb_ray.stages.analytic import equi_depth_buckets
 
-    cust = _t(sf_dir, "customer").select_columns(
-        ["c_nationkey", "c_mktsegment", "c_acctbal"])
+    cust = _t(sf_dir, "customer", columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
     binned = equi_depth_buckets(cust, "c_acctbal", 10,
                                 out_col="bal_decile")
     counts = preagg_groupby(
@@ -2848,7 +2832,7 @@ def q_part_k_core(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.cooccur import cooccurrence_pairs
     from belb_ray.stages.graph import k_core
 
-    li = _t(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
     pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
     und = preagg_groupby(pairs, ["a", "b"],
                          [("count", "", "__n")]).drop_columns(["__n"])
@@ -2885,8 +2869,7 @@ def q_hll_merge_rollup(sf_dir: str) -> rd.Dataset:
     SQL re-derivation hll_distinct_users uses."""
     from belb_ray.stages.sketch import hll_merge, hll_sketch
 
-    ev = _t(sf_dir, "events").select_columns(
-        ["event_type", "ts", "user_id"])
+    ev = _t(sf_dir, "events", columns=["event_type", "ts", "user_id"])
 
     def _fine(b: pd.DataFrame) -> pd.DataFrame:
         day = b["ts"].dt.strftime("%Y-%m-%d")
@@ -2914,7 +2897,7 @@ def q_fuzzy_name_lookup(sf_dir: str) -> rd.Dataset:
     cross-side candidates verify, never all pairs."""
     from belb_ray.stages.linkage import edit_distance_lookup
 
-    cust = _t(sf_dir, "customer").select_columns(["c_custkey", "c_name"])
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_name"])
 
     def _corrupt(b: pd.DataFrame) -> pd.DataFrame:
         key = b["c_custkey"].to_numpy()
@@ -2939,7 +2922,7 @@ def q_label_centroids(sf_dir: str) -> rd.Dataset:
     generate_series of dims, 6dp."""
     from belb_ray.stages.vector import grouped_vector_mean
 
-    emb = _t(sf_dir, "embeddings").select_columns(["label", "embedding"])
+    emb = _t(sf_dir, "embeddings", columns=["label", "embedding"])
     out = grouped_vector_mean(emb, "label", "embedding", dim=64)
     return out.sort(["label", "dim_idx"])
 
@@ -2952,7 +2935,7 @@ def q_centroid_confusion(sf_dir: str) -> rd.Dataset:
     combiner. Oracle = per-vector row_number over candidate distances."""
     from belb_ray.stages.vector import nearest_centroid_confusion
 
-    emb = _t(sf_dir, "embeddings").select_columns(["label", "embedding"])
+    emb = _t(sf_dir, "embeddings", columns=["label", "embedding"])
     out = nearest_centroid_confusion(emb, "label", "embedding", dim=64)
     return out.sort(["label", "pred_label"])
 
@@ -2964,8 +2947,7 @@ def q_event_debounce(sf_dir: str) -> rd.Dataset:
     duplicate-burst suppression step of event-stream ingestion."""
     from belb_ray.stages.analytic import ordered_window
 
-    ev = _t(sf_dir, "events").select_columns(
-        ["event_id", "user_id", "event_type", "ts"])
+    ev = _t(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
 
     def _key(b: pd.DataFrame) -> pd.DataFrame:
         b["__k"] = b["user_id"].astype(str) + "|" + b["event_type"]
@@ -2998,7 +2980,7 @@ def q_token_pmi(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.corpus import ngram_counts
     from belb_ray.stages.joins import collect_arrow
 
-    docs = _t(sf_dir, "documents").select_columns(["text"])
+    docs = _t(sf_dir, "documents", columns=["text"])
     big = ngram_counts(docs, n=2)
     uni = ngram_counts(docs, n=1)
     u = collect_arrow(uni).to_pandas()
@@ -3030,8 +3012,7 @@ def q_customer_global_rank(sf_dir: str) -> rd.Dataset:
     Oracle = row_number / percent_rank OVER a global ORDER BY."""
     from belb_ray.stages.analytic import global_rank
 
-    cust = _t(sf_dir, "customer").select_columns(
-        ["c_custkey", "c_acctbal"])
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
     out = global_rank(cust, "c_acctbal", "c_custkey", descending=True,
                       bin_width=100.0, pct=True)
     return out.sort("rank")
@@ -3049,8 +3030,7 @@ def q_dedup_savings(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.agg import preagg_groupby
     from belb_ray.stages.joins import broadcast_join
 
-    docs = _t(sf_dir, "documents").select_columns(
-        ["doc_id", "text", "source", "n_chars"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text", "source", "n_chars"])
     groups = exact_dup_groups(_t(sf_dir, "documents"))
 
     def _md5(batch: pd.DataFrame) -> pd.DataFrame:
@@ -3088,7 +3068,7 @@ def q_daily_user_growth(sf_dir: str) -> rd.Dataset:
     active − new and the running cum_users prefix in one tiny task."""
     from belb_ray.stages.agg import preagg_groupby
 
-    ev = _t(sf_dir, "events").select_columns(["user_id", "ts"])
+    ev = _t(sf_dir, "events", columns=["user_id", "ts"])
 
     def _day(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"user_id": b["user_id"],
@@ -3148,7 +3128,7 @@ def q_user_coverage_spans(sf_dir: str) -> rd.Dataset:
     gaps-and-islands window form."""
     from belb_ray.stages.intervals import merge_intervals
 
-    ev = _t(sf_dir, "events").select_columns(["user_id", "ts", "value"])
+    ev = _t(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def _iv(b: pd.DataFrame) -> pd.DataFrame:
         s = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
@@ -3171,7 +3151,7 @@ def q_part_pagerank_weighted(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.cooccur import cooccurrence_pairs
     from belb_ray.stages.graph import pagerank
 
-    li = _t(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
     pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
     und = preagg_groupby(pairs, ["a", "b"], [("count", "", "w")])
 
@@ -3211,8 +3191,7 @@ def q_priority_geo_mean(sf_dir: str) -> rd.Dataset:
     (price indices, growth rates) the arithmetic combiner can't give."""
     from belb_ray.stages.agg import preagg_groupby
 
-    orders = _t(sf_dir, "orders").select_columns(
-        ["o_orderpriority", "o_totalprice"])
+    orders = _t(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
 
     def _ln(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -3254,10 +3233,8 @@ def q_nation_revenue_share(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.agg import preagg_groupby
     from belb_ray.stages.joins import broadcast_join
 
-    cust = _t(sf_dir, "customer").select_columns(
-        ["c_custkey", "c_nationkey"])
-    orders = _t(sf_dir, "orders").select_columns(
-        ["o_custkey", "o_totalprice"])
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def _cents(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -3289,8 +3266,7 @@ def q_weekly_revenue_growth(sf_dir: str) -> rd.Dataset:
     ((cur − prev)/prev, 6dp) in one tiny ordered pass."""
     from belb_ray.stages.agg import preagg_groupby
 
-    orders = _t(sf_dir, "orders").select_columns(
-        ["o_orderdate", "o_totalprice"])
+    orders = _t(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
 
     def _week(b: pd.DataFrame) -> pd.DataFrame:
         d = pd.to_datetime(b["o_orderdate"])
@@ -3326,7 +3302,7 @@ def q_snm_pairs(sf_dir: str) -> rd.Dataset:
     global sort materialization, bounded 2x chunk replication."""
     from belb_ray.stages.linkage import sorted_neighborhood_pairs
 
-    part = _t(sf_dir, "part").select_columns(["p_partkey", "p_name"])
+    part = _t(sf_dir, "part", columns=["p_partkey", "p_name"])
     return sorted_neighborhood_pairs(part, "p_partkey", "p_name", window=4)
 
 
@@ -3339,7 +3315,7 @@ def q_name_jw_pairs(sf_dir: str) -> rd.Dataset:
     from belb_ray.functions.similarity import jaro_winkler_batch
     from belb_ray.stages.linkage import sorted_neighborhood_pairs
 
-    part = _t(sf_dir, "part").select_columns(["p_partkey", "p_name"])
+    part = _t(sf_dir, "part", columns=["p_partkey", "p_name"])
     pairs = sorted_neighborhood_pairs(part, "p_partkey", "p_name",
                                       window=8, carry_sort=True)
 
@@ -3364,7 +3340,7 @@ def q_name_monge_elkan(sf_dir: str) -> rd.Dataset:
     from belb_ray.functions.similarity import monge_elkan_batch
     from belb_ray.stages.linkage import sorted_neighborhood_pairs
 
-    part = _t(sf_dir, "part").select_columns(["p_partkey", "p_name"])
+    part = _t(sf_dir, "part", columns=["p_partkey", "p_name"])
     pairs = sorted_neighborhood_pairs(part, "p_partkey", "p_name",
                                       window=8, carry_sort=True)
 
@@ -3389,7 +3365,7 @@ def q_name_soundex(sf_dir: str) -> rd.Dataset:
     from translate + run-collapse regexes, bit-identical."""
     from belb_ray.stages.linkage import soundex_codes
 
-    part = _t(sf_dir, "part").select_columns(["p_partkey", "p_name"])
+    part = _t(sf_dir, "part", columns=["p_partkey", "p_name"])
     return soundex_codes(part, "p_partkey", "p_name")
 
 
@@ -3402,7 +3378,7 @@ def q_user_freq_cms(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.agg import preagg_groupby
     from belb_ray.stages.sketch import cms_estimate, cms_sketch
 
-    ev = _t(sf_dir, "events").select_columns(["user_id"])
+    ev = _t(sf_dir, "events", columns=["user_id"])
     cms = cms_sketch(ev, "user_id", depth=4, width=64)
     distinct = preagg_groupby(ev, ["user_id"], [("count", "", "_n")])
 
@@ -3474,7 +3450,7 @@ def q_part_components(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.cluster import connected_components
     from belb_ray.stages.cooccur import cooccurrence_pairs
 
-    li = _t(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
     pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
 
     def _rename(b: pa.Table) -> pa.Table:
@@ -3514,8 +3490,7 @@ def q_fs_linkage_weights(sf_dir: str) -> pd.DataFrame:
     from belb_ray.stages.fellegi import fs_em_weights
     from belb_ray.stages.linkage import sorted_neighborhood_pairs
 
-    part = _t(sf_dir, "part").select_columns(
-        ["p_partkey", "p_name", "p_brand", "p_type"])
+    part = _t(sf_dir, "part", columns=["p_partkey", "p_name", "p_brand", "p_type"])
     # attributes ride the SNM shuffles (carry_cols): the pair generator
     # already co-locates both rows, so feature attach needs NO join
     pairs = sorted_neighborhood_pairs(
@@ -3555,8 +3530,7 @@ def q_fs_pattern_posteriors(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.fellegi import fs_em_weights, fs_score_pairs
     from belb_ray.stages.linkage import sorted_neighborhood_pairs
 
-    part = _t(sf_dir, "part").select_columns(
-        ["p_partkey", "p_name", "p_brand", "p_type"])
+    part = _t(sf_dir, "part", columns=["p_partkey", "p_name", "p_brand", "p_type"])
     pairs = sorted_neighborhood_pairs(
         part, "p_partkey", "p_name", window=8, carry_sort=True,
         carry_cols=["p_brand", "p_type"])
@@ -3594,7 +3568,7 @@ def q_snm_blocking_quality(sf_dir: str) -> pd.DataFrame:
                                          sorted_neighborhood_pairs)
     from belb_ray.stages.setops import set_intersect
 
-    cust = _t(sf_dir, "customer").select_columns(["c_custkey", "c_name"])
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_name"])
 
     def _canon(b: pd.DataFrame) -> pd.DataFrame:
         a_ = b["id_a"].to_numpy()
@@ -3628,7 +3602,7 @@ def q_blocking_bcubed(sf_dir: str) -> pd.DataFrame:
     ever shuffle. Oracle = the same Σ n_cg²/n_c identity in SQL."""
     from belb_ray.stages.linkage import bcubed
 
-    part = _t(sf_dir, "part").select_columns(["p_name"])
+    part = _t(sf_dir, "part", columns=["p_name"])
 
     def _labels(batch: pd.DataFrame) -> pd.DataFrame:
         nm = batch["p_name"].astype(str)
@@ -3650,7 +3624,7 @@ def q_name_one2one_match(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.linkage import (one_to_one_match,
                                          sorted_neighborhood_pairs)
 
-    cust = _t(sf_dir, "customer").select_columns(["c_custkey", "c_name"])
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_name"])
     pairs = sorted_neighborhood_pairs(cust, "c_custkey", "c_name",
                                       window=8, carry_sort=True)
 
@@ -3677,8 +3651,7 @@ def q_purchase_attribution(sf_dir: str) -> rd.Dataset:
     IGNORE NULLS OVER (... ROWS 1 PRECEDING)."""
     from belb_ray.stages.funnel import last_touch_attribution
 
-    ev = _t(sf_dir, "events").select_columns(
-        ["event_id", "user_id", "event_type", "ts"])
+    ev = _t(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
     out = last_touch_attribution(ev, "user_id", "event_type", "ts",
                                  "event_id", conversion_type="purchase",
                                  touch_type="click")
@@ -3693,8 +3666,7 @@ def q_user_value_twa(sf_dir: str) -> rd.Dataset:
     Oracle = lead() OVER + sum(v·Δ)/(max−min) in SQL."""
     from belb_ray.stages.analytic import time_weighted_mean
 
-    ev = _t(sf_dir, "events").select_columns(
-        ["event_id", "user_id", "ts", "value"])
+    ev = _t(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
     out = time_weighted_mean(ev, "user_id", "ts", "value", "event_id")
     return out.sort("user_id")
 
@@ -3706,7 +3678,7 @@ def q_user_streaks(sf_dir: str) -> rd.Dataset:
     run). Oracle = the classic row_number island trick in SQL."""
     from belb_ray.stages.analytic import active_streaks
 
-    ev = _t(sf_dir, "events").select_columns(["user_id", "ts"])
+    ev = _t(sf_dir, "events", columns=["user_id", "ts"])
     return active_streaks(ev, "user_id", "ts").sort("user_id")
 
 
@@ -3718,7 +3690,7 @@ def q_boilerplate_stats(sf_dir: str) -> rd.Dataset:
     CCNet-style template-removal signal."""
     from belb_ray.stages.curation import boilerplate_stats
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     return boilerplate_stats(docs, n=3, min_df=5).sort("doc_id")
 
 
@@ -3730,7 +3702,7 @@ def q_doc_containment(sf_dir: str) -> rd.Dataset:
     combiner."""
     from belb_ray.stages.setsim import containment_topk
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     out = containment_topk(docs, query_ids=[0, 1, 2, 3, 4], k=3, n=3)
     return out.sort(["qid", "doc_id"])
 
@@ -3745,7 +3717,7 @@ def q_part_communities(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.cooccur import cooccurrence_pairs
     from belb_ray.stages.graph import label_propagation
 
-    li = _t(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
     pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
     und = preagg_groupby(pairs, ["a", "b"],
                          [("count", "", "__n")]).drop_columns(["__n"])
@@ -3770,7 +3742,7 @@ def q_part_shortest_paths(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.cooccur import cooccurrence_pairs
     from belb_ray.stages.graph import shortest_paths
 
-    li = _t(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
     pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
     und = preagg_groupby(pairs, ["a", "b"], [("count", "", "w")])
 
@@ -3788,7 +3760,7 @@ def q_part_shortest_paths(sf_dir: str) -> rd.Dataset:
         mask = pa.array(k.to_numpy(zero_copy_only=False) % 200 == 0)
         return pa.table({"node": k.filter(mask)})
 
-    seeds = (_t(sf_dir, "part").select_columns(["p_partkey"])
+    seeds = (_t(sf_dir, "part", columns=["p_partkey"])
              .map_batches(_seed, batch_format="pyarrow"))
     return shortest_paths(edges, seeds, max_hops=3).sort("node")
 
@@ -3803,8 +3775,7 @@ def q_user_value_ewma(sf_dir: str) -> rd.Dataset:
     bucket."""
     from belb_ray.stages.analytic import trailing_ewma
 
-    ev = _t(sf_dir, "events").select_columns(
-        ["event_id", "user_id", "ts", "value"])
+    ev = _t(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
 
     def _cents(b: pd.DataFrame) -> pd.DataFrame:
         b["cents"] = np.round(
@@ -3827,7 +3798,7 @@ def q_value_ks_drift(sf_dir: str) -> rd.Dataset:
     window-cumsum arithmetic."""
     from belb_ray.stages.drift import ks_drift
 
-    ev = _t(sf_dir, "events").select_columns(["event_id", "value"])
+    ev = _t(sf_dir, "events", columns=["event_id", "value"])
 
     def _half(parity: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -3850,7 +3821,7 @@ def q_user_skyline(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.agg import preagg_groupby
     from belb_ray.stages.analytic import skyline2d
 
-    ev = _t(sf_dir, "events").select_columns(["user_id", "value"])
+    ev = _t(sf_dir, "events", columns=["user_id", "value"])
 
     def _cents(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -3874,9 +3845,8 @@ def q_part_cosine_sim(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.analytic import _attach_small
     from belb_ray.stages.cooccur import item_cosine_pairs
 
-    li = _t(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
-    ords = _t(sf_dir, "orders").select_columns(
-        ["o_orderkey", "o_custkey"]).map_batches(
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    ords = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
         lambda b: b.rename(columns={"o_orderkey": "l_orderkey"}),
         batch_format="pandas")
     # orders is the per-key side table here (one custkey per orderkey)
@@ -3896,7 +3866,7 @@ def q_user_value_gini(sf_dir: str) -> rd.Dataset:
     inequality audit of a curation run."""
     from belb_ray.stages.analytic import grouped_gini
 
-    ev = _t(sf_dir, "events").select_columns(["user_id", "value"])
+    ev = _t(sf_dir, "events", columns=["user_id", "value"])
     return grouped_gini(ev, "user_id", "value").sort("user_id")
 
 
@@ -3908,7 +3878,7 @@ def q_token_js_drift(sf_dir: str) -> rd.Dataset:
     vocabulary-sized task."""
     from belb_ray.stages.drift import js_divergence
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
 
     def _half(parity: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -3946,8 +3916,7 @@ def q_user_value_autocorr(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.agg import grouped_corr
     from belb_ray.stages.analytic import ordered_window
 
-    ev = _t(sf_dir, "events").select_columns(
-        ["user_id", "event_id", "ts", "value"]).map_batches(
+    ev = _t(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"]).map_batches(
         lambda b: b.assign(ts_us=b["ts"].astype("int64")),
         batch_format="pandas").drop_columns(["ts"])
     lagged = ordered_window(ev, "user_id", ["ts_us", "event_id"],
@@ -3981,7 +3950,7 @@ def q_label_silhouette(sf_dir: str) -> rd.Dataset:
     check. Oracle mirrors a/b/max arithmetic over the centroid CTE."""
     from belb_ray.stages.vector import simplified_silhouette
 
-    emb = _t(sf_dir, "embeddings").select_columns(["label", "embedding"])
+    emb = _t(sf_dir, "embeddings", columns=["label", "embedding"])
     return simplified_silhouette(emb, "label", "embedding",
                                  dim=64).sort("label")
 
@@ -4045,7 +4014,7 @@ def q_kcenter_sample(sf_dir: str) -> rd.Dataset:
     implementation of the same determinism spec."""
     from belb_ray.stages.vector import kcenter_sample
 
-    emb = _t(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    emb = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return kcenter_sample(emb, "vec_id", "embedding", dim=64, k=8)
 
 
@@ -4079,7 +4048,7 @@ def q_linkage_negatives(sf_dir: str) -> rd.Dataset:
                                          sorted_neighborhood_pairs)
     from belb_ray.stages.setops import set_except
 
-    cust = _t(sf_dir, "customer").select_columns(["c_custkey", "c_name"])
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_name"])
     snm = sorted_neighborhood_pairs(cust, "c_custkey", "c_name",
                                     window=4)
     matches = edit_distance_self_join(cust, "c_custkey", "c_name", k=1)
@@ -4136,7 +4105,7 @@ def q_negative_pairs(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.joins import hash_partition_join
     from belb_ray.stages.sampling import _md5_hash60
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "n_chars"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "n_chars"])
     n = docs.count()
     ranked = global_rank(docs, "n_chars", "doc_id").materialize()
 
@@ -4171,7 +4140,7 @@ def q_source_freshness(sf_dir: str) -> rd.Dataset:
     behind incremental ingestion."""
     from belb_ray.stages.agg import preagg_groupby
 
-    ev = _t(sf_dir, "events").select_columns(["event_type", "ts"]) \
+    ev = _t(sf_dir, "events", columns=["event_type", "ts"]) \
         .map_batches(lambda b: pd.DataFrame({
             "event_type": b["event_type"],
             "ts_us": b["ts"].astype("int64")}), batch_format="pandas")
@@ -4198,7 +4167,7 @@ def q_exact_value_quantiles(sf_dir: str) -> rd.Dataset:
     interval's distinct values. The "p99 of 10^12 rows" op."""
     from belb_ray.stages.analytic import global_quantile_exact
 
-    ev = _t(sf_dir, "events").select_columns(["value"])
+    ev = _t(sf_dir, "events", columns=["value"])
     return global_quantile_exact(ev, "value", [0.5, 0.9, 0.99])
 
 
@@ -4226,8 +4195,7 @@ def q_brand_weighted_median_price(sf_dir: str) -> rd.Dataset:
     combiner before the one shuffle; exact integer 2·cumw ≥ totw rule."""
     from belb_ray.stages.analytic import grouped_weighted_median
 
-    part = _t(sf_dir, "part").select_columns(
-        ["p_brand", "p_retailprice", "p_size"])
+    part = _t(sf_dir, "part", columns=["p_brand", "p_retailprice", "p_size"])
     return grouped_weighted_median(part, "p_brand", "p_retailprice",
                                    "p_size").sort("p_brand")
 
@@ -4241,7 +4209,7 @@ def q_lang_id_kappa(sf_dir: str) -> rd.Dataset:
     from belb_ray.functions.textstats import lang_id
     from belb_ray.stages.agg import preagg_groupby
 
-    docs = _t(sf_dir, "documents").select_columns(["lang", "text"])
+    docs = _t(sf_dir, "documents", columns=["lang", "text"])
 
     def _pred(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -4280,8 +4248,7 @@ def q_user_gap_stats(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.agg import moment_stats
     from belb_ray.stages.analytic import ordered_window
 
-    ev = _t(sf_dir, "events").select_columns(
-        ["user_id", "event_id", "ts"]).map_batches(
+    ev = _t(sf_dir, "events", columns=["user_id", "event_id", "ts"]).map_batches(
         lambda b: b.assign(ts_us=b["ts"].astype("int64")),
         batch_format="pandas").drop_columns(["ts"])
     lagged = ordered_window(ev, "user_id", ["ts_us", "event_id"],
@@ -4320,7 +4287,7 @@ def q_multipass_snm_pairs(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.linkage import sorted_neighborhood_pairs
     from belb_ray.stages.setops import set_union
 
-    cust = _t(sf_dir, "customer").select_columns(["c_custkey", "c_name"])
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_name"])
     p1 = sorted_neighborhood_pairs(cust, "c_custkey", "c_name", window=4)
 
     def _rev(b: pd.DataFrame) -> pd.DataFrame:
@@ -4351,8 +4318,7 @@ def q_customer_conflicts(sf_dir: str) -> rd.Dataset:
     combiners (batch-local dedup before one shuffle each)."""
     from belb_ray.stages.agg import count_distinct
 
-    ords = _t(sf_dir, "orders").select_columns(
-        ["o_custkey", "o_orderstatus", "o_orderpriority"])
+    ords = _t(sf_dir, "orders", columns=["o_custkey", "o_orderstatus", "o_orderpriority"])
     st = count_distinct(ords, ["o_custkey"], "o_orderstatus",
                         "n_statuses")
     pr = count_distinct(ords, ["o_custkey"], "o_orderpriority",
@@ -4379,7 +4345,7 @@ def q_doc_tfidf_cosine(sf_dir: str) -> rd.Dataset:
     The idf-weighted upgrade of doc_jaccard_join."""
     from belb_ray.stages.tfidf import tfidf_cosine_join
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     # fractional cut: 0.1·n_docs = df ≤ 50 at the sf0.01 oracle scale
     return tfidf_cosine_join(docs, threshold=0.5, max_df=0.1) \
         .sort(["id_a", "id_b"])
@@ -4392,10 +4358,10 @@ def q_fk_integrity(sf_dir: str) -> rd.Dataset:
     — the cross-table consistency check every warehouse load runs."""
     from belb_ray.stages.joins import semi_join
 
-    li = _t(sf_dir, "lineitem").select_columns(["l_orderkey"])
-    ords = _t(sf_dir, "orders").select_columns(["o_orderkey",
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey"])
+    ords = _t(sf_dir, "orders", columns=["o_orderkey",
                                                 "o_custkey"])
-    cust = _t(sf_dir, "customer").select_columns(["c_custkey"])
+    cust = _t(sf_dir, "customer", columns=["c_custkey"])
 
     def _k(ds: rd.Dataset, src: str, dst: str):
         return ds.map_batches(
@@ -4429,8 +4395,7 @@ def q_user_rfm(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.agg import preagg_groupby
     from belb_ray.stages.analytic import equi_depth_buckets
 
-    ev = _t(sf_dir, "events").select_columns(
-        ["user_id", "ts", "value"]).map_batches(
+    ev = _t(sf_dir, "events", columns=["user_id", "ts", "value"]).map_batches(
         lambda b: pd.DataFrame({
             "user_id": b["user_id"],
             "ts_us": b["ts"].astype("int64"),
@@ -4455,8 +4420,7 @@ def q_ab_test_report(sf_dir: str) -> rd.Dataset:
     cell-sized table. The experiment-readout op, exact-integer counts."""
     from belb_ray.stages.agg import preagg_groupby
 
-    ev = _t(sf_dir, "events").select_columns(
-        ["event_type", "user_id", "value"]).map_batches(
+    ev = _t(sf_dir, "events", columns=["event_type", "user_id", "value"]).map_batches(
         lambda b: pd.DataFrame({
             "event_type": b["event_type"],
             "grp": (b["user_id"].to_numpy(np.int64) % 2),
@@ -4497,8 +4461,7 @@ def q_lang_id_accuracy(sf_dir: str) -> rd.Dataset:
     from belb_ray.functions.textstats import lang_id
     from belb_ray.stages.agg import preagg_groupby
 
-    docs = _t(sf_dir, "documents").select_columns(
-        ["source", "lang", "text"])
+    docs = _t(sf_dir, "documents", columns=["source", "lang", "text"])
 
     def _acc(t: pa.Table) -> pd.DataFrame:
         pred = [lang_id(x) for x in t["text"].to_pylist()]
@@ -4527,7 +4490,7 @@ def q_embedding_quantization(sf_dir: str) -> rd.Dataset:
     the 4× embedding-storage compressor. Long form for the SQL mirror."""
     from belb_ray.stages.vector import quantize_embeddings
 
-    emb = _t(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    emb = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return quantize_embeddings(emb, "vec_id", "embedding",
                                dim=64).sort(["vec_id", "dim_idx"])
 
@@ -4542,9 +4505,9 @@ def q_region_year_sales(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.agg import preagg_groupby
     from belb_ray.stages.joins import star_broadcast_join
 
-    li = _t(sf_dir, "lineitem").select_columns(
-        ["l_orderkey", "l_extendedprice", "l_discount"])
-    ords = _t(sf_dir, "orders").map_batches(
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    ords = _t(sf_dir, "orders", columns=[
+        "o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
         lambda t: pa.table({"l_orderkey": t["o_orderkey"],
                             "o_custkey": t["o_custkey"],
                             "o_orderdate": t["o_orderdate"]}),
@@ -4614,8 +4577,7 @@ def q_bloom_semi_join(sf_dir: str) -> rd.Dataset:
     shortcut."""
     from belb_ray.stages.joins import bloom_semi_join
 
-    li = _t(sf_dir, "lineitem").select_columns(
-        ["l_orderkey", "l_linenumber", "l_partkey"])
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_partkey"])
     import pyarrow.dataset as pads
 
     keys = _t_where(sf_dir, "part", pads.field("p_size") > 25,
@@ -4677,7 +4639,7 @@ def q_corpus_build(sf_dir: str) -> rd.Dataset:
     redirects X:k (k%5=0) and retires Y:0."""
     from belb_ray.pipelines.corpus_build import build_corpus
 
-    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
 
     def _anns(t: pa.Table) -> pa.Table:
         dids = t["doc_id"].to_numpy()
@@ -4719,7 +4681,7 @@ def q_corpus_build(sf_dir: str) -> rd.Dataset:
         ids = [f"X:{v}" for v in m] + [f"Y:{v}" for v in m]
         return pa.table({"resolved_identifier": pa.array(ids, pa.string())})
 
-    kb = _t(sf_dir, "part").select_columns(["p_partkey"]).map_batches(
+    kb = _t(sf_dir, "part", columns=["p_partkey"]).map_batches(
         _kb, batch_format="pyarrow")
     history = pd.DataFrame({
         "old_identifier": [f"X:{k}" for k in range(0, 50, 5)] + ["Y:0"],
@@ -4753,7 +4715,7 @@ def q_safe_parse(sf_dir: str) -> rd.Dataset:
         return {"first_word": words[0], "n_words": len(words)}
 
     out = safe_apply(
-        _t(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        _t(sf_dir, "documents", columns=["doc_id", "text"]),
         parse, {"first_word": pa.string(), "n_words": pa.int64()})
     return out.select_columns(
         ["doc_id", "ok", "error", "first_word", "n_words"])
@@ -4776,9 +4738,8 @@ def q_salted_join(sf_dir: str) -> rd.Dataset:
     output equality at any skew, no one-hot-partition straggler."""
     from belb_ray.stages.joins import salted_hash_join
 
-    ev = _t(sf_dir, "events").select_columns(["event_id", "user_id"])
-    cust = _t(sf_dir, "customer").select_columns(
-        ["c_custkey", "c_nationkey"]).map_batches(
+    ev = _t(sf_dir, "events", columns=["event_id", "user_id"])
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
         lambda t: pa.table({"user_id": t["c_custkey"],
                             "c_nationkey": t["c_nationkey"]}),
         batch_format="pyarrow")

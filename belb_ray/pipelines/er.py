@@ -24,6 +24,8 @@ from dataclasses import asdict, dataclass, field
 import pyarrow as pa
 import ray.data as rd
 
+from ..util import resolve_num_buckets
+
 from ..stages.blocking import MinHashBlocker, explode_band_keys, path_neighborhood_keys
 from ..stages.cluster import assign_clusters, connected_components
 from ..stages.dedup import ensure_identity_columns, exact_dedup_annotate
@@ -46,7 +48,7 @@ class ERConfig:
     max_block: int = 64
     window: int = 8
     use_path_keys: bool = True
-    join_buckets: int = 32
+    join_buckets: int = 0  # 0 = auto (util.default_shuffle_partitions)
     blocker_batch_size: int = 2048
     input_blocks: int | None = None  # repartition narrow inputs for pool parallelism
 
@@ -105,7 +107,7 @@ def resolve_files(
         pairs = candidate_pairs(blocks, max_block=cfg.max_block, window=cfg.window)
         # pure-content configs (w_jw = w_tok = 0, e.g. MinHash doc dedup)
         # never broadcast or gather the path column
-        pf = attach_features(pairs, features, num_buckets=cfg.join_buckets,
+        pf = attach_features(pairs, features, num_buckets=resolve_num_buckets(cfg.join_buckets),
                              need_paths=cfg.w_jw > 0 or cfg.w_tok > 0)
         return score_pairs(pf, threshold=cfg.threshold, w_jacc=cfg.w_jacc,
                            w_jw=cfg.w_jw, w_tok=cfg.w_tok)
@@ -119,7 +121,7 @@ def resolve_files(
     labels = connected_components(
         edges,
         checkpoint_dir=f"{checkpoint_dir}/cc" if checkpoint_dir else None)
-    clusters = assign_clusters(members, labels, num_buckets=cfg.join_buckets)
+    clusters = assign_clusters(members, labels, num_buckets=resolve_num_buckets(cfg.join_buckets))
 
     return {"clusters": clusters, "edges": edges, "members": members,
             "features": features}
@@ -276,24 +278,24 @@ def resolve_increment(
 
     all_feats = feats_new.union(feats_old)
     cross_edges = score_pairs(
-        attach_features(cross_pairs, all_feats, num_buckets=cfg.join_buckets,
+        attach_features(cross_pairs, all_feats, num_buckets=resolve_num_buckets(cfg.join_buckets),
                         need_paths=need_paths),
         threshold=cfg.threshold, w_jacc=cfg.w_jacc, w_jw=cfg.w_jw,
         w_tok=cfg.w_tok)
     nn_edges = score_pairs(
-        attach_features(nn_pairs, feats_new, num_buckets=cfg.join_buckets,
+        attach_features(nn_pairs, feats_new, num_buckets=resolve_num_buckets(cfg.join_buckets),
                         need_paths=need_paths),
         threshold=cfg.threshold, w_jacc=cfg.w_jacc, w_jw=cfg.w_jw,
         w_tok=cfg.w_tok)
 
     # components among the new reps, then per-component inheritance
-    labels = connected_components(nn_edges, num_buckets=cfg.join_buckets)
+    labels = connected_components(nn_edges, num_buckets=resolve_num_buckets(cfg.join_buckets))
     rep_ids = feats_new.select_columns(["row_id"])
     rep_members = rep_ids.map_batches(
         lambda t: pa.table({"row_id": t["row_id"], "rep_id": t["row_id"]}),
         batch_format="pyarrow")
     comp = assign_clusters(rep_members, labels,
-                           num_buckets=cfg.join_buckets)  # row_id -> comp id
+                           num_buckets=resolve_num_buckets(cfg.join_buckets))  # row_id -> comp id
 
     clus_shards = sorted(_glob.glob(
         _os.path.join(state_dir, "clusters", "run-*", "*.parquet")))

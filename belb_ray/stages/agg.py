@@ -26,6 +26,8 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
+from ..util import resolve_num_buckets
+
 AggSpec = tuple[str, str, str]  # (func, in_col, out_col); func: sum|count|min|max|mean
 
 _PD_FUNC = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
@@ -57,11 +59,12 @@ def guard_bucket_rows(group: pd.DataFrame, key: str, budget: int | None,
 
 
 def bucketed_combine(partials: rd.Dataset, keys: list[str],
-                     agg_map: dict[str, str], num_buckets: int = 64) -> rd.Dataset:
+                     agg_map: dict[str, str], num_buckets: int = 0) -> rd.Dataset:
     """Final combine of partial-aggregate rows: hash-bucket the key tuple
     into an int32 column, shuffle by THAT, combine per bucket in pandas.
     One cheap single-int sort instead of a composite-key sort."""
 
+    num_buckets = resolve_num_buckets(num_buckets)
     def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         batch["__bucket"] = _bucket_of_frame(batch, keys, num_buckets)
         return batch
@@ -78,8 +81,9 @@ def bucketed_combine(partials: rd.Dataset, keys: list[str],
 
 
 def preagg_groupby(ds: rd.Dataset, keys: list[str], specs: list[AggSpec],
-                   num_buckets: int = 64) -> rd.Dataset:
+                   num_buckets: int = 0) -> rd.Dataset:
     """Partial-aggregate per batch, then a bucketed pandas combine."""
+    num_buckets = resolve_num_buckets(num_buckets)
     need_mean = [(f, c, o) for f, c, o in specs if f == "mean"]
     # expand mean into sum+count partials
     partial_specs: list[AggSpec] = []
@@ -121,9 +125,10 @@ def preagg_groupby(ds: rd.Dataset, keys: list[str], specs: list[AggSpec],
 
 
 def count_distinct(ds: rd.Dataset, keys: list[str], distinct_col: str,
-                   out_col: str, num_buckets: int = 64) -> rd.Dataset:
+                   out_col: str, num_buckets: int = 0) -> rd.Dataset:
     """count(distinct x) per key: batch-local dedup → bucketed global
     dedup + count per key. One single-int shuffle, no row explosion."""
+    num_buckets = resolve_num_buckets(num_buckets)
     cols = keys + [distinct_col]
 
     def _dedup(batch: pd.DataFrame) -> pd.DataFrame:
@@ -163,12 +168,13 @@ def topk(ds: rd.Dataset, key: str, k: int, descending: bool = True,
 
 def grouped_topk(ds: rd.Dataset, keys: list[str], order_col: str, k: int,
                  descending: bool = True, tiebreak: str | None = None,
-                 num_buckets: int = 64) -> rd.Dataset:
+                 num_buckets: int = 0) -> rd.Dataset:
     """Per-group top-k (``row_number() OVER (PARTITION BY keys ORDER BY
     order_col) <= k``) without a global sort: each batch keeps its local
     top-k per key (so at most k rows per key per block enter the
     shuffle), then one bucketed combine finishes per key. ``tiebreak``
     makes the cut deterministic under order-col ties."""
+    num_buckets = resolve_num_buckets(num_buckets)
     sort_cols = [order_col] + ([tiebreak] if tiebreak else [])
     ascending = [not descending] + ([True] if tiebreak else [])
 
@@ -200,7 +206,7 @@ def pivot_agg(
     value_col: str | None = None,
     agg: str = "sum",
     prefix: str = "",
-    num_buckets: int = 64,
+    num_buckets: int = 0,
 ) -> rd.Dataset:
     """Pivot ``col_key``'s (caller-enumerated) ``values`` into one wide
     column each, aggregated per ``row_key`` — SQL
@@ -216,6 +222,7 @@ def pivot_agg(
     requirement for streaming blocks). Empty cells are 0 (SQL's FILTER
     count) — use int64 units for sums that must hash-match SQL BIGINT.
     """
+    num_buckets = resolve_num_buckets(num_buckets)
     if agg not in ("sum", "count"):
         raise ValueError(f"pivot_agg supports sum|count, got {agg!r}")
     out_cols = [f"{prefix}{v}" for v in values]
@@ -240,7 +247,7 @@ def pivot_agg(
 
 
 def mode_agg(ds: rd.Dataset, keys: list[str], value_col: str,
-             out_col: str, num_buckets: int = 64) -> rd.Dataset:
+             out_col: str, num_buckets: int = 0) -> rd.Dataset:
     """Per-key mode (most frequent ``value_col``), ties broken by the
     smallest value — the deterministic arg-max SQL shape
     ``row_number() OVER (PARTITION BY keys ORDER BY count DESC, value)``.
@@ -252,6 +259,7 @@ def mode_agg(ds: rd.Dataset, keys: list[str], value_col: str,
     ``groupby(keys).head(1)``. The shuffle moves per-block distinct
     (key, value) pairs, never input rows; worst case equals the distinct
     pair count, the same bound a SQL GROUP BY key,value would pay."""
+    num_buckets = resolve_num_buckets(num_buckets)
     cols = keys + [value_col]
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -281,7 +289,7 @@ def mode_agg(ds: rd.Dataset, keys: list[str], value_col: str,
 
 def moment_stats(ds: rd.Dataset, keys: list[str], value_col: str,
                  prefix: str = "", ddof: int = 1,
-                 num_buckets: int = 64) -> rd.Dataset:
+                 num_buckets: int = 0) -> rd.Dataset:
     """Per-key count / mean / sample-variance / sample-stddev by shipping
     raw moments: each block emits (n, Σx, Σx²) per key — three doubles,
     never rows — one bucketed sum-combine, then the closed-form finish
@@ -290,6 +298,7 @@ def moment_stats(ds: rd.Dataset, keys: list[str], value_col: str,
     width regardless of input size. Caveat: the naive Σx² formula loses
     precision when |mean| ≫ stddev — callers needing SQL-engine parity
     should compare at rounded precision (the oracle rounds to 4dp)."""
+    num_buckets = resolve_num_buckets(num_buckets)
     n_c, s_c, s2_c = f"__{prefix}n", f"__{prefix}s", f"__{prefix}s2"
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -320,11 +329,12 @@ def moment_stats(ds: rd.Dataset, keys: list[str], value_col: str,
 
 
 def grouped_corr(ds: rd.Dataset, keys: list[str], x_col: str, y_col: str,
-                 out_col: str = "corr", num_buckets: int = 64) -> rd.Dataset:
+                 out_col: str = "corr", num_buckets: int = 0) -> rd.Dataset:
     """Per-key Pearson correlation via the same raw-moment shipping:
     blocks emit (n, Σx, Σy, Σx², Σy², Σxy) per key, one bucketed
     sum-combine, closed-form finish. Keys with zero variance on either
     side yield NaN (SQL NULL)."""
+    num_buckets = resolve_num_buckets(num_buckets)
     cols = ["__n", "__sx", "__sy", "__sxx", "__syy", "__sxy"]
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -357,7 +367,7 @@ def grouped_corr(ds: rd.Dataset, keys: list[str], x_col: str, y_col: str,
 
 
 def grouped_regression(ds: rd.Dataset, keys: list[str], x_col: str,
-                       y_col: str, num_buckets: int = 64) -> rd.Dataset:
+                       y_col: str, num_buckets: int = 0) -> rd.Dataset:
     """Per-key simple OLS (``y = slope·x + intercept``) plus r² via the
     same raw-moment shipping as ``grouped_corr``: blocks emit
     (n, Σx, Σy, Σx², Σy², Σxy) per key — six doubles, never rows — one
@@ -366,6 +376,7 @@ def grouped_regression(ds: rd.Dataset, keys: list[str], x_col: str,
     zero x-variance yield NULL slope/intercept/r2 (the SQL convention).
     At 100 TB the shuffle is keys × blocks fixed-width rows regardless
     of input size."""
+    num_buckets = resolve_num_buckets(num_buckets)
     cols = ["__n", "__sx", "__sy", "__sxx", "__syy", "__sxy"]
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -408,7 +419,7 @@ def grouped_regression(ds: rd.Dataset, keys: list[str], x_col: str,
 
 
 def rollup_agg(ds: rd.Dataset, keys: list[str], specs: list[AggSpec],
-               marker: str = "ALL", num_buckets: int = 64) -> rd.Dataset:
+               marker: str = "ALL", num_buckets: int = 0) -> rd.Dataset:
     """``GROUP BY ROLLUP(keys)`` for re-aggregable functions
     (sum/count/min/max): the INPUT is aggregated once at the finest level
     (the only pass that sees input rows), then every coarser level —
@@ -417,6 +428,7 @@ def rollup_agg(ds: rd.Dataset, keys: list[str], specs: list[AggSpec],
     (the SQL mirror is ``COALESCE(key, marker)``), so keys must be
     string-typed. Shuffle cost = one combiner groupby over the input +
     len(keys) tiny aggregations over aggregates."""
+    num_buckets = resolve_num_buckets(num_buckets)
     for f, _, _ in specs:
         if f not in ("sum", "count", "min", "max"):
             raise ValueError(f"rollup_agg needs re-aggregable funcs, got {f!r}")
@@ -463,7 +475,7 @@ def rollup_agg(ds: rd.Dataset, keys: list[str], specs: list[AggSpec],
 
 
 def cube_agg(ds: rd.Dataset, keys: list[str], specs: list[AggSpec],
-             marker: str = "ALL", num_buckets: int = 64) -> rd.Dataset:
+             marker: str = "ALL", num_buckets: int = 0) -> rd.Dataset:
     """``GROUP BY CUBE(keys)`` — every one of the 2**len(keys) grouping
     sets — with the same derivation strategy as :func:`rollup_agg`: the
     input is aggregated ONCE at the finest level, and every other
@@ -472,6 +484,7 @@ def cube_agg(ds: rd.Dataset, keys: list[str], specs: list[AggSpec],
     cube expands to. Functions must be re-aggregable (sum/count/min/max;
     counts re-aggregate as sums). Rolled-up key columns carry ``marker``
     (SQL mirror: ``COALESCE(key, marker)``), so keys must be strings."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from itertools import combinations
 
     for f, _, _ in specs:
@@ -518,7 +531,7 @@ def cube_agg(ds: rd.Dataset, keys: list[str], specs: list[AggSpec],
 def grouping_sets_agg(ds: rd.Dataset, keys: list[str],
                       sets: list[tuple[str, ...]], specs: list[AggSpec],
                       marker: str = "ALL",
-                      num_buckets: int = 64) -> rd.Dataset:
+                      num_buckets: int = 0) -> rd.Dataset:
     """``GROUP BY GROUPING SETS (...)`` for arbitrary subsets of ``keys``
     — the general form of :func:`rollup_agg` / :func:`cube_agg`
     (reference analog: the ad-hoc multi-granularity QAQC counters,
@@ -530,6 +543,7 @@ def grouping_sets_agg(ds: rd.Dataset, keys: list[str],
     columns carry ``marker`` (SQL mirror: ``COALESCE(key, marker)``), so
     keys must be strings. Duplicate sets are emitted once; a requested
     set not ⊆ keys raises."""
+    num_buckets = resolve_num_buckets(num_buckets)
     for f, _, _ in specs:
         if f not in ("sum", "count", "min", "max"):
             raise ValueError(
@@ -581,7 +595,7 @@ def grouping_sets_agg(ds: rd.Dataset, keys: list[str],
 
 
 def higher_moment_stats(ds: rd.Dataset, keys: list[str], value_col: str,
-                        num_buckets: int = 64) -> rd.Dataset:
+                        num_buckets: int = 0) -> rd.Dataset:
     """Per-key population skewness and excess kurtosis by the same
     raw-moment shipping as :func:`moment_stats`, extended to Σx³/Σx⁴:
     each block emits five doubles per key (n, Σx, Σx², Σx³, Σx⁴) — fixed
@@ -597,6 +611,7 @@ def higher_moment_stats(ds: rd.Dataset, keys: list[str], value_col: str,
     SUM(x)/SUM(x²)/SUM(x³)/SUM(x⁴)/COUNT, compared at 4dp (naive raw
     moments lose precision when |mean| ≫ stddev — same caveat as
     moment_stats)."""
+    num_buckets = resolve_num_buckets(num_buckets)
     cols = [f"__m{i}" for i in range(5)]
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:

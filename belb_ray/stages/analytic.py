@@ -25,6 +25,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from ..util import resolve_num_buckets
+
 # (kind, value_col, out_col) or (kind, value_col, out_col, param);
 # kind: lag | lead | cumsum | row_number | rollsum | rollmin | rollmax
 #       | rank | dense_rank | ntile | first_value | last_value
@@ -47,7 +49,7 @@ def ordered_window(
     key: str,
     order_cols: list[str],
     specs: list[WindowSpec],
-    num_buckets: int = 64,
+    num_buckets: int = 0,
     max_bucket_rows: int | None = 8_000_000,
 ) -> rd.Dataset:
     """→ input columns + one output column per spec, computed per key in
@@ -61,6 +63,7 @@ def ordered_window(
     hottest key (instead of a silent worker OOM) — raise num_buckets,
     pre-salt the pathological key, or raise the budget.
     """
+    num_buckets = resolve_num_buckets(num_buckets)
     for spec in specs:
         if spec[0] not in ("lag", "lead", "cumsum", "row_number",
                            "rollsum", "rollmin", "rollmax", "rank",
@@ -214,7 +217,7 @@ def grouped_quantiles(
     key: str,
     value_col: str,
     specs: list[tuple[float, str]],
-    num_buckets: int = 64,
+    num_buckets: int = 0,
     interpolate: bool = False,
 ) -> rd.Dataset:
     """Exact per-key discrete quantiles (SQL ``quantile_disc`` /
@@ -236,6 +239,7 @@ def grouped_quantiles(
     in ``value_col`` are ignored (SQL aggregate semantics). The
     partitioning assumption is one key's *histogram* fits a worker —
     far weaker than fitting its rows."""
+    num_buckets = resolve_num_buckets(num_buckets)
     import math
 
     from .rangejoin import _group_upper_bound
@@ -303,7 +307,7 @@ def grouped_string_agg(
     order_cols: list[str],
     sep: str = ",",
     out_col: str = "agg",
-    num_buckets: int = 64,
+    num_buckets: int = 0,
 ) -> rd.Dataset:
     """Ordered per-key string concatenation — SQL
     ``string_agg(value_col, sep ORDER BY order_cols) GROUP BY key`` →
@@ -321,6 +325,7 @@ def grouped_string_agg(
     sessionization; a key with gigabytes of values needs a hierarchical
     concat instead."""
 
+    num_buckets = resolve_num_buckets(num_buckets)
     def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch[[key, value_col] + order_cols]
         h = pd.util.hash_array(batch[key].to_numpy(), categorize=False)
@@ -358,7 +363,7 @@ def _attach_small(ds: rd.Dataset, side: rd.Dataset, key: str,
 
 def grouped_mad(ds: rd.Dataset, key: str, value_col: str,
                 out_col: str = "mad",
-                num_buckets: int = 64,
+                num_buckets: int = 0,
                 broadcast_threshold: int = 2_000_000) -> rd.Dataset:
     """Per-key median absolute deviation (discrete medians, SQL
     ``quantile_disc`` semantics): two histogram-shuffle quantile passes
@@ -366,6 +371,7 @@ def grouped_mad(ds: rd.Dataset, key: str, value_col: str,
     |x − median|, median again. Input rows are read twice but never
     shuffled; both quantile exchanges move (key, value)-count histograms
     only."""
+    num_buckets = resolve_num_buckets(num_buckets)
     med = grouped_quantiles(ds, key, value_col, [(0.5, "__med")],
                             num_buckets)
     withmed = _attach_small(ds, med, key, broadcast_threshold)
@@ -384,13 +390,14 @@ def grouped_mad(ds: rd.Dataset, key: str, value_col: str,
 
 def normalize_by_group(ds: rd.Dataset, key: str, value_col: str,
                        out_col: str = "z", ddof: int = 1,
-                       num_buckets: int = 64,
+                       num_buckets: int = 0,
                        broadcast_threshold: int = 2_000_000) -> rd.Dataset:
     """Per-group z-score standardization — the compute-stats-then-apply
     ML-preprocessing shape: one combiner moment pass (fixed-width
     partials), the per-key (mean, std) table attaches back via the same
     size-guarded broadcast, and the rescale streams. Groups with fewer
     than ddof+1 rows get a null z (matches SQL stddev_samp)."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .agg import moment_stats
 
     stats = moment_stats(ds, [key], value_col, ddof=ddof,
@@ -417,7 +424,7 @@ def normalize_by_group(ds: rd.Dataset, key: str, value_col: str,
 def approx_grouped_quantiles(ds: rd.Dataset, key: str, value_col: str,
                              specs: list[tuple[float, str]],
                              bin_width: float,
-                             num_buckets: int = 64) -> rd.Dataset:
+                             num_buckets: int = 0) -> rd.Dataset:
     """Bounded-memory approximate quantiles: values are quantized to
     fixed ``bin_width`` bins (lower edge) BEFORE the exact histogram
     machinery, so the shuffled (key, value)→count histogram is bounded
@@ -426,6 +433,7 @@ def approx_grouped_quantiles(ds: rd.Dataset, key: str, value_col: str,
     would blow up on high-cardinality floats (error ≤ bin_width,
     deterministic, SQL-mirrorable as quantile_disc over the same
     quantized values)."""
+    num_buckets = resolve_num_buckets(num_buckets)
     if bin_width <= 0:
         raise ValueError("bin_width must be positive")
 
@@ -443,7 +451,7 @@ def approx_grouped_quantiles(ds: rd.Dataset, key: str, value_col: str,
 
 def equi_depth_buckets(ds: rd.Dataset, value_col: str, n_buckets: int,
                        out_col: str = "bucket",
-                       num_buckets: int = 64) -> rd.Dataset:
+                       num_buckets: int = 0) -> rd.Dataset:
     """Global equi-depth (quantile) bucketing: rows are labeled 1..n by
     which inter-quantile range their value falls in. Boundaries are the
     discrete q=i/n quantiles (i=1..n−1) computed with the histogram
@@ -453,6 +461,7 @@ def equi_depth_buckets(ds: rd.Dataset, value_col: str, n_buckets: int,
     bucket (SQL mirror: 1 + count of boundaries strictly below the
     value), which also means duplicated boundary values collapse ties
     deterministically rather than splitting them by row order."""
+    num_buckets = resolve_num_buckets(num_buckets)
     import ray
 
     if n_buckets < 2:
@@ -484,7 +493,7 @@ def equi_depth_buckets(ds: rd.Dataset, value_col: str, n_buckets: int,
 def winsorize_by_group(ds: rd.Dataset, key: str, value_col: str,
                        lo: float = 0.05, hi: float = 0.95,
                        out_col: str | None = None,
-                       num_buckets: int = 64,
+                       num_buckets: int = 0,
                        broadcast_threshold: int = 2_000_000) -> rd.Dataset:
     """Per-group winsorization (outlier clipping): values clip to the
     group's [lo, hi] discrete quantiles — the standard robust-cleaning
@@ -492,6 +501,7 @@ def winsorize_by_group(ds: rd.Dataset, key: str, value_col: str,
     exchange produces the per-key bounds (fixed width), the bounds
     attach back via the size-guarded broadcast, and the clip streams.
     SQL mirror: least(greatest(v, q_lo), q_hi) with quantile_disc."""
+    num_buckets = resolve_num_buckets(num_buckets)
     if not (0.0 <= lo <= hi <= 1.0):
         raise ValueError("need 0 <= lo <= hi <= 1")
     out_col = out_col or value_col
@@ -511,7 +521,7 @@ def winsorize_by_group(ds: rd.Dataset, key: str, value_col: str,
 
 def transition_counts(events: rd.Dataset, key: str,
                       order_cols: list[str], state_col: str,
-                      num_buckets: int = 64) -> rd.Dataset:
+                      num_buckets: int = 0) -> rd.Dataset:
     """Markov transition matrix over a keyed event stream: counts of
     consecutive (from_state → to_state) pairs, where "consecutive" is
     per ``key`` in ``order_cols`` order (SQL: ``lead(state) OVER
@@ -523,6 +533,7 @@ def transition_counts(events: rd.Dataset, key: str,
     for string states — unlike the float64 ``lead`` kernel in
     ``ordered_window``); each bucket emits per-pair COUNTS, so the final
     combine moves at most |states|² fixed-width rows per bucket."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .agg import _bucket_of_frame, bucketed_combine
 
     cols = [key] + order_cols + [state_col]
@@ -565,7 +576,7 @@ def transition_counts(events: rd.Dataset, key: str,
 
 def impute_by_group(ds: rd.Dataset, key: str, value_col: str,
                     out_col: str | None = None, scale: float = 100.0,
-                    num_buckets: int = 64,
+                    num_buckets: int = 0,
                     broadcast_threshold: int = 2_000_000) -> rd.Dataset:
     """Null repair: fill ``value_col`` nulls with the per-key mean of the
     non-null values (groups that are all-null stay null) — the
@@ -577,6 +588,7 @@ def impute_by_group(ds: rd.Dataset, key: str, value_col: str,
     Scale shape: fixed-width (Σunits, n_nonnull) partials per key×block →
     one bucketed combine → the tiny per-key mean table broadcasts back
     (hash-join fallback past the threshold); data rows never shuffle."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .agg import bucketed_combine
 
     out_col = out_col or f"{value_col}_imputed"
@@ -637,7 +649,7 @@ def impute_by_group(ds: rd.Dataset, key: str, value_col: str,
 def global_rank(ds: rd.Dataset, order_col: str, id_col: str,
                 descending: bool = False, bin_width: float = 1.0,
                 pct: bool = False, round_to: int = 8,
-                num_buckets: int = 64) -> rd.Dataset:
+                num_buckets: int = 0) -> rd.Dataset:
     """Global dense row numbering WITHOUT a partition key →
     (id_col, order_col, rank [1-based in (order_col, id_col) order],
     and ``pct`` = percent_rank (rank−1)/(n−1) when requested).
@@ -650,6 +662,7 @@ def global_rank(ds: rd.Dataset, order_col: str, id_col: str,
     within-bin (order_col, id_col) sort + position vectorized. Ties are
     broken by ``id_col``, so the rank is a total order (= row_number in
     the SQL mirror)."""
+    num_buckets = resolve_num_buckets(num_buckets)
     import ray
 
     from ..util import cached_get
@@ -706,7 +719,7 @@ def global_rank(ds: rd.Dataset, order_col: str, id_col: str,
 
 def time_weighted_mean(events: rd.Dataset, key: str, ts_col: str,
                        value_col: str, id_col: str,
-                       num_buckets: int = 64,
+                       num_buckets: int = 0,
                        round_to: int = 6) -> rd.Dataset:
     """Step-hold time-weighted average of ``value_col`` per key: each
     observation holds until the next one, TWA = Σ vᵢ·(tᵢ₊₁−tᵢ) /
@@ -718,6 +731,7 @@ def time_weighted_mean(events: rd.Dataset, key: str, ts_col: str,
     shifted-diff in exact integer microseconds; weights are v·Δus in
     float64 (Δus < 2⁵³ exact). → (key, n_obs, span_us, twa)."""
 
+    num_buckets = resolve_num_buckets(num_buckets)
     def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch[[key, ts_col, value_col, id_col]]
         h = pd.util.hash_array(batch[key].to_numpy(), categorize=False)
@@ -759,13 +773,14 @@ def time_weighted_mean(events: rd.Dataset, key: str, ts_col: str,
 
 
 def active_streaks(events: rd.Dataset, key: str, ts_col: str,
-                   num_buckets: int = 64) -> rd.Dataset:
+                   num_buckets: int = 0) -> rd.Dataset:
     """Longest run of consecutive active DAYS per key (gaps-and-islands
     on the day grid): batch-local (key, day) dedup → one hash(key)
     co-location shuffle → per-bucket global dedup + vectorized island
     lengths (day − rank is constant within a run). → (key,
     n_active_days, longest_streak)."""
 
+    num_buckets = resolve_num_buckets(num_buckets)
     def _days(batch: pd.DataFrame) -> pd.DataFrame:
         d = (batch[ts_col].to_numpy().astype("datetime64[D]")
              .astype(np.int64))
@@ -813,7 +828,7 @@ def active_streaks(events: rd.Dataset, key: str, ts_col: str,
 def trailing_ewma(events: rd.Dataset, key: str, order_cols: list[str],
                   value_col: str, alpha: float = 0.5, window: int = 8,
                   out_col: str = "ewma", round_to: int = 6,
-                  num_buckets: int = 64) -> rd.Dataset:
+                  num_buckets: int = 0) -> rd.Dataset:
     """Trailing-window exponential smoothing per key: for each row i (in
     ``order_cols`` order within its key) over the last ``window`` rows,
     ewma_i = Σ_j (1−α)^j·v_{i−j} / Σ_j (1−α)^j  (j = 0..window−1,
@@ -828,6 +843,7 @@ def trailing_ewma(events: rd.Dataset, key: str, order_cols: list[str],
     bucket a whole-bucket stable sort and ``window`` vectorized
     shifted multiply-adds with partition-boundary masks — no per-key
     dispatch, no driver work. Output: input columns + ``out_col``."""
+    num_buckets = resolve_num_buckets(num_buckets)
     if window < 1:
         raise ValueError("window must be >= 1")
     w = (1.0 - alpha) ** np.arange(window, dtype=np.float64)
@@ -905,7 +921,7 @@ def grouped_gini(
     key: str,
     value_col: str,
     round_to: int = 8,
-    num_buckets: int = 64,
+    num_buckets: int = 0,
 ) -> rd.Dataset:
     """Exact per-key Gini coefficient over nonnegative values → one row
     per key: (key, n, gini) with the standard rank formulation over the
@@ -928,6 +944,7 @@ def grouped_gini(
     distinct value — ties make the result order-independent by
     construction. Assumes one key's *histogram* fits a worker."""
 
+    num_buckets = resolve_num_buckets(num_buckets)
     def _combine(batch: pd.DataFrame) -> pd.DataFrame:
         c = (batch[[key, value_col]].dropna(subset=[value_col])
              .groupby([key, value_col], sort=False, observed=True)
@@ -982,7 +999,7 @@ def global_quantile_exact(
     n_bins: int = 4096,
     distinct_budget: int = 65536,
     max_rounds: int = 10,
-    num_buckets: int = 16,
+    num_buckets: int = 0,
 ) -> rd.Dataset:
     """EXACT global quantiles of a double column without a partition
     key and without assuming bounded value cardinality → one row per q:
@@ -1003,6 +1020,7 @@ def global_quantile_exact(
     the exact element by cumulative count. Total cost: ~3-5 streaming
     passes per q at double precision; a driver-side O(bins) cumsum per
     round. The global-sort-free answer to "the p99 of 10^12 rows"."""
+    num_buckets = resolve_num_buckets(num_buckets)
     import math
 
     from .agg import preagg_groupby
@@ -1135,7 +1153,7 @@ def grouped_weighted_median(
     value_col: str,
     weight_col: str,
     out_col: str = "wmedian",
-    num_buckets: int = 64,
+    num_buckets: int = 0,
 ) -> rd.Dataset:
     """Per-key lower weighted median → (key, total_weight, wmedian):
     the smallest value whose cumulative weight (ascending value order)
@@ -1150,6 +1168,7 @@ def grouped_weighted_median(
     co-location shuffle — distinct pairs move, not rows; the finish is
     one vectorized cumulative scan across all keys of a bucket."""
 
+    num_buckets = resolve_num_buckets(num_buckets)
     def _combine(batch: pd.DataFrame) -> pd.DataFrame:
         c = (batch[[key, value_col, weight_col]]
              .dropna(subset=[value_col, weight_col])

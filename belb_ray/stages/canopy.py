@@ -149,9 +149,15 @@ def canopy_blocks(ds: rd.Dataset, id_col: str = "doc_id",
             f"budget max_centers={max_centers}; raise t2_sim (tighter "
             f"suppression) or the budget")
 
-    merged = pa.concat_tables(
-        [t for t in ray.get(local.to_arrow_refs()) if t.num_rows],
-        promote_options="default")
+    parts = [t for t in ray.get(local.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        # empty input (or zero local centers): empty result, not an
+        # ArrowInvalid from pa.concat_tables([])
+        return rd.from_arrow(pa.table({
+            "canopy_id": pa.array([], pa.int64()),
+            "row_id": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64())}))
+    merged = pa.concat_tables(parts, promote_options="default")
     m_ids = merged["row_id"].to_numpy()
     m_x = merged["vec"].combine_chunks().flatten().to_numpy(
         zero_copy_only=False).reshape(len(m_ids), dim)

@@ -126,10 +126,15 @@ def kwik_cluster(pairs: rd.Dataset, id_a: str = "id_a", id_b: str = "id_b",
         edges = semi_join(edges, done_v, key="v", anti=True,
                           broadcast_threshold=broadcast_threshold)
     else:
-        raise ValueError(
-            f"kwik_cluster did not converge in max_rounds={max_rounds} "
-            f"rounds; the active subgraph is pathological for hashed-key "
-            f"peeling — raise max_rounds")
+        # Loop exhausted without hitting the empty-edges break — but the
+        # final permitted round may have assigned every remaining node, so
+        # re-check before declaring non-convergence.
+        edges = edges.materialize()
+        if edges.count() != 0:
+            raise ValueError(
+                f"kwik_cluster did not converge in max_rounds={max_rounds} "
+                f"rounds; the active subgraph is pathological for hashed-key "
+                f"peeling — raise max_rounds")
 
     if not labels:
         return rd.from_arrow(pa.table({

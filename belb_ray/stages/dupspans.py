@@ -76,7 +76,8 @@ def gram_positions(docs: rd.Dataset, k: int, id_col: str = "doc_id",
         rj = np.uint64(1)
         for j in range(k):
             acc += h[j:j + m] * rj
-            rj *= _R
+            # mod-2^64 wrap is the point — keep numpy from warning on it
+            rj = np.multiply(rj, _R, dtype=np.uint64)
 
         starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
         doc_of = np.repeat(np.arange(len(lens)), lens)[:m]

@@ -226,6 +226,10 @@ def blocking_ablation(files: rd.Dataset, gold_pairs: rd.Dataset,
 
         (scheme, n_pairs, gold_covered, gold_recall, unique_gold)
 
+    ``n_pairs`` per scheme is the raw candidate count (the work that
+    scheme generates); on the ``union`` row it is the DISTINCT pair
+    count across schemes (pairs produced by both schemes counted once —
+    the de-duplicated comparison workload of running them together).
     ``gold_recall`` is measured against the gold positive pairs whose
     endpoints survive exact-dup collapse as DISTINCT reps (pairs merged
     by the collapse are blocking-free wins — reported in the
@@ -236,15 +240,18 @@ def blocking_ablation(files: rd.Dataset, gold_pairs: rd.Dataset,
 
     Shape: features once, both key channels reuse the ER pipeline's own
     generators (`explode_band_keys`, `path_neighborhood_keys`) and the
-    skew-capped `candidate_pairs`; candidate counts stay distributed;
-    only COVERED GOLD KEYS (≤ |gold|, budget-guarded) ever reach the
-    driver for the set algebra."""
+    skew-capped `candidate_pairs`; gold ids map to rep space via two
+    distributed hash joins (no driver-side row_id→rep dict); candidate
+    counts and the union-distinct count stay distributed; only PACKED
+    GOLD KEYS (≤ |gold|, budget-guarded) ever reach the driver for the
+    set algebra. Gold ids absent from ``files`` raise a named error."""
     import ray
 
     from ..functions.hashing import combine64
     from ..stages.blocking import (compute_features, explode_band_keys,
                                    path_neighborhood_keys)
     from ..stages.dedup import exact_dedup_annotate
+    from ..stages.joins import hash_partition_join, semi_join
     from ..stages.pairs import candidate_pairs
 
     feats_all = compute_features(files, num_perm=num_perm,
@@ -256,39 +263,81 @@ def blocking_ablation(files: rd.Dataset, gold_pairs: rd.Dataset,
         .drop_columns(["content_sha256", "rep_id"]),
         batch_format="pyarrow").materialize()
 
-    # gold pairs → rep space, packed keys; collapse-merged pairs split off
-    rep_map = fm.select_columns(["row_id", "rep_id"]).to_pandas()
-    rep_of = dict(zip(rep_map.row_id, rep_map.rep_id))
-    if len(rep_of) > max_gold:
+    def _ren(mapping: dict[str, str]):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [mapping.get(c, c) for c in t.column_names])
+        return fn
+
+    # gold pairs → rep space by two distributed joins against the
+    # (row_id, rep_id) map; the driver only ever holds ≤ |gold| packed keys
+    reps = fm.select_columns(["row_id", "rep_id"])
+    gp = gold_pairs
+    if "label" in gold_pairs.schema().names:
+        gp = gp.filter(expr="label == 1")
+    gp = gp.select_columns(["id_a", "id_b"])
+    n_gold_rows = gp.count()
+    if n_gold_rows > max_gold:
         raise ValueError(
-            f"blocking_ablation: {len(rep_of)} rows exceed the driver "
-            f"budget max_gold={max_gold}")
-    g = gold_pairs.to_pandas()
-    if len(g) > max_gold:
+            f"blocking_ablation: {n_gold_rows} gold pairs exceed max_gold")
+    ja = hash_partition_join(
+        gp.map_batches(_ren({"id_a": "row_id"}), batch_format="pyarrow"),
+        reps, "row_id")
+    ja = ja.map_batches(
+        lambda t: t.select(["id_b", "rep_id"]).rename_columns(
+            ["row_id", "rep_a"]), batch_format="pyarrow")
+    jb = hash_partition_join(ja, reps, "row_id").map_batches(
+        lambda t: t.select(["rep_a", "rep_id"]).rename_columns(
+            ["rep_a", "rep_b"]), batch_format="pyarrow")
+
+    def _pack(t: pa.Table) -> pa.Table:
+        ra = t["rep_a"].to_numpy().astype(np.int64)
+        rb = t["rep_b"].to_numpy().astype(np.int64)
+        lo, hi = np.minimum(ra, rb), np.maximum(ra, rb)
+        distinct = lo != hi
+        keys = combine64(lo.astype(np.uint64),
+                         hi.astype(np.uint64)).astype(np.int64)
+        return pa.table({"k": pa.array(keys, pa.int64()),
+                         "distinct": pa.array(distinct)})
+
+    packed = jb.map_batches(_pack, batch_format="pyarrow").to_pandas()
+    if len(packed) != n_gold_rows:
+        # inner join dropped gold ids absent from `files` — name them
+        # loudly instead of surfacing an opaque downstream cast error
+        ids = gp.map_batches(
+            _ren({"id_a": "row_id"}), batch_format="pyarrow"
+        ).select_columns(["row_id"]).union(
+            gp.map_batches(_ren({"id_b": "row_id"}),
+                           batch_format="pyarrow").select_columns(["row_id"]))
+        missing = semi_join(ids, reps, key="row_id", anti=True)
+        sample = sorted({r["row_id"] for r in missing.take(20)})
         raise ValueError(
-            f"blocking_ablation: {len(g)} gold pairs exceed max_gold")
-    g = g[g.get("label", 1) == 1] if "label" in g.columns else g
-    ra = g["id_a"].map(rep_of).to_numpy(np.int64)
-    rb = g["id_b"].map(rep_of).to_numpy(np.int64)
-    lo, hi = np.minimum(ra, rb), np.maximum(ra, rb)
-    distinct = lo != hi
+            f"blocking_ablation: gold pairs reference ids absent from the "
+            f"files dataset ({n_gold_rows - len(packed)} pair endpoints "
+            f"unmatched); e.g. row_ids {sample}")
+    distinct = packed["distinct"].to_numpy()
     n_collapsed = int((~distinct).sum())
-    gold_keys = np.unique(
-        combine64(lo[distinct].astype(np.uint64),
-                  hi[distinct].astype(np.uint64)).astype(np.int64))
+    gold_keys = np.unique(packed["k"].to_numpy()[distinct])
     n_gold = len(gold_keys)
     gref = ray.put(gold_keys)
 
-    def _scheme(blocks: rd.Dataset) -> tuple[int, np.ndarray]:
+    def _pair_keys(blocks: rd.Dataset) -> rd.Dataset:
         pairs = candidate_pairs(blocks, max_block=max_block, window=16)
 
+        def _k(batch: pa.Table) -> pa.Table:
+            a = batch["id_a"].to_numpy().astype(np.uint64)
+            b = batch["id_b"].to_numpy().astype(np.uint64)
+            return pa.table(
+                {"k": pa.array(combine64(a, b).astype(np.int64))})
+
+        return pairs.map_batches(_k, batch_format="pyarrow").materialize()
+
+    def _scheme(kd: rd.Dataset) -> tuple[int, np.ndarray]:
         def _mark(batch: pa.Table) -> pa.Table:
             from ..util import cached_get
 
             gk = cached_get(gref)
-            a = batch["id_a"].to_numpy().astype(np.uint64)
-            b = batch["id_b"].to_numpy().astype(np.uint64)
-            keys = combine64(a, b).astype(np.int64)
+            keys = batch["k"].to_numpy()
             if len(gk) == 0:
                 hit = np.zeros(len(keys), bool)
             else:
@@ -303,19 +352,34 @@ def blocking_ablation(files: rd.Dataset, gold_pairs: rd.Dataset,
                     pa.list_(pa.int64())),
             })
 
-        parts = pairs.map_batches(_mark, batch_format="pyarrow",
-                                  batch_size=65536).to_pandas()
+        parts = kd.map_batches(_mark, batch_format="pyarrow",
+                               batch_size=65536).to_pandas()
         n_pairs = int(parts["n"].sum()) if len(parts) else 0
         cov = (np.unique(np.concatenate(
             [np.asarray(v, np.int64) for v in parts["covered"]]))
             if len(parts) else np.empty(0, np.int64))
         return n_pairs, cov
 
-    schemes = {
-        "minhash_bands": explode_band_keys(feats, bands=bands),
-        "path_snm": path_neighborhood_keys(feats, width=snm_width),
+    keysets = {
+        "minhash_bands": _pair_keys(explode_band_keys(feats, bands=bands)),
+        "path_snm": _pair_keys(path_neighborhood_keys(feats,
+                                                      width=snm_width)),
     }
-    results = {name: _scheme(blocks) for name, blocks in schemes.items()}
+    results = {name: _scheme(kd) for name, kd in keysets.items()}
+
+    # distinct union pair count — distributed (batch-local dedup, then
+    # bucketed global dedup+count; no key ever reaches the driver)
+    kds = list(keysets.values())
+    union_kd = kds[0]
+    for more in kds[1:]:
+        union_kd = union_kd.union(more)
+    from ..stages.agg import count_distinct
+    cd = count_distinct(
+        union_kd.map_batches(
+            lambda t: t.append_column("__g", pa.array(
+                np.zeros(t.num_rows, np.int64))), batch_format="pyarrow"),
+        ["__g"], "k", "n_distinct").to_pandas()
+    union_pairs = int(cd["n_distinct"].iloc[0]) if len(cd) else 0
 
     union_cov = (np.unique(np.concatenate(
         [cov for _, cov in results.values()]))
@@ -328,7 +392,7 @@ def blocking_ablation(files: rd.Dataset, gold_pairs: rd.Dataset,
         uniq = np.setdiff1d(cov, others).size
         rows.append((name, n_pairs, len(cov),
                      round(len(cov) / n_gold, 6) if n_gold else 0.0, uniq))
-    rows.append(("union", sum(r[1] for r in rows), len(union_cov),
+    rows.append(("union", union_pairs, len(union_cov),
                  round(len(union_cov) / n_gold, 6) if n_gold else 0.0, 0))
     rows.append(("collapse", 0, n_collapsed, 0.0, n_collapsed))
     rows.sort()

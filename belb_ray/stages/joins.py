@@ -27,6 +27,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..util import resolve_num_buckets
+
 from belb_ray.functions.arrow import table_from_pandas
 
 
@@ -130,13 +132,14 @@ def broadcast_semi_join(ds: rd.Dataset, keys_values, key: str, anti: bool = Fals
 
 def semi_join(ds: rd.Dataset, keys_side: rd.Dataset, key: str,
               anti: bool = False, broadcast_threshold: int = 5_000_000,
-              num_buckets: int = 64) -> rd.Dataset:
+              num_buckets: int = 0) -> rd.Dataset:
     """Size-guarded semi/anti join against another Dataset's key column.
 
     Small key side (≤ broadcast_threshold distinct-ish rows) → broadcast
     membership set, zero shuffles. Larger → shuffle semi-join: both sides
     bucket on hash(key), each bucket resolves membership vectorized.
     Same results either way; the guard picks the shape."""
+    num_buckets = resolve_num_buckets(num_buckets)
     keys_only = keys_side.select_columns([key])
     n = keys_only.count()
     if n == 0:
@@ -210,7 +213,7 @@ def hash_partition_join(
     left: rd.Dataset,
     right: rd.Dataset,
     key: str,
-    num_buckets: int = 32,
+    num_buckets: int = 0,
     join_type: str = "inner",
     right_suffix: str = "_r",
     strategy: str = "manual",
@@ -232,6 +235,7 @@ def hash_partition_join(
     ``strategy="native"`` for Ray's hash-shuffle operator (both sides
     hash-partition, per-partition joins in aggregator actors — no sort),
     which may win on real multi-node clusters with reused actor pools."""
+    num_buckets = resolve_num_buckets(num_buckets)
     if strategy == "native":
         native_type = _NATIVE_JOIN_TYPE.get(join_type)
         if native_type is not None:
@@ -255,7 +259,7 @@ def _manual_partition_join(
     left: rd.Dataset,
     right: rd.Dataset,
     key: str,
-    num_buckets: int = 32,
+    num_buckets: int = 0,
     join_type: str = "inner",
     right_suffix: str = "_r",
     left_types: dict[str, pa.DataType] | None = None,
@@ -263,6 +267,7 @@ def _manual_partition_join(
     """Explicit partitioned hash join: bucket column on both sides,
     aligned schemas with a side tag, one ``groupby(bucket)``,
     ``pyarrow.Table.join`` per bucket."""
+    num_buckets = resolve_num_buckets(num_buckets)
     def _arrow_type(t) -> pa.DataType:
         # pandas-block datasets report numpy dtypes / Python classes in
         # Schema.types; pa.nulls needs a real Arrow DataType
@@ -411,7 +416,7 @@ def build_bloom_filter(keys_side: rd.Dataset, key: str,
 def bloom_semi_join(ds: rd.Dataset, keys_side: rd.Dataset, key: str,
                     anti: bool = False, m_bits: int | None = None,
                     k: int = 7, broadcast_threshold: int = 5_000_000,
-                    num_buckets: int = 64) -> rd.Dataset:
+                    num_buckets: int = 0) -> rd.Dataset:
     """EXACT semi/anti join for two LARGE sides with a Bloom pre-filter:
     the key side compresses to an m-bit bitmap (fixed size, built
     distributed, broadcast once), the probe side drops definite
@@ -423,6 +428,7 @@ def bloom_semi_join(ds: rd.Dataset, keys_side: rd.Dataset, key: str,
     sliver is exactly anti-checked. Unlike ``semi_join``'s broadcast
     path this never collects key VALUES anywhere — the bitmap is the
     only global state, sized by FPR not cardinality."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from ..util import cached_get
 
     ref, m_bits, k = build_bloom_filter(keys_side, key, m_bits, k)
@@ -485,7 +491,7 @@ def salted_hash_join(
     key: str,
     n_salt: int = 8,
     phi: float = 0.001,
-    num_buckets: int = 32,
+    num_buckets: int = 0,
     right_suffix: str = "_r",
 ) -> rd.Dataset:
     """Skew-aware large×large inner equality join — EXACTLY the
@@ -506,6 +512,7 @@ def salted_hash_join(
     sets are disjoint, and salting partitions hot-left rows while
     replication keeps every right match reachable. Integer keys only
     (packing); |key| must stay < 2^62 / n_salt."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .sketch import heavy_hitters
 
     from ..util import cached_get

@@ -78,23 +78,12 @@ def pairs_from_blocks(keys: np.ndarray, ids: np.ndarray,
 
 
 def _default_shuffle_partitions() -> int:
-    """Partition count for the pair-generation shuffles.
+    """Partition count for the pair-generation shuffles — now the
+    engine-wide helper (`util.default_shuffle_partitions`); kept as an
+    alias so round-3 callers/docs keep working."""
+    from ..util import default_shuffle_partitions
 
-    Ray's sort shuffle creates (map partitions × reduce partitions)
-    intermediate objects; when the band-key explosion upstream emits many
-    narrow blocks (512 at 2M input rows), 512×512 ≈ 262k objects of
-    ~3.5 KB each and per-object overhead caps the stage at ~30 MB/s
-    regardless of CPU count (round-3 2M campaign, BASELINE.md). Coalescing
-    to ~4 partitions per CPU drops pair-gen 50 s → 22 s at 16 CPUs while
-    keeping every core busy; the count scales with the cluster, not the
-    input block count, which is the right shape at 100 TB too."""
-    try:
-        import ray
-
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    return max(4 * cpus, 16)
+    return default_shuffle_partitions()
 
 
 def candidate_pairs(

@@ -477,11 +477,14 @@ def containment_topk(ds: rd.Dataset, query_ids: list, k: int = 3,
     (inter desc, doc_id).
 
     Shape: the probe side is by definition driver-small — its shingle
-    sets are hashed (64-bit, fixed-key) and broadcast once via ray.put;
-    the corpus streams in one map_batches pass (per-doc distinct shingle
-    hashes probed with np.isin against the flattened query matrix,
-    intersection counts via reduceat — no pairwise text compare, no
-    shuffle of the corpus); the global top-k finish is the per-key
+    sets are hashed (64-bit, fixed-key), flattened into ONE sorted array
+    (plus a parallel query-segment array) and broadcast once via
+    ray.put; the corpus streams in one map_batches pass: per doc, a
+    single ``np.searchsorted`` left/right pair against the flattened
+    array finds every (doc-shingle, query) co-occurrence at once and a
+    ``bincount`` over the segment ids yields all per-query intersection
+    counts — no per-(doc, query) Python loop, no pairwise text compare,
+    no shuffle of the corpus. The global top-k finish is the per-key
     combiner (grouped_topk), so at most k rows per query per block move."""
     from .agg import grouped_topk
     from .curation import GRAM_WORD_RE
@@ -503,27 +506,44 @@ def containment_topk(ds: rd.Dataset, query_ids: list, k: int = 3,
     qids = probe[id_col].to_numpy()
     qhashes = [_shingles(t) for t in probe[text_col]]
     qsizes = np.array([len(h) for h in qhashes], np.float64)
-    ref = ray.put((qids, qhashes, qsizes))
+    # flatten: one sorted hash array over ALL queries + the query index
+    # of every occurrence (a hash shared by several queries appears once
+    # per query, so one searchsorted range covers every owner)
+    flat = (np.concatenate(qhashes) if qhashes
+            else np.empty(0, np.uint64))
+    seg = np.repeat(np.arange(len(qids), dtype=np.int64),
+                    [len(h) for h in qhashes]) \
+        if qhashes else np.empty(0, np.int64)
+    order = np.argsort(flat, kind="stable")
+    flat, seg = flat[order], seg[order]
+    ref = ray.put((qids, flat, seg, qsizes))
 
     def _probe(batch: pd.DataFrame) -> pd.DataFrame:
         from ..util import cached_get
 
-        qids, qhashes, qsizes = cached_get(ref)
+        qids, flat, seg, qsizes = cached_get(ref)
+        nq = len(qids)
         out_q, out_d, out_i, out_c = [], [], [], []
         for did, t in zip(batch[id_col], batch[text_col]):
             h = _shingles(t)
-            if not len(h):
+            if not len(h) or not len(flat):
                 continue
-            for qi in range(len(qids)):
-                if qids[qi] == did:
-                    continue
-                inter = int(np.isin(qhashes[qi], h,
-                                    assume_unique=True).sum())
-                if inter > 0:
-                    out_q.append(qids[qi])
-                    out_d.append(did)
-                    out_i.append(inter)
-                    out_c.append(round(inter / qsizes[qi], 6))
+            lo = np.searchsorted(flat, h, side="left")
+            hi = np.searchsorted(flat, h, side="right")
+            cnt = hi - lo
+            total = int(cnt.sum())
+            if total == 0:
+                continue
+            # positions of every matched occurrence, vectorized
+            starts = np.repeat(lo, cnt)
+            inner = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt,
+                                                 cnt)
+            inter = np.bincount(seg[starts + inner], minlength=nq)
+            qi = np.flatnonzero((inter > 0) & (qids != did))
+            out_q.extend(qids[qi])
+            out_d.extend([did] * len(qi))
+            out_i.extend(inter[qi])
+            out_c.extend(np.round(inter[qi] / qsizes[qi], 6))
         id_dt = batch[id_col].dtype if len(batch) else np.int64
         return pd.DataFrame({
             "qid": np.asarray(out_q, id_dt),

@@ -25,6 +25,8 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
+from ..util import resolve_num_buckets
+
 from .agg import AggSpec, preagg_groupby
 
 _FREQ = {"1h": "h", "1d": "D", "1min": "min", "15min": "15min"}
@@ -93,7 +95,7 @@ def session_windows(
     ts_col: str,
     key: str,
     gap: str,
-    num_buckets: int = 64,
+    num_buckets: int = 0,
     max_bucket_rows: int | None = 8_000_000,
 ) -> rd.Dataset:
     """→ (key, session_id, session_start, session_end, n_events): events
@@ -104,6 +106,7 @@ def session_windows(
     A bucket larger than ``max_bucket_rows`` fails LOUDLY naming the
     hottest key (instead of a silent worker OOM) — raise num_buckets,
     pre-salt the pathological key, or raise the budget."""
+    num_buckets = resolve_num_buckets(num_buckets)
     gap_td = pd.Timedelta(gap)
 
     def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:

@@ -26,3 +26,31 @@ def cached_get(ref):
     return _OBJ_CACHE[key]
 
 
+def default_shuffle_partitions() -> int:
+    """Cluster-scaled shuffle partition count: ~4 per CPU, floor 16.
+
+    Ray's sort shuffle creates (map partitions × reduce partitions)
+    intermediate objects; a fixed bucket count either starves a big
+    cluster (too few reducers) or drowns a small one in tiny objects
+    (round-3 2M campaign: 512×512 ≈ 262k ~3.5 KB objects capped pair-gen
+    at ~30 MB/s regardless of CPUs — BASELINE.md). Scaling with the
+    cluster, not the input block count, is the right shape at 100 TB:
+    a 4N-node cluster automatically runs 4N-sized bucket counts."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(4 * cpus, 16)
+
+
+def resolve_num_buckets(num_buckets: int) -> int:
+    """``num_buckets <= 0`` means "auto" → `default_shuffle_partitions`.
+    Stages whose routing-only shuffles default to 0 resolve here, so one
+    helper governs bucket counts across the engine (explicit positive
+    values always win — semantic bucketing like canopy's local-greedy
+    partitions keeps its fixed counts)."""
+    return num_buckets if num_buckets > 0 else default_shuffle_partitions()
+
+

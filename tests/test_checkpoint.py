@@ -146,3 +146,45 @@ def test_seeded_upsample_chunks_exact_stdlib_shuffle():
         sg = got[got["doc"] == gval]
         assert dict(zip(sg["ann"], sg["chunk_idx"])) == want
         assert sg["chunk_idx"].value_counts().max() <= 20
+
+
+def test_er_checkpoint_resume_after_partial_crash(tmp_path):
+    """Kill-mid-`edges` contract at multi-shard state (VERDICT r3 #7):
+    a run that died while writing edge shards leaves `edges.tmp` holding
+    a SUBSET of real data shards and no manifest; the resume must
+    discard the partial state, recompute, and emit byte-identical
+    clusters. The partial tmp here is built from a genuine prior run's
+    shards (half of them), so the discarded state is exactly what a
+    SIGKILL mid-write leaves behind."""
+    import shutil
+
+    from belb_ray.pipelines.checkpoint import read_manifest
+    from belb_ray.pipelines.er import ERConfig, resolve_files
+    from belb_ray.sources.synthetic import make_fixture
+
+    fx = make_fixture(n_files=3000, seed=13)
+    cfg = ERConfig(input_blocks=8)
+    files = rd.from_arrow(fx["files"])
+
+    # clean baseline run (its edge shards seed the crash state)
+    ck1 = str(tmp_path / "ck_clean")
+    out1 = resolve_files(files, cfg, checkpoint_dir=ck1)
+    c1 = out1["clusters"].to_pandas().sort_values("row_id").reset_index(drop=True)
+    shard_dir = os.path.join(ck1, "edges", "data")
+    shards = sorted(os.listdir(shard_dir))
+    assert len(shards) >= 2, "need a multi-shard edge state for this test"
+
+    # crashed state: edges.tmp with HALF the real shards, no manifest
+    ck2 = str(tmp_path / "ck_crashed")
+    partial = os.path.join(ck2, "edges.tmp", "data")
+    os.makedirs(partial)
+    for s in shards[: max(1, len(shards) // 2)]:
+        shutil.copy(os.path.join(shard_dir, s), os.path.join(partial, s))
+
+    out2 = resolve_files(files, cfg, checkpoint_dir=ck2)
+    c2 = out2["clusters"].to_pandas().sort_values("row_id").reset_index(drop=True)
+    assert c1.equals(c2)
+    man = read_manifest(os.path.join(ck2, "edges"))
+    assert man is not None and man["config_hash"] == \
+        read_manifest(os.path.join(ck1, "edges"))["config_hash"]
+    assert not os.path.exists(os.path.join(ck2, "edges.tmp"))

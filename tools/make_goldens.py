@@ -871,7 +871,10 @@ def golden_blocking_ablation(sf: float, bands: int = 32, num_perm: int = 128,
         rows.append((name, len(p), len(cov[name]),
                      round(len(cov[name]) / n_gold, 6) if n_gold else 0.0,
                      len(cov[name] - others)))
-    rows.append(("union", sum(r[1] for r in rows), len(union_cov),
+    # union n_pairs = DISTINCT pairs across schemes (pairs found by both
+    # schemes counted once), matching blocking_ablation's r4 semantics
+    union_pairs = set().union(*res.values())
+    rows.append(("union", len(union_pairs), len(union_cov),
                  round(len(union_cov) / n_gold, 6) if n_gold else 0.0, 0))
     rows.append(("collapse", 0, n_collapsed, 0.0, n_collapsed))
     rows.sort()

@@ -18,12 +18,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--rows", type=int, default=500_000)
+    ap.add_argument("--object-store-gb", type=float, default=0,
+                    help="cap the object store (GiB) to exercise spilling")
     args = ap.parse_args()
 
     import ray
 
+    init_kw = {}
+    if args.object_store_gb:
+        init_kw["object_store_memory"] = int(args.object_store_gb * 2**30)
     ray.init(address="local", num_cpus=args.cpus, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR", **init_kw)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -46,6 +51,7 @@ def main() -> None:
         os.rename(path + ".tmp", path)
 
     from belb_ray.pipelines.er import ERConfig
+    from belb_ray.util import resolve_num_buckets
     from belb_ray.stages.blocking import (compute_features, explode_band_keys,
                                           path_neighborhood_keys)
     from belb_ray.stages.cluster import (_contract_block, assign_clusters,
@@ -86,7 +92,7 @@ def main() -> None:
     t["pairs"] = time.time() - t0
 
     t0 = time.time()
-    pf = attach_features(pairs, features, num_buckets=cfg.join_buckets)
+    pf = attach_features(pairs, features, num_buckets=resolve_num_buckets(cfg.join_buckets))
     edges = score_pairs(pf, threshold=cfg.threshold, w_jacc=cfg.w_jacc,
                         w_jw=cfg.w_jw, w_tok=cfg.w_tok)
     contracted = edges.map_batches(_contract_block,
@@ -96,13 +102,27 @@ def main() -> None:
     t0 = time.time()
     labels = connected_components(contracted.map_batches(lambda x: x,
                                                          batch_format="pyarrow"))
-    clusters = assign_clusters(members, labels, num_buckets=cfg.join_buckets)
+    clusters = assign_clusters(members, labels, num_buckets=resolve_num_buckets(cfg.join_buckets))
     n = clusters.count()
     t["cc_assign"] = time.time() - t0
 
     total = time.time() - t_all0
+    spill = {"spilled_mib": 0, "spilled_objects": 0}
+    try:
+        import re as _re
+
+        from ray._private.internal_api import memory_summary
+        ms = memory_summary(stats_only=True)
+        m = _re.search(r"Spilled (\d+) MiB, (\d+) objects", ms)
+        if m:
+            spill = {"spilled_mib": int(m.group(1)),
+                     "spilled_objects": int(m.group(2))}
+    except Exception:
+        pass
     print(json.dumps({"cpus": args.cpus, "rows": args.rows, "n_out": n,
                       "total": round(total, 2),
+                      "object_store_gb": args.object_store_gb or None,
+                      **spill,
                       **{k: round(v, 2) for k, v in t.items()}}))
     ray.shutdown()
 

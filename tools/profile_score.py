@@ -43,6 +43,7 @@ def main() -> None:
     import ray.data as rd
 
     from belb_ray.pipelines.er import ERConfig
+    from belb_ray.util import resolve_num_buckets
     from belb_ray.stages.cluster import _contract_block
     from belb_ray.stages.scoring import attach_features, score_pairs
 
@@ -84,7 +85,7 @@ def main() -> None:
     features = rd.read_parquet(f"{base}/features").materialize()
     pairs = rd.read_parquet(f"{base}/pairs").materialize()
 
-    kw: dict = {"num_buckets": cfg.join_buckets}
+    kw: dict = {"num_buckets": resolve_num_buckets(cfg.join_buckets)}
     if args.mode == "broadcast":
         kw["broadcast_threshold"] = 1 << 60
         kw["broadcast_bytes"] = 1 << 60

@@ -33,6 +33,7 @@ def main() -> None:
     import pyarrow.compute as pc
 
     from belb_ray.pipelines.er import ERConfig
+    from belb_ray.util import resolve_num_buckets
     from belb_ray.sources.readers import read_parquet_clean
     from belb_ray.stages.blocking import (compute_features, explode_band_keys,
                                           path_neighborhood_keys)
@@ -77,7 +78,7 @@ def main() -> None:
 
     # ---- score, sub-steps
     t0 = time.time()
-    pf = attach_features(pairs, features, num_buckets=cfg.join_buckets)
+    pf = attach_features(pairs, features, num_buckets=resolve_num_buckets(cfg.join_buckets))
     edges = score_pairs(pf, threshold=cfg.threshold, w_jacc=cfg.w_jacc,
                         w_jw=cfg.w_jw, w_tok=cfg.w_tok)
     contracted = edges.map_batches(_contract_block,
