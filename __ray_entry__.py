@@ -1013,6 +1013,30 @@ def q_cluster_quality(sf_dir: str) -> rd.Dataset:
         "bcubed_precision", "bcubed_recall", "bcubed_f1")})
 
 
+def q_clustering_diff(sf_dir: str) -> rd.Dataset:
+    """Split/merge audit + Adjusted Rand Index between two clusterings
+    (stages/ereval.clustering_diff, Hubert & Arabie 1985): clustering A
+    = exact-text groups, clustering B = 40-char-prefix groups over
+    documents — the blocking-key-sensitivity change report an ER re-run
+    emits. Labels are 64-bit text hashes on the Ray side (the metrics
+    are label-invariant; at 100 TB the wide text column never enters the
+    shuffle), raw strings in the SQL oracle."""
+    from belb_ray.stages.ereval import clustering_diff
+
+    docs = _t(sf_dir, "documents", columns=["text"])
+
+    def _lab(b: pd.DataFrame) -> pd.DataFrame:
+        txt = np.asarray(b["text"], object)
+        pre = np.asarray([t[:40] for t in b["text"]], object)
+        return pd.DataFrame({
+            "a": pd.util.hash_array(txt, categorize=False).view(np.int64),
+            "b": pd.util.hash_array(pre, categorize=False).view(np.int64)})
+
+    out = clustering_diff(docs.map_batches(_lab, batch_format="pandas"),
+                          "a", "b")
+    return _round_cols(out, {"ari": 6})
+
+
 def q_substring_dup_stats(sf_dir: str) -> rd.Dataset:
     """Exact substring duplication stats (stages/gramdedup.
     cross_doc_gram_stats): per-doc counts of 8-token windows that occur
@@ -4933,6 +4957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_rerank": q_bm25_rerank,
         "golden_records": q_golden_records,
         "cluster_quality": q_cluster_quality,
+        "clustering_diff": q_clustering_diff,
         "substring_dup_stats": q_substring_dup_stats,
         "waterfall_match": q_waterfall_match,
         "id_crosswalk": q_id_crosswalk,
@@ -8014,6 +8039,36 @@ def oracle_sql() -> dict[str, str]:
                    stm.v AS o_orderstatus, ex.o_totalprice, ex.o_orderdate
             FROM ex JOIN prm USING (o_custkey) JOIN stm USING (o_custkey)
             ORDER BY ex.o_custkey
+        """,
+        "clustering_diff": """
+            WITH t AS (
+              SELECT text AS a, substr(text, 1, 40) AS b FROM documents
+            ), cells AS (
+              SELECT a, b, count(*) * 1.0 AS n FROM t GROUP BY 1, 2
+            ), ma AS (
+              SELECT a, sum(n) AS na, count(*) AS dega FROM cells GROUP BY 1
+            ), mb AS (
+              SELECT b, sum(n) AS nb, count(*) AS degb FROM cells GROUP BY 1
+            ), s AS (
+              SELECT (SELECT sum(n) FROM cells) AS n_rows,
+                     (SELECT sum(n * (n - 1) / 2.0) FROM cells) AS pab,
+                     (SELECT sum(na * (na - 1) / 2.0) FROM ma) AS pa,
+                     (SELECT count(*) FROM ma) AS nca,
+                     (SELECT count(*) FROM ma WHERE dega > 1) AS splits,
+                     (SELECT sum(nb * (nb - 1) / 2.0) FROM mb) AS pb,
+                     (SELECT count(*) FROM mb) AS ncb,
+                     (SELECT count(*) FROM mb WHERE degb > 1) AS merges
+            )
+            SELECT CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(nca AS BIGINT) AS n_clusters_a,
+                   CAST(ncb AS BIGINT) AS n_clusters_b,
+                   CAST(splits AS BIGINT) AS split_clusters,
+                   CAST(merges AS BIGINT) AS merge_clusters,
+                   round((pab - pa * pb / (n_rows * (n_rows - 1) / 2.0))
+                         / ((pa + pb) / 2.0
+                            - pa * pb / (n_rows * (n_rows - 1) / 2.0)),
+                         6) AS ari
+            FROM s
         """,
         "cluster_quality": """
             WITH base AS (

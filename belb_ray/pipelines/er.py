@@ -30,7 +30,7 @@ from ..stages.blocking import MinHashBlocker, explode_band_keys, path_neighborho
 from ..stages.cluster import assign_clusters, connected_components
 from ..stages.dedup import ensure_identity_columns, exact_dedup_annotate
 from ..stages.pairs import candidate_pairs
-from ..stages.scoring import attach_features, score_pairs
+from ..stages.scoring import attach_features, score_pairs, score_table
 
 
 @dataclass(frozen=True)
@@ -107,10 +107,13 @@ def resolve_files(
         pairs = candidate_pairs(blocks, max_block=cfg.max_block, window=cfg.window)
         # pure-content configs (w_jw = w_tok = 0, e.g. MinHash doc dedup)
         # never broadcast or gather the path column
-        pf = attach_features(pairs, features, num_buckets=resolve_num_buckets(cfg.join_buckets),
-                             need_paths=cfg.w_jw > 0 or cfg.w_tok > 0)
-        return score_pairs(pf, threshold=cfg.threshold, w_jacc=cfg.w_jacc,
-                           w_jw=cfg.w_jw, w_tok=cfg.w_tok)
+        # scorer fused into the attach: on the join fallback the wide
+        # (pair x 2-signature) blocks never leave the bucket task
+        return attach_features(
+            pairs, features, num_buckets=resolve_num_buckets(cfg.join_buckets),
+            need_paths=cfg.w_jw > 0 or cfg.w_tok > 0,
+            scorer=lambda t: score_table(t, cfg.threshold, cfg.w_jacc,
+                                         cfg.w_jw, cfg.w_tok))
 
     if checkpoint_dir is not None:
         edges = checkpoint_stage(_build_edges, f"{checkpoint_dir}/edges",
@@ -195,7 +198,7 @@ def resolve_increment(
     from ..sources.readers import read_parquet_clean
     from ..stages.analytic import _attach_small
     from ..stages.blocking import compute_features
-    from ..stages.scoring import attach_features, score_pairs
+    from ..stages.scoring import attach_features, score_pairs, score_table
 
     files = ensure_identity_columns(new_files)
     if cfg.input_blocks:
@@ -277,16 +280,14 @@ def resolve_increment(
     nn_pairs = pairs.filter(expr="is_cross == 0").drop_columns(["is_cross"])
 
     all_feats = feats_new.union(feats_old)
-    cross_edges = score_pairs(
-        attach_features(cross_pairs, all_feats, num_buckets=resolve_num_buckets(cfg.join_buckets),
-                        need_paths=need_paths),
-        threshold=cfg.threshold, w_jacc=cfg.w_jacc, w_jw=cfg.w_jw,
-        w_tok=cfg.w_tok)
-    nn_edges = score_pairs(
-        attach_features(nn_pairs, feats_new, num_buckets=resolve_num_buckets(cfg.join_buckets),
-                        need_paths=need_paths),
-        threshold=cfg.threshold, w_jacc=cfg.w_jacc, w_jw=cfg.w_jw,
-        w_tok=cfg.w_tok)
+    _scorer = lambda t: score_table(t, cfg.threshold, cfg.w_jacc,
+                                    cfg.w_jw, cfg.w_tok)
+    cross_edges = attach_features(
+        cross_pairs, all_feats, num_buckets=resolve_num_buckets(cfg.join_buckets),
+        need_paths=need_paths, scorer=_scorer)
+    nn_edges = attach_features(
+        nn_pairs, feats_new, num_buckets=resolve_num_buckets(cfg.join_buckets),
+        need_paths=need_paths, scorer=_scorer)
 
     # components among the new reps, then per-component inheritance
     labels = connected_components(nn_edges, num_buckets=resolve_num_buckets(cfg.join_buckets))

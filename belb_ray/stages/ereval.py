@@ -31,6 +31,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from belb_ray.stages.agg import preagg_groupby
+from belb_ray.util import resolve_num_buckets
 
 
 def cluster_quality(ds: rd.Dataset, pred_col: str, gold_col: str,
@@ -403,3 +404,82 @@ def blocking_ablation(files: rd.Dataset, gold_pairs: rd.Dataset,
         "gold_recall": pa.array([r[3] for r in rows], pa.float64()),
         "unique_gold": pa.array([r[4] for r in rows], pa.int64()),
     }))
+
+
+def clustering_diff(ds: rd.Dataset, a_col: str, b_col: str,
+                    num_buckets: int = 0) -> rd.Dataset:
+    """Split/merge audit + Adjusted Rand Index between two clusterings
+    of the SAME rows (Hubert & Arabie 1985) — the change-control report
+    an ER re-run needs: treating ``a_col`` as the old labels and
+    ``b_col`` as the new, one row out:
+
+        (n_rows, n_clusters_a, n_clusters_b,
+         split_clusters,   # a-clusters scattered over >1 b-cluster
+         merge_clusters,   # b-clusters absorbing >1 a-cluster
+         ari)              # chance-adjusted pair agreement in [-1, 1]
+
+    Everything reduces to the contingency cells n_ab = |a ∧ b| and their
+    marginals, exactly like `cluster_quality`: ONE combiner aggregation
+    over the rows builds the cells; marginals + degree counts are tiny
+    aggregations OVER THE CELLS; the driver sees only scalar partials.
+    ARI = (Σ C(n_ab,2) − A·B/C(N,2)) / ((A+B)/2 − A·B/C(N,2)) with
+    A = Σ C(n_a,2), B = Σ C(n_b,2)."""
+    num_buckets = resolve_num_buckets(num_buckets)
+    cells = preagg_groupby(ds, [a_col, b_col],
+                           [("count", a_col, "n_ab")],
+                           num_buckets=num_buckets).materialize()
+    # marginal size + cell-degree per side (degree = #cells the cluster
+    # spans on the other side; >1 ⇒ split/merge)
+    m_a = preagg_groupby(cells, [a_col],
+                         [("sum", "n_ab", "n_a"),
+                          ("count", "n_ab", "deg_a")],
+                         num_buckets=num_buckets)
+    m_b = preagg_groupby(cells, [b_col],
+                         [("sum", "n_ab", "n_b"),
+                          ("count", "n_ab", "deg_b")],
+                         num_buckets=num_buckets)
+
+    def _c2(x: np.ndarray) -> float:
+        return float((x * (x - 1) / 2).sum())
+
+    cols = ["n_rows", "pairs_ab", "pairs_a", "pairs_b",
+            "n_a", "n_b", "splits", "merges"]
+
+    def _part(vals: dict) -> pd.DataFrame:
+        return pd.DataFrame({c: [vals.get(c, 0.0)] for c in cols})
+
+    def _cell_part(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n_ab"].to_numpy(np.float64)
+        return _part({"n_rows": float(n.sum()), "pairs_ab": _c2(n)})
+
+    def _a_part(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n_a"].to_numpy(np.float64)
+        return _part({"pairs_a": _c2(n), "n_a": float(len(b)),
+                      "splits": float((b["deg_a"].to_numpy() > 1).sum())})
+
+    def _b_part(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n_b"].to_numpy(np.float64)
+        return _part({"pairs_b": _c2(n), "n_b": float(len(b)),
+                      "merges": float((b["deg_b"].to_numpy() > 1).sum())})
+
+    parts = (cells.map_batches(_cell_part, batch_format="pandas")
+             .union(m_a.map_batches(_a_part, batch_format="pandas"))
+             .union(m_b.map_batches(_b_part, batch_format="pandas")))
+
+    def _finish(b: pd.DataFrame) -> pd.DataFrame:
+        s = {c: float(b[c].sum()) for c in cols}
+        n = s["n_rows"]
+        tot = n * (n - 1) / 2
+        exp = s["pairs_a"] * s["pairs_b"] / tot if tot else 0.0
+        mx = (s["pairs_a"] + s["pairs_b"]) / 2
+        ari = ((s["pairs_ab"] - exp) / (mx - exp)
+               if mx != exp else 1.0)
+        return pd.DataFrame({
+            "n_rows": [int(n)],
+            "n_clusters_a": [int(s["n_a"])],
+            "n_clusters_b": [int(s["n_b"])],
+            "split_clusters": [int(s["splits"])],
+            "merge_clusters": [int(s["merges"])],
+            "ari": [ari]})
+
+    return parts.repartition(1).map_batches(_finish, batch_format="pandas")

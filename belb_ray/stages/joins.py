@@ -218,8 +218,13 @@ def hash_partition_join(
     right_suffix: str = "_r",
     strategy: str = "manual",
     left_types: dict[str, pa.DataType] | None = None,
+    post_fn=None,
 ) -> rd.Dataset:
     """Partitioned hash join of two large Datasets on ``key``.
+
+    ``post_fn`` (Table → Table) is fused into each bucket task on the
+    manual path (see `_manual_partition_join`); on the native path it
+    runs as a following map_batches (Ray fuses Map onto the join op).
 
     ``left_types`` (ordered {column: Arrow type}) lets a caller that
     statically knows the left schema skip block-peek inference — the
@@ -246,13 +251,16 @@ def hash_partition_join(
                 if ray.is_initialized() else 8
             parts = max(2, min(num_buckets, n_cpus))
             try:
-                return left.join(right, native_type, num_partitions=parts,
-                                 on=(key,), right_suffix=right_suffix,
-                                 aggregator_ray_remote_args={"num_cpus": 0.25})
+                out = left.join(right, native_type, num_partitions=parts,
+                                on=(key,), right_suffix=right_suffix,
+                                aggregator_ray_remote_args={"num_cpus": 0.25})
+                if post_fn is not None:
+                    out = out.map_batches(post_fn, batch_format="pyarrow")
+                return out
             except Exception:  # pragma: no cover — planner gaps
                 pass
     return _manual_partition_join(left, right, key, num_buckets, join_type,
-                                  right_suffix, left_types)
+                                  right_suffix, left_types, post_fn=post_fn)
 
 
 def _manual_partition_join(
@@ -263,10 +271,17 @@ def _manual_partition_join(
     join_type: str = "inner",
     right_suffix: str = "_r",
     left_types: dict[str, pa.DataType] | None = None,
+    post_fn=None,
 ) -> rd.Dataset:
     """Explicit partitioned hash join: bucket column on both sides,
     aligned schemas with a side tag, one ``groupby(bucket)``,
-    ``pyarrow.Table.join`` per bucket."""
+    ``pyarrow.Table.join`` per bucket.
+
+    ``post_fn`` (Table → Table) runs INSIDE each bucket task on the
+    joined table before it is emitted — the fusion hook for consumers
+    that immediately reduce the joined rows (e.g. pair scoring): a wide
+    joined block that would otherwise throttle the streaming executor's
+    object-store budget never leaves the task."""
     num_buckets = resolve_num_buckets(num_buckets)
     def _arrow_type(t) -> pa.DataType:
         # pandas-block datasets report numpy dtypes / Python classes in
@@ -351,7 +366,8 @@ def _manual_partition_join(
         rpart = tbl.filter(pa.array(side == 1)).select([key] + rcols_out)
         out = lpart.join(rpart, keys=[key], join_type=join_type)
         # join may reorder columns; normalize
-        return out.select([key] + [c for c in lcols if c != key] + rcols_out)
+        out = out.select([key] + [c for c in lcols if c != key] + rcols_out)
+        return post_fn(out) if post_fn is not None else out
 
     return both.groupby("__bucket").map_groups(_join_bucket,
                                                batch_format="pyarrow")

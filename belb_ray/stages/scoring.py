@@ -44,8 +44,9 @@ def _tokset(path: str) -> frozenset:
 def attach_features(pairs: rd.Dataset, features: rd.Dataset,
                     num_buckets: int = 32,
                     broadcast_threshold: int = 8_000_000,
-                    broadcast_bytes: int = 1_500_000_000,
-                    need_paths: bool = True) -> rd.Dataset:
+                    broadcast_bytes: int = 4_000_000_000,
+                    need_paths: bool = True,
+                    scorer=None) -> rd.Dataset:
     """pairs(id_a,id_b) ⋈ features → + (sig_a, sig_b[, path_a, path_b]).
 
     Size-aware strategy: when the (exact-dedup'd) feature table fits the
@@ -66,7 +67,27 @@ def attach_features(pairs: rd.Dataset, features: rd.Dataset,
     ``need_paths=False`` (pure-content scoring: w_jw == w_tok == 0, e.g.
     MinHash document dedup) drops the path column from the broadcast AND
     from every per-pair gather — at millions of reps that is hundreds of
-    MB never materialized."""
+    MB never materialized.
+
+    The 4 GB byte budget (round 4, raised from 1.5 GB): a ``ray.put``
+    numpy/Arrow payload lives ONCE per node in plasma and every worker
+    reads it zero-copy, so the budget is per-NODE shared memory, not
+    per-worker heap; the round-4 4M-row campaign measured the join
+    fallback ~10x slower end-to-end than the broadcast at a 2.6 GB
+    payload (attached blocks throttled the streaming executor's
+    object-store budget). Past the budget — O(100M) reps — the join
+    path engages; pass ``scorer`` so it stays narrow (below), and shard
+    the corpus into campaigns as the incremental pipeline does.
+
+    ``scorer`` (Table → Table, e.g. a `score_table` closure): when set,
+    the returned dataset is the SCORED pairs, with scoring fused into
+    the attach so wide attached rows never enter the object store — on
+    the broadcast path it runs inside the same map task right after the
+    gather; on the join path it is fused into the second join's bucket
+    tasks (`hash_partition_join(post_fn=...)`), which is what keeps the
+    fallback streamable: the (pairs x 2-signature) blocks that
+    throttled the 4M-row campaign are reduced to (id_a, id_b, score)
+    before leaving the task."""
     cols = ["row_id", "sig"] + (["path"] if need_paths else [])
     feat = features.select_columns(cols).materialize()
     n_feat = feat.count()
@@ -117,7 +138,8 @@ def attach_features(pairs: rd.Dataset, features: rd.Dataset,
             if paths is not None:
                 out["path_a"] = paths.take(pa.array(ia))
                 out["path_b"] = paths.take(pa.array(ib))
-            return pa.table(out)
+            t = pa.table(out)
+            return scorer(t) if scorer is not None else t
 
         # 8192 matches score_pairs' batch_size: the fused attach→score
         # task chain bundles input blocks to the LARGEST batch_size in the
@@ -132,7 +154,8 @@ def attach_features(pairs: rd.Dataset, features: rd.Dataset,
     fb = feat.map_batches(lambda t: t.rename_columns(b_names),
                           batch_format="pyarrow")
     withe_a = hash_partition_join(pairs, fa, key="id_a", num_buckets=num_buckets)
-    return hash_partition_join(withe_a, fb, key="id_b", num_buckets=num_buckets)
+    return hash_partition_join(withe_a, fb, key="id_b", num_buckets=num_buckets,
+                               post_fn=scorer)
 
 
 def score_pairs(
@@ -153,39 +176,48 @@ def score_pairs(
     below threshold under ANY path score)."""
 
     def _score(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        if n == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "score": pa.array([], pa.float64())})
-        from ..functions.minhash import sig_matrix
-
-        sig_a = sig_matrix(batch["sig_a"])
-        sig_b = sig_matrix(batch["sig_b"])
-        jacc = est_jaccard(sig_a, sig_b)
-        if "path_a" not in batch.column_names:
-            # pure-content scoring (paths not attached): score = w_jacc·jacc
-            score = w_jacc * jacc
-            keep = score >= threshold
-            return batch.select(["id_a", "id_b"]).append_column(
-                "score", pa.array(score, pa.float64())).filter(pa.array(keep))
-        maybe = np.flatnonzero(w_jacc * jacc + w_jw + w_tok >= threshold)
-        if maybe.size == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "score": pa.array([], pa.float64())})
-        sub = batch.take(pa.array(maybe))
-        paths_a = sub["path_a"].to_pylist()
-        paths_b = sub["path_b"].to_pylist()
-        jw = jaro_winkler_batch(paths_a, paths_b)
-        tok = np.fromiter(
-            (token_set_ratio(_tokset(a), _tokset(b))
-             for a, b in zip(paths_a, paths_b)),
-            dtype=np.float64, count=maybe.size)
-        score = hybrid_score(jacc[maybe], jw, tok, w_jacc, w_jw, w_tok)
-        keep = score >= threshold
-        return sub.select(["id_a", "id_b"]).append_column(
-            "score", pa.array(score, pa.float64())).filter(pa.array(keep))
+        return score_table(batch, threshold, w_jacc, w_jw, w_tok)
 
     return pairs_with_features.map_batches(_score, batch_format="pyarrow",
                                            batch_size=8192)
+
+
+def score_table(batch: pa.Table, threshold: float, w_jacc: float,
+                w_jw: float, w_tok: float) -> pa.Table:
+    """The hybrid-score kernel on ONE Arrow table of attached pairs —
+    shared by `score_pairs` (streaming map_batches) and the fused
+    join-path scorer (`attach_features(scorer=...)`), so both paths are
+    bit-identical by construction."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    from ..functions.minhash import sig_matrix
+
+    sig_a = sig_matrix(batch["sig_a"])
+    sig_b = sig_matrix(batch["sig_b"])
+    jacc = est_jaccard(sig_a, sig_b)
+    if "path_a" not in batch.column_names:
+        # pure-content scoring (paths not attached): score = w_jacc·jacc
+        score = w_jacc * jacc
+        keep = score >= threshold
+        return batch.select(["id_a", "id_b"]).append_column(
+            "score", pa.array(score, pa.float64())).filter(pa.array(keep))
+    maybe = np.flatnonzero(w_jacc * jacc + w_jw + w_tok >= threshold)
+    if maybe.size == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    sub = batch.take(pa.array(maybe))
+    paths_a = sub["path_a"].to_pylist()
+    paths_b = sub["path_b"].to_pylist()
+    jw = jaro_winkler_batch(paths_a, paths_b)
+    tok = np.fromiter(
+        (token_set_ratio(_tokset(a), _tokset(b))
+         for a, b in zip(paths_a, paths_b)),
+        dtype=np.float64, count=maybe.size)
+    score = hybrid_score(jacc[maybe], jw, tok, w_jacc, w_jw, w_tok)
+    keep = score >= threshold
+    return sub.select(["id_a", "id_b"]).append_column(
+        "score", pa.array(score, pa.float64())).filter(pa.array(keep))

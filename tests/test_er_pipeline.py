@@ -127,3 +127,47 @@ def test_no_cross_lang_merges():
     out = resolve_files(ds, ERConfig(input_blocks=1, use_path_keys=False))
     clusters = out["clusters"].to_pandas()
     assert clusters["cluster_id"].nunique() == 2
+
+
+def test_attach_scorer_fused_join_equals_broadcast():
+    """The fused scorer (attach_features(scorer=...)) must be
+    bit-identical across all three shapes: broadcast+fused, join+fused
+    (post_fn inside the bucket tasks), and the unfused
+    attach→score_pairs composition."""
+    import pandas as pd
+
+    from belb_ray.pipelines.er import ERConfig
+    from belb_ray.sources.synthetic import make_fixture
+    from belb_ray.stages.blocking import (compute_features,
+                                          explode_band_keys,
+                                          path_neighborhood_keys)
+    from belb_ray.stages.dedup import ensure_identity_columns
+    from belb_ray.stages.pairs import candidate_pairs
+    from belb_ray.stages.scoring import (attach_features, score_pairs,
+                                         score_table)
+
+    cfg = ERConfig()
+    fx = make_fixture(n_files=800, seed=23)
+    files = ensure_identity_columns(rd.from_arrow(fx["files"]))
+    feats = compute_features(files, num_perm=cfg.num_perm,
+                             shingle_k=cfg.shingle_k, seed=cfg.seed)
+    blocks = explode_band_keys(feats, bands=cfg.bands).union(
+        path_neighborhood_keys(feats))
+    pairs = candidate_pairs(blocks, max_block=cfg.max_block,
+                            window=cfg.window).materialize()
+    scorer = lambda t: score_table(t, cfg.threshold, cfg.w_jacc,
+                                   cfg.w_jw, cfg.w_tok)
+
+    def norm(ds):
+        return (ds.to_pandas().sort_values(["id_a", "id_b"])
+                .reset_index(drop=True))
+
+    bc = norm(attach_features(pairs, feats, scorer=scorer))
+    jn = norm(attach_features(pairs, feats, scorer=scorer,
+                              broadcast_threshold=0))  # force join path
+    un = norm(score_pairs(attach_features(pairs, feats),
+                          threshold=cfg.threshold, w_jacc=cfg.w_jacc,
+                          w_jw=cfg.w_jw, w_tok=cfg.w_tok))
+    assert len(bc) > 0
+    pd.testing.assert_frame_equal(bc, jn)
+    pd.testing.assert_frame_equal(bc, un)

@@ -92,3 +92,34 @@ def test_cross_doc_gram_stats_small():
     assert list(out["dup_grams"]) == [1, 1, 2]
     assert list(out["total_grams"]) == [2, 2, 2]
     assert list(out["dup_frac"]) == [0.5, 0.5, 1.0]
+
+
+def test_clustering_diff_known_case():
+    """Hand-checked 6-row case: A = {1,2},{3,4},{5},{6};
+    B = {1,2,3,4},{5},{6} — one pure merge, no splits; ARI by hand:
+    pab=2, pa=2, pb=6, N=6 → (2−0.8)/(4−0.8) = 0.375."""
+    import pandas as pd
+
+    from belb_ray.stages.ereval import clustering_diff
+
+    df = pd.DataFrame({
+        "a": [10, 10, 20, 20, 30, 40],
+        "b": [1, 1, 1, 1, 2, 3]})
+    out = clustering_diff(rd.from_pandas(df), "a", "b").to_pandas()
+    r = out.iloc[0]
+    assert r.n_rows == 6
+    assert r.n_clusters_a == 4 and r.n_clusters_b == 3
+    assert r.split_clusters == 0 and r.merge_clusters == 1
+    assert abs(r.ari - 0.375) < 1e-9
+
+
+def test_clustering_diff_identical_and_inverse():
+    import pandas as pd
+
+    from belb_ray.stages.ereval import clustering_diff
+
+    df = pd.DataFrame({"a": [1, 1, 2, 2], "b": [7, 7, 9, 9]})
+    out = clustering_diff(rd.from_pandas(df), "a", "b").to_pandas()
+    assert out.iloc[0].ari == 1.0
+    assert out.iloc[0].split_clusters == 0
+    assert out.iloc[0].merge_clusters == 0

@@ -58,7 +58,8 @@ def main() -> None:
                                          connected_components)
     from belb_ray.stages.dedup import ensure_identity_columns, exact_dedup_annotate
     from belb_ray.stages.pairs import candidate_pairs
-    from belb_ray.stages.scoring import attach_features, score_pairs
+    from belb_ray.stages.scoring import (attach_features, score_pairs,
+                                         score_table)
 
     cfg = ERConfig()
     import pyarrow.compute as pc
@@ -92,9 +93,10 @@ def main() -> None:
     t["pairs"] = time.time() - t0
 
     t0 = time.time()
-    pf = attach_features(pairs, features, num_buckets=resolve_num_buckets(cfg.join_buckets))
-    edges = score_pairs(pf, threshold=cfg.threshold, w_jacc=cfg.w_jacc,
-                        w_jw=cfg.w_jw, w_tok=cfg.w_tok)
+    edges = attach_features(
+        pairs, features, num_buckets=resolve_num_buckets(cfg.join_buckets),
+        scorer=lambda tb: score_table(tb, cfg.threshold, cfg.w_jacc,
+                                      cfg.w_jw, cfg.w_tok))
     contracted = edges.map_batches(_contract_block,
                                    batch_format="pyarrow").materialize()
     t["score_contract"] = time.time() - t0
