@@ -87,11 +87,15 @@ def resolve_files(
 
     import pyarrow.compute as pc
 
-    # rep per content hash in ONE bucketed shuffle (annotate rows with
-    # rep_id = min row_id of their sha group) — no aggregate + join pair.
-    # features_all stays LAZY so sketching fuses into the shuffle's map
-    # side: one barrier here instead of two (barrier count is what capped
-    # round-1 scaling efficiency).
+    # Feature table MATERIALIZES before the dedup shuffle (round 4):
+    # leaving it lazy fuses read→sketch→bucketize→sort→attach into one
+    # deep plan, and at low CPU counts the streaming executor's
+    # per-operator resource reservations starve every stage to ~1
+    # concurrent task (measured: 4M rows at 4 CPUs ran 858 s lazy vs
+    # 199 s with this barrier — BASELINE.md round-4 campaign). The
+    # round-1 "fewer barriers" rule still holds for BALANCED plans; a
+    # deep plan whose stages all want full width is the exception.
+    features_all = features_all.materialize()
     fm = exact_dedup_annotate(features_all).materialize()
     members = fm.select_columns(["row_id", "rep_id"])
     # materialized: consumed 3× (band keys, path keys, feature joins)
@@ -205,7 +209,8 @@ def resolve_increment(
         files = files.repartition(cfg.input_blocks)
     feats_all = compute_features(
         files, num_perm=cfg.num_perm, shingle_k=cfg.shingle_k, seed=cfg.seed,
-        batch_size=cfg.blocker_batch_size, keep_cols=("content_sha256",))
+        batch_size=cfg.blocker_batch_size,
+        keep_cols=("content_sha256",)).materialize()
     fm = exact_dedup_annotate(feats_all).materialize()
     members = fm.select_columns(["row_id", "rep_id"])
     feats_new = fm.map_batches(

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -59,12 +60,21 @@ def exact_dedup_reps(ds: rd.Dataset, hash_col: str = "content_sha256",
 
 def exact_dedup_annotate(ds: rd.Dataset, hash_col: str = "content_sha256",
                          id_col: str = "row_id",
-                         num_buckets: int = 64) -> rd.Dataset:
-    """Append ``rep_id`` = min(id_col) among rows sharing ``hash_col`` —
-    ONE bucketed shuffle: rows bucket by hash(hash_col), each bucket
-    resolves its groups vectorized (np.unique + minimum.at). The full row
-    (including wide payload columns) crosses the shuffle exactly once,
-    replacing the aggregate + join pair."""
+                         num_buckets: int = 64,
+                         broadcast_rows: int = 50_000_000) -> rd.Dataset:
+    """Append ``rep_id`` = min(id_col) among rows sharing ``hash_col``.
+
+    Round-4 shape: the shuffle is NARROW — only (id, hash) rows bucket
+    by hash(hash_col) and each bucket resolves its groups vectorized
+    (np.unique + minimum.at); the resulting (id, rep_id) map (16 B/row)
+    is broadcast once via ray.put and looked up per batch with
+    np.searchsorted, so the WIDE payload columns (signatures, paths)
+    never cross a shuffle at all. The previous design shuffled full
+    rows; at 4M rows x ~1.2 KB features that one shuffle was ~70% of
+    the 4-CPU campaign wall (BASELINE.md round-4 campaign). Past
+    ``broadcast_rows`` (50M rows ≈ 800 MB map — per-node plasma,
+    zero-copy) the attach falls back to a partitioned join of the wide
+    rows, the old behavior."""
     import pandas as pd
 
     def _bucketize(batch: pa.Table) -> pa.Table:
@@ -72,10 +82,13 @@ def exact_dedup_annotate(ds: rd.Dataset, hash_col: str = "content_sha256",
 
         vals = batch[hash_col].to_numpy(zero_copy_only=False)
         h = pd.util.hash_array(vals, categorize=False)
-        return batch.append_column(
-            "__bucket", pa.array((h % np.uint64(num_buckets)).astype("int32")))
+        return pa.table({
+            id_col: batch[id_col],
+            hash_col: batch[hash_col],
+            "__bucket": pa.array((h % np.uint64(num_buckets)).astype("int32")),
+        })
 
-    def _annotate(group: pa.Table) -> pa.Table:
+    def _resolve(group: pa.Table) -> pa.Table:
         import numpy as np
 
         sha = np.asarray(group[hash_col].to_pylist())
@@ -83,12 +96,40 @@ def exact_dedup_annotate(ds: rd.Dataset, hash_col: str = "content_sha256",
         uniq, inv = np.unique(sha, return_inverse=True)
         mins = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
         np.minimum.at(mins, inv, ids)
-        return (group.drop_columns(["__bucket"])
-                .append_column("rep_id", pa.array(mins[inv], pa.int64())))
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "rep_id": pa.array(mins[inv], pa.int64())})
 
-    bucketed = ds.map_batches(_bucketize, batch_format="pyarrow")
-    return bucketed.groupby("__bucket").map_groups(_annotate,
-                                                   batch_format="pyarrow")
+    rep = (ds.map_batches(_bucketize, batch_format="pyarrow")
+           .groupby("__bucket").map_groups(_resolve, batch_format="pyarrow")
+           ).materialize()
+
+    if rep.count() <= broadcast_rows:
+        import ray
+
+        from .joins import collect_arrow
+        tbl = collect_arrow(rep)
+        ids_all = tbl[id_col].to_numpy()
+        order = np.argsort(ids_all, kind="stable")
+        ref = ray.put((ids_all[order],
+                       tbl["rep_id"].to_numpy()[order]))
+
+        def _attach(batch: pa.Table) -> pa.Table:
+            import ray as _r
+
+            ids_sorted, reps_sorted = _r.get(ref)
+            want = batch[id_col].to_numpy()
+            idx = np.minimum(np.searchsorted(ids_sorted, want),
+                             len(ids_sorted) - 1)
+            if len(ids_sorted) == 0 or not np.all(ids_sorted[idx] == want):
+                raise KeyError(
+                    "exact_dedup_annotate: id missing from the rep map")
+            return batch.append_column(
+                "rep_id", pa.array(reps_sorted[idx], pa.int64()))
+
+        return ds.map_batches(_attach, batch_format="pyarrow")
+
+    from .joins import hash_partition_join
+    return hash_partition_join(ds, rep, key=id_col, num_buckets=num_buckets)
 
 
 def sha_int64(sha_hex_col: list[str]) -> list[int]:

@@ -257,7 +257,7 @@ def blocking_ablation(files: rd.Dataset, gold_pairs: rd.Dataset,
 
     feats_all = compute_features(files, num_perm=num_perm,
                                  shingle_k=shingle_k, seed=seed,
-                                 keep_cols=("content_sha256",))
+                                 keep_cols=("content_sha256",)).materialize()
     fm = exact_dedup_annotate(feats_all).materialize()
     feats = fm.map_batches(
         lambda t: t.filter(pa.compute.equal(t["row_id"], t["rep_id"]))

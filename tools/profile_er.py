@@ -73,7 +73,7 @@ def main() -> None:
     feats_all = compute_features(files, num_perm=cfg.num_perm,
                                  shingle_k=cfg.shingle_k, seed=cfg.seed,
                                  batch_size=cfg.blocker_batch_size,
-                                 keep_cols=("content_sha256",))
+                                 keep_cols=("content_sha256",)).materialize()
     fm = exact_dedup_annotate(feats_all).materialize()
     t["features_dedup"] = time.time() - t0
 
