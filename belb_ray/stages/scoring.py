@@ -44,7 +44,7 @@ def _tokset(path: str) -> frozenset:
 def attach_features(pairs: rd.Dataset, features: rd.Dataset,
                     num_buckets: int = 32,
                     broadcast_threshold: int = 8_000_000,
-                    broadcast_bytes: int = 4_000_000_000,
+                    broadcast_bytes: int | None = None,
                     need_paths: bool = True,
                     scorer=None) -> rd.Dataset:
     """pairs(id_a,id_b) ⋈ features → + (sig_a, sig_b[, path_a, path_b]).
@@ -69,15 +69,18 @@ def attach_features(pairs: rd.Dataset, features: rd.Dataset,
     from every per-pair gather — at millions of reps that is hundreds of
     MB never materialized.
 
-    The 4 GB byte budget (round 4, raised from 1.5 GB): a ``ray.put``
+    The byte budget (round 4; was a fixed 1.5 GB): a ``ray.put``
     numpy/Arrow payload lives ONCE per node in plasma and every worker
-    reads it zero-copy, so the budget is per-NODE shared memory, not
-    per-worker heap; the round-4 4M-row campaign measured the join
-    fallback ~10x slower end-to-end than the broadcast at a 2.6 GB
-    payload (attached blocks throttled the streaming executor's
-    object-store budget). Past the budget — O(100M) reps — the join
-    path engages; pass ``scorer`` so it stays narrow (below), and shard
-    the corpus into campaigns as the incremental pipeline does.
+    reads it zero-copy, so the bound is per-NODE shared memory, not
+    per-worker heap — ``broadcast_bytes=None`` derives it as 25% of the
+    cluster's object store (floor 4 GB), which self-scales from this
+    sandbox (27 GB store → ~6.7 GB budget) to a real node. The round-4
+    4M-row campaign measured the join fallback ~10x slower end-to-end
+    than the broadcast at a 2.6 GB payload (attached blocks throttled
+    the streaming executor's object-store budget). Past the budget —
+    O(100M) reps — the join path engages; pass ``scorer`` so it stays
+    narrow (below), and shard the corpus into campaigns as the
+    incremental pipeline does.
 
     ``scorer`` (Table → Table, e.g. a `score_table` closure): when set,
     the returned dataset is the SCORED pairs, with scoring fused into
@@ -88,6 +91,20 @@ def attach_features(pairs: rd.Dataset, features: rd.Dataset,
     fallback streamable: the (pairs x 2-signature) blocks that
     throttled the 4M-row campaign are reduced to (id_a, id_b, score)
     before leaving the task."""
+    if broadcast_bytes is None:
+        try:
+            import ray
+
+            store = float(ray.cluster_resources().get(
+                "object_store_memory", 0))
+        except Exception:
+            store = 0.0
+        # fraction of the node's plasma store when known; the absolute
+        # floor applies only when the store size is unavailable — a
+        # floor ABOVE the fraction would let the broadcast pin >50% of
+        # a small store and thrash the shuffle against it (measured:
+        # 2.6 GB broadcast in a 5 GB store crawled; BASELINE.md r4)
+        broadcast_bytes = int(store * 0.25) if store else 4_000_000_000
     cols = ["row_id", "sig"] + (["path"] if need_paths else [])
     feat = features.select_columns(cols).materialize()
     n_feat = feat.count()
