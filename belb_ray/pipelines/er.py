@@ -246,7 +246,7 @@ def resolve_increment(
             .union(_blocks(feats_old).map_batches(_tag(0),
                                                   batch_format="pyarrow")))
 
-    num_buckets = 256
+    num_buckets = resolve_num_buckets(cfg.join_buckets)
 
     def _bucketize(b: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_array(b["block_key"].to_numpy(), categorize=False)

@@ -150,6 +150,33 @@ def count_distinct(ds: rd.Dataset, keys: list[str], distinct_col: str,
     return bucketed.groupby("__bucket").map_groups(_count, batch_format="pandas")
 
 
+def count_distinct_rows(ds: rd.Dataset, cols: list[str],
+                        num_buckets: int = 0) -> int:
+    """Global ``COUNT(DISTINCT (cols...))`` as one int — collision-free
+    (the tuple itself is the identity, no 64-bit key mixing) and
+    distributed: batch-local dedup, bucket by the hashed TUPLE (this
+    counts one global set, so bucketing by the value spreads the dedup
+    across all buckets where a constant grouping key would collapse it
+    onto a single task), per-bucket distinct count, driver sums the
+    per-bucket ints (num_buckets rows)."""
+    num_buckets = resolve_num_buckets(num_buckets)
+
+    def _dedup_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        dd = batch[cols].drop_duplicates()
+        dd["__bucket"] = _bucket_of_frame(dd, cols, num_buckets)
+        return dd
+
+    def _count(group: pd.DataFrame) -> pd.DataFrame:
+        n = len(group.drop(columns="__bucket").drop_duplicates())
+        return pd.DataFrame({"n": [n]})
+
+    parts = (ds.map_batches(_dedup_bucket, batch_format="pandas",
+                            batch_size=65536)
+             .groupby("__bucket").map_groups(_count, batch_format="pandas")
+             ).to_pandas()
+    return int(parts["n"].sum()) if len(parts) else 0
+
+
 def dense_ids(ds: rd.Dataset, col: str, out_col: str = "internal_identifier") -> pd.DataFrame:
     """Deterministic dense int ids for the distinct values of ``col``:
     sorted order = rank (0-based). The distinct set is assumed driver-small

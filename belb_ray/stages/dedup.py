@@ -60,7 +60,7 @@ def exact_dedup_reps(ds: rd.Dataset, hash_col: str = "content_sha256",
 
 def exact_dedup_annotate(ds: rd.Dataset, hash_col: str = "content_sha256",
                          id_col: str = "row_id",
-                         num_buckets: int = 64,
+                         num_buckets: int = 0,
                          broadcast_rows: int = 50_000_000) -> rd.Dataset:
     """Append ``rep_id`` = min(id_col) among rows sharing ``hash_col``.
 
@@ -71,11 +71,20 @@ def exact_dedup_annotate(ds: rd.Dataset, hash_col: str = "content_sha256",
     np.searchsorted, so the WIDE payload columns (signatures, paths)
     never cross a shuffle at all. The previous design shuffled full
     rows; at 4M rows x ~1.2 KB features that one shuffle was ~70% of
-    the 4-CPU campaign wall (BASELINE.md round-4 campaign). Past
-    ``broadcast_rows`` (50M rows ≈ 800 MB map — per-node plasma,
-    zero-copy) the attach falls back to a partitioned join of the wide
-    rows, the old behavior."""
+    the 4-CPU campaign wall (BASELINE.md round-4 campaign).
+
+    Broadcast guard: the map is broadcast only while BOTH the row cap
+    (``broadcast_rows``) and the byte budget (25% of plasma via
+    `util.broadcast_byte_budget`, at 16 B/row) hold. Building it costs
+    a TRANSIENT ~3x map-size spike on the DRIVER heap (collect + argsort
+    + reordered copies) before ray.put hands the sorted arrays to
+    plasma (zero-copy per node thereafter). Past either limit the
+    attach falls back to a partitioned join of the wide rows."""
     import pandas as pd
+
+    from ..util import broadcast_byte_budget, resolve_num_buckets
+
+    num_buckets = resolve_num_buckets(num_buckets)
 
     def _bucketize(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -103,7 +112,8 @@ def exact_dedup_annotate(ds: rd.Dataset, hash_col: str = "content_sha256",
            .groupby("__bucket").map_groups(_resolve, batch_format="pyarrow")
            ).materialize()
 
-    if rep.count() <= broadcast_rows:
+    n_rep = rep.count()
+    if n_rep <= broadcast_rows and n_rep * 16 <= broadcast_byte_budget():
         import ray
 
         from .joins import collect_arrow
@@ -114,9 +124,9 @@ def exact_dedup_annotate(ds: rd.Dataset, hash_col: str = "content_sha256",
                        tbl["rep_id"].to_numpy()[order]))
 
         def _attach(batch: pa.Table) -> pa.Table:
-            import ray as _r
+            from ..util import cached_get
 
-            ids_sorted, reps_sorted = _r.get(ref)
+            ids_sorted, reps_sorted = cached_get(ref)
             want = batch[id_col].to_numpy()
             idx = np.minimum(np.searchsorted(ids_sorted, want),
                              len(ids_sorted) - 1)

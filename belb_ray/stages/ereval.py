@@ -314,8 +314,8 @@ def blocking_ablation(files: rd.Dataset, gold_pairs: rd.Dataset,
         sample = sorted({r["row_id"] for r in missing.take(20)})
         raise ValueError(
             f"blocking_ablation: gold pairs reference ids absent from the "
-            f"files dataset ({n_gold_rows - len(packed)} pair endpoints "
-            f"unmatched); e.g. row_ids {sample}")
+            f"files dataset ({n_gold_rows - len(packed)} gold pairs dropped "
+            f"by the id join); e.g. missing row_ids {sample}")
     distinct = packed["distinct"].to_numpy()
     n_collapsed = int((~distinct).sum())
     gold_keys = np.unique(packed["k"].to_numpy()[distinct])
@@ -326,10 +326,18 @@ def blocking_ablation(files: rd.Dataset, gold_pairs: rd.Dataset,
         pairs = candidate_pairs(blocks, max_block=max_block, window=16)
 
         def _k(batch: pa.Table) -> pa.Table:
-            a = batch["id_a"].to_numpy().astype(np.uint64)
-            b = batch["id_b"].to_numpy().astype(np.uint64)
-            return pa.table(
-                {"k": pa.array(combine64(a, b).astype(np.int64))})
+            a = batch["id_a"].to_numpy().astype(np.int64)
+            b = batch["id_b"].to_numpy().astype(np.int64)
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            # `k` (64-bit mixed key) is for the gold-coverage mark only —
+            # collisions there bias recall by ~N²/2⁶⁴ (negligible and
+            # pre-existing); the union DISTINCT count below uses the
+            # exact (id_a, id_b) tuple, not this key
+            k = combine64(lo.astype(np.uint64),
+                          hi.astype(np.uint64)).astype(np.int64)
+            return pa.table({"k": pa.array(k),
+                             "id_a": pa.array(lo, pa.int64()),
+                             "id_b": pa.array(hi, pa.int64())})
 
         return pairs.map_batches(_k, batch_format="pyarrow").materialize()
 
@@ -368,19 +376,20 @@ def blocking_ablation(files: rd.Dataset, gold_pairs: rd.Dataset,
     }
     results = {name: _scheme(kd) for name, kd in keysets.items()}
 
-    # distinct union pair count — distributed (batch-local dedup, then
-    # bucketed global dedup+count; no key ever reaches the driver)
+    # distinct union pair count — distributed AND collision-free: the
+    # (id_a, id_b) tuple is the identity (no 64-bit key mixing), and
+    # count_distinct_rows buckets by the hashed tuple itself, so the
+    # global dedup spreads across all buckets instead of collapsing
+    # onto one task; no pair ever reaches the driver
     kds = list(keysets.values())
     union_kd = kds[0]
     for more in kds[1:]:
         union_kd = union_kd.union(more)
-    from ..stages.agg import count_distinct
-    cd = count_distinct(
-        union_kd.map_batches(
-            lambda t: t.append_column("__g", pa.array(
-                np.zeros(t.num_rows, np.int64))), batch_format="pyarrow"),
-        ["__g"], "k", "n_distinct").to_pandas()
-    union_pairs = int(cd["n_distinct"].iloc[0]) if len(cd) else 0
+    from ..stages.agg import count_distinct_rows
+    union_pairs = count_distinct_rows(
+        union_kd.map_batches(lambda t: t.select(["id_a", "id_b"]),
+                             batch_format="pyarrow"),
+        ["id_a", "id_b"])
 
     union_cov = (np.unique(np.concatenate(
         [cov for _, cov in results.values()]))

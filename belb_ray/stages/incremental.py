@@ -28,6 +28,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from belb_ray.sources.readers import read_parquet_clean
+from belb_ray.util import resolve_num_buckets
 
 
 def _content_md5(col: pa.ChunkedArray | pa.Array) -> list[str]:
@@ -38,11 +39,12 @@ def _content_md5(col: pa.ChunkedArray | pa.Array) -> list[str]:
 
 def dedup_against_state(new_docs: rd.Dataset, state_dir: str,
                         id_col: str = "doc_id", content_col: str = "text",
-                        num_buckets: int = 64,
+                        num_buckets: int = 0,
                         update_state: bool = True) -> rd.Dataset:
     """Rows of ``new_docs`` that survive cross-run + within-batch exact
     dedup; survivors' hashes are appended to ``state_dir`` as a new
     shard when ``update_state``."""
+    num_buckets = resolve_num_buckets(num_buckets)
 
     def _hash_new(batch: pa.Table) -> pa.Table:
         h = pa.array(_content_md5(batch[content_col]), pa.string())
@@ -125,7 +127,7 @@ def neardup_against_state(new_docs: rd.Dataset, state_dir: str,
                           threshold: float = 0.5, num_perm: int = 128,
                           bands: int = 32, shingle_k: int = 3,
                           seed: int = 7, id_col: str = "doc_id",
-                          text_col: str = "text", num_buckets: int = 64,
+                          text_col: str = "text", num_buckets: int = 0,
                           update_state: bool = True,
                           broadcast_threshold: int = 2_000_000) -> rd.Dataset:
     """Cross-run NEAR-duplicate dedup against persisted MinHash state —
@@ -146,6 +148,7 @@ def neardup_against_state(new_docs: rd.Dataset, state_dir: str,
     attaches signatures to the candidate sliver via the size-guarded
     broadcast/hash join; recall is the LSH band guarantee (<1, same as
     the flagship; raise ``bands`` for higher recall)."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from ..functions.minhash import band_keys, est_jaccard, sig_matrix
     from ..pipelines.docdedup import _doc_features
     from .analytic import _attach_small
@@ -256,7 +259,7 @@ def neardup_against_state(new_docs: rd.Dataset, state_dir: str,
     return survivors
 
 
-def compact_state(state_dir: str, num_buckets: int = 64) -> dict:
+def compact_state(state_dir: str, num_buckets: int = 0) -> dict:
     """Merge an incremental-dedup state directory's append-only
     ``run-*`` shard families into ONE compacted run each.
 
@@ -290,6 +293,7 @@ def compact_state(state_dir: str, num_buckets: int = 64) -> dict:
     not run concurrently with ingest). Returns
     ``{family: compacted_row_count}``.
     """
+    num_buckets = resolve_num_buckets(num_buckets)
     import shutil
 
     def _distinct(ds: rd.Dataset, keys: list[str]) -> rd.Dataset:

@@ -92,19 +92,9 @@ def attach_features(pairs: rd.Dataset, features: rd.Dataset,
     throttled the 4M-row campaign are reduced to (id_a, id_b, score)
     before leaving the task."""
     if broadcast_bytes is None:
-        try:
-            import ray
+        from ..util import broadcast_byte_budget
 
-            store = float(ray.cluster_resources().get(
-                "object_store_memory", 0))
-        except Exception:
-            store = 0.0
-        # fraction of the node's plasma store when known; the absolute
-        # floor applies only when the store size is unavailable — a
-        # floor ABOVE the fraction would let the broadcast pin >50% of
-        # a small store and thrash the shuffle against it (measured:
-        # 2.6 GB broadcast in a 5 GB store crawled; BASELINE.md r4)
-        broadcast_bytes = int(store * 0.25) if store else 4_000_000_000
+        broadcast_bytes = broadcast_byte_budget()
     cols = ["row_id", "sig"] + (["path"] if need_paths else [])
     feat = features.select_columns(cols).materialize()
     n_feat = feat.count()

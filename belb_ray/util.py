@@ -54,3 +54,18 @@ def resolve_num_buckets(num_buckets: int) -> int:
     return num_buckets if num_buckets > 0 else default_shuffle_partitions()
 
 
+def broadcast_byte_budget() -> int:
+    """Byte budget for a ray.put broadcast side: 25% of the node's plasma
+    store when known, else a 4 GB fallback. A fraction of the store — not
+    an absolute floor above it — so a broadcast can never pin >50% of a
+    small store and thrash the shuffle against it (measured: a 2.6 GB
+    broadcast in a 5 GB store crawled; BASELINE.md round 4)."""
+    try:
+        import ray
+
+        store = float(ray.cluster_resources().get("object_store_memory", 0))
+    except Exception:
+        store = 0.0
+    return int(store * 0.25) if store else 4_000_000_000
+
+

