@@ -5091,6 +5091,13 @@ FROM scored
 def oracle_sql() -> dict[str, str]:
     from belb_ray.stages.sketch import hll_sql as _hll_sql
 
+    # pinned goldens are per-scale-factor files; the driver's gate runs
+    # at sf0.01 (the default). A local gate at another sf regenerates
+    # them (tools/make_goldens.py --sf-dir .../sf0.1) and sets
+    # BELB_RAY_GOLDEN_SF=sf0.1 (tools/check_correctness.py does both
+    # automatically via its sf_dir argument).
+    _sf_tag = _os.environ.get("BELB_RAY_GOLDEN_SF", "sf0.01")
+
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
     sqls = {
         "pricing_summary": """
@@ -7651,7 +7658,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM s),
             ex AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 5),
             ap AS (SELECT query_id, neighbor_id FROM read_parquet(
-                       '{_GOLDEN_DIR}/ivf_ann_topk.sf0.01.parquet'))
+                       '{_GOLDEN_DIR}/ivf_ann_topk.{_sf_tag}.parquet'))
             SELECT ex.query_id,
                    CAST(count(ap.neighbor_id) AS BIGINT) AS hits,
                    round(count(ap.neighbor_id) / 5.0, 6) AS recall
@@ -8221,12 +8228,12 @@ def oracle_sql() -> dict[str, str]:
         # held to incremental_neardup's golden — identical survivors
         "compacted_neardup": ("SELECT * FROM read_parquet("
                               f"'{_GOLDEN_DIR}/incremental_neardup"
-                              ".sf0.01.parquet')"),
+                              f".{_sf_tag}.parquet')"),
         # incremental attach must reproduce the batch resolution: held
         # to er_clusters' golden (the fixture's analytic gold)
         "er_increment": ("SELECT * FROM read_parquet("
-                         f"'{_GOLDEN_DIR}/er_clusters.sf0.01.parquet')"),
-        **{name: f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}.sf0.01.parquet')"
+                         f"'{_GOLDEN_DIR}/er_clusters.{_sf_tag}.parquet')"),
+        **{name: f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}.{_sf_tag}.parquet')"
            for name in ("pca_projection", "pca_variance",
                         "incremental_neardup",
                         "er_clusters", "minhash_dedup_docs",

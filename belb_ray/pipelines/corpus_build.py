@@ -35,6 +35,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from belb_ray.util import resolve_num_buckets
+
 
 def explode_identifiers(anns: rd.Dataset, raw_col: str = "identifier_raw",
                         out_col: str = "identifier",
@@ -57,7 +59,7 @@ def explode_identifiers(anns: rd.Dataset, raw_col: str = "identifier_raw",
 
 def build_corpus(docs: rd.Dataset, anns: rd.Dataset, kb_ids: rd.Dataset,
                  history, stats=None,
-                 num_buckets: int = 64) -> dict:
+                 num_buckets: int = 0) -> dict:
     """docs(doc_id, text) × anns(doc_id, ann_id, start, end, text,
     entity_type, identifier_raw) × kb_ids(identifier) × history
     (old_identifier, new_identifier) → dict with:
@@ -69,6 +71,7 @@ def build_corpus(docs: rd.Dataset, anns: rd.Dataset, kb_ids: rd.Dataset,
       (empty = QAQC pass);
     - ``manifest``: drop-with-reason conservation accounting.
     """
+    num_buckets = resolve_num_buckets(num_buckets)
     from ..stages.history import resolve_identifiers
     from ..stages.joins import semi_join
     from ..stages.spans import merge_span_identifiers

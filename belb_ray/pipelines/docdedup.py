@@ -25,6 +25,7 @@ from ..functions.minhash import hamming64
 from ..stages.cluster import assign_clusters, connected_components
 from ..stages.joins import hash_partition_join
 from ..stages.pairs import candidate_pairs
+from ..util import resolve_num_buckets
 
 
 def adapt_documents(docs: rd.Dataset, id_col: str = "doc_id",
@@ -52,7 +53,7 @@ def adapt_documents(docs: rd.Dataset, id_col: str = "doc_id",
 
 def exact_dup_groups(docs: rd.Dataset, id_col: str = "doc_id",
                      text_col: str = "text",
-                     num_buckets: int = 64) -> rd.Dataset:
+                     num_buckets: int = 0) -> rd.Dataset:
     """→ (content_md5, rep_id, n_dups): hash-partitioned exact dedup,
     rep = min id (total-order determinism). md5 matches DuckDB's ``md5()``
     so the oracle is byte-identical.
@@ -60,6 +61,7 @@ def exact_dup_groups(docs: rd.Dataset, id_col: str = "doc_id",
     Combine is per-batch partial (min, count per md5) → bucketed pandas
     merge on an int32 bucket — NOT Ray's native string-key aggregate
     (measured ~50x slower; agg.py docstring)."""
+    num_buckets = resolve_num_buckets(num_buckets)
     import pandas as pd
 
     def _partial(batch: pa.Table) -> pd.DataFrame:
@@ -146,11 +148,12 @@ def _doc_features(docs: rd.Dataset, num_perm: int, shingle_k: int, seed: int,
 def _attach_and_check_hamming(pairs: rd.Dataset, feats: rd.Dataset,
                               max_hamming: int,
                               broadcast_threshold: int = 20_000_000,
-                              num_buckets: int = 16) -> rd.Dataset:
+                              num_buckets: int = 0) -> rd.Dataset:
     """Pairs + per-row simhash → edges with Hamming ≤ max_hamming.
     Size-aware: the simhash column is 8 B/row, so up to tens of millions
     of rows it broadcasts once and pairs gather per batch (zero join
     shuffles); past that, two hash-partitioned joins."""
+    num_buckets = resolve_num_buckets(num_buckets)
     import ray
 
     n = feats.count()
@@ -338,7 +341,7 @@ def ngram_jaccard_pairs(docs: rd.Dataset, threshold: float = 0.5,
 
 def dedup_sweep(docs: rd.Dataset, thresholds: list[float],
                 id_col: str = "doc_id", text_col: str = "text",
-                num_buckets: int = 64) -> rd.Dataset:
+                num_buckets: int = 0) -> rd.Dataset:
     """Dedup-aggressiveness planning table: for each candidate Jaccard
     threshold, how many docs the min-id-wins exact near-dup pass would
     drop vs keep — the "how hard should I dedup this corpus" question a
@@ -356,6 +359,7 @@ def dedup_sweep(docs: rd.Dataset, thresholds: list[float],
     join regardless of grid size. A doc is dropped at threshold t iff
     its max-to-smaller-id Jaccard ≥ t (exactly the keep-first rule the
     dedup ops apply)."""
+    num_buckets = resolve_num_buckets(num_buckets)
     import pandas as pd
 
     from ..stages.agg import preagg_groupby

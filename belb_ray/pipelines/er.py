@@ -323,7 +323,8 @@ def resolve_increment(
 
     inherit = preagg_groupby(
         cross_wc.select_columns(["comp", "old_cluster"]), ["comp"],
-        [("min", "old_cluster", "inherited")], num_buckets=64).materialize()
+        [("min", "old_cluster", "inherited")],
+        num_buckets=resolve_num_buckets(cfg.join_buckets)).materialize()
 
     # rep -> final cluster: inherited if its component cross-matched
     rep_comp = comp.map_batches(

@@ -31,6 +31,8 @@ import ray.data as rd
 
 from .joins import _bucket_of
 
+from belb_ray.util import resolve_num_buckets
+
 
 def asof_join(
     left: rd.Dataset,
@@ -39,7 +41,7 @@ def asof_join(
     ts: str,
     tolerance: pd.Timedelta | None = None,
     right_suffix: str = "_r",
-    num_buckets: int = 32,
+    num_buckets: int = 0,
     inner: bool = True,
 ) -> rd.Dataset:
     """Backward as-of join of two Datasets on (``key``, ``ts``).
@@ -48,6 +50,7 @@ def asof_join(
     plain ``ASOF JOIN``); ``inner=False`` keeps them with nulls
     (``ASOF LEFT JOIN``).
     """
+    num_buckets = resolve_num_buckets(num_buckets)
     import pyarrow as pa
 
     lschema = left.schema()

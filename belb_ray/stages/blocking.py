@@ -33,6 +33,8 @@ from ..functions.hashing import as_int64, combine64, ngram_hashes, token_hashes
 from ..functions.minhash import MinHasher, band_keys, simhash64
 from ..functions.text import sorted_neighborhood_key, tokenize
 
+from belb_ray.util import resolve_num_buckets
+
 
 class MinHashBlocker:
     """Actor-pool stage computing per-row MinHash signatures + SimHash."""
@@ -160,7 +162,7 @@ def meta_block_pairs(assignments: rd.Dataset,
                      record_col: str = "record_id",
                      block_col: str = "block_key",
                      max_block_size: int = 128,
-                     num_buckets: int = 64) -> rd.Dataset:
+                     num_buckets: int = 0) -> rd.Dataset:
     """Meta-blocking (Papadakis et al.): refine a redundant blocking
     collection into a pruned candidate-pair graph. Three classic steps
     over (record, block) assignments:
@@ -182,6 +184,7 @@ def meta_block_pairs(assignments: rd.Dataset,
     threshold is an EXACT integer comparison (w·n_pairs ≥ Σw — no
     float divergence) computed from per-block partial sums (two tiny
     numbers per block reach the driver, never pairs)."""
+    num_buckets = resolve_num_buckets(num_buckets)
     import pandas as pd
 
     from .cooccur import cooccurrence_pairs

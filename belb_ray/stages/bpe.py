@@ -38,15 +38,18 @@ from .curation import GRAM_WORD_RE
 
 from belb_ray.functions.arrow import table_from_pandas
 
+from belb_ray.util import resolve_num_buckets
+
 END_OF_WORD = "</w>"
 
 
 def word_counts(ds: rd.Dataset, text_col: str = "text",
-                num_buckets: int = 64) -> rd.Dataset:
+                num_buckets: int = 0) -> rd.Dataset:
     """Corpus → (word, n_occurrences) vocabulary table. Words are
     ``[a-z0-9]+`` runs of lowercased text — the corpus-wide tokenizer
     contract shared with ``stages/corpus.ngram_counts``."""
 
+    num_buckets = resolve_num_buckets(num_buckets)
     def _partial(batch: pa.Table) -> pa.Table:
         words: list[str] = []
         for t in batch[text_col].to_pylist():
@@ -94,7 +97,7 @@ def _pair_counts(vocab: rd.Dataset, num_buckets: int) -> rd.Dataset:
 
 
 def learn_bpe(ds: rd.Dataset, n_merges: int, text_col: str = "text",
-              num_buckets: int = 64) -> rd.Dataset:
+              num_buckets: int = 0) -> rd.Dataset:
     """Learn ``n_merges`` BPE merge rules → Dataset of
     (step, left, right, n_occurrences), step = 1-based merge order.
 
@@ -103,6 +106,7 @@ def learn_bpe(ds: rd.Dataset, n_merges: int, text_col: str = "text",
     (ties: smaller (left, right) lexicographically) and rewrites the
     vocabulary with a left-to-right non-overlapping regex substitution.
     """
+    num_buckets = resolve_num_buckets(num_buckets)
     vocab = word_counts(ds, text_col, num_buckets)
 
     def _init(batch: pa.Table) -> pa.Table:

@@ -74,7 +74,7 @@ def nb_classify(
     label_col: str = "lang",
     alpha: float = 1.0,
     round_to: int = 6,
-    num_buckets: int = 64,
+    num_buckets: int = 0,
     broadcast_threshold: int = 2_000_000,
 ) -> rd.Dataset:
     """Fit multinomial NB on ``docs`` and score the same corpus →

@@ -35,6 +35,7 @@ import ray.data as rd
 from ray.data.aggregate import Min
 
 from .joins import hash_partition_join
+from ..util import resolve_num_buckets
 
 
 def _uf_solve(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -102,7 +103,7 @@ def _contract_block(batch: pa.Table) -> pa.Table:
 def connected_components(
     edges: rd.Dataset,
     max_rounds: int = 25,
-    num_buckets: int = 16,
+    num_buckets: int = 0,
     checkpoint_dir: str | None = None,
     local_threshold: int = 5_000_000,
 ) -> rd.Dataset:
@@ -114,6 +115,7 @@ def connected_components(
     # (measured: batch_size=1<<20 → ONE task for all pairs, 31 CPUs idle).
     # Per-block contraction loses nothing — the forest is re-solved
     # globally right below.
+    num_buckets = resolve_num_buckets(num_buckets)
     contracted = edges.map_batches(_contract_block,
                                    batch_format="pyarrow").materialize()
     n_edges = contracted.count()
@@ -195,7 +197,7 @@ def _label_propagation(
 def assign_clusters(
     members: rd.Dataset,
     labels: rd.Dataset,
-    num_buckets: int = 32,
+    num_buckets: int = 0,
     broadcast_threshold: int = 10_000_000,
 ) -> rd.Dataset:
     """members(row_id, rep_id) + labels(node→label over reps) →
@@ -204,6 +206,7 @@ def assign_clusters(
     Labels cover candidate nodes only (≪ corpus), so the common path is a
     broadcast left-lookup inside ``map_batches``; a hash-partitioned left
     join takes over past the broadcast threshold."""
+    num_buckets = resolve_num_buckets(num_buckets)
     n_labels = labels.count()
 
     if n_labels <= broadcast_threshold:

@@ -33,6 +33,8 @@ import ray.data as rd
 
 from .agg import _bucket_of_frame, bucketed_combine
 
+from belb_ray.util import resolve_num_buckets
+
 WEEK_S = 604_800
 MONDAY_EPOCH_OFFSET_S = 259_200
 
@@ -40,9 +42,10 @@ MONDAY_EPOCH_OFFSET_S = 259_200
 def cohort_retention(events: rd.Dataset, user_col: str, ts_col: str,
                      period_s: int = WEEK_S,
                      epoch_offset: int = MONDAY_EPOCH_OFFSET_S,
-                     num_buckets: int = 64) -> rd.Dataset:
+                     num_buckets: int = 0) -> rd.Dataset:
     """Retention triangle: (cohort_period, period_offset, n_users)."""
 
+    num_buckets = resolve_num_buckets(num_buckets)
     def _project(batch: pd.DataFrame) -> pd.DataFrame:
         # resolution-independent epoch seconds (testdata is timestamp[us],
         # pandas-built inputs are ns)

@@ -31,14 +31,17 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from belb_ray.util import resolve_num_buckets
+
 
 def group_item_lists(ds: rd.Dataset, group_col: str, item_col: str,
-                     num_buckets: int = 64,
+                     num_buckets: int = 0,
                      max_group_size: int | None = None) -> rd.Dataset:
     """(group, __items) — one row per group, ``__items`` a sorted
     ``large_list`` of the group's distinct items. Groups larger than
     ``max_group_size`` are dropped whole (skew guard)."""
 
+    num_buckets = resolve_num_buckets(num_buckets)
     def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch[[group_col, item_col]].drop_duplicates()
         h = pd.util.hash_array(batch[group_col].to_numpy(),
@@ -185,7 +188,7 @@ def explode_pairs(lists: rd.Dataset,
 
 
 def cooccurrence_pairs(ds: rd.Dataset, group_col: str, item_col: str,
-                       num_buckets: int = 64,
+                       num_buckets: int = 0,
                        max_group_size: int | None = None,
                        explode_blocks: int = 64,
                        split_pairs: int | None = None) -> rd.Dataset:
@@ -193,6 +196,7 @@ def cooccurrence_pairs(ds: rd.Dataset, group_col: str, item_col: str,
     with a < b. Items are deduped within a group first. Skew guards:
     ``max_group_size`` DROPS oversized groups whole; ``split_pairs``
     KEEPS them, splitting their pair triangle across tasks."""
+    num_buckets = resolve_num_buckets(num_buckets)
     return explode_pairs(
         group_item_lists(ds, group_col, item_col, num_buckets,
                          max_group_size),
@@ -200,10 +204,11 @@ def cooccurrence_pairs(ds: rd.Dataset, group_col: str, item_col: str,
 
 
 def cooccurrence_topk(ds: rd.Dataset, group_col: str, item_col: str,
-                      k: int, num_buckets: int = 64,
+                      k: int, num_buckets: int = 0,
                       max_group_size: int | None = None) -> rd.Dataset:
     """Top-k most co-occurring item pairs: (a, b, n_groups), ordered by
     count desc with a deterministic (a, b) tie-break."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .agg import preagg_groupby
 
     pairs = cooccurrence_pairs(ds, group_col, item_col, num_buckets,
@@ -216,7 +221,7 @@ def cooccurrence_topk(ds: rd.Dataset, group_col: str, item_col: str,
 
 def item_cosine_pairs(ds: rd.Dataset, group_col: str, item_col: str,
                       min_cosupport: int = 1, round_to: int = 6,
-                      num_buckets: int = 64,
+                      num_buckets: int = 0,
                       broadcast_threshold: int = 2_000_000,
                       max_group_size: int | None = None,
                       explode_blocks: int = 64) -> rd.Dataset:
@@ -237,6 +242,7 @@ def item_cosine_pairs(ds: rd.Dataset, group_col: str, item_col: str,
     table via the size-guarded broadcast join and the cosine finish is
     one vectorized map. ``max_group_size`` caps hub groups exactly as
     in cooccurrence."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .agg import preagg_groupby
     from .analytic import _attach_small
 

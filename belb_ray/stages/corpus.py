@@ -33,6 +33,8 @@ from .agg import _bucket_of_frame, bucketed_combine, topk
 from .sampling import MD5_SPACE, _md5_hash60
 from .curation import GRAM_WORD_RE
 
+from belb_ray.util import resolve_num_buckets
+
 
 def _word_gram_series(texts: list[str], n: int) -> pd.Series:
     grams: list[str] = []
@@ -46,12 +48,13 @@ def _word_gram_series(texts: list[str], n: int) -> pd.Series:
 
 
 def ngram_counts(ds: rd.Dataset, n: int = 2, top_k: int | None = None,
-                 text_col: str = "text", num_buckets: int = 64) -> rd.Dataset:
+                 text_col: str = "text", num_buckets: int = 0) -> rd.Dataset:
     """Corpus-wide word ``n``-gram frequency table → (gram, n_occurrences),
     optionally truncated to the global top-k (count desc, gram asc
     tie-break). Words are ``[a-z0-9]+`` runs of lowercased text — the same
     oracle-mirrored tokenizer contract as ``curation``."""
 
+    num_buckets = resolve_num_buckets(num_buckets)
     def _partial(batch: pa.Table) -> pa.Table:
         vc = _word_gram_series(batch[text_col].to_pylist(), n).value_counts()
         return pa.table({"gram": pa.array(vc.index, pa.string()),
@@ -66,7 +69,7 @@ def ngram_counts(ds: rd.Dataset, n: int = 2, top_k: int | None = None,
 
 
 def profile_columns(ds: rd.Dataset, cols: list[str],
-                    num_buckets: int = 16) -> rd.Dataset:
+                    num_buckets: int = 0) -> rd.Dataset:
     """Data-quality column profile → one row per profiled column:
     (col_name, n_rows, n_nulls, n_distinct [non-null, exact]).
 
@@ -74,6 +77,7 @@ def profile_columns(ds: rd.Dataset, cols: list[str],
     their injective ``str()`` transport form only to share one schema
     across columns), so it matches SQL ``count(DISTINCT col)``."""
 
+    num_buckets = resolve_num_buckets(num_buckets)
     def _counts(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "col_name": cols,
@@ -132,11 +136,12 @@ def mixture_sample(ds: rd.Dataset, source_col: str, weights: dict[str, float],
 
 def inverted_index(ds: rd.Dataset, id_col: str = "doc_id",
                    text_col: str = "text", min_df: int = 1,
-                   num_buckets: int = 64) -> rd.Dataset:
+                   num_buckets: int = 0) -> rd.Dataset:
     """Build an inverted index → (term, df, postings: list<int64> sorted).
     Terms are the lowercased ``[a-z0-9]+`` word runs; postings hold each
     term's distinct doc ids."""
 
+    num_buckets = resolve_num_buckets(num_buckets)
     def _pairs(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         t_out, d_out = [], []
@@ -182,7 +187,7 @@ def inverted_index(ds: rd.Dataset, id_col: str = "doc_id",
 
 
 def key_skew_profile(ds: rd.Dataset, key: str,
-                     num_buckets: int = 64) -> pd.DataFrame:
+                     num_buckets: int = 0) -> pd.DataFrame:
     """One-row skew diagnostic for a prospective partition/shuffle key →
     (n_rows, n_keys, max_cnt, top_share, cv). The pre-flight check every
     wide operation in this engine assumes (salted pair caps, bucketed
@@ -195,6 +200,7 @@ def key_skew_profile(ds: rd.Dataset, key: str,
     cardinality. Counts are integer-valued and below 2^53, so float64
     sums are exact and block-order-independent — the SQL oracle mirrors
     the finish arithmetic expression-for-expression."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .agg import preagg_groupby
 
     counts = preagg_groupby(ds.select_columns([key]), [key],
@@ -262,7 +268,7 @@ def content_checksum(ds: rd.Dataset, key: str, seed: int = 0) -> rd.Dataset:
 
 
 def mixture_plan(ds: rd.Dataset, source_col: str, alpha: float = 0.5,
-                 round_to: int = 6, num_buckets: int = 16) -> rd.Dataset:
+                 round_to: int = 6, num_buckets: int = 0) -> rd.Dataset:
     """Temperature-rebalanced mixture plan → one row per source:
     (source, n_rows, share, target_share, rate). The planning step of
     multi-source pretraining mixtures: flatten the source distribution
@@ -277,6 +283,7 @@ def mixture_plan(ds: rd.Dataset, source_col: str, alpha: float = 0.5,
     shuffle); the arithmetic finish runs over the source-count-sized
     table in one tiny task; the SQL oracle mirrors it
     expression-for-expression."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .agg import preagg_groupby
 
     counts = preagg_groupby(ds.select_columns([source_col]),

@@ -52,6 +52,8 @@ import ray.data as rd
 
 from ..functions.hashing import as_int64
 
+from belb_ray.util import resolve_num_buckets
+
 _MIX_A = np.uint64(0x9E3779B97F4A7C15)
 _MIX_B = np.uint64(0xC2B2AE3D27D4EB4F)
 
@@ -65,12 +67,13 @@ def order_key(ids: np.ndarray, seed: int = 0) -> np.ndarray:
 
 def kwik_cluster(pairs: rd.Dataset, id_a: str = "id_a", id_b: str = "id_b",
                  seed: int = 0, max_rounds: int = 40,
-                 num_buckets: int = 64,
+                 num_buckets: int = 0,
                  broadcast_threshold: int = 4_000_000) -> rd.Dataset:
     """Positive-edge pairs → (row_id, cluster_id): KwikCluster labels for
     every node that appears in ``pairs``; cluster_id is the pivot's node
     id. Deterministic: equal to the round-major pivot walk (module
     docstring) for the seeded ``order_key`` hash."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .agg import grouped_topk, preagg_groupby
     from .joins import semi_join
 

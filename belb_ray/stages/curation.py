@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..util import cached_get
+from ..util import cached_get, resolve_num_buckets
 
 WORD_TOKEN_RE = re.compile(r"\S+")
 GRAM_WORD_RE = re.compile(r"[a-z0-9]+")
@@ -258,7 +258,7 @@ def budget_select(
     budget: int,
     id_col: str = "doc_id",
     bin_width: float = 0.01,
-    num_buckets: int = 64,
+    num_buckets: int = 0,
 ) -> rd.Dataset:
     """Budgeted quality selection: keep the best-scoring rows until the
     summed ``weight_col`` reaches ``budget`` — exactly the rows whose
@@ -277,6 +277,7 @@ def budget_select(
     prefix vectorized. → (id_col, weight_col, cum_weight), the selected
     rows."""
 
+    num_buckets = resolve_num_buckets(num_buckets)
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
         b = np.floor(batch[score_col].to_numpy(np.float64)
                      / bin_width).astype(np.int64)
@@ -320,7 +321,7 @@ def budget_select(
 def boilerplate_stats(ds: rd.Dataset, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       min_df: int = 5,
-                      num_buckets: int = 64) -> rd.Dataset:
+                      num_buckets: int = 0) -> rd.Dataset:
     """Cross-document boilerplate detection (the CCNet / RefinedWeb
     template-removal signal, at phrase granularity): a word ``n``-gram is
     boilerplate when it appears in ≥ ``min_df`` DISTINCT documents; per
@@ -339,6 +340,7 @@ def boilerplate_stats(ds: rd.Dataset, id_col: str = "doc_id",
     join with a partitioned fallback — no rescan of the corpus. Gram
     hashing and per-(doc, gram) counting are whole-batch vectorized
     (regex findall per doc, then one lexsort run-length pass)."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .agg import preagg_groupby
     from .analytic import _attach_small
 
@@ -487,7 +489,7 @@ def rule_filter_chain(docs: rd.Dataset, id_col: str = "doc_id",
 def dedup_passages_rewrite(docs: rd.Dataset, k: int = 8,
                            id_col: str = "doc_id",
                            text_col: str = "text",
-                           num_buckets: int = 64) -> rd.Dataset:
+                           num_buckets: int = 0) -> rd.Dataset:
     """Cross-document passage-level dedup with corpus REWRITE (the
     C4-style span-removal policy): documents split into non-overlapping
     ``k``-word passages; only the globally FIRST occurrence of each
@@ -507,6 +509,7 @@ def dedup_passages_rewrite(docs: rd.Dataset, k: int = 8,
     a vectorized ListArray + binary_join — no per-doc Python in any hot
     stage. doc_id must fit 43 bits and passage index 20 bits (packed
     winner key)."""
+    num_buckets = resolve_num_buckets(num_buckets)
     import hashlib
 
     from .agg import preagg_groupby
@@ -632,7 +635,7 @@ def dedup_passages_rewrite(docs: rd.Dataset, k: int = 8,
 def cross_corpus_overlap(train: rd.Dataset, bench: rd.Dataset,
                          n: int = 3, id_col: str = "doc_id",
                          text_col: str = "text",
-                         num_buckets: int = 64,
+                         num_buckets: int = 0,
                          broadcast_threshold: int = 2_000_000
                          ) -> rd.Dataset:
     """Benchmark-contamination overlap when the benchmark side is ALSO
@@ -650,6 +653,7 @@ def cross_corpus_overlap(train: rd.Dataset, bench: rd.Dataset,
     present on the bench side, per-doc distinct-hit counts ride the sum
     combiner, and the zero-fill is a size-guarded left broadcast join
     onto the train id list. Train text never shuffles."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .agg import _bucket_of_frame, preagg_groupby
     from .analytic import _attach_small
 

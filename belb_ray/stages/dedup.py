@@ -21,6 +21,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions.hashing import sha256_hex_list, stable_id64_list
+from ..util import resolve_num_buckets
 
 
 def ensure_identity_columns(ds: rd.Dataset, id_cols=("repo", "path", "commit"),

@@ -24,6 +24,8 @@ from ..functions.textstats import (
     token_count_batch,
 )
 
+from belb_ray.util import resolve_num_buckets
+
 
 def doc_token_counts(ds: rd.Dataset, id_col: str = "doc_id",
                      text_col: str = "text") -> rd.Dataset:
@@ -121,13 +123,14 @@ def doc_fingerprints(ds: rd.Dataset, k: int = 8, id_col: str = "doc_id",
 
 def grouped_entropy(ds: rd.Dataset, key: str, value_col: str,
                     out_col: str = "entropy",
-                    num_buckets: int = 64) -> rd.Dataset:
+                    num_buckets: int = 0) -> rd.Dataset:
     """Per-key Shannon entropy (nats) of the ``value_col`` distribution —
     the diversity score of a user's event mix / a source's doc types.
     Fully combiner-shaped: one (key, value) count aggregation, then the
     counts re-aggregate per key as Σc and Σc·ln c (fixed width), finished
     closed-form as ``H = ln n − Σc·ln c / n``. Input rows shuffle as
     count partials only; the SQL oracle mirrors the arithmetic."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .agg import preagg_groupby
 
     counts = preagg_groupby(ds.select_columns([key, value_col]),

@@ -25,6 +25,8 @@ import ray.data as rd
 
 from .agg import bucketed_combine
 
+from belb_ray.util import resolve_num_buckets
+
 
 def _bin_counts(ds: rd.Dataset, value_col: str, bin_width: float,
                 num_buckets: int) -> rd.Dataset:
@@ -49,7 +51,7 @@ def psi_drift(
     bin_width: float,
     eps: float = 1e-6,
     round_to: int = 8,
-    num_buckets: int = 16,
+    num_buckets: int = 0,
 ) -> rd.Dataset:
     """→ one row per bin present on EITHER side:
     (bin, p_ref, p_cand, psi_contrib); Σ psi_contrib is the PSI.
@@ -59,6 +61,7 @@ def psi_drift(
     ln(max(p_a,eps)/max(p_b,eps))) — identical arithmetic to the SQL
     mirror. Both histogram tables are bin-count-sized; the join and the
     finish run in one tiny task."""
+    num_buckets = resolve_num_buckets(num_buckets)
     ha = _bin_counts(ref, value_col, bin_width, num_buckets)
     hb = _bin_counts(cand, value_col, bin_width, num_buckets)
 
@@ -102,7 +105,7 @@ def chi2_association(
     col_a: str,
     col_b: str,
     round_to: int = 8,
-    num_buckets: int = 16,
+    num_buckets: int = 0,
 ) -> rd.Dataset:
     """Chi-squared association between two categorical columns → one row
     per observed contingency cell: (col_a, col_b, observed, expected,
@@ -113,6 +116,7 @@ def chi2_association(
     the corpus (the only pass that touches rows); marginals derive from
     the category-pair-sized count table, and the finish runs vectorized
     in one tiny task. Exchange is bounded by distinct-pair count."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .agg import preagg_groupby
 
     pairs = preagg_groupby(ds.select_columns([col_a, col_b]),
@@ -145,7 +149,7 @@ def ks_drift(
     value_col: str,
     bin_width: float,
     round_to: int = 8,
-    num_buckets: int = 16,
+    num_buckets: int = 0,
 ) -> rd.Dataset:
     """Two-sample Kolmogorov–Smirnov drift statistic over fixed-width
     value bins → one row per bin present on EITHER side, in bin order:
@@ -160,6 +164,7 @@ def ks_drift(
     runs in one bin-count-sized task. Cumulative counts are exact
     integers, so cdf = cum/total is bit-identical to the SQL window
     cumsum mirror."""
+    num_buckets = resolve_num_buckets(num_buckets)
     ha = _bin_counts(ref, value_col, bin_width, num_buckets)
     hb = _bin_counts(cand, value_col, bin_width, num_buckets)
 
@@ -214,7 +219,7 @@ def js_divergence(
     cand: rd.Dataset,
     text_col: str,
     round_to: int = 8,
-    num_buckets: int = 16,
+    num_buckets: int = 0,
 ) -> rd.Dataset:
     """Jensen–Shannon divergence between the whitespace-token unigram
     distributions of two corpora → one row per token present on EITHER
@@ -231,6 +236,7 @@ def js_divergence(
     a per-batch Arrow ``value_counts`` combiner and ONE bucketed
     combine — rows never shuffle, the exchange is vocabulary-bounded.
     The join + finish run in one vocabulary-sized task."""
+    num_buckets = resolve_num_buckets(num_buckets)
     ha = _token_counts(ref, text_col, num_buckets)
     hb = _token_counts(cand, text_col, num_buckets)
 
@@ -273,7 +279,7 @@ def mutual_information(
     col_a: str,
     col_b: str,
     round_to: int = 8,
-    num_buckets: int = 16,
+    num_buckets: int = 0,
 ) -> rd.Dataset:
     """Mutual information between two categorical columns → one row per
     observed contingency cell: (col_a, col_b, observed, mi_contrib)
@@ -285,6 +291,7 @@ def mutual_information(
     Distributed shape: identical to ``chi2_association`` — ONE (a, b)
     pair-count combiner pass over the rows; marginals and the finish
     derive from the cell-sized table in one tiny vectorized task."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .agg import preagg_groupby
 
     pairs = preagg_groupby(ds.select_columns([col_a, col_b]),

@@ -41,6 +41,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from belb_ray.util import resolve_num_buckets
+
 _R = np.uint64(1099511628211)  # FNV-1a prime as the rolling-base
 
 
@@ -97,10 +99,11 @@ def duplicate_passage_spans(docs: rd.Dataset, k: int = 5,
                             id_col: str = "doc_id",
                             text_col: str = "text",
                             min_count: int = 2,
-                            num_buckets: int = 64) -> rd.Dataset:
+                            num_buckets: int = 0) -> rd.Dataset:
     """Maximal duplicated token spans: (doc_id, tok_start, tok_end,
     n_dup_grams) where every k-window in [tok_start, tok_end) occurs
     ≥ min_count times corpus-wide and the span cannot be extended."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .agg import preagg_groupby
     from .joins import bloom_semi_join
 

@@ -35,7 +35,7 @@ from belb_ray.util import resolve_num_buckets
 
 
 def cluster_quality(ds: rd.Dataset, pred_col: str, gold_col: str,
-                    num_buckets: int = 64) -> rd.Dataset:
+                    num_buckets: int = 0) -> rd.Dataset:
     """One-row Dataset: n_rows, pairwise_precision/recall/f1,
     bcubed_precision/recall/f1 (floats, unrounded)."""
     # materialize: the cell table feeds FOUR consumers below — without
@@ -122,7 +122,7 @@ def cluster_quality(ds: rd.Dataset, pred_col: str, gold_col: str,
 
 def calibration_curve(ds: rd.Dataset, score_col: str, label_col: str,
                       n_bins: int = 10, lo: float = 0.0, hi: float = 1.0,
-                      num_buckets: int = 64) -> rd.Dataset:
+                      num_buckets: int = 0) -> rd.Dataset:
     """Reliability curve + expected calibration error for a match score
     against a binary label (the linkage-score QA step after Fellegi-
     Sunter / Jaro-Winkler scoring — is a 0.9 score right 90% of the
@@ -169,7 +169,7 @@ def calibration_curve(ds: rd.Dataset, score_col: str, label_col: str,
 def cannot_link_audit(clusters: rd.Dataset, pairs: rd.Dataset,
                       id_col: str, cluster_col: str,
                       id_a: str = "id_a", id_b: str = "id_b",
-                      num_buckets: int = 32) -> rd.Dataset:
+                      num_buckets: int = 0) -> rd.Dataset:
     """Constraint QA after clustering: count cannot-link pairs whose two
     members landed in the SAME predicted cluster (each such pair is a
     resolution error a reviewer must split). Returns one row per

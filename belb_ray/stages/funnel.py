@@ -16,13 +16,16 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
+from belb_ray.util import resolve_num_buckets
+
 
 def funnel(ds: rd.Dataset, user_col: str, type_col: str, ts_col: str,
            steps: list[str], within: pd.Timedelta | None = None,
-           num_buckets: int = 64) -> rd.Dataset:
+           num_buckets: int = 0) -> rd.Dataset:
     """(user, steps_completed, t_first, t_last) per user with ≥1 step-1
     event. Later steps must occur at-or-after the previous step's chosen
     time (ties allowed, SQL ``>=`` parity)."""
+    num_buckets = resolve_num_buckets(num_buckets)
     if not steps:
         raise ValueError("funnel needs at least one step")
 
@@ -76,7 +79,7 @@ def last_touch_attribution(ds: rd.Dataset, user_col: str, type_col: str,
                            ts_col: str, id_col: str,
                            conversion_type: str, touch_type: str,
                            window_us: int = 86_400_000_000,
-                           num_buckets: int = 64) -> rd.Dataset:
+                           num_buckets: int = 0) -> rd.Dataset:
     """Last-touch conversion attribution: for every ``conversion_type``
     event, the user's most recent PRIOR ``touch_type`` event within
     ``window_us`` microseconds (strictly earlier by (ts, id) order).
@@ -90,6 +93,7 @@ def last_touch_attribution(ds: rd.Dataset, user_col: str, type_col: str,
     bucket one lexsort + a forward-carry of the last touch index per
     user — no per-row Python, no window self-join."""
 
+    num_buckets = resolve_num_buckets(num_buckets)
     def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch[[user_col, type_col, ts_col, id_col]]
         batch = batch[batch[type_col].isin(

@@ -26,13 +26,16 @@ import ray.data as rd
 from belb_ray.stages.agg import _bucket_of_frame, bucketed_combine
 from belb_ray.stages.dupspans import gram_positions
 
+from belb_ray.util import resolve_num_buckets
+
 
 def cross_doc_gram_stats(ds: rd.Dataset, id_col: str, text_col: str,
-                         k: int = 8, num_buckets: int = 64,
+                         k: int = 8, num_buckets: int = 0,
                          min_total: int = 2) -> rd.Dataset:
     """Per-document (id, dup_grams, total_grams, dup_frac) for every
     document with >= k tokens; shorter documents produce no row
     (matching the SQL oracle's semantics)."""
+    num_buckets = resolve_num_buckets(num_buckets)
     positions = gram_positions(ds, k, id_col=id_col, text_col=text_col)
 
     def _collapse(b: pd.DataFrame) -> pd.DataFrame:

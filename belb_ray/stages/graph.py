@@ -22,16 +22,19 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
+from belb_ray.util import resolve_num_buckets
+
 
 def pagerank(edges: rd.Dataset, src: str = "src", dst: str = "dst",
              damping: float = 0.85, iters: int = 3,
-             num_buckets: int = 64,
+             num_buckets: int = 0,
              broadcast_threshold: int = 2_000_000,
              weight_col: str | None = None) -> rd.Dataset:
     """(node, rank) after ``iters`` power iterations from the uniform
     start 1/N. Nodes = every distinct src or dst endpoint.
     With ``weight_col``, contributions split proportionally to edge
     weight (share = rank·w / Σ_out w) instead of uniformly."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .agg import preagg_groupby
     from .analytic import _attach_small
     from .joins import distinct_values
@@ -123,7 +126,7 @@ def pagerank(edges: rd.Dataset, src: str = "src", dst: str = "dst",
 
 
 def triangle_counts(edges: rd.Dataset, src: str = "src", dst: str = "dst",
-                    num_buckets: int = 64) -> rd.Dataset:
+                    num_buckets: int = 0) -> rd.Dataset:
     """Per-vertex triangle counts over an undirected edge list →
     (vertex, n_triangles); vertices in no triangle are omitted. The
     global triangle count is Σ n_triangles / 3.
@@ -136,6 +139,7 @@ def triangle_counts(edges: rd.Dataset, src: str = "src", dst: str = "dst",
     same vectorized repeat/offset arithmetic as cooccurrence_pairs, then
     close against the canonical edge set via the size-guarded semi-join.
     Each triangle closes exactly one wedge, so counts are exact."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .agg import _bucket_of_frame, preagg_groupby
     from .analytic import _attach_small
     from .joins import semi_join
@@ -271,11 +275,12 @@ def triangle_counts(edges: rd.Dataset, src: str = "src", dst: str = "dst",
 
 
 def cochain_edges(ds: rd.Dataset, group_cols: list[str], item_col: str,
-                  num_buckets: int = 64) -> rd.Dataset:
+                  num_buckets: int = 0) -> rd.Dataset:
     """Sparse co-occurrence graph: per group, chain ADJACENT items of the
     sorted distinct item list → (a, b) edges with a < b. ne ≤ #(group,
     item) rows — the sparsifier that keeps hub groups from exploding into
     O(k²) pairs the way a full pair expansion would."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .agg import _bucket_of_frame
 
     def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
@@ -300,12 +305,13 @@ def cochain_edges(ds: rd.Dataset, group_cols: list[str], item_col: str,
 
 
 def _distinct_nodes(ds: rd.Dataset, col: str,
-                    num_buckets: int = 64) -> rd.Dataset:
+                    num_buckets: int = 0) -> rd.Dataset:
     """Distributed distinct of one node column: batch-local dedup first
     (the frontier's dst lists are massively duplicated), then one
     co-location shuffle on hash(node) with a per-bucket dedup. Never
     collects values to the driver."""
 
+    num_buckets = resolve_num_buckets(num_buckets)
     def _local(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch[[col]].drop_duplicates()
         from .agg import _bucket_of_frame
@@ -323,7 +329,7 @@ def _distinct_nodes(ds: rd.Dataset, col: str,
 def bfs_hops(edges: rd.Dataset, seeds: rd.Dataset, src: str = "src",
              dst: str = "dst", node_col: str = "node", max_hops: int = 3,
              broadcast_threshold: int = 5_000_000,
-             num_buckets: int = 64) -> rd.Dataset:
+             num_buckets: int = 0) -> rd.Dataset:
     """Multi-source BFS: minimum hop distance (≤ ``max_hops``) from any
     seed node → (node, hops) rows, hops ∈ [0, max_hops].
 
@@ -341,6 +347,7 @@ def bfs_hops(edges: rd.Dataset, seeds: rd.Dataset, src: str = "src",
     Equivalent SQL: a bounded-depth recursive CTE with UNION-distinct
     and a final MIN(d) GROUP BY — the oracle mirrors it exactly.
     """
+    num_buckets = resolve_num_buckets(num_buckets)
     from .joins import semi_join
 
     # one pass computes the edge blocks; every BFS level re-reads them —
@@ -388,7 +395,7 @@ def bfs_hops(edges: rd.Dataset, seeds: rd.Dataset, src: str = "src",
 
 
 def k_core(edges: rd.Dataset, k: int, src: str = "src", dst: str = "dst",
-           max_iters: int = 50, num_buckets: int = 64,
+           max_iters: int = 50, num_buckets: int = 0,
            broadcast_threshold: int = 5_000_000) -> rd.Dataset:
     """k-core of an undirected graph (edge list with BOTH directions
     present) → (vertex, core_degree): the maximal subgraph where every
@@ -401,6 +408,7 @@ def k_core(edges: rd.Dataset, k: int, src: str = "src", dst: str = "dst",
     (it shrinks monotonically and is consumed twice next round);
     convergence is detected by edge count, so rounds stop as soon as
     peeling stabilizes — never ``max_iters`` blind rounds."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .agg import preagg_groupby
     from .joins import semi_join
 
@@ -438,7 +446,7 @@ def k_core(edges: rd.Dataset, k: int, src: str = "src", dst: str = "dst",
 
 def label_propagation(edges: rd.Dataset, src: str = "src",
                       dst: str = "dst", iters: int = 3,
-                      num_buckets: int = 64,
+                      num_buckets: int = 0,
                       broadcast_threshold: int = 2_000_000) -> rd.Dataset:
     """Synchronous label-propagation community detection over an
     undirected edge list (both directions present) → (node, label)
@@ -457,6 +465,7 @@ def label_propagation(edges: rd.Dataset, src: str = "src",
     the next label table materializes (consumed by the next round's
     join). The edge list is scanned once per round and never shuffled
     in the broadcast regime."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .agg import grouped_topk, preagg_groupby
     from .analytic import _attach_small
 
@@ -510,7 +519,7 @@ def label_propagation(edges: rd.Dataset, src: str = "src",
 def shortest_paths(edges: rd.Dataset, seeds: rd.Dataset,
                    src: str = "src", dst: str = "dst",
                    weight_col: str = "w", node_col: str = "node",
-                   max_hops: int = 3, num_buckets: int = 64,
+                   max_hops: int = 3, num_buckets: int = 0,
                    broadcast_threshold: int = 2_000_000) -> rd.Dataset:
     """Multi-source weighted shortest paths, bounded at ``max_hops``
     edges (Bellman–Ford with a fixed round count) → (node, dist):
@@ -525,6 +534,7 @@ def shortest_paths(edges: rd.Dataset, seeds: rd.Dataset,
     with a MIN combiner before ONE bucketed combine, and the new table
     unions the old with a second node-sized MIN combine. Edges are
     scanned once per round, never shuffled in the broadcast regime."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .agg import preagg_groupby
     from .analytic import _attach_small
 

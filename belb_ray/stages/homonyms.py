@@ -35,6 +35,8 @@ import ray.data as rd
 
 from .agg import _bucket_of_frame, count_distinct
 
+from belb_ray.util import resolve_num_buckets
+
 
 def _bucket_by(ds: rd.Dataset, keys: list[str], num_buckets: int) -> rd.Dataset:
     def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
@@ -45,11 +47,12 @@ def _bucket_by(ds: rd.Dataset, keys: list[str], num_buckets: int) -> rd.Dataset:
                           batch_size=1 << 18)
 
 
-def kb_dedup(synonyms: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
+def kb_dedup(synonyms: rd.Dataset, num_buckets: int = 0) -> rd.Dataset:
     """Keep-first dedup by (identifier, name): min (description, uid).
     One bucketed shuffle; per bucket a vectorized sort + drop_duplicates
     (no per-group dispatch)."""
 
+    num_buckets = resolve_num_buckets(num_buckets)
     def _dedup(group: pd.DataFrame) -> pd.DataFrame:
         return (group.drop(columns="__bucket")
                 .sort_values(["identifier", "name", "description", "uid"],
@@ -61,9 +64,10 @@ def kb_dedup(synonyms: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
 
 
 def synsets(synonyms: rd.Dataset, sep: str = ";",
-            num_buckets: int = 64) -> rd.Dataset:
+            num_buckets: int = 0) -> rd.Dataset:
     """identifier → sep-joined sorted distinct names (+ n_names)."""
 
+    num_buckets = resolve_num_buckets(num_buckets)
     def _syn(group: pd.DataFrame) -> pd.DataFrame:
         dd = (group[["identifier", "name"]].drop_duplicates()
               .sort_values(["identifier", "name"], kind="stable"))
@@ -83,10 +87,11 @@ def name_homonyms(synonyms: rd.Dataset) -> rd.Dataset:
 
 
 def identifier_homonyms(synonyms: rd.Dataset, sep: str = ";",
-                        num_buckets: int = 64) -> rd.Dataset:
+                        num_buckets: int = 0) -> rd.Dataset:
     """(homonym, identifier): identifiers sharing the same ordered name
     list; min identifier of the group is canonical, others map to it."""
 
+    num_buckets = resolve_num_buckets(num_buckets)
     def _namelist(group: pd.DataFrame) -> pd.DataFrame:
         dd = (group[["identifier", "name"]].drop_duplicates()
               .sort_values(["identifier", "name"], kind="stable"))
@@ -108,10 +113,11 @@ def identifier_homonyms(synonyms: rd.Dataset, sep: str = ";",
 
 
 def foreign_name_homonyms(synonyms: rd.Dataset,
-                          num_buckets: int = 64) -> rd.Dataset:
+                          num_buckets: int = 0) -> rd.Dataset:
     """A4 exact: names under >1 distinct identifier AND >1 distinct
     foreign identifier → (name, n_identifiers, n_foreign). The reference's
     two-predicate HAVING (belb/kbs/query.py:196-232)."""
+    num_buckets = resolve_num_buckets(num_buckets)
     cols = ["name", "identifier", "foreign_identifier"]
 
     def _dedup(batch: pd.DataFrame) -> pd.DataFrame:

@@ -15,6 +15,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
+from ..util import resolve_num_buckets
 
 
 def assign_spans_to_segments(
@@ -51,7 +52,8 @@ def assign_spans_to_segments(
 
     # bucket docs so the shuffle has ~B groups (one Python dispatch per
     # bucket, not per document — same rationale as stages/pairs.py)
-    num_buckets = 64
+    from ..util import resolve_num_buckets
+    num_buckets = resolve_num_buckets(0)
 
     def _bucketize(batch: pa.Table) -> pa.Table:
         d = batch[doc_col].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -99,7 +101,7 @@ def assign_spans_to_segments(
 
 
 def merge_intervals(ds: rd.Dataset, key: str, start_col: str,
-                    end_col: str, num_buckets: int = 64) -> rd.Dataset:
+                    end_col: str, num_buckets: int = 0) -> rd.Dataset:
     """Union of overlapping/touching intervals per key → one row per
     maximal merged island: (key, start_col = min start, end_col = max
     end). The gaps-and-islands primitive (coverage spans, downtime
@@ -113,6 +115,7 @@ def merge_intervals(ds: rd.Dataset, key: str, start_col: str,
     Distributed shape: ONE hash(key) co-location shuffle; per bucket a
     whole-bucket vectorized pass (lexsort, per-key shifted cumulative
     max, island ids by cumsum, min/max per island via reduceat)."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .agg import _bucket_of_frame
 
     def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:

@@ -30,6 +30,7 @@ import ray.data as rd
 
 from ..functions.similarity import levenshtein
 from .agg import _bucket_of_frame, grouped_topk, preagg_groupby
+from ..util import resolve_num_buckets
 
 
 def _deletion_keys(s: str, k: int) -> set[str]:
@@ -84,11 +85,12 @@ def _dist_k1(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
 
 def edit_distance_self_join(ds: rd.Dataset, id_col: str, str_col: str,
                             k: int = 1,
-                            num_buckets: int = 64) -> rd.Dataset:
+                            num_buckets: int = 0) -> rd.Dataset:
     """All pairs (id_a < id_b) whose strings are within Levenshtein
     distance ``k`` → (id_a, id_b, dist). Exact: deletion-neighborhood
     blocking is a guaranteed-recall candidate generator (FastSS), and
     every candidate is verified with the integer DP distance."""
+    num_buckets = resolve_num_buckets(num_buckets)
     if k < 1 or k > 2:
         raise ValueError("k must be 1 or 2 (deletion fan-out is O(len^k))")
 
@@ -169,12 +171,13 @@ def survivorship(ds: rd.Dataset, key: str,
                  agg_rules: list[tuple[str, str, str]],
                  latest_cols: list[str], order_col: str,
                  tiebreak: str,
-                 num_buckets: int = 64) -> rd.Dataset:
+                 num_buckets: int = 0) -> rd.Dataset:
     """Golden-record merge per cluster → one row per ``key`` carrying
     (a) ``agg_rules`` = (how ∈ {min,max,sum,count}, col, out) combiner
     aggregates and (b) each ``latest_cols`` value taken from the
     cluster's newest row by (order_col desc, tiebreak desc) — the
     standard most-recent-wins survivorship rule."""
+    num_buckets = resolve_num_buckets(num_buckets)
     base = preagg_groupby(
         ds.select_columns([key] + sorted({c for _, c, _ in agg_rules if c})),
         [key], agg_rules, num_buckets)
@@ -202,7 +205,7 @@ def survivorship(ds: rd.Dataset, key: str,
 def edit_distance_lookup(probe: rd.Dataset, canon: rd.Dataset,
                          probe_id: str, probe_str: str,
                          canon_id: str, canon_str: str, k: int = 1,
-                         num_buckets: int = 64) -> rd.Dataset:
+                         num_buckets: int = 0) -> rd.Dataset:
     """Approximate dictionary lookup: every (probe row, canon row) pair
     within Levenshtein distance ``k`` → (probe_id, canon_id, dist).
     The cross-source fuzzy-match step of record linkage (the reference
@@ -215,6 +218,7 @@ def edit_distance_lookup(probe: rd.Dataset, canon: rd.Dataset,
     pigeonhole), ONE key-bucket shuffle generates only CROSS-side
     candidates per variant group, one pair-bucket shuffle dedupes, and
     the capped vectorized Levenshtein verifies candidates only."""
+    num_buckets = resolve_num_buckets(num_buckets)
     if k < 1 or k > 2:
         raise ValueError("k must be 1 or 2 (deletion fan-out is O(len^k))")
 
@@ -331,7 +335,7 @@ def _prefix_bins(vals: np.ndarray) -> np.ndarray:
 def sorted_neighborhood_pairs(ds: rd.Dataset, id_col: str, sort_col: str,
                               window: int, carry_sort: bool = False,
                               carry_cols: list[str] | None = None,
-                              num_buckets: int = 64) -> rd.Dataset:
+                              num_buckets: int = 0) -> rd.Dataset:
     """Sorted-neighborhood (SNM) blocking: every pair of rows whose
     positions in the global (sort_col, id_col) order differ by less than
     ``window`` → (id_a, id_b, gap), id_a the lower-ranked row;
@@ -364,6 +368,7 @@ def sorted_neighborhood_pairs(ds: rd.Dataset, id_col: str, sort_col: str,
     equals the SQL mirror ``JOIN ON b.rn > a.rn AND b.rn - a.rn <
     window`` over ``row_number() OVER (ORDER BY sort_col, id_col)``.
     """
+    num_buckets = resolve_num_buckets(num_buckets)
     import ray
 
     from ..util import cached_get
@@ -492,7 +497,7 @@ def soundex_codes(ds: rd.Dataset, id_col: str, name_col: str,
 
 
 def bcubed(ds: rd.Dataset, cluster_col: str, gold_col: str,
-           round_to: int = 6, num_buckets: int = 64) -> pd.DataFrame:
+           round_to: int = 6, num_buckets: int = 0) -> pd.DataFrame:
     """B-cubed extrinsic clustering quality (Bagga & Baldwin 1998): per
     record, precision = |pred cluster ∩ gold class| / |pred cluster| and
     recall the dual; report corpus averages + F1. The standard ER /
@@ -505,6 +510,7 @@ def bcubed(ds: rd.Dataset, cluster_col: str, gold_col: str,
     intersecting label pairs, corpus-independent) shuffle after that.
     Returns a 1-row DataFrame (n_records, b3_precision, b3_recall,
     b3_f1)."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .joins import broadcast_join, collect_arrow
 
     def _ones(batch: pd.DataFrame) -> pd.DataFrame:
@@ -549,7 +555,7 @@ def bcubed(ds: rd.Dataset, cluster_col: str, gold_col: str,
 
 def one_to_one_match(pairs: rd.Dataset, score_col: str = "score",
                      id_a: str = "id_a", id_b: str = "id_b",
-                     num_buckets: int = 32,
+                     num_buckets: int = 0,
                      max_rounds: int = 64,
                      local_threshold: int = 2_000_000) -> rd.Dataset:
     """Greedy maximum-weight one-to-one matching over scored candidate
@@ -577,6 +583,7 @@ def one_to_one_match(pairs: rd.Dataset, score_col: str = "score",
     Distributed rounds only run while the pair set is genuinely too big
     to collect, which is when they pay for themselves."""
 
+    num_buckets = resolve_num_buckets(num_buckets)
     def _canon(batch: pd.DataFrame) -> pd.DataFrame:
         a = batch[id_a].to_numpy()
         b = batch[id_b].to_numpy()

@@ -33,6 +33,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from belb_ray.util import resolve_num_buckets
+
 _SEP = "\x00"  # joint bigram key separator (cannot appear in a token)
 
 
@@ -72,10 +74,11 @@ def _bigram_rows(docs: rd.Dataset, id_col: str, text_col: str,
 
 def lm_score(docs: rd.Dataset, id_col: str = "doc_id",
              text_col: str = "text", add_k: float = 1.0,
-             num_buckets: int = 64,
+             num_buckets: int = 0,
              broadcast_threshold: int = 2_000_000) -> rd.Dataset:
     """(doc_id, n_bigrams, logprob_mean) for every doc with ≥1 bigram,
     under the corpus's own add-k bigram model."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .agg import preagg_groupby
     from .analytic import _attach_small
 

@@ -33,6 +33,7 @@ import pandas as pd
 import ray.data as rd
 
 from belb_ray.stages.agg import mode_agg, preagg_groupby
+from ..util import resolve_num_buckets
 
 Level = tuple[list[str], list[str]]  # (left key cols, right key cols)
 
@@ -45,7 +46,7 @@ def waterfall_match(
     out_id: str = "match_id",
     out_level: str = "match_level",
     max_broadcast_rows: int = 5_000_000,
-    num_buckets: int = 64,
+    num_buckets: int = 0,
 ) -> rd.Dataset:
     """Deterministic cascade match: each left row gets the min
     ``right_id`` among right rows sharing the keys of its
@@ -56,6 +57,7 @@ def waterfall_match(
     BEFORE matching, so the result is order- and partitioning-
     independent (and SQL-re-derivable as per-level GROUP BY min +
     priority COALESCE)."""
+    num_buckets = resolve_num_buckets(num_buckets)
     import ray
 
     maps: list[tuple[list[str], object]] = []  # (left_cols, ref(pd map))
@@ -113,13 +115,14 @@ def id_crosswalk(
     b_col: str,
     c_col: str,
     max_broadcast_rows: int = 5_000_000,
-    num_buckets: int = 64,
+    num_buckets: int = 0,
 ) -> rd.Dataset:
     """Transitive id bridging A→B→C with ambiguity accounting: one row
     per A value with ``n_targets`` (distinct C reachable), ``rep``
     (MIN C — the deterministic representative), and ``ambiguous``
     (n_targets > 1). Handles many-to-many on both hops; duplicate
     (A,B) / (B,C) rows collapse in combiner passes before any join."""
+    num_buckets = resolve_num_buckets(num_buckets)
     ab = preagg_groupby(a2b.select_columns([a_col, b_col]), [a_col, b_col],
                         [("count", a_col, "__n")],
                         num_buckets=num_buckets).materialize()
@@ -161,7 +164,7 @@ def source_accuracy(
     attr_col: str,
     source_col: str,
     max_broadcast_rows: int = 5_000_000,
-    num_buckets: int = 64,
+    num_buckets: int = 0,
 ) -> rd.Dataset:
     """Truth-discovery-lite source scoring: the per-cluster majority
     value of ``attr_col`` (mode, min tie-break — the golden-record
@@ -176,6 +179,7 @@ def source_accuracy(
     (re-weighting votes by accuracy) is this op run to fixpoint;
     published estimators converge in a handful of rounds, each round
     exactly this shape."""
+    num_buckets = resolve_num_buckets(num_buckets)
     maj = mode_agg(ds.select_columns([cluster_col, attr_col]),
                    [cluster_col], attr_col, "__maj",
                    num_buckets=num_buckets).materialize()

@@ -27,10 +27,12 @@ import ray.data as rd
 from .agg import _bucket_of_frame, bucketed_combine
 from .sampling import MD5_SPACE, _md5_hash60
 
+from belb_ray.util import resolve_num_buckets
+
 
 def target_encode(ds: rd.Dataset, cat_col: str, target_col: str,
                   smoothing: float = 20.0, scale: float = 100.0,
-                  num_buckets: int = 16) -> rd.Dataset:
+                  num_buckets: int = 0) -> rd.Dataset:
     """Smoothed mean target encoding → (cat_col, n, te) with
     ``te = (sum_cat + m·prior) / (n_cat + m)``, prior = global mean.
 
@@ -40,6 +42,7 @@ def target_encode(ds: rd.Dataset, cat_col: str, target_col: str,
     cents trick as the revenue queries; te is reported in original units.
     """
 
+    num_buckets = resolve_num_buckets(num_buckets)
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
         units = np.round(batch[target_col].to_numpy(dtype=np.float64)
                          * scale).astype(np.int64)
@@ -95,11 +98,12 @@ def dataset_split(ds: rd.Dataset, key: str,
 
 def quota_sample(ds: rd.Dataset, group_col: str, n_per_group: int,
                  key: str, seed: int = 0,
-                 num_buckets: int = 64) -> rd.Dataset:
+                 num_buckets: int = 0) -> rd.Dataset:
     """Keep at most ``n_per_group`` rows per group, chosen deterministically
     by md5-hash order (ties broken by key) — the curation op that caps any
     one source/domain's contribution to a training mixture."""
 
+    num_buckets = resolve_num_buckets(num_buckets)
     def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         batch["__h"] = _md5_hash60(pa.array(batch[key]), seed)
@@ -121,7 +125,7 @@ def leakage_safe_split(docs: rd.Dataset, id_col: str = "doc_id",
                        text_col: str = "text",
                        fracs: dict[str, float] | None = None,
                        seed: int = 0,
-                       num_buckets: int = 64) -> rd.Dataset:
+                       num_buckets: int = 0) -> rd.Dataset:
     """Dedup-aware train/test split: exact-duplicate documents always
     land in the SAME split, so no content leaks across the train/eval
     boundary. Returns (id, rep_id, split).
@@ -132,6 +136,7 @@ def leakage_safe_split(docs: rd.Dataset, id_col: str = "doc_id",
     distinct contents; partitioned fallback above the threshold); the
     split decision is ``dataset_split`` on the REPRESENTATIVE id, so
     every member of a dup group hashes identically."""
+    num_buckets = resolve_num_buckets(num_buckets)
     import hashlib
 
     from ..pipelines.docdedup import exact_dup_groups

@@ -35,6 +35,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from belb_ray.util import resolve_num_buckets
+
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
@@ -47,7 +49,7 @@ def assemble_passages(chunks: rd.Dataset, doc_col: str = "doc_id",
                       idx_col: str = "chunk_idx",
                       type_col: str = "passage_type",
                       text_col: str = "text", sep_len: int = 1,
-                      num_buckets: int = 64) -> rd.Dataset:
+                      num_buckets: int = 0) -> rd.Dataset:
     """chunks(doc, idx, type, text) → (doc, passage_id, passage_type,
     p_offset, p_len): offsets are the per-document prefix sum of
     ``len(text) + sep_len`` in ``idx`` order, starting at 0.
@@ -57,6 +59,7 @@ def assemble_passages(chunks: rd.Dataset, doc_col: str = "doc_id",
     offsets are block-layout-independent (rows identical in all four
     fields are interchangeable)."""
 
+    num_buckets = resolve_num_buckets(num_buckets)
     def _lens(batch: pa.Table) -> pa.Table:
         lens = pa.compute.utf8_length(
             pa.compute.cast(batch[text_col], pa.string()))
@@ -101,7 +104,7 @@ def assemble_passages(chunks: rd.Dataset, doc_col: str = "doc_id",
 def remap_offsets(passages: rd.Dataset, anns: rd.Dataset,
                   doc_col: str = "doc_id",
                   passage_col: str = "passage_id",
-                  num_buckets: int = 64) -> rd.Dataset:
+                  num_buckets: int = 0) -> rd.Dataset:
     """passages(doc, passage_id, p_offset, text) ×
     anns(doc, passage_id, ann_id, text, orig_start) →
     (doc, passage_id, ann_id, text, start, end) for every annotation
@@ -112,6 +115,7 @@ def remap_offsets(passages: rd.Dataset, anns: rd.Dataset,
     The scan order is ``orig_start`` (ties: ann_id) exactly as the
     reference sorts by the incoming start offset."""
 
+    num_buckets = resolve_num_buckets(num_buckets)
     def _tag_passages(t: pa.Table) -> pa.Table:
         d = t[doc_col].to_numpy(zero_copy_only=False)
         n = t.num_rows

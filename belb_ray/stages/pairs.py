@@ -27,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
+from ..util import resolve_num_buckets
 
 _EMPTY = pa.table({"id_a": pa.array([], pa.int64()),
                    "id_b": pa.array([], pa.int64())})
@@ -81,7 +82,7 @@ def _default_shuffle_partitions() -> int:
     """Partition count for the pair-generation shuffles — now the
     engine-wide helper (`util.default_shuffle_partitions`); kept as an
     alias so round-3 callers/docs keep working."""
-    from ..util import default_shuffle_partitions
+    from ..util import default_shuffle_partitions, resolve_num_buckets
 
     return default_shuffle_partitions()
 
@@ -90,10 +91,11 @@ def candidate_pairs(
     blocks: rd.Dataset,
     max_block: int = 64,
     window: int = 8,
-    num_buckets: int = 256,
+    num_buckets: int = 0,
     shuffle_partitions: int | None = None,
 ) -> rd.Dataset:
     """(block_key, row_id) → deduped (id_a, id_b)."""
+    num_buckets = resolve_num_buckets(num_buckets)
     if shuffle_partitions is None:
         shuffle_partitions = _default_shuffle_partitions()
 

@@ -34,7 +34,7 @@ import ray
 import ray.data as rd
 
 from ..functions.similarity import kmeans_fit_l2
-from ..util import cached_get
+from ..util import cached_get, resolve_num_buckets
 from .ann import list_column_matrix
 from .joins import collect_arrow
 
@@ -119,7 +119,7 @@ def pq_search(
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
     round_to: int = 6,
-    num_buckets: int = 16,
+    num_buckets: int = 0,
 ) -> rd.Dataset:
     """ADC top-k: → (query_id, vec_id, dist), the k smallest
     approximate squared L2 distances per query (ties → smaller id).
@@ -128,6 +128,7 @@ def pq_search(
     code row against the broadcast per-query LUTs), then one bucketed
     per-query merge — the corpus codes stream, nothing corpus-sized
     materializes."""
+    num_buckets = resolve_num_buckets(num_buckets)
     m, kcent, sub = books.shape
     qids = queries[query_id_col].to_numpy(zero_copy_only=False)
     qmat = list_column_matrix(queries[vec_col])

@@ -35,6 +35,8 @@ import ray.data as rd
 
 from .joins import _bucket_of
 
+from belb_ray.util import resolve_num_buckets
+
 
 def _ragged_ranges(lo: np.ndarray, hi: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """For per-row index ranges [lo_i, hi_i) return (row_idx, flat_idx)
@@ -77,7 +79,7 @@ def interval_join(
     key: str | None = None,
     bin_width: int | None = None,
     suffix: str = "_r",
-    num_buckets: int = 64,
+    num_buckets: int = 0,
 ) -> rd.Dataset:
     """Inner join of ``left`` × ``right`` on closed-interval overlap
     (``l.start <= r.end AND r.start <= l.end``), plus ``key`` equality
@@ -88,6 +90,7 @@ def interval_join(
     defaults to 3600 s. Output = all left columns + all right columns,
     right names suffixed on collision.
     """
+    num_buckets = resolve_num_buckets(num_buckets)
     import pyarrow as pa
     import pyarrow.compute as pc
 

@@ -23,17 +23,20 @@ import ray.data as rd
 
 from .agg import _bucket_of_frame
 
+from belb_ray.util import resolve_num_buckets
+
 _AGGS = ("max", "min")
 
 
 def resample_ffill(events: rd.Dataset, key_col: str, ts_col: str,
                    value_col: str, period_s: int = 86_400,
-                   agg: str = "max", num_buckets: int = 64) -> rd.Dataset:
+                   agg: str = "max", num_buckets: int = 0) -> rd.Dataset:
     """→ (key_col, period:int64, value_ffill:double): one row per period
     between each key's first and last observed period; observed periods
     carry ``agg`` (max|min — order-independent, so the distributed
     result is deterministic) of the period's values, gaps carry the
     previous period's value forward."""
+    num_buckets = resolve_num_buckets(num_buckets)
     if agg not in _AGGS:
         raise ValueError(f"agg must be one of {_AGGS}")
 

@@ -82,6 +82,9 @@ def upsample_chunks(ds: rd.Dataset, key: str, max_chunk: int,
     no global sort is needed (ranks are bucket-local, chunk ids offset by
     bucket — deterministic, distributed). Rank ties (hash collisions)
     break on the key itself, so the order is total under any partitioning."""
+    # SEMANTIC bucket count (not routing-only): chunk ids are offset by
+    # bucket, so changing it changes the output — deliberately fixed,
+    # exempt from resolve_num_buckets (cf. util.resolve_num_buckets doc)
     num_buckets = 64
 
     def _bucketize(batch: pa.Table) -> pa.Table:

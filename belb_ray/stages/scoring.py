@@ -25,6 +25,7 @@ from ..functions.similarity import (hybrid_score, jaro_winkler,
                                     jaro_winkler_batch, token_set_ratio)
 from ..functions.text import path_tokens
 from .joins import hash_partition_join
+from ..util import resolve_num_buckets
 
 # per-worker-process memo: path → frozenset of tokens (paths repeat
 # heavily across candidate pairs; Ray reuses worker processes, so this
@@ -42,7 +43,7 @@ def _tokset(path: str) -> frozenset:
 
 
 def attach_features(pairs: rd.Dataset, features: rd.Dataset,
-                    num_buckets: int = 32,
+                    num_buckets: int = 0,
                     broadcast_threshold: int = 8_000_000,
                     broadcast_bytes: int | None = None,
                     need_paths: bool = True,
@@ -91,6 +92,7 @@ def attach_features(pairs: rd.Dataset, features: rd.Dataset,
     fallback streamable: the (pairs x 2-signature) blocks that
     throttled the 4M-row campaign are reduced to (id_a, id_b, score)
     before leaving the task."""
+    num_buckets = resolve_num_buckets(num_buckets)
     if broadcast_bytes is None:
         from ..util import broadcast_byte_budget
 

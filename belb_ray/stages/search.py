@@ -27,6 +27,8 @@ import ray.data as rd
 
 from belb_ray.functions.arrow import table_from_pandas
 
+from belb_ray.util import resolve_num_buckets
+
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 
@@ -125,7 +127,7 @@ def rrf_fuse(
     rrf_k: int = 60,
     top_k: int | None = None,
     round_to: int = 6,
-    num_buckets: int = 64,
+    num_buckets: int = 0,
 ) -> rd.Dataset:
     """Reciprocal-rank fusion of N rankings (hybrid search):
     score(q, d) = Σ_i 1 / (rrf_k + rank_i(q, d)), items absent from a
@@ -143,6 +145,7 @@ def rrf_fuse(
     the SQL mirror (COALESCE(term_0) + COALESCE(term_1) + …) matches
     bit-for-bit. Nothing corpus-sized moves; driver holds nothing.
     """
+    num_buckets = resolve_num_buckets(num_buckets)
     from .agg import _bucket_of_frame, grouped_topk
     from .analytic import ordered_window
 

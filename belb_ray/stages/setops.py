@@ -19,6 +19,8 @@ import ray.data as rd
 
 from .agg import _bucket_of_frame
 
+from belb_ray.util import resolve_num_buckets
+
 _SIDE = "__setop_side"
 _BUCKET = "__bucket"
 
@@ -63,24 +65,26 @@ def _set_op(a: rd.Dataset, b: rd.Dataset, cols: list[str],
 
 def set_except(a: rd.Dataset, b: rd.Dataset, cols: list[str],
                b_cols: list[str] | None = None,
-               num_buckets: int = 64) -> rd.Dataset:
+               num_buckets: int = 0) -> rd.Dataset:
     """``SELECT DISTINCT cols FROM a EXCEPT SELECT DISTINCT b_cols FROM
     b`` — distinct keys of ``a`` absent from ``b``. ``b_cols`` maps b's
     column names positionally onto ``cols`` (SQL set ops match by
     position, not name)."""
+    num_buckets = resolve_num_buckets(num_buckets)
     return _set_op(a, b, cols, "left_only", b_cols, num_buckets)
 
 
 def set_intersect(a: rd.Dataset, b: rd.Dataset, cols: list[str],
                   b_cols: list[str] | None = None,
-                  num_buckets: int = 64) -> rd.Dataset:
+                  num_buckets: int = 0) -> rd.Dataset:
     """``SELECT DISTINCT cols FROM a INTERSECT SELECT ... FROM b``."""
+    num_buckets = resolve_num_buckets(num_buckets)
     return _set_op(a, b, cols, "both", b_cols, num_buckets)
 
 
 def keyed_diff(old: rd.Dataset, new: rd.Dataset, key_cols: list[str],
                compare_cols: list[str],
-               num_buckets: int = 64) -> rd.Dataset:
+               num_buckets: int = 0) -> rd.Dataset:
     """CDC-style keyed dataset diff: rows keyed by ``key_cols`` are
     classified ``added`` (key only in ``new``), ``removed`` (only in
     ``old``) or ``changed`` (key on both sides but some ``compare_cols``
@@ -95,6 +99,7 @@ def keyed_diff(old: rd.Dataset, new: rd.Dataset, key_cols: list[str],
     no driver collect, works for two large sides. Keys are assumed
     unique per side (it is a keyed table diff, not a multiset diff).
     """
+    num_buckets = resolve_num_buckets(num_buckets)
     cols = key_cols + compare_cols
 
     def _project(ds: rd.Dataset, side: int) -> rd.Dataset:
@@ -144,11 +149,12 @@ def keyed_diff(old: rd.Dataset, new: rd.Dataset, key_cols: list[str],
 
 def set_union(a: rd.Dataset, b: rd.Dataset, cols: list[str],
               b_cols: list[str] | None = None,
-              num_buckets: int = 64) -> rd.Dataset:
+              num_buckets: int = 0) -> rd.Dataset:
     """``SELECT DISTINCT cols FROM a UNION SELECT ... FROM b`` —
     distinct keys present on EITHER side. Same one-shuffle shape: both
     sides locally dedup, the tagged union co-locates, the per-bucket
     combine is a plain drop_duplicates over the key columns."""
+    num_buckets = resolve_num_buckets(num_buckets)
     rename = dict(zip(b_cols, cols)) if b_cols else None
     both = _tagged_distinct(a, cols, 0, None).union(
         _tagged_distinct(b, b_cols or cols, 1, rename))

@@ -45,6 +45,7 @@ import ray.data as rd
 from ..functions.hashing import token_hashes
 from ..functions.text import tokenize
 from .agg import _bucket_of_frame, preagg_groupby
+from ..util import resolve_num_buckets
 
 
 def _doc_sets(docs: rd.Dataset, id_col: str, text_col: str):
@@ -69,7 +70,7 @@ def _doc_sets(docs: rd.Dataset, id_col: str, text_col: str):
 def jaccard_similarity_join(docs: rd.Dataset, threshold: float,
                             id_col: str = "doc_id",
                             text_col: str = "text",
-                            num_buckets: int = 64,
+                            num_buckets: int = 0,
                             vocab_broadcast: int = 2_000_000,
                             broadcast_threshold: int = 2_000_000,
                             chunk_pairs: int = 2_000_000
@@ -81,6 +82,7 @@ def jaccard_similarity_join(docs: rd.Dataset, threshold: float,
     token groups above it are split into row-range chunks that run as
     separate tasks (the hot-token skew guard); the default matches the
     in-task chunking granularity."""
+    num_buckets = resolve_num_buckets(num_buckets)
     import ray
 
     from ..util import cached_get
@@ -466,7 +468,7 @@ def jaccard_similarity_join(docs: rd.Dataset, threshold: float,
 
 def containment_topk(ds: rd.Dataset, query_ids: list, k: int = 3,
                      id_col: str = "doc_id", text_col: str = "text",
-                     n: int = 3, num_buckets: int = 64) -> rd.Dataset:
+                     n: int = 3, num_buckets: int = 0) -> rd.Dataset:
     """Containment search (the LSH-Ensemble problem, exact small-probe
     form): for each query doc, the top-``k`` corpus docs by containment
     |S(q) ∩ S(d)| / |S(q)| of distinct word ``n``-gram shingle sets —
@@ -486,6 +488,7 @@ def containment_topk(ds: rd.Dataset, query_ids: list, k: int = 3,
     counts — no per-(doc, query) Python loop, no pairwise text compare,
     no shuffle of the corpus. The global top-k finish is the per-key
     combiner (grouped_topk), so at most k rows per query per block move."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .agg import grouped_topk
     from .curation import GRAM_WORD_RE
 

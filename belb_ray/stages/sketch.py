@@ -43,6 +43,7 @@ from .agg import _bucket_of_frame
 from .sampling import _md5_hash60
 
 from belb_ray.functions.arrow import table_from_pandas
+from ..util import resolve_num_buckets
 
 # rho is the leading-zero rank inside a 38-bit window (bits p..p+37 of the
 # 60-bit hash): [1, 39], 39 for w == 0. Keeping the window under 53 bits
@@ -105,7 +106,7 @@ def _finish_registers(regs: np.ndarray, m: int, am2: float):
 
 
 def hll_sketch(ds: rd.Dataset, group_key: str, value_key: str, p: int = 6,
-               seed: int = 0, num_buckets: int = 32,
+               seed: int = 0, num_buckets: int = 0,
                emit_registers: bool = False) -> rd.Dataset:
     """Approximate count-distinct of ``value_key`` per ``group_key``.
 
@@ -114,6 +115,7 @@ def hll_sketch(ds: rd.Dataset, group_key: str, value_key: str, p: int = 6,
     index order (the exactly-checkable fingerprint of the sketch state)
     and ``approx_distinct`` is the HLL estimate rounded to 2 decimals.
     """
+    num_buckets = resolve_num_buckets(num_buckets)
     m = 1 << p
     am2 = _alpha(m) * m * m
 
@@ -229,7 +231,7 @@ def _misra_gries(keys: np.ndarray, k: int) -> dict:
 
 
 def heavy_hitters(ds: rd.Dataset, key: str, phi: float,
-                  num_buckets: int = 32) -> rd.Dataset:
+                  num_buckets: int = 0) -> rd.Dataset:
     """Exact phi-heavy hitters (count > phi·n) found at sketch cost.
 
     Pass 1 streams per-block Misra-Gries summaries (≤ ceil(1/phi) rows
@@ -237,6 +239,7 @@ def heavy_hitters(ds: rd.Dataset, key: str, phi: float,
     heavy hitter. Pass 2 broadcasts that tiny candidate set and recounts
     it exactly. → (key, cnt:int64), the exact heavy-hitter rows.
     """
+    num_buckets = resolve_num_buckets(num_buckets)
     import ray
 
     k = max(1, math.ceil(1.0 / phi))
@@ -286,7 +289,7 @@ def heavy_hitters(ds: rd.Dataset, key: str, phi: float,
 
 
 def hll_merge(sketches: rd.Dataset, group_key: str, p: int,
-              num_buckets: int = 32) -> rd.Dataset:
+              num_buckets: int = 0) -> rd.Dataset:
     """Merge HLL sketches to a coarser key WITHOUT re-reading raw rows —
     the sketch-algebra step a pre-aggregated metrics store relies on:
     registers are element-wise MAX-merged per ``group_key``, then
@@ -298,6 +301,7 @@ def hll_merge(sketches: rd.Dataset, group_key: str, p: int,
     ``hll_sketch(..., emit_registers=True)`` at any finer partitioning;
     the exchange is one bucketed combine of m-byte register rows —
     sketch-count-sized, never row-count-sized."""
+    num_buckets = resolve_num_buckets(num_buckets)
     m = 1 << p
     am2 = _alpha(m) * m * m
 
@@ -344,13 +348,14 @@ def _cms_hash(vals: list, d: int, width: int) -> np.ndarray:
 
 
 def cms_sketch(ds: rd.Dataset, key_col: str, depth: int = 4,
-               width: int = 64, num_buckets: int = 16) -> rd.Dataset:
+               width: int = 64, num_buckets: int = 0) -> rd.Dataset:
     """Count-min sketch of ``key_col`` frequencies → nonzero cells
     (d, idx, cnt). CMS is a LINEAR sketch: per-block partial matrices
     sum cell-wise, so the exchange is bounded by depth x width rows per
     block at ANY key cardinality — the frequency-query dual of
     ``hll_sketch`` (Cormode & Muthukrishnan 2005). Point estimates
     overcount only (min over depth rows of colliding-bucket sums)."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .agg import preagg_groupby
 
     def _partial(batch: pa.Table) -> pd.DataFrame:
@@ -380,7 +385,7 @@ def cms_estimate(cms: rd.Dataset, probes: rd.Dataset, key_col: str,
     stream."""
     import ray
 
-    from ..util import cached_get
+    from ..util import cached_get, resolve_num_buckets
 
     cells = cms.to_pandas()
     mat = np.zeros((depth, width), np.int64)
@@ -406,7 +411,7 @@ def join_size_estimate(
     key_col: str,
     depth: int = 4,
     width: int = 64,
-    num_buckets: int = 16,
+    num_buckets: int = 0,
 ) -> rd.Dataset:
     """Inner-equi-join cardinality, exact AND sketch-estimated, WITHOUT
     running the join → one row: (n_left, n_right, exact_pairs,
@@ -422,6 +427,7 @@ def join_size_estimate(
     cms_estimate ≥ exact_pairs always) — depth×width integers per side
     regardless of key cardinality, the path that still works when even
     the per-key count table is too big to exchange."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .agg import bucketed_combine, preagg_groupby
 
     def _counts(ds: rd.Dataset, out: str) -> rd.Dataset:

@@ -21,12 +21,14 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from belb_ray.util import resolve_num_buckets
+
 
 def merge_span_identifiers(
     anns: rd.Dataset,
     key_cols: tuple = ("doc_id", "start", "end", "text", "entity_type"),
     id_col: str = "identifier",
-    num_buckets: int = 64,
+    num_buckets: int = 0,
 ) -> rd.Dataset:
     """anns(key_cols..., identifier) → one row per distinct key with
     ``identifiers: list<string>`` (sorted distinct) + ``n_ids``."""
@@ -76,13 +78,14 @@ def suppress_overlapping(
     gold: rd.Dataset,
     foreign: rd.Dataset,
     doc_col: str = "doc_id",
-    num_buckets: int = 64,
+    num_buckets: int = 0,
 ) -> rd.Dataset:
     """Both inputs: (doc_id, ann_id, start, end, text). Returns the
     foreign rows that survive: no gold annotation of the same document
     overlaps them (start < g_end AND g_start < end — covers overlap,
     nesting and equality) and none shares their surface text."""
 
+    num_buckets = resolve_num_buckets(num_buckets)
     def _tag(side: int):
         def _f(t: pa.Table) -> pa.Table:
             return pa.table({

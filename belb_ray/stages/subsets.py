@@ -70,7 +70,7 @@ def evaluation_subsets(
 
 def _subsets_shuffle(test: rd.Dataset, train_pairs: rd.Dataset,
                      id_col: str, surface_col: str,
-                     num_buckets: int = 64) -> rd.Dataset:
+                     num_buckets: int = 0) -> rd.Dataset:
     """Shuffle fallback: classify via two bucketed membership checks on
     hash(id) — all rows of an id land in one bucket, the check is
     vectorized pandas per bucket."""

@@ -30,6 +30,8 @@ import ray.data as rd
 
 from belb_ray.stages.agg import _bucket_of_frame, guard_bucket_rows
 
+from belb_ray.util import resolve_num_buckets
+
 _RULES = ("mode", "longest", "max", "min")
 
 
@@ -54,12 +56,13 @@ def _pack_value(d: pd.DataFrame, col: str) -> pd.DataFrame:
 
 
 def golden_records(ds: rd.Dataset, cluster_col: str,
-                   rules: dict[str, str], num_buckets: int = 64,
+                   rules: dict[str, str], num_buckets: int = 0,
                    max_bucket_rows: int | None = 50_000_000) -> rd.Dataset:
     """One row per ``cluster_col`` value with each rule column replaced
     by its surviving value. ``rules`` maps column -> rule name. Output
     column order: cluster, then rule columns in ``rules`` order; dtypes
     are preserved for numeric/timestamp extrema, string otherwise."""
+    num_buckets = resolve_num_buckets(num_buckets)
     bad = set(rules.values()) - set(_RULES)
     if bad:
         raise ValueError(f"golden_records: unknown rules {sorted(bad)}")

@@ -39,7 +39,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..util import cached_get
+from ..util import cached_get, resolve_num_buckets
 
 
 def _as_table(obj) -> pa.Table:
@@ -144,7 +144,7 @@ def mention_contexts(
     window: int = 16,
     doc_id_col: str = "doc_id",
     text_col: str = "text",
-    num_buckets: int = 32,
+    num_buckets: int = 0,
 ) -> rd.Dataset:
     """Attach a ±``window``-char context snippet to every mention span →
     mention columns + ``context`` (text[max(0, start−w) : min(len,
@@ -158,6 +158,7 @@ def mention_contexts(
     slicing is per-row (no Arrow kernel takes per-row bounds) but
     allocation-only — O(output bytes), the floor for snippet
     extraction."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .joins import hash_partition_join
 
     joined = hash_partition_join(

@@ -33,6 +33,8 @@ from .agg import bucketed_combine, grouped_topk
 
 from belb_ray.functions.arrow import table_from_pandas
 
+from belb_ray.util import resolve_num_buckets
+
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 
@@ -42,11 +44,12 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int = 4,
-    num_buckets: int = 64,
+    num_buckets: int = 0,
     broadcast_vocab_limit: int = 5_000_000,
 ) -> rd.Dataset:
     """→ (id_col, token, weight): the k highest-tf·idf terms per doc,
     ties broken (weight desc, token asc) so the cut is deterministic."""
+    num_buckets = resolve_num_buckets(num_buckets)
     import ray
 
     n_docs = float(docs.count())
@@ -119,7 +122,7 @@ def tfidf_cosine_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int = 6,
-    num_buckets: int = 64,
+    num_buckets: int = 0,
     explode_blocks: int = 64,
     broadcast_threshold: int = 2_000_000,
 ) -> rd.Dataset:
@@ -143,6 +146,7 @@ def tfidf_cosine_join(
     with ONE co-location shuffle; the pair explosion reuses the
     cooccurrence repeat/offset triangle arithmetic behind a fusion
     barrier; dot products reduce in a (a, b)-pair combiner."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .agg import preagg_groupby
     from .analytic import _attach_small
 

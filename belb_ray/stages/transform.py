@@ -37,6 +37,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from belb_ray.util import resolve_num_buckets
+
 
 class TransformInvariantError(ValueError):
     """A text rewrite violated its conservation invariant."""
@@ -94,10 +96,11 @@ def split_sentences(docs: rd.Dataset, id_col: str = "doc_id",
 
 
 def _join_spans(docs: rd.Dataset, spans: rd.Dataset, id_col: str,
-                num_buckets: int = 32) -> rd.Dataset:
+                num_buckets: int = 0) -> rd.Dataset:
     """(doc_id, text, starts: list, ends: list) — one row per doc with its
     spans gathered, via one bucketed co-location shuffle."""
 
+    num_buckets = resolve_num_buckets(num_buckets)
     def _tag_docs(t: pa.Table) -> pa.Table:
         return pa.table({id_col: t[id_col], "text": t["text"],
                          "start": pa.array([-1] * t.num_rows, pa.int64()),

@@ -21,6 +21,7 @@ import ray.data as rd
 
 from .agg import bucketed_combine
 from .ann import list_column_matrix
+from ..util import resolve_num_buckets
 
 
 def grouped_vector_mean(
@@ -29,7 +30,7 @@ def grouped_vector_mean(
     vec_col: str,
     dim: int,
     round_to: int | None = 6,
-    num_buckets: int = 16,
+    num_buckets: int = 0,
     long_form: bool = True,
 ) -> rd.Dataset:
     """Per-group mean vector → long form (key, dim_idx [1-based],
@@ -37,6 +38,7 @@ def grouped_vector_mean(
     ``avg(embedding[i])``), else wide (key, n, mean list<double>).
     ``round_to=None`` keeps means unrounded (for downstream math that
     rounds at its own boundary)."""
+    num_buckets = resolve_num_buckets(num_buckets)
     sum_cols = [f"__s{j}" for j in range(dim)]
 
     def _partial(batch: pa.Table) -> pa.Table:
@@ -100,7 +102,7 @@ def nearest_centroid_confusion(
     vec_col: str,
     dim: int,
     round_to: int = 6,
-    num_buckets: int = 16,
+    num_buckets: int = 0,
 ) -> rd.Dataset:
     """Nearest-centroid (prototype) classification self-evaluation →
     confusion counts (label, pred_label, n): each vector assigns to the
@@ -113,6 +115,7 @@ def nearest_centroid_confusion(
     computes its (rows × labels) distance matrix with one numpy
     broadcast and takes a vectorized argmin; confusion cells reduce with
     the standard pair-count combiner. Rows never shuffle."""
+    num_buckets = resolve_num_buckets(num_buckets)
     import ray
 
     from ..util import cached_get
@@ -253,7 +256,7 @@ def simplified_silhouette(
     vec_col: str,
     dim: int,
     round_to: int = 6,
-    num_buckets: int = 16,
+    num_buckets: int = 0,
 ) -> rd.Dataset:
     """Simplified (centroid-based) silhouette per label → one row per
     label: (label, n, silhouette) — the standard clustering-quality
@@ -269,6 +272,7 @@ def simplified_silhouette(
     broadcast ONCE; each batch computes its (rows × labels) Euclidean
     distance matrix with one numpy broadcast; per-label (Σs, n)
     partials reduce with one bucketed combine. Rows never shuffle."""
+    num_buckets = resolve_num_buckets(num_buckets)
     import ray
 
     from ..util import cached_get
@@ -336,7 +340,7 @@ def kcenter_sample(
     dim: int,
     k: int,
     round_to: int = 6,
-    num_buckets: int = 16,
+    num_buckets: int = 0,
 ) -> rd.Dataset:
     """Greedy k-center (farthest-point-first) diversity sample →
     (sel_rank [0-based], id, dist): the classic coreset / diverse-subset
@@ -356,6 +360,7 @@ def kcenter_sample(
     block-count-sized collect). k is small by design (a seed/coreset
     size); the k materialize barriers are the cost of the sequential
     dependence inherent to greedy k-center."""
+    num_buckets = resolve_num_buckets(num_buckets)
     from .joins import collect_arrow
 
     def _init(t: pa.Table) -> pa.Table:
@@ -436,7 +441,7 @@ def quantize_embeddings(
     vec_col: str,
     dim: int,
     long_form: bool = True,
-    num_buckets: int = 16,
+    num_buckets: int = 0,
 ) -> rd.Dataset:
     """Per-dimension affine int8 quantization of an embedding column —
     the 4× storage/bandwidth compressor for embedding corpora (scalar
@@ -449,6 +454,7 @@ def quantize_embeddings(
     Distributed shape: per-dim min/max reduce in ONE fixed-width
     combiner pass (2·d doubles per block, rows never shuffle); the
     bounds broadcast once; quantization streams vectorized."""
+    num_buckets = resolve_num_buckets(num_buckets)
     import ray
 
     from ..util import cached_get

@@ -54,6 +54,14 @@ def main() -> int:
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
+    # golden oracles are per-sf files: point oracle_sql() at the tag
+    # matching this run's inputs (goldens/<name>.<tag>.parquet — run
+    # tools/make_goldens.py --sf-dir <sf_dir> first for a non-default sf)
+    import os
+
+    tag = "sf" + sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    os.environ.setdefault("BELB_RAY_GOLDEN_SF", tag)
+
     sys.path.insert(0, ".")
     import __ray_entry__ as entrymod
 

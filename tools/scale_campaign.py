@@ -89,6 +89,51 @@ def perf(rows: int, cpu_levels: list[int], trials: int) -> dict:
     return res
 
 
+def increment(state_rows: int, inc_rows: int, cpu_levels: list[int],
+              trials: int) -> dict:
+    """Campaign cell for the incremental-ER attach (VERDICT r4 #1):
+    fresh-process `profile_increment` runs at each CPU level over a
+    cached state; checksums must agree across every run and level."""
+    # warm run builds the fixture + state caches if missing (its attach
+    # timing is discarded — the cache build contends with it)
+    warm = sh([sys.executable, f"{HERE}/profile_increment.py",
+               "--cpus", str(max(cpu_levels)),
+               "--state-rows", str(state_rows),
+               "--inc-rows", str(inc_rows)])
+    wj = last_json(warm)
+    print(json.dumps({"warm": wj}), flush=True)
+
+    res: dict = {"state_rows": state_rows, "inc_rows": inc_rows,
+                 "levels": {}}
+    checksums = {wj["checksum"]}
+    for cpus in cpu_levels:
+        best = None
+        for t in range(trials):
+            j = last_json(sh([sys.executable,
+                              f"{HERE}/profile_increment.py",
+                              "--cpus", str(cpus),
+                              "--state-rows", str(state_rows),
+                              "--inc-rows", str(inc_rows)]))
+            print(json.dumps({"trial": t, **j}), flush=True)
+            checksums.add(j["checksum"])
+            if best is None or j["total"] < best["total"]:
+                best = j
+        best["throughput_rows_s"] = round(inc_rows / best["total"], 1)
+        res["levels"][cpus] = best
+    if len(checksums) != 1:
+        raise SystemExit(f"INCREMENT CHECKSUM MISMATCH across runs: "
+                         f"{sorted(checksums)}")
+    res["checksum_stable"] = True
+    lv = sorted(res["levels"])
+    if len(lv) >= 2:
+        lo, hi = lv[0], lv[-1]
+        s = (res["levels"][hi]["throughput_rows_s"]
+             / res["levels"][lo]["throughput_rows_s"])
+        res["scaling_efficiency"] = round(s / (hi / lo), 3)
+    print(json.dumps({"increment": res}), flush=True)
+    return res
+
+
 def spill(rows: int, cpus: int, gb: float) -> dict:
     out = sh([sys.executable, f"{HERE}/profile_er.py", "--cpus", str(cpus),
               "--rows", str(rows), "--object-store-gb", str(gb)])
@@ -166,18 +211,25 @@ def main() -> None:
     ap.add_argument("--spill-cpus", type=int, default=16)
     ap.add_argument("--object-store-gb", type=float, default=4.0)
     ap.add_argument("--resume-cpus", type=int, default=16)
+    ap.add_argument("--inc-rows", type=int, default=1_000_000,
+                    help="increment size for the `increment` stage "
+                         "(state size = --rows)")
     ap.add_argument("--stage", default="all",
-                    choices=["all", "gen", "perf", "spill", "resume"])
+                    choices=["all", "gen", "perf", "spill", "resume",
+                             "increment"])
     args = ap.parse_args()
 
     levels = [int(x) for x in args.cpu_levels.split(",")]
-    ensure_fixture(args.rows)
+    if args.stage != "increment":
+        ensure_fixture(args.rows)
     if args.stage in ("all", "perf"):
         perf(args.rows, levels, args.trials)
     if args.stage in ("all", "spill"):
         spill(args.rows, args.spill_cpus, args.object_store_gb)
     if args.stage in ("all", "resume"):
         kill_resume(args.rows, args.resume_cpus)
+    if args.stage == "increment":
+        increment(args.rows, args.inc_rows, levels, args.trials)
 
 
 if __name__ == "__main__":
