@@ -45,6 +45,7 @@ LANG_PROFILES = {
 
 
 import os as _os
+from belb_ray.util import round_half_away
 
 _GOLDEN_DIR = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                             "goldens")
@@ -75,7 +76,7 @@ def _t_where(sf_dir: str, name: str, predicate,
 def _round_cols(ds: rd.Dataset, spec: dict[str, int]) -> rd.Dataset:
     def _r(batch: pd.DataFrame) -> pd.DataFrame:
         for c, nd in spec.items():
-            batch[c] = batch[c].round(nd)
+            batch[c] = round_half_away(batch[c], nd)
         return batch
 
     return ds.map_batches(_r, batch_format="pandas")
@@ -334,7 +335,7 @@ def q_events_hourly(sf_dir: str) -> rd.Dataset:
 
     def _fmt(batch: pd.DataFrame) -> pd.DataFrame:
         batch["window_start"] = batch["window_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
-        batch["sum_value"] = batch["sum_value"].round(4)
+        batch["sum_value"] = round_half_away(batch["sum_value"], 4)
         return batch
 
     return out.map_batches(_fmt, batch_format="pandas")
@@ -354,7 +355,7 @@ def q_events_hopping(sf_dir: str) -> rd.Dataset:
     def _fmt(batch: pd.DataFrame) -> pd.DataFrame:
         batch["window_start"] = batch["window_start"].dt.strftime(
             "%Y-%m-%d %H:%M:%S")
-        batch["sum_value"] = batch["sum_value"].round(4)
+        batch["sum_value"] = round_half_away(batch["sum_value"], 4)
         return batch
 
     return out.map_batches(_fmt, batch_format="pandas")
@@ -415,7 +416,7 @@ def q_synset_similarity(sf_dir: str) -> rd.Dataset:
             mean = float(sum(scores) / len(scores))
         return pd.DataFrame({"identifier": [group["identifier"].iloc[0]],
                              "n_names": [len(names)],
-                             "mean_lev": [round(mean, 6)]})
+                             "mean_lev": [round_half_away(mean, 6)]})
 
     return syn.groupby("identifier").map_groups(_mean_lev, batch_format="pandas")
 
@@ -1204,7 +1205,7 @@ def q_text_embeddings(sf_dir: str) -> rd.Dataset:
     out = embed_texts(_t(sf_dir, "documents"), dim=dim, seed=11)
 
     def _flat(t: pa.Table) -> pa.Table:
-        emb = np.round(t["embedding"].combine_chunks().flatten()
+        emb = round_half_away(t["embedding"].combine_chunks().flatten()
                        .to_numpy(zero_copy_only=False)
                        .astype(np.float64).reshape(-1, dim), 6)
         cols = {"doc_id": t["doc_id"]}
@@ -1329,7 +1330,7 @@ def q_user_event_windows(sf_dir: str) -> rd.Dataset:
     def _cents(batch: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        batch["cents"] = np.round(
+        batch["cents"] = round_half_away(
             batch["value"].to_numpy() * 100.0).astype(np.int64)
         return batch
 
@@ -1359,7 +1360,7 @@ def q_user_event_rolling(sf_dir: str) -> rd.Dataset:
     def _cents(batch: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        batch["cents"] = np.round(
+        batch["cents"] = round_half_away(
             batch["value"].to_numpy() * 100.0).astype(np.int64)
         return batch.drop(columns=["value"])
 
@@ -1389,7 +1390,7 @@ def q_event_value_quantiles(sf_dir: str) -> rd.Dataset:
     def _cents(batch: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        batch["cents"] = np.round(
+        batch["cents"] = round_half_away(
             batch["value"].to_numpy() * 100.0).astype(np.int64)
         return batch.drop(columns=["value"])
 
@@ -1417,7 +1418,7 @@ def q_user_value_ranks(sf_dir: str) -> rd.Dataset:
     def _cents(batch: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        batch["cents"] = np.round(
+        batch["cents"] = round_half_away(
             batch["value"].to_numpy() * 100.0).astype(np.int64)
         return batch.drop(columns=["value"])
 
@@ -1608,7 +1609,7 @@ def q_user_value_stats(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.agg import moment_stats
 
     events = _t(sf_dir, "events", columns=["user_id", "value"])
-    out = moment_stats(events, ["user_id"], "value")
+    out = moment_stats(events, ["user_id"], "value", decimals=2)
     return _round_cols(out, {"mean": 4, "var": 4, "std": 4})
 
 
@@ -1638,7 +1639,7 @@ def q_event_rollup(sf_dir: str) -> rd.Dataset:
         return pd.DataFrame({
             "event_type": batch["event_type"],
             "day": batch["ts"].dt.strftime("%Y-%m-%d"),
-            "cents": np.round(batch["value"].to_numpy() * 100.0)
+            "cents": round_half_away(batch["value"].to_numpy() * 100.0)
             .astype(np.int64),
         })
 
@@ -1681,7 +1682,7 @@ def q_event_cube(sf_dir: str) -> rd.Dataset:
         return pd.DataFrame({
             "event_type": batch["event_type"],
             "day": batch["ts"].dt.strftime("%Y-%m-%d"),
-            "cents": np.round(batch["value"].to_numpy() * 100.0)
+            "cents": round_half_away(batch["value"].to_numpy() * 100.0)
             .astype(np.int64),
         })
 
@@ -1709,7 +1710,7 @@ def q_user_value_pctl(sf_dir: str) -> rd.Dataset:
     events = _t(sf_dir, "events", columns=["event_id", "user_id", "value"])
 
     def _cents(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["cents"] = np.round(
+        batch["cents"] = round_half_away(
             batch["value"].to_numpy() * 100.0).astype(np.int64)
         return batch.drop(columns=["value"])
 
@@ -1761,7 +1762,7 @@ def q_event_grouping_sets(sf_dir: str) -> rd.Dataset:
         return pd.DataFrame({
             "event_type": batch["event_type"],
             "day": batch["ts"].dt.strftime("%Y-%m-%d"),
-            "cents": np.round(batch["value"].to_numpy() * 100.0)
+            "cents": round_half_away(batch["value"].to_numpy() * 100.0)
             .astype(np.int64),
         })
 
@@ -1782,7 +1783,7 @@ def q_user_value_shape(sf_dir: str) -> rd.Dataset:
     from belb_ray.stages.agg import higher_moment_stats
 
     events = _t(sf_dir, "events", columns=["user_id", "value"])
-    out = higher_moment_stats(events, ["user_id"], "value")
+    out = higher_moment_stats(events, ["user_id"], "value", decimals=2)
     return _round_cols(out, {"mean": 4, "skew": 4, "kurt": 4})
 
 
@@ -1977,7 +1978,7 @@ def q_part_pagerank(sf_dir: str) -> rd.Dataset:
     pr = pagerank(edges, iters=3)
 
     def _round(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["rank"] = batch["rank"].round(9)
+        batch["rank"] = round_half_away(batch["rank"], 9)
         return batch
 
     return (pr.map_batches(_round, batch_format="pandas")
@@ -2136,7 +2137,7 @@ def q_pca_variance(sf_dir: str) -> pd.DataFrame:
     emb = _t(sf_dir, "embeddings", columns=["embedding"])
     out = explained_variance(emb, "embedding")
     for c in ("eigenvalue", "explained_ratio", "cum_explained_ratio"):
-        out[c] = out[c].round(8)
+        out[c] = round_half_away(out[c], 8)
     return out
 
 
@@ -2183,7 +2184,7 @@ def q_user_value_winsorized(sf_dir: str) -> rd.Dataset:
     def _cents(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "user_id": batch["user_id"],
-            "wc": np.round(batch["wv"].to_numpy() * 100.0)
+            "wc": round_half_away(batch["wv"].to_numpy() * 100.0)
             .astype(np.int64),
         })
 
@@ -3021,7 +3022,7 @@ def q_token_pmi(sf_dir: str) -> rd.Dataset:
         c1 = parts.str[0].map(cmap).to_numpy(np.float64)
         c2 = parts.str[1].map(cmap).to_numpy(np.float64)
         c12 = b["n_occurrences"].to_numpy(np.float64)
-        b["pmi"] = np.round(np.log(c12 * n1 / (c1 * c2)), 6)
+        b["pmi"] = round_half_away(np.log(c12 * n1 / (c1 * c2)), 6)
         return b
 
     out = big.map_batches(_pmi, batch_format="pandas")
@@ -3156,7 +3157,7 @@ def q_user_coverage_spans(sf_dir: str) -> rd.Dataset:
 
     def _iv(b: pd.DataFrame) -> pd.DataFrame:
         s = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        dur = (np.round(b["value"].to_numpy(np.float64) * 100)
+        dur = (round_half_away(b["value"].to_numpy(np.float64) * 100)
                .astype(np.int64) * 10_000)
         return pd.DataFrame({"user_id": b["user_id"],
                              "start_us": s, "end_us": s + dur})
@@ -3190,7 +3191,7 @@ def q_part_pagerank_weighted(sf_dir: str) -> rd.Dataset:
     pr = pagerank(edges, iters=3, weight_col="w")
 
     def _round(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["rank"] = batch["rank"].round(9)
+        batch["rank"] = round_half_away(batch["rank"], 9)
         return batch
 
     return (pr.map_batches(_round, batch_format="pandas")
@@ -3226,7 +3227,7 @@ def q_priority_geo_mean(sf_dir: str) -> rd.Dataset:
                        ["o_orderpriority"], [("mean", "lnp", "mean_ln")])
 
     def _fin(b: pd.DataFrame) -> pd.DataFrame:
-        b["geo_mean_price"] = np.round(np.exp(b["mean_ln"]), 4)
+        b["geo_mean_price"] = round_half_away(np.exp(b["mean_ln"]), 4)
         return b.drop(columns=["mean_ln"])
 
     return m.map_batches(_fin, batch_format="pandas") \
@@ -3263,7 +3264,7 @@ def q_nation_revenue_share(sf_dir: str) -> rd.Dataset:
     def _cents(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "c_custkey": b["o_custkey"],
-            "cents": np.round(b["o_totalprice"].to_numpy(np.float64)
+            "cents": round_half_away(b["o_totalprice"].to_numpy(np.float64)
                               * 100).astype(np.int64)})
 
     joined = broadcast_join(orders.map_batches(_cents,
@@ -3275,7 +3276,7 @@ def q_nation_revenue_share(sf_dir: str) -> rd.Dataset:
     def _share(df: pd.DataFrame) -> pd.DataFrame:
         total = df["cents"].sum()
         df["revenue"] = df["cents"].to_numpy(np.float64) / 100.0
-        df["share"] = np.round(df["cents"].to_numpy(np.float64)
+        df["share"] = round_half_away(df["cents"].to_numpy(np.float64)
                                / np.float64(total), 8)
         return df.drop(columns=["cents"])
 
@@ -3297,7 +3298,7 @@ def q_weekly_revenue_growth(sf_dir: str) -> rd.Dataset:
         monday = d - pd.to_timedelta(d.dt.weekday, unit="D")
         return pd.DataFrame({
             "week": monday.dt.strftime("%Y-%m-%d"),
-            "cents": np.round(b["o_totalprice"].to_numpy(np.float64)
+            "cents": round_half_away(b["o_totalprice"].to_numpy(np.float64)
                               * 100).astype(np.int64)})
 
     weekly = preagg_groupby(orders.map_batches(_week,
@@ -3309,7 +3310,7 @@ def q_weekly_revenue_growth(sf_dir: str) -> rd.Dataset:
         rev = df["cents"].to_numpy(np.float64) / 100.0
         prev = np.concatenate([[np.nan], rev[:-1]])
         with np.errstate(invalid="ignore"):
-            growth = np.round((rev - prev) / prev, 6)
+            growth = round_half_away((rev - prev) / prev, 6)
         return pd.DataFrame({"week": df["week"], "revenue": rev,
                              "prev_revenue": prev,
                              "growth_pct": growth})
@@ -3350,7 +3351,7 @@ def q_name_jw_pairs(sf_dir: str) -> rd.Dataset:
         return pd.DataFrame({
             "id_a": batch["id_a"].to_numpy()[keep],
             "id_b": batch["id_b"].to_numpy()[keep],
-            "jw": np.round(jw[keep], 6)})
+            "jw": round_half_away(jw[keep], 6)})
 
     return pairs.map_batches(_score, batch_format="pandas")
 
@@ -3375,7 +3376,7 @@ def q_name_monge_elkan(sf_dir: str) -> rd.Dataset:
         return pd.DataFrame({
             "id_a": batch["id_a"].to_numpy()[keep],
             "id_b": batch["id_b"].to_numpy()[keep],
-            "me": np.round(me[keep], 6)})
+            "me": round_half_away(me[keep], 6)})
 
     return pairs.map_batches(_score, batch_format="pandas")
 
@@ -3445,7 +3446,7 @@ def q_doc_jaccard_join(sf_dir: str) -> rd.Dataset:
     out = jaccard_similarity_join(_t(sf_dir, "documents"), 0.95)
 
     def _round(b: pd.DataFrame) -> pd.DataFrame:
-        b["jaccard"] = np.round(b["jaccard"].to_numpy(np.float64), 6)
+        b["jaccard"] = round_half_away(b["jaccard"].to_numpy(np.float64), 6)
         return b
 
     return out.map_batches(_round, batch_format="pandas")
@@ -3497,7 +3498,7 @@ def q_jl_projection(sf_dir: str) -> rd.Dataset:
     def _round(b: pd.DataFrame) -> pd.DataFrame:
         for c in b.columns:
             if c.startswith("jl"):
-                b[c] = np.round(b[c].to_numpy(np.float64), 6)
+                b[c] = round_half_away(b[c].to_numpy(np.float64), 6)
         return b
 
     return out.map_batches(_round, batch_format="pandas")
@@ -3613,8 +3614,8 @@ def q_snm_blocking_quality(sf_dir: str) -> pd.DataFrame:
         "n_candidates": np.array([nc], np.int64),
         "n_true": np.array([nt], np.int64),
         "n_matched": np.array([ni], np.int64),
-        "pairs_completeness": [np.round(ni / nt, 6)],
-        "reduction_ratio": [np.round(
+        "pairs_completeness": [round_half_away(ni / nt, 6)],
+        "reduction_ratio": [round_half_away(
             1.0 - nc / (float(n) * (float(n) - 1.0) / 2.0), 6)]})
 
 
@@ -3659,7 +3660,7 @@ def q_name_one2one_match(sf_dir: str) -> rd.Dataset:
         return pd.DataFrame({
             "id_a": batch["id_a"].to_numpy()[keep],
             "id_b": batch["id_b"].to_numpy()[keep],
-            "score": np.round(jw[keep], 6)})
+            "score": round_half_away(jw[keep], 6)})
 
     out = one_to_one_match(pairs.map_batches(_score,
                                              batch_format="pandas"))
@@ -3802,7 +3803,7 @@ def q_user_value_ewma(sf_dir: str) -> rd.Dataset:
     ev = _t(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
 
     def _cents(b: pd.DataFrame) -> pd.DataFrame:
-        b["cents"] = np.round(
+        b["cents"] = round_half_away(
             b["value"].to_numpy(np.float64) * 100).astype(np.int64)
         return b.drop(columns=["value"])
 
@@ -3850,7 +3851,7 @@ def q_user_skyline(sf_dir: str) -> rd.Dataset:
     def _cents(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "user_id": b["user_id"],
-            "cents": np.round(b["value"].to_numpy(np.float64)
+            "cents": round_half_away(b["value"].to_numpy(np.float64)
                               * 100).astype(np.int64)})
 
     per_user = preagg_groupby(
@@ -4022,7 +4023,7 @@ def q_ivf_recall(sf_dir: str) -> rd.Dataset:
                           ["query_id"], [("sum", "__hit", "hits")])
 
     def _recall(b: pd.DataFrame) -> pd.DataFrame:
-        b["recall"] = np.round(b["hits"].to_numpy(np.float64) / 5.0, 6)
+        b["recall"] = round_half_away(b["hits"].to_numpy(np.float64) / 5.0, 6)
         return b
 
     return hits.map_batches(_recall, batch_format="pandas") \
@@ -4111,7 +4112,7 @@ def q_vocab_coverage(sf_dir: str) -> rd.Dataset:
         return pd.DataFrame({
             "top_k": ks,
             "covered_occurrences": cov,
-            "coverage": np.round(cov / total, 6) if total else 0.0})
+            "coverage": round_half_away(cov / total, 6) if total else 0.0})
 
     return vocab.repartition(1).map_batches(_cover, batch_size=None,
                                             batch_format="pandas")
@@ -4255,9 +4256,9 @@ def q_lang_id_kappa(sf_dir: str) -> rd.Dataset:
         pe = pe_num / (n * n)
         return pd.DataFrame({
             "n": np.array([n], np.int64),
-            "po": [round(po, 8)],
-            "pe": [round(pe, 8)],
-            "kappa": [round((po - pe) / (1 - pe), 8)]})
+            "po": [round_half_away(po, 8)],
+            "pe": [round_half_away(pe, 8)],
+            "kappa": [round_half_away((po - pe) / (1 - pe), 8)]})
 
     return cells.repartition(1).map_batches(_kappa, batch_size=None,
                                             batch_format="pandas")
@@ -4290,10 +4291,10 @@ def q_user_gap_stats(sf_dir: str) -> rd.Dataset:
 
     def _cv(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["n"] >= 2].copy()
-        b["cv"] = np.round(b["std"].to_numpy(np.float64)
+        b["cv"] = round_half_away(b["std"].to_numpy(np.float64)
                            / b["mean"].to_numpy(np.float64), 4)
         for c in ("mean", "std"):
-            b[c] = np.round(b[c].to_numpy(np.float64), 4)
+            b[c] = round_half_away(b[c].to_numpy(np.float64), 4)
         # var is the cancellation-amplified raw moment — omit it from
         # the hash-compared surface (std = sqrt(var) halves the rel err)
         return b.drop(columns=["var"])
@@ -4423,7 +4424,7 @@ def q_user_rfm(sf_dir: str) -> rd.Dataset:
         lambda b: pd.DataFrame({
             "user_id": b["user_id"],
             "ts_us": b["ts"].astype("int64"),
-            "cents": np.round(b["value"].to_numpy(np.float64)
+            "cents": round_half_away(b["value"].to_numpy(np.float64)
                               * 100).astype(np.int64)}),
         batch_format="pandas")
     per = preagg_groupby(ev, ["user_id"],
@@ -4470,8 +4471,8 @@ def q_ab_test_report(sf_dir: str) -> rd.Dataset:
         return pd.DataFrame({
             "event_type": ix.to_numpy(),
             "n_a": na.astype(np.int64), "n_b": nb.astype(np.int64),
-            "p_a": np.round(pa_, 6), "p_b": np.round(pb_, 6),
-            "z": np.round(z, 6)})
+            "p_a": round_half_away(pa_, 6), "p_b": round_half_away(pb_, 6),
+            "z": round_half_away(z, 6)})
 
     return cells.repartition(1).map_batches(_z, batch_size=None,
                                             batch_format="pandas")
@@ -4500,7 +4501,7 @@ def q_lang_id_accuracy(sf_dir: str) -> rd.Dataset:
                          [("count", "", "n"), ("sum", "ok", "n_correct")])
 
     def _rate(b: pd.DataFrame) -> pd.DataFrame:
-        b["accuracy"] = np.round(b["n_correct"].to_numpy(np.float64)
+        b["accuracy"] = round_half_away(b["n_correct"].to_numpy(np.float64)
                                  / b["n"].to_numpy(np.float64), 6)
         return b
 
@@ -4557,9 +4558,9 @@ def q_region_year_sales(sf_dir: str) -> rd.Dataset:
         # exact integer revenue units (cent · percent): price and
         # discount are 2dp, so both factors are exact ints — no
         # half-cent rounding ambiguity vs SQL
-        rev = (np.round(b["l_extendedprice"].to_numpy(np.float64)
+        rev = (round_half_away(b["l_extendedprice"].to_numpy(np.float64)
                         * 100).astype(np.int64)
-               * (100 - np.round(b["l_discount"].to_numpy(np.float64)
+               * (100 - round_half_away(b["l_discount"].to_numpy(np.float64)
                                  * 100).astype(np.int64)))
         return pd.DataFrame({
             "r_name": b["r_name"],
@@ -5327,12 +5328,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
             FROM r WHERE rank <= 5
         """,
+        # quantized-exact cosine (mirrors stages/ann.py): components
+        # snap to integers at 2^21 units, so every inner product is an
+        # exact integer in float64 and the similarity is bit-identical
+        # across engines and partitionings; quantization error < 1e-6
+        # DOUBLE casts throughout: list_inner_product (and bare float
+        # lambdas) accumulate in float32, which crushes the exact
+        # integer products back into approximation
         "embedding_neardup": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.embedding, b.embedding), 4)
-                       AS sim
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+            WITH q AS (SELECT vec_id,
+                              list_transform(embedding,
+                                  x -> round(CAST(x AS DOUBLE)
+                                             * 2097152.0)) AS qv
+                       FROM embeddings),
+            n AS (SELECT vec_id, qv,
+                         list_sum(list_transform(qv, v -> v * v)) AS n2
+                  FROM q),
+            d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                         list_sum(list_transform(
+                             range(1, len(a.qv) + 1),
+                             i -> a.qv[i] * b.qv[i])) AS dot,
+                         a.n2 AS n2a, b.n2 AS n2b
+                  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b,
+                   round(dot / sqrt(n2a * n2b), 4) AS sim
+            FROM d WHERE dot / sqrt(n2a * n2b) >= 0.35
         """,
         "sentence_split": r"""
             WITH marked AS (
@@ -5872,12 +5892,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM events GROUP BY user_id, event_type)
             WHERE rn = 1
         """,
+        # exact-units moments (values are exact 2-decimal): BIGINT sums
+        # of cents mirror moment_stats(decimals=2) token-for-token, so
+        # both engines divide the SAME exact integers — partitioning-
+        # and summation-order-independent at any scale factor
         "user_value_stats": """
-            SELECT user_id, count(*) AS n,
-                   round(avg(value), 4) AS mean,
-                   round(var_samp(value), 4) AS var,
-                   round(stddev_samp(value), 4) AS std
-            FROM events GROUP BY user_id
+            WITH c AS (SELECT user_id,
+                              CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events),
+            m AS (SELECT user_id, count(*) AS n, sum(c) AS sc,
+                         sum(c * c) AS sc2
+                  FROM c GROUP BY 1)
+            SELECT user_id, n,
+                   round(CAST(sc AS DOUBLE) / (100.0 * n), 4) AS mean,
+                   round(CAST(n * sc2 - sc * sc AS DOUBLE)
+                         / ((100.0 * 100.0 * n) * (n - 1)), 4) AS var,
+                   round(sqrt(CAST(n * sc2 - sc * sc AS DOUBLE)
+                         / ((100.0 * 100.0 * n) * (n - 1))), 4) AS std
+            FROM m
         """,
         "lineitem_corr": """
             SELECT l_returnflag,
@@ -5961,7 +5993,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "user_value_shape": """
             SELECT user_id, count(*) AS n,
-                   round(sum(value) / count(*), 4) AS mean,
+                   -- exact-units mean (see user_value_stats); skew/kurt
+                   -- stay on the mirrored float expressions
+                   round(CAST(sum(CAST(round(value * 100) AS BIGINT))
+                              AS DOUBLE) / (100.0 * count(*)), 4) AS mean,
                    round((sum(value*value*value)/count(*)
                           - 3*(sum(value)/count(*))*(sum(value*value)/count(*))
                           + 2*pow(sum(value)/count(*), 3))
@@ -7906,7 +7941,11 @@ def oracle_sql() -> dict[str, str]:
             w AS (SELECT tf.doc_id, tf.token,
                          tf * (ln((1.0 + (SELECT n FROM nd))
                                   / (1.0 + df)) + 1.0) AS w
-                  FROM tf JOIN dfq USING (token) WHERE df <= 50),
+                  FROM tf JOIN dfq USING (token)
+                  -- fractional cut mirroring the engine: df <=
+                  -- max(int(0.1 * n_docs), 2) at ANY scale factor
+                  WHERE df <= greatest(
+                      floor(0.1 * (SELECT n FROM nd)), 2)),
             nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
             dot AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                            sum(a.w * b.w) AS dot

@@ -26,6 +26,7 @@ from ..stages.cluster import assign_clusters, connected_components
 from ..stages.joins import hash_partition_join
 from ..stages.pairs import candidate_pairs
 from ..util import resolve_num_buckets
+from ..util import round_half_away
 
 
 def adapt_documents(docs: rd.Dataset, id_col: str = "doc_id",
@@ -493,7 +494,7 @@ def progressive_verify_curve(
     ref = ray.put((ids[order], np.ascontiguousarray(sigs_sorted), sh_sorted))
 
     ts = np.array(sorted(thresholds), np.float64)
-    t_nums = np.round(ts * 1_000_000).astype(np.int64)
+    t_nums = round_half_away(ts * 1_000_000).astype(np.int64)
     tj_num = round(true_jaccard * 1_000_000)
 
     def _partial(batch: pa.Table) -> pa.Table:
@@ -533,8 +534,8 @@ def progressive_verify_curve(
         n_pairs = int(tot[f"np_{t_num}"])
         n_true = int(tot[f"nt_{t_num}"])
         rows.append((float(t), n_pairs, n_true,
-                     round(n_true / n_true_total, 6) if n_true_total else 0.0,
-                     round(n_true / n_pairs, 6) if n_pairs else 0.0))
+                     round_half_away(n_true / n_true_total, 6) if n_true_total else 0.0,
+                     round_half_away(n_true / n_pairs, 6) if n_pairs else 0.0))
     return rd.from_arrow(pa.table({
         "threshold": pa.array([r[0] for r in rows], pa.float64()),
         "n_pairs": pa.array([r[1] for r in rows], pa.int64()),

@@ -166,7 +166,7 @@ def resolve_increment(
     state_dir: str,
     cfg: ERConfig = ERConfig(),
     update_state: bool = True,
-    max_per_key: int = 256,
+    max_per_key: int | None = None,
     broadcast_threshold: int = 2_000_000,
 ) -> rd.Dataset:
     """Attach a NEW batch of files to an existing resolution — the
@@ -200,6 +200,14 @@ def resolve_increment(
     import pyarrow.compute as pc
 
     from ..sources.readers import read_parquet_clean
+
+    if max_per_key is None:
+        # align the cross-batch hot-key budget with the flagship's
+        # within-batch block cap: the old 256 default admitted up to
+        # 256x256 = 65k pairs per hot key — measured 43.6M candidate
+        # pairs (41.7M cross) for a 1M-row increment against 4M state,
+        # 62s pair-gen + 76s scoring at 16 CPUs (round-5 campaign)
+        max_per_key = cfg.max_block
     from ..stages.analytic import _attach_small
     from ..stages.blocking import compute_features
     from ..stages.scoring import attach_features, score_pairs, score_table
@@ -242,9 +250,43 @@ def resolve_increment(
                 _np.full(t.num_rows, side, _np.int8)))
         return fn
 
-    both = (_blocks(feats_new).map_batches(_tag(1), batch_format="pyarrow")
-            .union(_blocks(feats_old).map_batches(_tag(0),
-                                                  batch_format="pyarrow")))
+    # state-side key prefilter: only block keys that ALSO occur on the
+    # new side can generate a cross pair, so the (much larger) state
+    # block stream is membership-filtered BEFORE the pair shuffle — at
+    # 100 TB the standing state dwarfs any one increment, and this is
+    # what keeps the shuffle proportional to the increment, not the
+    # state. Budget-guarded broadcast (sorted uint64 keys, searchsorted
+    # per batch); past the budget the filter is skipped — correctness
+    # never depends on it (non-co-occurring keys pair with nothing).
+    new_blocks = _blocks(feats_new).materialize()
+    from ..stages.joins import collect_arrow
+    from ..util import broadcast_byte_budget, cached_get
+
+    key_tbl = collect_arrow(new_blocks.map_batches(
+        lambda t: pa.table({"block_key": pa.array(
+            np.unique(t["block_key"].to_numpy()))}),
+        batch_format="pyarrow"))
+    new_keys = np.unique(key_tbl["block_key"].to_numpy())
+    old_blocks = _blocks(feats_old)
+    if new_keys.nbytes <= broadcast_byte_budget():
+        import ray as _ray
+
+        kref = _ray.put(new_keys)
+
+        def _filter_old(t: pa.Table) -> pa.Table:
+            keys = cached_get(kref)
+            want = t["block_key"].to_numpy()
+            idx = np.minimum(np.searchsorted(keys, want), len(keys) - 1)
+            return t.filter(pa.array(
+                keys[idx] == want if len(keys) else
+                np.zeros(len(want), bool)))
+
+        old_blocks = old_blocks.map_batches(_filter_old,
+                                            batch_format="pyarrow")
+
+    both = (new_blocks.map_batches(_tag(1), batch_format="pyarrow")
+            .union(old_blocks.map_batches(_tag(0),
+                                          batch_format="pyarrow")))
 
     num_buckets = resolve_num_buckets(cfg.join_buckets)
 
@@ -276,8 +318,41 @@ def resolve_increment(
         out = pd.concat([cross, nn], ignore_index=True)
         return out.drop_duplicates(["id_a", "id_b", "is_cross"])
 
-    pairs = (both.map_batches(_bucketize, batch_format="pandas")
-             .groupby("__bucket").map_groups(_pairs, batch_format="pandas")
+    raw_pairs = (both.map_batches(_bucketize, batch_format="pandas")
+                 .groupby("__bucket").map_groups(_pairs,
+                                                 batch_format="pandas"))
+
+    # global cross-band pair dedup (the candidate_pairs device, pairs.py):
+    # family members share up to `bands` band keys, and each shared key
+    # regenerates the same pair in a different bucket — without this the
+    # scorer re-scores every duplicate (measured round 5: 43.6M scored
+    # pairs → 2.35M unique for a 1M-row increment against 4M state; the
+    # duplicates were ~90% of attach+score wall). Dedup keys on
+    # (id_a, id_b): cross (new x old) and nn (new x new) pairs are
+    # disjoint in id space, so is_cross rides along untouched.
+    def _pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy().astype(np.uint64)
+        b = batch["id_b"].to_numpy().astype(np.uint64)
+        h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (
+            b + np.uint64(0xC2B2AE3D27D4EB4F))
+        return batch.append_column(
+            "__pb", pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
+
+    def _pair_dedup(group: pa.Table) -> pa.Table:
+        a = group["id_a"].to_numpy()
+        b = group["id_b"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pa.table({
+            "id_a": pa.array(a[keep], pa.int64()),
+            "id_b": pa.array(b[keep], pa.int64()),
+            "is_cross": group["is_cross"].take(
+                pa.array(order[keep]))})
+
+    pairs = (raw_pairs.map_batches(_pair_bucket, batch_format="pyarrow")
+             .groupby("__pb").map_groups(_pair_dedup,
+                                         batch_format="pyarrow")
              ).materialize()
 
     need_paths = cfg.w_jw > 0 or cfg.w_tok > 0

@@ -27,6 +27,7 @@ import pandas as pd
 import ray.data as rd
 
 from ..util import resolve_num_buckets
+from ..util import round_half_away
 
 AggSpec = tuple[str, str, str]  # (func, in_col, out_col); func: sum|count|min|max|mean
 
@@ -316,20 +317,38 @@ def mode_agg(ds: rd.Dataset, keys: list[str], value_col: str,
 
 def moment_stats(ds: rd.Dataset, keys: list[str], value_col: str,
                  prefix: str = "", ddof: int = 1,
-                 num_buckets: int = 0) -> rd.Dataset:
+                 num_buckets: int = 0,
+                 decimals: int | None = None) -> rd.Dataset:
     """Per-key count / mean / sample-variance / sample-stddev by shipping
     raw moments: each block emits (n, Σx, Σx²) per key — three doubles,
     never rows — one bucketed sum-combine, then the closed-form finish
     ``var = (Σx² − (Σx)²/n) / (n − ddof)``. The textbook distributed
     moments shape; at 100 TB the shuffle is keys × blocks rows of fixed
-    width regardless of input size. Caveat: the naive Σx² formula loses
-    precision when |mean| ≫ stddev — callers needing SQL-engine parity
-    should compare at rounded precision (the oracle rounds to 4dp)."""
+    width regardless of input size.
+
+    ``decimals``: when the values are exact d-decimal numbers (prices,
+    cents), pass d to sum INTEGER-scaled units in int64 — the moments
+    are then exact and PARTITIONING-INDEPENDENT, and the finish is a
+    single float division per stat, bit-identical to a SQL oracle that
+    sums the same BIGINT units (measured at sf0.1: float block-partial
+    sums diverged from DuckDB's sequential sum in the 4th decimal for
+    6/1500 keys; exact units remove the divergence at any scale).
+    Bounds: needs |Σunits| < 2⁵³ and n·Σunits² − (Σunits)² < 2⁶³ per
+    key — comfortably true for 2-decimal values below ~10⁶ with up to
+    ~10⁸ rows per key. Without ``decimals`` the float path applies;
+    its naive Σx² loses precision when |mean| ≫ stddev — compare at
+    rounded precision (the oracle rounds to 4dp)."""
     num_buckets = resolve_num_buckets(num_buckets)
     n_c, s_c, s2_c = f"__{prefix}n", f"__{prefix}s", f"__{prefix}s2"
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        x = batch[value_col].astype(np.float64)
+        if decimals is None:
+            x = batch[value_col].astype(np.float64)
+        else:
+            x = pd.Series(
+                np.round(batch[value_col].to_numpy(np.float64)
+                         * 10.0 ** decimals).astype(np.int64),
+                index=batch.index)
         g = batch.assign(**{s_c: x, s2_c: x * x}).groupby(keys, sort=False)
         out = g.agg(**{n_c: (value_col, "size"), s_c: (s_c, "sum"),
                        s2_c: (s2_c, "sum")})
@@ -343,9 +362,23 @@ def moment_stats(ds: rd.Dataset, keys: list[str], value_col: str,
 
     def _finish(batch: pd.DataFrame) -> pd.DataFrame:
         n = batch[n_c].astype(np.float64)
-        mean = batch[s_c] / n
-        var = (batch[s2_c] - batch[s_c] * mean) / (n - ddof)
-        var = var.clip(lower=0.0)  # guard tiny negative fp residue
+        if decimals is None:
+            mean = batch[s_c] / n
+            var = (batch[s2_c] - batch[s_c] * mean) / (n - ddof)
+            var = var.clip(lower=0.0)  # guard tiny negative fp residue
+        else:
+            # exact-integer numerators, ONE float division each —
+            # mirrored token-for-token by the SQL oracle
+            scale = 10.0 ** decimals
+            sc = batch[s_c].to_numpy(np.int64)
+            sc2 = batch[s2_c].to_numpy(np.int64)
+            ni = batch[n_c].to_numpy(np.int64)
+            mean = sc.astype(np.float64) / (scale * n.to_numpy())
+            numer = (ni * sc2 - sc * sc).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                var = numer / ((scale * scale * n.to_numpy())
+                               * (n.to_numpy() - ddof))
+            var = np.clip(var, 0.0, None)
         batch[f"{prefix}n"] = batch[n_c].astype(np.int64)
         batch[f"{prefix}mean"] = mean
         batch[f"{prefix}var"] = var
@@ -622,7 +655,8 @@ def grouping_sets_agg(ds: rd.Dataset, keys: list[str],
 
 
 def higher_moment_stats(ds: rd.Dataset, keys: list[str], value_col: str,
-                        num_buckets: int = 0) -> rd.Dataset:
+                        num_buckets: int = 0,
+                        decimals: int | None = None) -> rd.Dataset:
     """Per-key population skewness and excess kurtosis by the same
     raw-moment shipping as :func:`moment_stats`, extended to Σx³/Σx⁴:
     each block emits five doubles per key (n, Σx, Σx², Σx³, Σx⁴) — fixed
@@ -640,12 +674,25 @@ def higher_moment_stats(ds: rd.Dataset, keys: list[str], value_col: str,
     moment_stats)."""
     num_buckets = resolve_num_buckets(num_buckets)
     cols = [f"__m{i}" for i in range(5)]
+    if decimals is not None:
+        # exact-units Σx for a partitioning-independent MEAN (same
+        # device as moment_stats(decimals=...)); the skew/kurt central
+        # moments would need 128-bit Σx³/Σx⁴ sums, so they stay float —
+        # their 4dp boundary exposure is orders smaller than the mean's
+        # was (the mean divides a large near-cancellation-free sum)
+        cols = cols + ["__mexact"]
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
         x = batch[value_col].to_numpy(dtype=np.float64)
         x2 = x * x
+        extra = {}
+        if decimals is not None:
+            extra["__mexact"] = pd.Series(
+                np.round(x * 10.0 ** decimals).astype(np.int64),
+                index=batch.index)
         g = batch.assign(**{cols[1]: x, cols[2]: x2, cols[3]: x2 * x,
-                            cols[4]: x2 * x2}).groupby(keys, sort=False)
+                            cols[4]: x2 * x2, **extra}).groupby(keys,
+                                                               sort=False)
         out = g.agg(**{cols[0]: (value_col, "size"),
                        **{c: (c, "sum") for c in cols[1:]}})
         return out.reset_index()
@@ -664,7 +711,12 @@ def higher_moment_stats(ds: rd.Dataset, keys: list[str], value_col: str,
         m3 = r3 - 3.0 * mu * r2 + 2.0 * mu ** 3
         m4 = r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu ** 4
         batch["n"] = batch[cols[0]].astype(np.int64)
-        batch["mean"] = mu
+        if decimals is None:
+            batch["mean"] = mu
+        else:
+            batch["mean"] = (batch["__mexact"].to_numpy(np.int64)
+                             .astype(np.float64)
+                             / (10.0 ** decimals * n.to_numpy()))
         with np.errstate(divide="ignore", invalid="ignore"):
             batch["skew"] = m3 / np.power(m2, 1.5)
             batch["kurt"] = m4 / (m2 * m2) - 3.0
@@ -716,7 +768,7 @@ def corr_matrix(ds: rd.Dataset, cols: list[str], round_to: int = 6,
         return pd.DataFrame({
             out_a: [a for a, _ in names],
             out_b: [b for _, b in names],
-            "corr": np.round(c[a_idx, b_idx], round_to)})
+            "corr": round_half_away(c[a_idx, b_idx], round_to)})
 
     return partials.repartition(1).map_batches(
         _finish, batch_size=None, batch_format="pandas")

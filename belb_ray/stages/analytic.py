@@ -26,6 +26,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..util import resolve_num_buckets
+from ..util import round_half_away
 
 # (kind, value_col, out_col) or (kind, value_col, out_col, param);
 # kind: lag | lead | cumsum | row_number | rollsum | rollmin | rollmax
@@ -616,7 +617,7 @@ def impute_by_group(ds: rd.Dataset, key: str, value_col: str,
         v = batch[value_col].to_numpy(dtype=np.float64)
         ok = ~np.isnan(v)
         units = np.zeros(len(v), dtype=np.int64)
-        units[ok] = np.round(v[ok] * scale).astype(np.int64)
+        units[ok] = round_half_away(v[ok] * scale).astype(np.int64)
         g = pd.DataFrame({key: batch[key], "__s": units,
                           "__c": ok.astype(np.int64)})
         agg = g.groupby(key, sort=False).sum()
@@ -706,7 +707,7 @@ def global_rank(ds: rd.Dataset, order_col: str, id_col: str,
                                 order_col: g[order_col].to_numpy(),
                                 "rank": rank})
             if pct:
-                out["pct"] = np.round(
+                out["pct"] = round_half_away(
                     (rank - 1) / max(total - 1, 1), round_to)
             outs.append(out)
         return pd.concat(outs) if outs else pd.DataFrame(
@@ -763,7 +764,7 @@ def time_weighted_mean(events: rd.Dataset, key: str, ts_col: str,
             key: ks[new_key][keep],
             "n_obs": n_obs[keep].astype(np.int64),
             "span_us": span[keep].astype(np.int64),
-            "twa": np.round(sums[keep] / span[keep].astype(np.float64),
+            "twa": round_half_away(sums[keep] / span[keep].astype(np.float64),
                             round_to)})
 
     bucketed = events.map_batches(_bucketize, batch_format="pandas",
@@ -870,7 +871,7 @@ def trailing_ewma(events: rd.Dataset, key: str, order_cols: list[str],
             vj = np.where(valid, np.r_[np.zeros(j), v[:len(v) - j]], 0.0)
             num += w[j] * vj
             den += w[j] * valid
-        g[out_col] = np.round(num / den, round_to)
+        g[out_col] = round_half_away(num / den, round_to)
         return g
 
     return (events.map_batches(_bucketize, batch_format="pandas")
@@ -984,7 +985,7 @@ def grouped_gini(
         return pd.DataFrame({
             key: ks[new_key],
             "n": n_k.astype(np.int64),
-            "gini": np.round(gini, round_to)})
+            "gini": round_half_away(gini, round_to)})
 
     partial = ds.map_batches(_combine, batch_format="pandas",
                              batch_size=1 << 17)

@@ -43,6 +43,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
+from ..util import round_half_away
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 _MIX = np.uint64(0x9E3779B97F4A7C15)
@@ -85,9 +86,9 @@ def greedy_centers(ids: np.ndarray, x: np.ndarray, t2_sim: float,
     for s in range(0, n, chunk):
         e = min(s + chunk, n)
         blk = xs[s:e]
-        prior = (np.round(blk @ np.vstack(c_rows).T, 6)
+        prior = (round_half_away(blk @ np.vstack(c_rows).T, 6)
                  if c_rows else np.zeros((e - s, 0)))
-        intra = np.round(blk @ blk.T, 6)
+        intra = round_half_away(blk @ blk.T, 6)
         new_local: list[int] = []
         for r in range(e - s):
             if prior.shape[1] and (prior[r] >= t2_sim).any():
@@ -174,7 +175,7 @@ def canopy_blocks(ds: rd.Dataset, id_col: str = "doc_id",
         ids = batch["row_id"].to_numpy()
         x = batch["vec"].combine_chunks().flatten().to_numpy(
             zero_copy_only=False).reshape(len(ids), dim)
-        sims = np.round(x @ cx.T, 6)
+        sims = round_half_away(x @ cx.T, 6)
         member = sims >= t1_sim
         # coverage fallback: nearest center (argmax → smallest center id
         # on ties because centers are id-ascending)

@@ -42,6 +42,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
+from ..util import round_half_away
 
 
 def _token_rows(docs: rd.Dataset, cols: list[str],
@@ -154,7 +155,7 @@ def nb_classify(
             score[j::len(labels)] = (priors[l_]
                                      + batch[f"__s_{l_}"].to_numpy())
         return pd.DataFrame({id_col: ids, "label": lab,
-                             "log_score": np.round(score, round_to)})
+                             "log_score": round_half_away(score, round_to)})
 
     return sums.map_batches(_finish, batch_format="pandas")
 

@@ -32,6 +32,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from belb_ray.util import resolve_num_buckets
+from ..util import round_half_away
 
 
 def group_item_lists(ds: rd.Dataset, group_col: str, item_col: str,
@@ -317,6 +318,6 @@ def item_cosine_pairs(ds: rd.Dataset, group_col: str, item_col: str,
         return pd.DataFrame({
             "a": b["a"], "b": b["b"],
             "c": b["c"].to_numpy(np.int64),
-            "cosine": np.round(c / np.sqrt(sa * sb), round_to)})
+            "cosine": round_half_away(c / np.sqrt(sa * sb), round_to)})
 
     return withs.map_batches(_cos, batch_format="pandas")

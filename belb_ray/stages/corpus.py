@@ -34,6 +34,7 @@ from .sampling import MD5_SPACE, _md5_hash60
 from .curation import GRAM_WORD_RE
 
 from belb_ray.util import resolve_num_buckets
+from ..util import round_half_away
 
 
 def _word_gram_series(texts: list[str], n: int) -> pd.Series:
@@ -225,8 +226,8 @@ def key_skew_profile(ds: rd.Dataset, key: str,
         "n_rows": np.array([total], np.int64),
         "n_keys": np.array([nk], np.int64),
         "max_cnt": np.array([mx], np.int64),
-        "top_share": [np.round(mx / total, 8)],
-        "cv": [np.round(cv, 8)]})
+        "top_share": [round_half_away(mx / total, 8)],
+        "cv": [round_half_away(cv, 8)]})
 
 
 def content_checksum(ds: rd.Dataset, key: str, seed: int = 0) -> rd.Dataset:
@@ -301,9 +302,9 @@ def mixture_plan(ds: rd.Dataset, source_col: str, alpha: float = 0.5,
         return pd.DataFrame({
             source_col: df[source_col].to_numpy(),
             "n_rows": df["n_rows"].to_numpy(np.int64),
-            "share": np.round(share, round_to),
-            "target_share": np.round(tgt, round_to),
-            "rate": np.round(rate, round_to)})
+            "share": round_half_away(share, round_to),
+            "target_share": round_half_away(tgt, round_to),
+            "rate": round_half_away(rate, round_to)})
 
     return counts.repartition(1).map_batches(_finish, batch_size=None,
                                              batch_format="pandas")

@@ -33,6 +33,7 @@ import ray
 import ray.data as rd
 
 from ..util import cached_get, resolve_num_buckets
+from ..util import round_half_away
 
 WORD_TOKEN_RE = re.compile(r"\S+")
 GRAM_WORD_RE = re.compile(r"[a-z0-9]+")
@@ -409,7 +410,7 @@ def boilerplate_stats(ds: rd.Dataset, id_col: str = "doc_id",
         return pd.DataFrame({
             id_col: batch[id_col].to_numpy(),
             "n_grams": ng, "n_boiler": nb,
-            "boiler_ratio": np.round(nb / ng.astype(np.float64), 6)})
+            "boiler_ratio": round_half_away(nb / ng.astype(np.float64), 6)})
 
     return out.map_batches(_ratio, batch_format="pandas")
 

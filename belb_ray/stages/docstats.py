@@ -25,6 +25,7 @@ from ..functions.textstats import (
 )
 
 from belb_ray.util import resolve_num_buckets
+from ..util import round_half_away
 
 
 def doc_token_counts(ds: rd.Dataset, id_col: str = "doc_id",
@@ -180,7 +181,7 @@ def readability_scores(ds: rd.Dataset, id_col: str = "doc_id",
         w = words[keep].astype(np.float64)
         s = sents[keep].astype(np.float64)
         v = syll[keep].astype(np.float64)
-        flesch = np.round(206.835 - 1.015 * (w / s) - 84.6 * (v / w), 4)
+        flesch = round_half_away(206.835 - 1.015 * (w / s) - 84.6 * (v / w), 4)
         return pd.DataFrame({id_col: batch[id_col].to_numpy()[keep],
                              "words": words[keep],
                              "sentences": sents[keep],

@@ -26,6 +26,7 @@ import ray.data as rd
 from .agg import bucketed_combine
 
 from belb_ray.util import resolve_num_buckets
+from ..util import round_half_away
 
 
 def _bin_counts(ds: rd.Dataset, value_col: str, bin_width: float,
@@ -89,9 +90,9 @@ def psi_drift(
         cb = np.maximum(pb_, eps)
         return pd.DataFrame({
             "bin": m["bin"].to_numpy(np.int64),
-            "p_ref": np.round(pa_, round_to),
-            "p_cand": np.round(pb_, round_to),
-            "psi_contrib": np.round((ca - cb) * np.log(ca / cb),
+            "p_ref": round_half_away(pa_, round_to),
+            "p_cand": round_half_away(pb_, round_to),
+            "psi_contrib": round_half_away((ca - cb) * np.log(ca / cb),
                                     round_to)})
 
     # the union is bin-count-sized — repartition(1) makes the finish one
@@ -136,8 +137,8 @@ def chi2_association(
             col_a: df[col_a].to_numpy(),
             col_b: df[col_b].to_numpy(),
             "observed": df["observed"].to_numpy(np.int64),
-            "expected": np.round(e, round_to),
-            "chi2_contrib": np.round((o - e) ** 2 / e, round_to)})
+            "expected": round_half_away(e, round_to),
+            "chi2_contrib": round_half_away((o - e) ** 2 / e, round_to)})
 
     return pairs.repartition(1).map_batches(_finish, batch_size=None,
                                             batch_format="pandas")
@@ -189,9 +190,9 @@ def ks_drift(
         cb = m["n_b"].to_numpy(np.int64).cumsum() / max(nb, 1)
         return pd.DataFrame({
             "bin": m["bin"].to_numpy(np.int64),
-            "cdf_ref": np.round(ca, round_to),
-            "cdf_cand": np.round(cb, round_to),
-            "ks_contrib": np.round(np.abs(ca - cb), round_to)})
+            "cdf_ref": round_half_away(ca, round_to),
+            "cdf_cand": round_half_away(cb, round_to),
+            "ks_contrib": round_half_away(np.abs(ca - cb), round_to)})
 
     return both.repartition(1).map_batches(_finish, batch_size=None,
                                            batch_format="pandas")
@@ -266,9 +267,9 @@ def js_divergence(
                    + 0.5 * np.where(q > 0, q * np.log(qs / mid), 0.0))
         return pd.DataFrame({
             "tok": m["tok"].to_numpy(),
-            "p_ref": np.round(p, round_to),
-            "p_cand": np.round(q, round_to),
-            "jsd_contrib": np.round(contrib, round_to)})
+            "p_ref": round_half_away(p, round_to),
+            "p_cand": round_half_away(q, round_to),
+            "jsd_contrib": round_half_away(contrib, round_to)})
 
     return both.repartition(1).map_batches(_finish, batch_size=None,
                                            batch_format="pandas")
@@ -310,7 +311,7 @@ def mutual_information(
             col_a: df[col_a].to_numpy(),
             col_b: df[col_b].to_numpy(),
             "observed": df["observed"].to_numpy(np.int64),
-            "mi_contrib": np.round(pab * np.log(pab / (pa_ * pb_)),
+            "mi_contrib": round_half_away(pab * np.log(pab / (pa_ * pb_)),
                                    round_to)})
 
     return pairs.repartition(1).map_batches(_finish, batch_size=None,

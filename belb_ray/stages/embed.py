@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
+from ..util import round_half_away
 
 # pd.util.hash_array requires an EXACTLY-16-byte key
 _EMBED_HASH_KEY = "belb_ray_embed16"
@@ -149,7 +150,7 @@ class CrossEncoderReranker:
     def __call__(self, batch: pa.Table) -> pa.Table:
         qs = batch[self.query_col].to_pylist()
         ds_ = batch[self.text_col].to_pylist()
-        s = np.round(self._scores(qs, ds_), self.round_to)
+        s = round_half_away(self._scores(qs, ds_), self.round_to)
         return batch.append_column(self.out_col,
                                    pa.array(s, pa.float64()))
 

@@ -32,6 +32,7 @@ import ray.data as rd
 
 from belb_ray.stages.agg import preagg_groupby
 from belb_ray.util import resolve_num_buckets
+from ..util import round_half_away
 
 
 def cluster_quality(ds: rd.Dataset, pred_col: str, gold_col: str,
@@ -401,9 +402,9 @@ def blocking_ablation(files: rd.Dataset, gold_pairs: rd.Dataset,
             or [np.empty(0, np.int64)]))
         uniq = np.setdiff1d(cov, others).size
         rows.append((name, n_pairs, len(cov),
-                     round(len(cov) / n_gold, 6) if n_gold else 0.0, uniq))
+                     round_half_away(len(cov) / n_gold, 6) if n_gold else 0.0, uniq))
     rows.append(("union", union_pairs, len(union_cov),
-                 round(len(union_cov) / n_gold, 6) if n_gold else 0.0, 0))
+                 round_half_away(len(union_cov) / n_gold, 6) if n_gold else 0.0, 0))
     rows.append(("collapse", 0, n_collapsed, 0.0, n_collapsed))
     rows.sort()
     return rd.from_arrow(pa.table({

@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
+from ..util import round_half_away
 
 _QUANT = float(1 << 30)
 
@@ -45,7 +46,7 @@ def _em_partials(pairs: rd.Dataset, feature_cols: list[str],
         a = np.log(p) + lm
         b = np.log1p(-p) + lu
         r = 1.0 / (1.0 + np.exp(b - a))
-        r = np.round(r * _QUANT) / _QUANT  # exact-sum quantization
+        r = round_half_away(r * _QUANT) / _QUANT  # exact-sum quantization
         row = {"n": [np.float64(len(r))], "sr": [r.sum()]}
         for i, c in enumerate(feature_cols):
             rx = r * x[:, i]
@@ -92,7 +93,7 @@ def fs_em_weights(pairs: rd.Dataset, feature_cols: list[str],
     out = pd.DataFrame(rows, columns=["feature", "m", "u",
                                       "weight_agree", "weight_disagree"])
     for c in ("m", "u", "weight_agree", "weight_disagree"):
-        out[c] = np.round(out[c].to_numpy(np.float64), 8)
+        out[c] = round_half_away(out[c].to_numpy(np.float64), 8)
     return out
 
 
@@ -125,11 +126,11 @@ def fs_score_pairs(pairs: rd.Dataset, feature_cols: list[str],
         la = np.log(p) + lm
         lb = np.log1p(-p) + lu
         r = 1.0 / (1.0 + np.exp(lb - la))
-        r = np.round(r * _QUANT) / _QUANT
+        r = round_half_away(r * _QUANT) / _QUANT
         wgt = x @ np.log2(m / u) + (1.0 - x) @ np.log2((1.0 - m) / (1.0 - u))
         out = b[[*id_cols, *feature_cols]].copy()
-        out["weight"] = np.round(wgt, round_to)
-        out["posterior"] = np.round(r, round_to)
+        out["weight"] = round_half_away(wgt, round_to)
+        out["posterior"] = round_half_away(r, round_to)
         if thr is not None:
             out = out[out["posterior"].to_numpy() >= thr]
         return out

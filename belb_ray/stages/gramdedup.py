@@ -27,6 +27,7 @@ from belb_ray.stages.agg import _bucket_of_frame, bucketed_combine
 from belb_ray.stages.dupspans import gram_positions
 
 from belb_ray.util import resolve_num_buckets
+from ..util import round_half_away
 
 
 def cross_doc_gram_stats(ds: rd.Dataset, id_col: str, text_col: str,
@@ -71,7 +72,7 @@ def cross_doc_gram_stats(ds: rd.Dataset, id_col: str, text_col: str,
 
     def _finish(b: pd.DataFrame) -> pd.DataFrame:
         b = b.rename(columns={"doc": id_col})
-        b["dup_frac"] = (b["dup_grams"] / b["total_grams"]).round(6)
+        b["dup_frac"] = round_half_away(b["dup_grams"] / b["total_grams"], 6)
         b["dup_grams"] = b["dup_grams"].astype(np.int64)
         b["total_grams"] = b["total_grams"].astype(np.int64)
         return b

@@ -31,6 +31,7 @@ import ray.data as rd
 from ..functions.similarity import levenshtein
 from .agg import _bucket_of_frame, grouped_topk, preagg_groupby
 from ..util import resolve_num_buckets
+from ..util import round_half_away
 
 
 def _deletion_keys(s: str, k: int) -> set[str]:
@@ -548,9 +549,9 @@ def bcubed(ds: rd.Dataset, cluster_col: str, gold_col: str,
     r = float(tot["sr"][0]) / n
     return pd.DataFrame({
         "n_records": np.array([int(n)], np.int64),
-        "b3_precision": [np.round(p, round_to)],
-        "b3_recall": [np.round(r, round_to)],
-        "b3_f1": [np.round(2.0 * p * r / (p + r), round_to)]})
+        "b3_precision": [round_half_away(p, round_to)],
+        "b3_recall": [round_half_away(r, round_to)],
+        "b3_f1": [round_half_away(2.0 * p * r / (p + r), round_to)]})
 
 
 def one_to_one_match(pairs: rd.Dataset, score_col: str = "score",

@@ -28,6 +28,7 @@ from .agg import _bucket_of_frame, bucketed_combine
 from .sampling import MD5_SPACE, _md5_hash60
 
 from belb_ray.util import resolve_num_buckets
+from ..util import round_half_away
 
 
 def target_encode(ds: rd.Dataset, cat_col: str, target_col: str,
@@ -44,7 +45,7 @@ def target_encode(ds: rd.Dataset, cat_col: str, target_col: str,
 
     num_buckets = resolve_num_buckets(num_buckets)
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        units = np.round(batch[target_col].to_numpy(dtype=np.float64)
+        units = round_half_away(batch[target_col].to_numpy(dtype=np.float64)
                          * scale).astype(np.int64)
         g = pd.DataFrame({cat_col: batch[cat_col], "__s": units})
         out = g.groupby(cat_col, sort=False)["__s"].agg(["sum", "size"])
@@ -65,7 +66,7 @@ def target_encode(ds: rd.Dataset, cat_col: str, target_col: str,
         te_units = (s + smoothing * prior_units) / (n + smoothing)
         return pd.DataFrame({cat_col: batch[cat_col],
                              "n": batch["__n"].astype(np.int64),
-                             "te": np.round(te_units / scale, 4)})
+                             "te": round_half_away(te_units / scale, 4)})
 
     return agg.map_batches(_finish, batch_format="pandas")
 

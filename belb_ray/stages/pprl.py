@@ -50,6 +50,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions.hashing import as_int64
+from ..util import round_half_away
 
 _MIX_A = np.uint64(0x9E3779B97F4A7C15)
 _MIX_B = np.uint64(0xC2B2AE3D27D4EB4F)
@@ -215,7 +216,7 @@ def pprl_dice_links(ds: rd.Dataset, id_col: str, field_cols: list[str],
         inter = _POP8[pa_m & pb_m].sum(axis=1, dtype=np.int64)
         denom = ca + cb
         keep = (2 * inter * _DENOM >= thr_num * denom) & (denom > 0)
-        dice = np.round(2.0 * inter[keep] / denom[keep], 6)
+        dice = round_half_away(2.0 * inter[keep] / denom[keep], 6)
         return keep, dice
 
     n_reps = reps.count()

@@ -37,6 +37,7 @@ from ..functions.similarity import kmeans_fit_l2
 from ..util import cached_get, resolve_num_buckets
 from .ann import list_column_matrix
 from .joins import collect_arrow
+from ..util import round_half_away
 
 
 def pq_train(
@@ -180,7 +181,7 @@ def pq_search(
         g = group.drop(columns="__bucket").sort_values(
             [query_id_col, "dist", id_col], kind="mergesort")
         g = g.groupby(query_id_col, sort=False).head(k)
-        g["dist"] = np.round(g["dist"].to_numpy(), round_to)
+        g["dist"] = round_half_away(g["dist"].to_numpy(), round_to)
         return g
 
     return (partials.map_batches(_bucketize, batch_format="pandas")

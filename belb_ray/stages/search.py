@@ -28,6 +28,7 @@ import ray.data as rd
 from belb_ray.functions.arrow import table_from_pandas
 
 from belb_ray.util import resolve_num_buckets
+from ..util import round_half_away
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
@@ -108,7 +109,7 @@ def bm25_topk(
         # left-associated (+) chain, for bit-stable float parity
         for i in range(nt):
             score = score + idf[i] * (tf[:, i] * (k1 + 1.0)) / (tf[:, i] + norm)
-        score = np.round(score, round_to)
+        score = round_half_away(score, round_to)
         out = pd.DataFrame({id_col: ids, "score": score})
         out = out.sort_values(["score", id_col],
                               ascending=[False, True], kind="mergesort").head(k)
@@ -199,7 +200,7 @@ def rrf_fuse(
         g = group.sort_values([qcol, id_col, "__src"], kind="mergesort")
         out = (g.groupby([qcol, id_col], sort=False, as_index=False)
                ["__contrib"].sum())
-        out["rrf_score"] = np.round(out.pop("__contrib").to_numpy(),
+        out["rrf_score"] = round_half_away(out.pop("__contrib").to_numpy(),
                                     round_to)
         return out
 

@@ -46,6 +46,7 @@ from ..functions.hashing import token_hashes
 from ..functions.text import tokenize
 from .agg import _bucket_of_frame, preagg_groupby
 from ..util import resolve_num_buckets
+from ..util import round_half_away
 
 
 def _doc_sets(docs: rd.Dataset, id_col: str, text_col: str):
@@ -546,7 +547,7 @@ def containment_topk(ds: rd.Dataset, query_ids: list, k: int = 3,
             out_q.extend(qids[qi])
             out_d.extend([did] * len(qi))
             out_i.extend(inter[qi])
-            out_c.extend(np.round(inter[qi] / qsizes[qi], 6))
+            out_c.extend(round_half_away(inter[qi] / qsizes[qi], 6))
         id_dt = batch[id_col].dtype if len(batch) else np.int64
         return pd.DataFrame({
             "qid": np.asarray(out_q, id_dt),

@@ -44,6 +44,7 @@ from .sampling import _md5_hash60
 
 from belb_ray.functions.arrow import table_from_pandas
 from ..util import resolve_num_buckets
+from ..util import round_half_away
 
 # rho is the leading-zero rank inside a 38-bit window (bits p..p+37 of the
 # 60-bit hash): [1, 39], 39 for w == 0. Keeping the window under 53 bits
@@ -102,7 +103,7 @@ def _finish_registers(regs: np.ndarray, m: int, am2: float):
         est = float(m) * math.log(float(m) / float(zeros))
     dig = hashlib.md5(
         ",".join(str(int(r)) for r in regs).encode()).hexdigest()
-    return m - zeros, dig, round(est, 2)
+    return m - zeros, dig, round_half_away(est, 2)
 
 
 def hll_sketch(ds: rd.Dataset, group_key: str, value_key: str, p: int = 6,

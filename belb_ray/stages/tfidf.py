@@ -34,6 +34,7 @@ from .agg import bucketed_combine, grouped_topk
 from belb_ray.functions.arrow import table_from_pandas
 
 from belb_ray.util import resolve_num_buckets
+from ..util import round_half_away
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
@@ -91,7 +92,7 @@ def tfidf_top_terms(
             idf = ray.get(ref)
             w = batch["tf"].to_numpy(np.float64) * \
                 batch["token"].map(idf).to_numpy(np.float64)
-            batch["weight"] = np.round(w, round_to)
+            batch["weight"] = round_half_away(w, round_to)
             return batch[[id_col, "token", "weight"]]
 
         weighted = tf_rows.map_batches(_weigh, batch_format="pandas")
@@ -105,7 +106,7 @@ def tfidf_top_terms(
             idf = np.log((1.0 + n_docs)
                          / (1.0 + batch["df"].to_numpy(np.float64))) + 1.0
             w = batch["tf"].to_numpy(np.float64) * idf
-            batch["weight"] = np.round(w, round_to)
+            batch["weight"] = round_half_away(w, round_to)
             return batch[[id_col, "token", "weight"]]
 
         weighted = joined.map_batches(_weigh_joined, batch_format="pandas")
@@ -292,7 +293,7 @@ def tfidf_cosine_join(
         _nb, batch_format="pandas"), "b", broadcast_threshold)
 
     def _finish(b: pd.DataFrame) -> pd.DataFrame:
-        cos = np.round(b["dot"].to_numpy(np.float64)
+        cos = round_half_away(b["dot"].to_numpy(np.float64)
                        / np.sqrt(b["n2_a"].to_numpy(np.float64)
                                  * b["n2_b"].to_numpy(np.float64)),
                        round_to)

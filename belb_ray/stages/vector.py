@@ -22,6 +22,7 @@ import ray.data as rd
 from .agg import bucketed_combine
 from .ann import list_column_matrix
 from ..util import resolve_num_buckets
+from ..util import round_half_away
 
 
 def grouped_vector_mean(
@@ -76,7 +77,7 @@ def grouped_vector_mean(
             k = len(df)
             means = df[sum_cols].to_numpy(np.float64) / n[:, None]
             if round_to is not None:
-                means = np.round(means, round_to)
+                means = round_half_away(means, round_to)
             return pd.DataFrame({
                 key: np.repeat(df[key].to_numpy(), dim),
                 "dim_idx": np.tile(np.arange(1, dim + 1, dtype=np.int64),
@@ -87,7 +88,7 @@ def grouped_vector_mean(
             n = df["__n"].to_numpy(np.float64)
             means = df[sum_cols].to_numpy(np.float64) / n[:, None]
             if round_to is not None:
-                means = np.round(means, round_to)
+                means = round_half_away(means, round_to)
             return pd.DataFrame({
                 key: df[key].to_numpy(),
                 "n": df["__n"].to_numpy(np.int64),
@@ -134,7 +135,7 @@ def nearest_centroid_confusion(
         labels, mu = cached_get(ref)
         x = list_column_matrix(batch[vec_col])
         d2 = ((x[:, None, :] - mu[None, :, :]) ** 2).sum(axis=2)
-        d2 = np.round(d2, round_to)
+        d2 = round_half_away(d2, round_to)
         pred = labels[np.argmin(d2, axis=1)]  # first min = smaller label
         return pa.table({
             "label": batch[label_col],
@@ -326,7 +327,7 @@ def simplified_silhouette(
         return pd.DataFrame({
             label_col: df[label_col],
             "n": df["n"].astype(np.int64),
-            "silhouette": np.round(
+            "silhouette": round_half_away(
                 df["__s"].to_numpy(np.float64)
                 / df["n"].to_numpy(np.float64), round_to)})
 
@@ -431,7 +432,7 @@ def kcenter_sample(
     out = pa.table({
         "sel_rank": pa.array(np.arange(len(chosen_ids), dtype=np.int64)),
         id_col: pa.array(chosen_ids, pa.int64()),
-        "dist": pa.array(np.round(np.asarray(chosen_dist), round_to))})
+        "dist": pa.array(round_half_away(np.asarray(chosen_dist), round_to))})
     return rd.from_arrow(out)
 
 
@@ -485,7 +486,7 @@ def quantize_embeddings(
         span = hi_ - lo_
         safe = np.where(span > 0, span, 1.0)
         codes = np.where(span > 0,
-                         np.round((x - lo_) * 255.0 / safe) - 128.0,
+                         round_half_away((x - lo_) * 255.0 / safe) - 128.0,
                          0.0).astype(np.int64)
         ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
         n = len(ids)

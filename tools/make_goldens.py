@@ -27,6 +27,7 @@ import sys
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
+from belb_ray.util import round_half_away
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -400,7 +401,7 @@ def golden_pca_projection(sf_dir: str, k=4) -> pa.Table:
     p = (x - x.mean(axis=0)) @ comp
     cols = {"vec_id": pa.array(ids, pa.int64())}
     for j in range(k):
-        cols[f"pc{j + 1}"] = pa.array(np.round(p[:, j], 6))
+        cols[f"pc{j + 1}"] = pa.array(round_half_away(p[:, j], 6))
     return pa.table(cols)
 
 
@@ -453,9 +454,9 @@ def golden_pca_variance(sf_dir: str) -> pa.Table:
     ratio = vals / vals.sum()
     return pa.table({
         "component": pa.array(np.arange(1, len(vals) + 1), pa.int64()),
-        "eigenvalue": pa.array(np.round(vals, 8)),
-        "explained_ratio": pa.array(np.round(ratio, 8)),
-        "cum_explained_ratio": pa.array(np.round(np.cumsum(ratio), 8)),
+        "eigenvalue": pa.array(round_half_away(vals, 8)),
+        "explained_ratio": pa.array(round_half_away(ratio, 8)),
+        "cum_explained_ratio": pa.array(round_half_away(np.cumsum(ratio), 8)),
     })
 
 
@@ -588,7 +589,7 @@ def golden_pq_ann_topk(sf_dir: str, m: int = 8, kcent: int = 16,
         top = np.lexsort((ids, dist))[:k]
         rows_q.extend([int(ids[qi])] * k)
         rows_i.extend(ids[top].tolist())
-        rows_d.extend(np.round(dist[top], 6).tolist())
+        rows_d.extend(round_half_away(dist[top], 6).tolist())
     return pa.table({"query_id": pa.array(rows_q, pa.int64()),
                      "vec_id": pa.array(rows_i, pa.int64()),
                      "dist": pa.array(rows_d, pa.float64())})
@@ -666,7 +667,7 @@ def golden_jl_projection(sf_dir: str, k: int = 6, seed: int = 0) -> pa.Table:
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
     ids = emb["vec_id"].to_numpy().astype(np.int64)
     x = np.stack(emb["embedding"].to_pylist()).astype(np.float64)
-    y = np.round(x @ jl_matrix(x.shape[1], k, seed), 6)
+    y = round_half_away(x @ jl_matrix(x.shape[1], k, seed), 6)
     cols = {"vec_id": pa.array(ids, pa.int64())}
     for j in range(k):
         cols[f"jl{j + 1}"] = pa.array(y[:, j], pa.float64())
@@ -701,7 +702,7 @@ def golden_fs_linkage_weights(sf_dir: str, iters: int = 15) -> pa.Table:
         lm = x @ np.log(m) + (1.0 - x) @ np.log1p(-m)
         lu = x @ np.log(u) + (1.0 - x) @ np.log1p(-u)
         r_ = 1.0 / (1.0 + np.exp((np.log1p(-p) + lu) - (np.log(p) + lm)))
-        r_ = np.round(r_ * quant) / quant
+        r_ = round_half_away(r_ * quant) / quant
         n, sr = float(len(r_)), r_.sum()
         su = n - sr
         p = min(max(sr / n, eps), 1.0 - eps)
@@ -719,7 +720,7 @@ def golden_fs_linkage_weights(sf_dir: str, iters: int = 15) -> pa.Table:
     df = pd.DataFrame(rows, columns=["feature", "m", "u", "weight_agree",
                                      "weight_disagree"])
     for c in ("m", "u", "weight_agree", "weight_disagree"):
-        df[c] = np.round(df[c].to_numpy(np.float64), 8)
+        df[c] = round_half_away(df[c].to_numpy(np.float64), 8)
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
@@ -756,7 +757,7 @@ def golden_fs_pattern_posteriors(sf_dir: str, iters: int = 15) -> pa.Table:
         lm = x @ np.log(m) + (1.0 - x) @ np.log1p(-m)
         lu = x @ np.log(u) + (1.0 - x) @ np.log1p(-u)
         r_ = 1.0 / (1.0 + np.exp((np.log1p(-p) + lu) - (np.log(p) + lm)))
-        r_ = np.round(r_ * quant) / quant
+        r_ = round_half_away(r_ * quant) / quant
         n, sr = float(len(r_)), r_.sum()
         su = n - sr
         p = min(max(sr / n, eps), 1.0 - eps)
@@ -766,19 +767,19 @@ def golden_fs_pattern_posteriors(sf_dir: str, iters: int = 15) -> pa.Table:
             u[i] = min(max((x[:, i] - r_ * x[:, i]).sum() / max(su, eps),
                            eps), 1.0 - eps)
     # score from the ROUNDED table, exactly like fs_score_pairs
-    p = float(np.round(p, 8))
-    m = np.round(m, 8)
-    u = np.round(u, 8)
+    p = float(round_half_away(p, 8))
+    m = round_half_away(m, 8)
+    u = round_half_away(u, 8)
     lm = x @ np.log(m) + (1.0 - x) @ np.log1p(-m)
     lu = x @ np.log(u) + (1.0 - x) @ np.log1p(-u)
     r_ = 1.0 / (1.0 + np.exp((np.log1p(-p) + lu) - (np.log(p) + lm)))
-    r_ = np.round(r_ * quant) / quant
+    r_ = round_half_away(r_ * quant) / quant
     wgt = x @ np.log2(m / u) + (1.0 - x) @ np.log2((1.0 - m) / (1.0 - u))
     out = df[names].copy()
     for c in names:
         out[c] = out[c].astype(np.int8)
-    out["weight"] = np.round(wgt, 6)
-    out["posterior"] = np.round(r_, 6)
+    out["weight"] = round_half_away(wgt, 6)
+    out["posterior"] = round_half_away(r_, 6)
     g = out.groupby(names, sort=True)
     tbl = pd.DataFrame({
         "n_pairs": g.size(),
@@ -1009,7 +1010,7 @@ def golden_canopy_blocks(sf_dir: str, t1_sim: float = 0.6,
 
     rows = []
     for i in range(len(ids)):
-        sims = np.round(c_x @ x[i], 6)
+        sims = round_half_away(c_x @ x[i], 6)
         member = np.flatnonzero(sims >= t1_sim)
         if len(member) == 0:
             member = np.array([int(sims.argmax())])
@@ -1260,7 +1261,7 @@ def golden_kcenter_sample(sf_dir: str, k: int = 8) -> pa.Table:
     return pa.table({
         "sel_rank": pa.array(np.arange(len(sel), dtype=np.int64)),
         "vec_id": pa.array(sel, pa.int64()),
-        "dist": pa.array(np.round(np.asarray(dist), 6))})
+        "dist": pa.array(round_half_away(np.asarray(dist), 6))})
 
 
 def golden_text_embeddings(sf_dir: str, dim=8, seed=11) -> pa.Table:
@@ -1272,7 +1273,7 @@ def golden_text_embeddings(sf_dir: str, dim=8, seed=11) -> pa.Table:
 
     ids, texts, _ = _doc_arrays(sf_dir)
     model = FakeTextEmbedModel(dim=dim, seed=seed)
-    emb = np.round(model.encode(list(texts)).astype(np.float64), 6)
+    emb = round_half_away(model.encode(list(texts)).astype(np.float64), 6)
     cols = {"doc_id": pa.array(np.asarray(ids, np.int64))}
     for j in range(dim):
         cols[f"e{j}"] = pa.array(emb[:, j], pa.float64())
@@ -1336,7 +1337,7 @@ def golden_bm25_rerank(sf_dir: str, terms=("hash", "join", "window"),
     norm = k1 * (1.0 - b + b * dl / avgdl)
     for i in range(nt):
         score = score + idf[i] * (tf[:, i] * (k1 + 1.0)) / (tf[:, i] + norm)
-    score = np.round(score, 4)
+    score = round_half_away(score, 4)
     order = np.lexsort((np.asarray(ids), -score))[:k_cand]
 
     model = FakeTextEmbedModel(dim=dim, seed=seed)
@@ -1345,7 +1346,7 @@ def golden_bm25_rerank(sf_dir: str, terms=("hash", "join", "window"),
     ed = model.encode(cand_texts).astype(np.float64)
     # same expression as CrossEncoderReranker._scores ((eq*ed).sum) so
     # the float reduction order matches bit-for-bit before rounding
-    rr = np.round((ed * q[None, :]).sum(axis=1), 6)
+    rr = round_half_away((ed * q[None, :]).sum(axis=1), 6)
     sel = np.lexsort((np.asarray(ids)[order], -rr))[:k_out]
     pick = np.asarray(order)[sel]
     return pa.table({

@@ -45,11 +45,23 @@ def ensure_split_fixture(state_rows: int, inc_rows: int) -> str:
     from belb_ray.sources.synthetic import make_fixture
 
     t0 = time.time()
+    import pyarrow as pa
+
     tbl = make_fixture(n_files=total, seed=42)["files"]
     k = max(total // inc_rows, 2)
-    idx = np.arange(tbl.num_rows)
-    parts = {"state": tbl.take(idx[idx % k != k - 1]),
-             "inc": tbl.take(idx[idx % k == k - 1])}
+    # slice-wise take: a single take over 5M ~1KB strings overflows the
+    # int32 offsets Arrow uses when it concatenates chunks internally
+    state_parts, inc_parts = [], []
+    step = 250_000
+    for start in range(0, tbl.num_rows, step):
+        sub = tbl.slice(start, step)
+        gidx = np.arange(start, start + sub.num_rows)
+        local = np.arange(sub.num_rows)
+        inc_mask = gidx % k == k - 1
+        state_parts.append(sub.take(local[~inc_mask]))
+        inc_parts.append(sub.take(local[inc_mask]))
+    parts = {"state": pa.concat_tables(state_parts),
+             "inc": pa.concat_tables(inc_parts)}
     os.makedirs(base + ".tmp", exist_ok=True)
     for name, part in parts.items():
         d = os.path.join(base + ".tmp", name)
