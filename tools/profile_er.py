@@ -20,6 +20,12 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=500_000)
     ap.add_argument("--object-store-gb", type=float, default=0,
                     help="cap the object store (GiB) to exercise spilling")
+    ap.add_argument("--dedup-broadcast-rows", type=int, default=50_000_000,
+                    help="exact_dedup_annotate broadcast row cap — set to 0 "
+                         "to force its partitioned-join fallback")
+    ap.add_argument("--attach-broadcast-bytes", type=int, default=-1,
+                    help="attach_features byte budget (-1 = adaptive) — "
+                         "set to 0 to force the fused-join fallback")
     args = ap.parse_args()
 
     import ray
@@ -74,7 +80,9 @@ def main() -> None:
                                  shingle_k=cfg.shingle_k, seed=cfg.seed,
                                  batch_size=cfg.blocker_batch_size,
                                  keep_cols=("content_sha256",)).materialize()
-    fm = exact_dedup_annotate(feats_all).materialize()
+    fm = exact_dedup_annotate(
+        feats_all,
+        broadcast_rows=args.dedup_broadcast_rows).materialize()
     t["features_dedup"] = time.time() - t0
 
     t0 = time.time()
@@ -95,6 +103,8 @@ def main() -> None:
     t0 = time.time()
     edges = attach_features(
         pairs, features, num_buckets=resolve_num_buckets(cfg.join_buckets),
+        broadcast_bytes=(None if args.attach_broadcast_bytes < 0
+                         else args.attach_broadcast_bytes),
         scorer=lambda tb: score_table(tb, cfg.threshold, cfg.w_jacc,
                                       cfg.w_jw, cfg.w_tok))
     contracted = edges.map_batches(_contract_block,
@@ -105,7 +115,24 @@ def main() -> None:
     labels = connected_components(contracted.map_batches(lambda x: x,
                                                          batch_format="pyarrow"))
     clusters = assign_clusters(members, labels, num_buckets=resolve_num_buckets(cfg.join_buckets))
-    n = clusters.count()
+
+    def _ck(batch):
+        import numpy as _np
+
+        a = batch["row_id"].to_numpy().astype(_np.uint64)
+        b = batch["cluster_id"].to_numpy().astype(_np.uint64)
+        v = (a * _np.uint64(0x9E3779B97F4A7C15)) ^ b
+        acc = _np.bitwise_xor.reduce(v) if len(v) else _np.uint64(0)
+        import pyarrow as _pa
+
+        return _pa.table({"x": _pa.array([int(acc)], _pa.uint64()),
+                          "n": _pa.array([batch.num_rows], _pa.int64())})
+
+    parts = clusters.map_batches(_ck, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    checksum = 0
+    for x in parts["x"]:
+        checksum ^= int(x)
     t["cc_assign"] = time.time() - t0
 
     total = time.time() - t_all0
@@ -122,6 +149,7 @@ def main() -> None:
     except Exception:
         pass
     print(json.dumps({"cpus": args.cpus, "rows": args.rows, "n_out": n,
+                      "checksum": f"{checksum:016x}",
                       "total": round(total, 2),
                       "object_store_gb": args.object_store_gb or None,
                       **spill,

@@ -134,6 +134,34 @@ def increment(state_rows: int, inc_rows: int, cpu_levels: list[int],
     return res
 
 
+def fallbacks(rows: int, cpus: int) -> dict:
+    """End-to-end exercise of BOTH size-guard fallbacks at natural row
+    counts (VERDICT r4 #3): one default run (broadcast paths), one run
+    with the dedup broadcast row cap AND the attach byte budget forced
+    to 0 (partitioned-join dedup attach + fused-join feature attach).
+    Cluster checksums must be identical — the fallbacks are alternative
+    executions of the same semantics, not approximations."""
+    base = last_json(sh([sys.executable, f"{HERE}/profile_er.py",
+                         "--cpus", str(cpus), "--rows", str(rows)]))
+    print(json.dumps({"broadcast_run": base}), flush=True)
+    forced = last_json(sh([sys.executable, f"{HERE}/profile_er.py",
+                           "--cpus", str(cpus), "--rows", str(rows),
+                           "--dedup-broadcast-rows", "0",
+                           "--attach-broadcast-bytes", "0"]))
+    print(json.dumps({"fallback_run": forced}), flush=True)
+    ok = forced["checksum"] == base["checksum"]
+    result = {"fallbacks": {
+        "rows": rows, "cpus": cpus,
+        "broadcast_total": base["total"],
+        "fallback_total": forced["total"],
+        "fallback_spilled_mib": forced.get("spilled_mib", 0),
+        "checksum": base["checksum"], "identical": ok}}
+    print(json.dumps(result), flush=True)
+    if not ok:
+        raise SystemExit("FALLBACK CHECKSUM MISMATCH vs broadcast path")
+    return result
+
+
 def spill(rows: int, cpus: int, gb: float) -> dict:
     out = sh([sys.executable, f"{HERE}/profile_er.py", "--cpus", str(cpus),
               "--rows", str(rows), "--object-store-gb", str(gb)])
@@ -216,7 +244,7 @@ def main() -> None:
                          "(state size = --rows)")
     ap.add_argument("--stage", default="all",
                     choices=["all", "gen", "perf", "spill", "resume",
-                             "increment"])
+                             "increment", "fallbacks"])
     args = ap.parse_args()
 
     levels = [int(x) for x in args.cpu_levels.split(",")]
@@ -230,6 +258,8 @@ def main() -> None:
         kill_resume(args.rows, args.resume_cpus)
     if args.stage == "increment":
         increment(args.rows, args.inc_rows, levels, args.trials)
+    if args.stage == "fallbacks":
+        fallbacks(args.rows, max(levels))
 
 
 if __name__ == "__main__":
