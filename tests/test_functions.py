@@ -189,3 +189,90 @@ def test_textstats_batch_twins_match_scalar():
     for i, t in enumerate(texts):
         assert tc[i] == token_count(t), repr(t)
         assert bc[i] == bpe_ish_token_count(t), repr(t)
+
+
+def test_round_half_away_matches_duckdb():
+    """Ties round AWAY from zero (SQL semantics), not to even (numpy) —
+    verified value-for-value against DuckDB's round()."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from belb_ray.util import round_half_away
+
+    vals = [33.48125, 2.5, 3.5, -2.5, -33.48125, 0.05, -0.05,
+            1.23456789, -1.23456789, 0.0, 1e12 + 0.5]
+    for d in (0, 2, 4):
+        got = round_half_away(np.array(vals), d)
+        con = duckdb.connect()
+        want = [con.execute(
+            f"SELECT round(CAST(? AS DOUBLE), {d})", [v]).fetchone()[0]
+            for v in vals]
+        assert got.tolist() == want, (d, got.tolist(), want)
+    # scalar + Series forms
+    assert round_half_away(33.48125, 4) == 33.4813
+    s = round_half_away(pd.Series([2.5, -2.5]), 0)
+    assert s.tolist() == [3.0, -3.0]
+    # NaN passes through
+    import math
+
+    assert math.isnan(round_half_away(float("nan"), 2))
+
+
+def test_moment_stats_decimals_partitioning_independent():
+    """Exact-units moments: identical bits under any partitioning, and
+    equal to the closed-form computed from exact integer cents."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from belb_ray.stages.agg import moment_stats
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, 400),
+        "v": np.round(rng.uniform(0, 100, 400), 2)})
+    outs = []
+    for nparts in (1, 3, 17):
+        out = moment_stats(rd.from_pandas(df).repartition(nparts),
+                           ["k"], "v", decimals=2).to_pandas()
+        outs.append(out.sort_values("k").reset_index(drop=True))
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+    # closed form from exact cents
+    c = np.round(df["v"].to_numpy() * 100).astype(np.int64)
+    for k, g in pd.DataFrame({"k": df["k"], "c": c}).groupby("k"):
+        n = len(g)
+        sc, sc2 = int(g["c"].sum()), int((g["c"] ** 2).sum())
+        row = outs[0][outs[0]["k"] == k].iloc[0]
+        assert row["mean"] == float(sc) / (100.0 * n)
+        assert row["var"] == float(n * sc2 - sc * sc) / (
+            (100.0 * 100.0 * n) * (n - 1))
+
+
+def test_embedding_neardup_sim_batchsize_invariant():
+    """Quantized-exact cosine: the emitted sim values are bit-identical
+    across batch sizes / partitionings (the float matmul was not)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from belb_ray.stages.ann import embedding_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(300), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32()))})
+    outs = []
+    for nparts in (1, 7):
+        out = embedding_neardup_pairs(
+            rd.from_arrow(tbl).repartition(nparts),
+            threshold=0.2).to_pandas()
+        outs.append(out.sort_values(["id_a", "id_b"])
+                    .reset_index(drop=True))
+    assert len(outs[0]) > 0
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(outs[0], outs[1])
