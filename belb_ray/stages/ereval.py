@@ -288,7 +288,12 @@ def blocking_ablation(files: rd.Dataset, gold_pairs: rd.Dataset,
     ja = ja.map_batches(
         lambda t: t.select(["id_b", "rep_id"]).rename_columns(
             ["row_id", "rep_a"]), batch_format="pyarrow")
-    jb = hash_partition_join(ja, reps, "row_id").map_batches(
+    # left_types: ja is a lazy join output — a schema peek would re-run
+    # the whole first join for one row (same fix as scoring.py join 2)
+    jb = hash_partition_join(
+        ja, reps, "row_id",
+        left_types={"row_id": pa.int64(), "rep_a": pa.int64()},
+    ).map_batches(
         lambda t: t.select(["rep_a", "rep_id"]).rename_columns(
             ["rep_a", "rep_b"]), batch_format="pyarrow")
 

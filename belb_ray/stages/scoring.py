@@ -163,7 +163,19 @@ def attach_features(pairs: rd.Dataset, features: rd.Dataset,
     fb = feat.map_batches(lambda t: t.rename_columns(b_names),
                           batch_format="pyarrow")
     withe_a = hash_partition_join(pairs, fa, key="id_a", num_buckets=num_buckets)
+    # static left schema for join 2: its left side is join 1's LAZY
+    # output, and a .schema() peek on a lazy sort-join plan executes the
+    # ENTIRE join for one row (measured round 5: the forced-fallback 4M
+    # campaign ran join 1 twice — once for the peek, once for real —
+    # and sat at 45+ min before this)
+    fsch = feat.schema()
+    ftypes = dict(zip(fsch.names, fsch.types))
+    j1_types = {"id_a": pa.int64(), "id_b": pa.int64(),
+                "sig_a": ftypes["sig"]}
+    if need_paths:
+        j1_types["path_a"] = ftypes["path"]
     return hash_partition_join(withe_a, fb, key="id_b", num_buckets=num_buckets,
+                               left_types=j1_types,
                                post_fn=scorer)
 
 
