@@ -267,10 +267,10 @@ def resolve_increment(
             np.unique(t["block_key"].to_numpy()))}),
         batch_format="pyarrow"))
     new_keys = np.unique(key_tbl["block_key"].to_numpy())
+    import ray as _ray
+
     old_blocks = _blocks(feats_old)
     if new_keys.nbytes <= broadcast_byte_budget():
-        import ray as _ray
-
         kref = _ray.put(new_keys)
 
         def _filter_old(t: pa.Table) -> pa.Table:
@@ -359,11 +359,36 @@ def resolve_increment(
     cross_pairs = pairs.filter(expr="is_cross == 1").drop_columns(["is_cross"])
     nn_pairs = pairs.filter(expr="is_cross == 0").drop_columns(["is_cross"])
 
-    all_feats = feats_new.union(feats_old)
+    # The cross attach only needs features for ids that actually appear
+    # in a pair — unpaired STATE reps (the bulk, in any realistic
+    # increment) must not enter the attach broadcast, whose driver-side
+    # gather was the measured Amdahl serial term (round 5: s grew
+    # 65 s → 109 s from the 4M- to the 8M-state campaign because the
+    # un-filtered union gathered state+increment features ∝ state).
+    # Pair-id set is ∝ pairs (16 B/id), collected via per-block uniques.
+    def _pids(t: pa.Table) -> pa.Table:
+        both = np.concatenate([t["id_a"].to_numpy(), t["id_b"].to_numpy()])
+        return pa.table({"row_id": pa.array(np.unique(both))})
+
+    pid_tbl = collect_arrow(
+        cross_pairs.map_batches(_pids, batch_format="pyarrow"))
+    pair_ids = np.unique(pid_tbl["row_id"].to_numpy())
+    pref = _ray.put(pair_ids)
+
+    def _filter_feats(t: pa.Table) -> pa.Table:
+        keys = cached_get(pref)
+        want = t["row_id"].to_numpy()
+        idx = np.minimum(np.searchsorted(keys, want), len(keys) - 1)
+        return t.filter(pa.array(
+            keys[idx] == want if len(keys) else
+            np.zeros(len(want), bool)))
+
+    paired_feats = (feats_new.union(feats_old)
+                    .map_batches(_filter_feats, batch_format="pyarrow"))
     _scorer = lambda t: score_table(t, cfg.threshold, cfg.w_jacc,
                                     cfg.w_jw, cfg.w_tok)
     cross_edges = attach_features(
-        cross_pairs, all_feats, num_buckets=resolve_num_buckets(cfg.join_buckets),
+        cross_pairs, paired_feats, num_buckets=resolve_num_buckets(cfg.join_buckets),
         need_paths=need_paths, scorer=_scorer)
     nn_edges = attach_features(
         nn_pairs, feats_new, num_buckets=resolve_num_buckets(cfg.join_buckets),

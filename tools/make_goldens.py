@@ -27,9 +27,10 @@ import sys
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
-from belb_ray.util import round_half_away
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from belb_ray.util import round_half_away  # noqa: E402 (needs the path above)
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "goldens")
@@ -870,13 +871,13 @@ def golden_blocking_ablation(sf: float, bands: int = 32, num_perm: int = 128,
     for name, p in res.items():
         others = set().union(*[c for o, c in cov.items() if o != name])
         rows.append((name, len(p), len(cov[name]),
-                     round(len(cov[name]) / n_gold, 6) if n_gold else 0.0,
+                     round_half_away(len(cov[name]) / n_gold, 6) if n_gold else 0.0,
                      len(cov[name] - others)))
     # union n_pairs = DISTINCT pairs across schemes (pairs found by both
     # schemes counted once), matching blocking_ablation's r4 semantics
     union_pairs = set().union(*res.values())
     rows.append(("union", len(union_pairs), len(union_cov),
-                 round(len(union_cov) / n_gold, 6) if n_gold else 0.0, 0))
+                 round_half_away(len(union_cov) / n_gold, 6) if n_gold else 0.0, 0))
     rows.append(("collapse", 0, n_collapsed, 0.0, n_collapsed))
     rows.sort()
     return pa.table({
@@ -960,7 +961,7 @@ def golden_pprl_links(sf: float, threshold: float = 0.9, m_bits: int = 512,
         inter = len(reps[a] & reps[b])
         den = len(reps[a]) + len(reps[b])
         if den > 0 and 2 * inter * 1_000_000 >= thr * den:
-            rows.append((a, b, round(2.0 * inter / den, 6)))
+            rows.append((a, b, round_half_away(2.0 * inter / den, 6)))
     return pa.table({
         "id_a": pa.array([r[0] for r in rows], pa.int64()),
         "id_b": pa.array([r[1] for r in rows], pa.int64()),
@@ -988,7 +989,7 @@ def golden_canopy_blocks(sf_dir: str, t1_sim: float = 0.6,
         for i in order:
             ok = True
             for j in kept:
-                if round(float(sub_x[i] @ sub_x[j]), 6) >= t2_sim:
+                if round_half_away(float(sub_x[i] @ sub_x[j]), 6) >= t2_sim:
                     ok = False
                     break
             if ok:
@@ -1148,8 +1149,8 @@ def golden_progressive_curve(sf: float,
         n_pairs = int(pre.sum())
         n_t = int((pre & true).sum())
         out.append((float(t), n_pairs, n_t,
-                    round(n_t / n_true_total, 6) if n_true_total else 0.0,
-                    round(n_t / n_pairs, 6) if n_pairs else 0.0))
+                    round_half_away(n_t / n_true_total, 6) if n_true_total else 0.0,
+                    round_half_away(n_t / n_pairs, 6) if n_pairs else 0.0))
     return pa.table({
         "threshold": pa.array([r[0] for r in out], pa.float64()),
         "n_pairs": pa.array([r[1] for r in out], pa.int64()),
