@@ -23,6 +23,11 @@ import ray.data as rd
 from ..functions.hashing import sha256_hex_list, stable_id64_list
 from ..util import resolve_num_buckets
 
+# per-worker cache for the distributed (sharded) rep map of
+# exact_dedup_annotate — one live map per worker process (zero-copy
+# views into plasma; clearing on swap keeps old runs' shards unpinned)
+_SHARD_MAP_CACHE: dict[str, tuple] = {}
+
 
 def ensure_identity_columns(ds: rd.Dataset, id_cols=("repo", "path", "commit"),
                             content_col: str = "content") -> rd.Dataset:
@@ -74,13 +79,21 @@ def exact_dedup_annotate(ds: rd.Dataset, hash_col: str = "content_sha256",
     rows; at 4M rows x ~1.2 KB features that one shuffle was ~70% of
     the 4-CPU campaign wall (BASELINE.md round-4 campaign).
 
-    Broadcast guard: the map is broadcast only while BOTH the row cap
+    Map-attach strategy (round 5): while BOTH the row cap
     (``broadcast_rows``) and the byte budget (25% of plasma via
-    `util.broadcast_byte_budget`, at 16 B/row) hold. Building it costs
-    a TRANSIENT ~3x map-size spike on the DRIVER heap (collect + argsort
-    + reordered copies) before ray.put hands the sorted arrays to
-    plasma (zero-copy per node thereafter). Past either limit the
-    attach falls back to a partitioned join of the wide rows."""
+    `util.broadcast_byte_budget`, at 16 B/row) hold, the map is built
+    on the driver (collect + argsort — a transient ~3x map-size driver
+    spike, cheap at these sizes) and `ray.put` once. Past either limit
+    the map is built DISTRIBUTED instead: one narrow 16 B/row sort by
+    id, the sorted shards stay in plasma (`to_arrow_refs`, zero-copy),
+    and the attach does a two-level searchsorted (shard-starts, then
+    within-shard). No driver transient at any size, and the wide
+    payload columns never shuffle. (The previous fallback joined the
+    WIDE rows against the map; at 4M rows x 1.2 KB the padded union
+    deadlocked the streaming executor's object-store budget — zero
+    tasks dispatched, scheduler spinning — measured round 5.) Either
+    path is bounded by per-node plasma holding the 16 B/row map —
+    past ~25% of plasma, shard the corpus into campaigns (SCALE.md)."""
     import pandas as pd
 
     from ..util import broadcast_byte_budget, resolve_num_buckets
@@ -113,10 +126,10 @@ def exact_dedup_annotate(ds: rd.Dataset, hash_col: str = "content_sha256",
            .groupby("__bucket").map_groups(_resolve, batch_format="pyarrow")
            ).materialize()
 
+    import ray
+
     n_rep = rep.count()
     if n_rep <= broadcast_rows and n_rep * 16 <= broadcast_byte_budget():
-        import ray
-
         from .joins import collect_arrow
         tbl = collect_arrow(rep)
         ids_all = tbl[id_col].to_numpy()
@@ -139,8 +152,46 @@ def exact_dedup_annotate(ds: rd.Dataset, hash_col: str = "content_sha256",
 
         return ds.map_batches(_attach, batch_format="pyarrow")
 
-    from .joins import hash_partition_join
-    return hash_partition_join(ds, rep, key=id_col, num_buckets=num_buckets)
+    # distributed map build: narrow sort by id, shards stay in plasma
+    rep_sorted = rep.select_columns([id_col, "rep_id"]) \
+        .sort(id_col).materialize()
+    shard_refs = [r for r in rep_sorted.to_arrow_refs()]
+    refs_ref = ray.put(shard_refs)
+
+    def _attach_sharded(batch: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        entry = _SHARD_MAP_CACHE.get(refs_ref.hex())
+        if entry is None:
+            tabs = [t for t in ray.get(cached_get(refs_ref))]
+            tabs = [t if isinstance(t, pa.Table) else
+                    pa.Table.from_pandas(t) for t in tabs]
+            ids_list = [t[id_col].to_numpy() for t in tabs
+                        if t.num_rows > 0]
+            reps_list = [t["rep_id"].to_numpy() for t in tabs
+                         if t.num_rows > 0]
+            starts = np.array([a[0] for a in ids_list], dtype=np.int64)
+            _SHARD_MAP_CACHE.clear()  # one live map per worker
+            entry = _SHARD_MAP_CACHE[refs_ref.hex()] = (
+                ids_list, reps_list, starts)
+        ids_list, reps_list, starts = entry
+        want = batch[id_col].to_numpy()
+        if len(starts) == 0:
+            raise KeyError("exact_dedup_annotate: empty rep map")
+        ci = np.maximum(np.searchsorted(starts, want, side="right") - 1, 0)
+        out = np.empty(len(want), np.int64)
+        for c in np.unique(ci):
+            m = ci == c
+            w = want[m]
+            a = ids_list[c]
+            idx = np.minimum(np.searchsorted(a, w), len(a) - 1)
+            if not np.all(a[idx] == w):
+                raise KeyError(
+                    "exact_dedup_annotate: id missing from the rep map")
+            out[m] = reps_list[c][idx]
+        return batch.append_column("rep_id", pa.array(out, pa.int64()))
+
+    return ds.map_batches(_attach_sharded, batch_format="pyarrow")
 
 
 def sha_int64(sha_hex_col: list[str]) -> list[int]:

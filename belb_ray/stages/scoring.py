@@ -162,12 +162,22 @@ def attach_features(pairs: rd.Dataset, features: rd.Dataset,
                           batch_format="pyarrow")
     fb = feat.map_batches(lambda t: t.rename_columns(b_names),
                           batch_format="pyarrow")
-    withe_a = hash_partition_join(pairs, fa, key="id_a", num_buckets=num_buckets)
+    # Join fallback runs Ray's NATIVE hash-shuffle join (aggregator
+    # actors), not the manual union+sort join: at 4M pairs x wide
+    # signature rows the manual join's sorted union overran the
+    # streaming executor's object-store budget and deadlocked (zero
+    # bucket tasks dispatched, scheduler spinning — measured round 5,
+    # and raising resource_limits did not unstick it), while the native
+    # hash shuffle streams the same attach in 41 s at 16 CPUs. The
+    # manual join stays the default for narrow joins elsewhere
+    # (measured ~2x faster at small scales).
+    withe_a = hash_partition_join(pairs, fa, key="id_a",
+                                  num_buckets=num_buckets,
+                                  strategy="native")
     # static left schema for join 2: its left side is join 1's LAZY
-    # output, and a .schema() peek on a lazy sort-join plan executes the
+    # output, and a .schema() peek on a lazy join plan executes the
     # ENTIRE join for one row (measured round 5: the forced-fallback 4M
-    # campaign ran join 1 twice — once for the peek, once for real —
-    # and sat at 45+ min before this)
+    # campaign ran join 1 twice — once for the peek, once for real)
     fsch = feat.schema()
     ftypes = dict(zip(fsch.names, fsch.types))
     j1_types = {"id_a": pa.int64(), "id_b": pa.int64(),
@@ -175,6 +185,7 @@ def attach_features(pairs: rd.Dataset, features: rd.Dataset,
     if need_paths:
         j1_types["path_a"] = ftypes["path"]
     return hash_partition_join(withe_a, fb, key="id_b", num_buckets=num_buckets,
+                               strategy="native",
                                left_types=j1_types,
                                post_fn=scorer)
 

@@ -316,3 +316,25 @@ def test_attach_features_broadcast_and_join_paths_agree():
                         threshold=0.2, w_jacc=1.0, w_jw=0.0,
                         w_tok=0.0).to_pandas()
     assert key(out_np) == key(jn_np)
+
+
+def test_exact_dedup_sharded_map_equals_broadcast():
+    """The distributed (sorted-shard) rep-map attach must be
+    bit-identical to the driver-built broadcast attach."""
+    from belb_ray.stages.dedup import exact_dedup_annotate
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    df = pd.DataFrame({
+        "row_id": rng.permutation(n * 3)[:n].astype(np.int64),
+        "content_sha256": [f"sha{int(x):04d}"
+                          for x in rng.integers(0, 800, n)]})
+    ds = rd.from_pandas(df).repartition(9)
+    a = exact_dedup_annotate(ds).to_pandas()
+    b = exact_dedup_annotate(ds, broadcast_rows=0).to_pandas()
+    key = ["row_id"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    grp = a.groupby("content_sha256")["rep_id"].nunique()
+    assert (grp == 1).all()
