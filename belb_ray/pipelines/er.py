@@ -97,12 +97,20 @@ def resolve_files(
     # deep plan whose stages all want full width is the exception.
     features_all = features_all.materialize()
     fm = exact_dedup_annotate(features_all).materialize()
-    members = fm.select_columns(["row_id", "rep_id"])
+    # free each wide feature copy as soon as its successor is
+    # materialized: keeping features_all/fm referenced pins ~n x 1.2 KB
+    # of plasma EACH for the whole run — at 16M rows the three copies
+    # (~57 GB) overran a 64 GB store into a disk-capped spill (round 5).
+    # members materializes NARROW (16 B/row) so dropping fm really
+    # releases the wide blocks.
+    del features_all
+    members = fm.select_columns(["row_id", "rep_id"]).materialize()
     # materialized: consumed 3× (band keys, path keys, feature joins)
     features = fm.map_batches(
         lambda t: t.filter(pc.equal(t["row_id"], t["rep_id"]))
         .drop_columns(["content_sha256", "rep_id"]),
         batch_format="pyarrow").materialize()
+    del fm
 
     def _build_edges() -> rd.Dataset:
         blocks = explode_band_keys(features, bands=cfg.bands)

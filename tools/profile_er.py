@@ -83,14 +83,16 @@ def main() -> None:
     fm = exact_dedup_annotate(
         feats_all,
         broadcast_rows=args.dedup_broadcast_rows).materialize()
+    del feats_all  # release the pre-dedup wide copy (pipelines/er.py)
     t["features_dedup"] = time.time() - t0
 
     t0 = time.time()
-    members = fm.select_columns(["row_id", "rep_id"])
+    members = fm.select_columns(["row_id", "rep_id"]).materialize()
     features = fm.map_batches(
         lambda tb: tb.filter(pc.equal(tb["row_id"], tb["rep_id"]))
         .drop_columns(["content_sha256", "rep_id"]),
         batch_format="pyarrow").materialize()
+    del fm
     t["rep_filter"] = time.time() - t0
 
     t0 = time.time()
